@@ -4,14 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Tuned SparkSession factory for the graft engine.
   *
-  * Settings chosen for correctness at local[32] and sanity at cluster
+  * Settings chosen for correctness at local[N] and sanity at cluster
   * scale: AQE on (runtime coalescing + skew-join splitting), broadcast
   * threshold large enough that every dimension table in the star schema
-  * broadcasts, shuffle partitions sized to the local core count (on a real
+  * broadcasts, shuffle partitions sized to the core budget (on a real
   * cluster this is overridden by AQE coalescing anyway).
+  *
+  * Parallelism defaults to the driver's SPARK_GRAFT_CPUS env var so the
+  * harness, Bench and Verify all agree on the core budget.
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+
+  /** Core budget: driver-pinned via SPARK_GRAFT_CPUS, else 32. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def builder(master: String = s"local[$cpus]",
+              shufflePartitions: Int = cpus): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (SURVEY.md §2 C).
+  *
+  * Everything is built from `org.apache.spark.sql.functions` higher-order
+  * functions (codegen'd by Catalyst) — no UDFs, so these stay inside
+  * WholeStageCodegen and scale linearly with input size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-grams joined by a single space. Rows with fewer
+    * than `n` tokens yield an empty array (guarded — Spark's `sequence`
+    * would otherwise produce a descending range). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val idx = sequence(lit(1), greatest(size(t) - (n - 1), lit(0)))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+  }
+
+  /** Number of distinct tokens that appear in `words`. */
+  def distinctOverlap(text: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+                         array(words.map(lit): _*)))
+
+  /** Fraction of tokens that are in `words` (0.0 for empty docs). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      size(filter(t, tok => tok.isin(words.map(x => x: Any): _*))).cast("double") / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Karp–Rabin polynomial rolling hash of the token stream:
+    * `h = fold(tokens, 0, (acc, t) -> (acc * 31 + xxhash64(t)) mod p)`.
+    * A sequential fold via `aggregate` — order-sensitive by design, so
+    * reordered documents fingerprint differently. Arithmetic stays in
+    * Long with a large prime modulus; xxhash64 is reduced to [0, p)
+    * first so `acc * 31 + h` cannot overflow. */
+  def rollingHash(text: Column, p: Long = 1000000007L): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => (acc * 31L + pmod(xxhash64(tok), lit(p))) % p)
+
+  /** Canonical document fingerprint: md5 of the lower-cased,
+    * whitespace-collapsed text. SQL-expressible (oracle-matchable);
+    * [[rollingHash]] is the order-sensitive variant. */
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), " +", " "))
+
+  /** Sub-word ("BPE-ish") token count: runs of letters, runs of digits,
+    * or single other non-space characters. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+}

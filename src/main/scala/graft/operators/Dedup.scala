@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large text corpora (SURVEY.md §2 C1–C4).
+  *
+  * Scale design (100 TB): nothing here ever joins raw text against raw
+  * text. Exact dedup groups on a 128-bit content hash; near-dup
+  * candidate generation shuffles on high-cardinality band-hash keys
+  * (MinHash-LSH) so data distributes evenly and only within-bucket
+  * pairs are materialized — no all-pairs (cartesian) stage anywhere.
+  */
+object Dedup {
+
+  /** C1 — exact dedup: one survivor (min id) per distinct content hash.
+    * Grouping on md5(text) rather than the text itself keeps shuffle
+    * rows small at scale; md5 collisions are negligible at 2^64 docs. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, gram) pairs from word `n`-grams — the shared shingle
+    * relation used by MinHash and Jaccard. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
+
+  /** C2 — MinHash signatures: `numHashes` independent min-hashes per
+    * document. Hash family i is xxhash64 salted with the function index
+    * (single shuffle: one groupBy over the exploded shingle relation,
+    * all mins computed map-side first). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 32, ngram: Int = 3): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(concat(lit(s"mh$i|"), col("gram")))).as(s"mh_$i"))
+    shingles(docs, textCol, idCol, ngram)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** C2 — LSH banding: candidate pairs sharing at least one band.
+    * Signature is cut into `bands` bands of `numHashes/bands` rows; the
+    * band hash is the shuffle key. Band-hash keys are high-cardinality
+    * → even distribution at scale; the self-join is bucket-local. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            ngram: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, textCol, idCol, numHashes, ngram)
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val bucketed = sig
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = bucketed.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** C3 — 64-bit SimHash: per bit, sum +1/-1 votes of each distinct
+    * token's xxhash64 bit, then pack the sign vector into a Long.
+    * One shuffle (groupBy id); the 64 per-bit sums combine map-side. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$k"))
+    val packed = (0 until 64)
+      .map(k => when(col(s"v_$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** C4 — n-gram Jaccard similarity pairs ≥ `threshold`. Candidate pairs
+    * come from the shared-shingle join (gram is the shuffle key), so
+    * complexity is Σ|posting list|², not |docs|². */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val g = shingles(docs, textCol, idCol, n)
+    val counts = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = g.select(col(idCol).as("doc1"), col("gram"))
+    val b = g.select(col(idCol).as("doc2"), col("gram"))
+    val inter = a.join(b, "gram")
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col(idCol).as("doc1"), col("n_grams").as("n1")), "doc1")
+      .join(counts.select(col(idCol).as("doc2"), col("n_grams").as("n2")), "doc2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-data-pipeline extensions (SURVEY.md §2 C1–C10) over the
+  * `documents` and `embeddings` tables.
+  *
+  * SQL-expressible ops carry a DuckDB oracle with identical aliases and
+  * 4-decimal rounding; hash-family-dependent ops (MinHash, SimHash, LSH
+  * ANN) are rows-only here and pinned by ScalaTest specs instead.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val enStop = Seq("the", "a", "of", "and", "to")
+  private val frStop = Seq("le", "la", "de", "et", "un")
+  private val deStop = Seq("der", "die", "das", "und", "ein")
+  private val esStop = Seq("el", "los", "las", "y", "una")
+
+  // ---------------------------------------------------------------- C1
+  def qDocExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("n_copies"))
+
+  // ---------------------------------------------------------------- C2
+  def qDocMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(docs(s, dir), "text", "doc_id",
+      numHashes = 32, bands = 8, ngram = 3)
+
+  // ---------------------------------------------------------------- C3
+  def qDocSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "text", "doc_id")
+
+  // ---------------------------------------------------------------- C4
+  def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
+
+  // ---------------------------------------------------------------- C5
+  def qEmbCosineTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)
+
+  // ---------------------------------------------------------------- C6
+  def qEmbLshAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(s, emb(s, dir), "vec_id", "embedding",
+      bits = 12, dim = 64, threshold = 0.6)
+
+  // ---------------------------------------------------------------- C7
+  /** Language-ID by distinct-stopword overlap per language, argmax with
+    * a deterministic tie order (en > fr > de > es > und). */
+  def qDocLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("en_hits", TextFunctions.distinctOverlap(col("text"), enStop))
+      .withColumn("fr_hits", TextFunctions.distinctOverlap(col("text"), frStop))
+      .withColumn("de_hits", TextFunctions.distinctOverlap(col("text"), deStop))
+      .withColumn("es_hits", TextFunctions.distinctOverlap(col("text"), esStop))
+    d.select(col("doc_id"),
+      when(col("en_hits") > 0 && col("en_hits") >= col("fr_hits") &&
+           col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
+        .when(col("fr_hits") > 0 && col("fr_hits") >= col("de_hits") &&
+              col("fr_hits") >= col("es_hits"), "fr")
+        .when(col("de_hits") > 0 && col("de_hits") >= col("es_hits"), "de")
+        .when(col("es_hits") > 0, "es")
+        .otherwise("und").as("pred_lang"),
+      col("en_hits"))
+  }
+
+  // ---------------------------------------------------------------- C8
+  /** Quality scoring: length, alphabetic ratio, stopword ratio →
+    * composite score in [0, 1]. */
+  def qDocQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      size(t).cast("bigint").as("n_tokens"),
+      round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text")), 4).as("alpha_ratio"),
+      round(TextFunctions.stopwordRatio(col("text"), enStop), 4).as("stop_ratio"),
+      round(least(lit(1.0), size(t) / lit(50.0)) *
+            (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+             length(col("text"))), 4).as("quality"))
+  }
+
+  // ---------------------------------------------------------------- C9
+  def qDocTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("bigint").as("ws_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).cast("bigint").as("sub_tokens"))
+
+  // ---------------------------------------------------------------- C10
+  /** Canonical fingerprint (md5 of normalized text — oracle-matchable).
+    * The order-sensitive Karp–Rabin variant [[TextFunctions.rollingHash]]
+    * is included as a second column pinned by RollingHashSpec. */
+  def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_exact_dedup"   -> (qDocExactDedup _),
+    "q_doc_minhash_pairs" -> (qDocMinhashPairs _),
+    "q_doc_simhash"       -> (qDocSimhash _),
+    "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
+    "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
+    "q_emb_lsh_ann"       -> (qEmbLshAnn _),
+    "q_doc_langid"        -> (qDocLangid _),
+    "q_doc_quality"       -> (qDocQuality _),
+    "q_doc_tokens"        -> (qDocTokens _),
+    "q_doc_fingerprint"   -> (qDocFingerprint _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_exact_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)""".stripMargin,
+    "q_doc_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |       round(inter / (ca.n + cb.n - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN counts ca ON ca.doc_id = doc1
+        |JOIN counts cb ON cb.doc_id = doc2
+        |WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin,
+    "q_emb_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cosine
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    "q_doc_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['the','a','of','and','to'])) AS en_hits,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['le','la','de','et','un'])) AS fr_hits,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['der','die','das','und','ein'])) AS de_hits,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['el','los','las','y','una'])) AS es_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en_hits > 0 AND en_hits >= fr_hits AND en_hits >= de_hits
+        |            AND en_hits >= es_hits THEN 'en'
+        |       WHEN fr_hits > 0 AND fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+        |       WHEN de_hits > 0 AND de_hits >= es_hits THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang,
+        |  CAST(en_hits AS INT) AS en_hits
+        |FROM h""".stripMargin,
+    "q_doc_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
+        |        length(text), 4) AS alpha_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |            x -> x IN ('the','a','of','and','to'))) * 1.0 /
+        |        len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  round(least(1.0, len(string_split(text, ' ')) / 50.0) *
+        |        (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
+        |         length(text)), 4) AS quality
+        |FROM documents""".stripMargin,
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS sub_tokens
+        |FROM documents""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin
+    // q_doc_minhash_pairs / q_doc_simhash / q_emb_lsh_ann: hash-family
+    // dependent → rows-only checks; semantics pinned by ScalaTest specs.
+  )
+}

@@ -1,0 +1,564 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational analytics surface (SURVEY.md §2 B1–B22).
+  *
+  * The reference's consumption surface is Athena/Trino SQL over OCSF
+  * parquet tables (/root/reference/README.md:48) — i.e. full ANSI
+  * filter/project/join/agg/window/subquery analytics. Here each
+  * capability is a declarative DataFrame program so Catalyst plans it:
+  * filters and projections reach the parquet scan (PushedFilters /
+  * ReadSchema), small dimensions broadcast, aggregations get map-side
+  * partial combine, and AQE handles skew at scale.
+  *
+  * Correctness contract: every computed column is aliased identically to
+  * the DuckDB oracle SQL (driver sorts columns by name and hashes
+  * values), doubles are rounded to 4 decimals on both sides, counts are
+  * BIGINT on both sides, dates/timestamps are emitted as strings.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- B1
+  /** Selective scan+filter+project; filter + projection push into the
+    * parquet scan (TPC-H Q6 shape). */
+  def q6SelectiveFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  // ---------------------------------------------------------------- B2
+  /** Grouped aggregation with multiple measures (TPC-H Q1 shape); relies
+    * on partial (map-side) aggregation before the shuffle. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+           round(sum("l_extendedprice"), 4).as("sum_base_price"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+           round(avg("l_quantity"), 4).as("avg_qty"),
+           round(avg("l_discount"), 4).as("avg_disc"),
+           count(lit(1)).as("count_order"))
+
+  // ---------------------------------------------------------------- B3
+  /** Dim ⋈ fact ⋈ fact with group-agg (TPC-H Q3 shape). customer is the
+    * small side → broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01"))
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              col("o_orderpriority").as("orderpriority"),
+              col("revenue"))
+  }
+
+  /** 6-way star join (TPC-H Q5 shape): region/nation broadcast, fact
+    * joins shuffle on their keys, supplier-nation co-location predicate. */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust   = t(s, dir, "customer")
+    val ord    = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li   = t(s, dir, "lineitem")
+    val supp = t(s, dir, "supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- B4
+  /** Semi-join (EXISTS): orders having at least one heavy line item. */
+  def q4Semijoin(s: SparkSession, dir: String): DataFrame = {
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    t(s, dir, "orders")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** IN-subquery (TPC-H Q18 shape): orders whose total quantity across
+    * line items exceeds a threshold; aggregation-then-join. */
+  def q18InSubquery(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 170)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+              round(col("o_totalprice"), 4).as("totalprice"))
+  }
+
+  // ---------------------------------------------------------------- B5
+  /** Anti-join (NOT EXISTS): customers that never placed an order. */
+  def q16Antijoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  // ---------------------------------------------------------------- B6
+  /** Left outer join + two-level aggregation (TPC-H Q13 shape):
+    * orders-per-customer distribution, keeping zero-order customers. */
+  def q13OuterjoinCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  // ---------------------------------------------------------------- B7
+  /** Scalar subquery: global average as a broadcast single-row join so
+    * the plan stays fully distributed (no driver-side collect). */
+  def q17AvgSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li     = t(s, dir, "lineitem")
+    val avgQty = li.agg(avg("l_quantity").as("global_avg_qty"))
+    li.join(broadcast(avgQty))
+      .filter(col("l_quantity") < col("global_avg_qty") * 0.5)
+      .agg(round(sum("l_extendedprice"), 4).as("total_price"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------- B8
+  /** Window rank within partition: top-3 suppliers per nation by
+    * account balance. */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(s, dir, "supplier")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("s_suppkey"), col("s_nationkey"), col("rnk"),
+              round(col("s_acctbal"), 4).as("acctbal"))
+  }
+
+  /** Window lag over an event stream: inter-event delta per user in
+    * microseconds (exact integer arithmetic on both engines). */
+  def qEventsLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+              (unix_micros(col("ts")) - col("prev_us")).as("delta_us"))
+  }
+
+  // ---------------------------------------------------------------- B9
+  /** Distinct and count-distinct over the orders fact. */
+  def q8Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           countDistinct(col("o_orderpriority")).as("n_priorities"),
+           countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("n_status_prio"))
+
+  // ---------------------------------------------------------------- B10
+  /** Top-k: highest-spend customers. Deterministic tiebreak on the key
+    * so both engines pick an identical set (TopK = sort+limit; Spark
+    * executes it as TakeOrderedAndProject, no full sort at scale). */
+  def q9Topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- B11
+  /** HAVING: frequent customers only. */
+  def q10Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 4).as("total_spend"))
+      .filter(col("n_orders") >= 15)
+
+  // ---------------------------------------------------------------- B12
+  /** UNION ALL of two differently-filtered key sets, re-aggregated. */
+  def q11Union(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.unionAll(b).groupBy("custkey").agg(count(lit(1)).as("appearances"))
+  }
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics). */
+  def q12Setops(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val fulfilled  = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    building.intersect(withOrders).except(fulfilled)
+  }
+
+  // ---------------------------------------------------------------- B13
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q14CaseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 4).as("fulfilled_price"),
+           sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_count"),
+           count(lit(1)).as("n_orders"))
+
+  // ---------------------------------------------------------------- B14
+  /** ROLLUP grouping sets with subtotals and grand total. */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+
+  // ---------------------------------------------------------------- B15
+  /** Complex predicates: OR-of-ANDs with BETWEEN / IN / LIKE (TPC-H Q19
+    * shape). Catalyst pushes the common conjuncts into both scans. */
+  def q19ComplexPred(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p  = t(s, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_name").like("%widget%") && col("p_type").isin("PROMO", "ECONOMY") &&
+          col("l_quantity") >= 25))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------- B16
+  /** JSON extraction from a string payload column. */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"),
+           sum("k").as("sum_k"),
+           count(lit(1)).as("n_events"))
+
+  // ---------------------------------------------------------------- B17
+  /** Time bucketing (date_trunc to hour) over the event stream. */
+  def qEventsTimebucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 4).as("total_value"))
+
+  // ---------------------------------------------------------------- B18
+  /** Sessionization: a gap of >30 min starts a new session. Window lag
+    * per user, then counted — the classic gap-and-island pattern. */
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------- B19
+  /** Pivot-style conditional matrix: per-user counts by event type. */
+  def qEventsPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+           sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signups"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+
+  // ---------------------------------------------------------------- B20
+  /** String functions: substr/upper/length/LIKE. */
+  def q20Strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(upper(substring(col("p_name"), 1, 1)).as("first_letter"))
+      .agg(count(lit(1)).as("n_parts"),
+           round(avg(length(col("p_name"))), 4).as("avg_name_len"),
+           sum(when(col("p_name").like("%e%"), 1L).otherwise(0L)).as("with_e"))
+
+  // ---------------------------------------------------------------- B21
+  /** OCSF-style classification of an event stream: broadcast-join the
+    * event-type→class mapping dimension (the reference's
+    * mapped_qfdr_events_to_class.json pattern,
+    * qopcfdr_stream_loader.py:150-214) rather than a CASE chain. */
+  def qOcsfClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mapping = Seq(
+      ("signup",   3002, "Authentication"),
+      ("click",    4002, "HTTP Activity"),
+      ("view",     4002, "HTTP Activity"),
+      ("purchase", 6002, "Application Lifecycle"),
+      ("error",    2004, "Detection Finding")
+    ).toDF("evt", "class_uid", "class_name")
+    t(s, dir, "events")
+      .join(broadcast(mapping), col("event_type") === col("evt"), "left_outer")
+      .withColumn("class_uid", coalesce(col("class_uid"), lit(0)))
+      .withColumn("class_name", coalesce(col("class_name"), lit("Unknown")))
+      .groupBy("class_uid", "class_name")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 4).as("total_value"))
+  }
+
+  // ---------------------------------------------------------------- B22
+  /** Approximate count-distinct (HLL++). Rows-only driver check — no
+    * SQL oracle, approximation is engine-specific. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           approx_count_distinct(col("event_id")).as("approx_events"))
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_selective_filter" -> (q6SelectiveFilter _),
+    "q1_agg"              -> (q1Agg _),
+    "q3_join_agg"         -> (q3JoinAgg _),
+    "q5_multijoin"        -> (q5Multijoin _),
+    "q4_semijoin"         -> (q4Semijoin _),
+    "q18_in_subquery"     -> (q18InSubquery _),
+    "q16_antijoin"        -> (q16Antijoin _),
+    "q13_outerjoin_count" -> (q13OuterjoinCount _),
+    "q17_avg_subquery"    -> (q17AvgSubquery _),
+    "q7_window"           -> (q7Window _),
+    "q_events_lag"        -> (qEventsLag _),
+    "q8_distinct"         -> (q8Distinct _),
+    "q9_topk"             -> (q9Topk _),
+    "q10_having"          -> (q10Having _),
+    "q11_union"           -> (q11Union _),
+    "q12_setops"          -> (q12Setops _),
+    "q14_case_agg"        -> (q14CaseAgg _),
+    "q15_rollup"          -> (q15Rollup _),
+    "q19_complex_pred"    -> (q19ComplexPred _),
+    "q_events_json"       -> (qEventsJson _),
+    "q_events_timebucket" -> (qEventsTimebucket _),
+    "q_events_sessions"   -> (qEventsSessions _),
+    "q_events_pivot"      -> (qEventsPivot _),
+    "q20_strings"         -> (q20Strings _),
+    "q_ocsf_classify"     -> (qOcsfClassify _),
+    "q_approx_distinct"   -> (qApproxDistinct _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q6_selective_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       o_orderpriority AS orderpriority,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q18_in_subquery" ->
+      """SELECT c_name, o_orderkey, round(o_totalprice, 4) AS totalprice
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 170)""".stripMargin,
+    "q16_antijoin" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q13_outerjoin_count" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q17_avg_subquery" ->
+      """SELECT round(sum(l_extendedprice), 4) AS total_price,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_quantity < (SELECT avg(l_quantity) FROM lineitem) * 0.5""".stripMargin,
+    "q7_window" ->
+      """SELECT s_suppkey, s_nationkey, rnk, round(s_acctbal, 4) AS acctbal
+        |FROM (SELECT s_suppkey, s_nationkey, s_acctbal,
+        |             CAST(rank() OVER (PARTITION BY s_nationkey
+        |                               ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS rnk
+        |      FROM supplier)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_events_lag" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        |FROM events""".stripMargin,
+    "q8_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+        |       CAST(count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS n_status_prio
+        |FROM orders""".stripMargin,
+    "q9_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey
+        |LIMIT 10""".stripMargin,
+    "q10_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS total_spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15""".stripMargin,
+    "q11_union" ->
+      """SELECT custkey, CAST(count(*) AS BIGINT) AS appearances
+        |FROM (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |      UNION ALL
+        |      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY custkey""".stripMargin,
+    "q12_setops" ->
+      """(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders)
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q14_case_agg" ->
+      """SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS fulfilled_price,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q19_complex_pred" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_name LIKE '%widget%' AND p_type IN ('PROMO', 'ECONOMY') AND l_quantity >= 25)""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        |       round(avg(k), 4) AS avg_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_events_timebucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        |       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q_events_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM events
+        |GROUP BY user_id""".stripMargin,
+    "q20_strings" ->
+      """SELECT upper(substr(p_name, 1, 1)) AS first_letter,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       round(avg(length(p_name)), 4) AS avg_name_len,
+        |       CAST(sum(CASE WHEN p_name LIKE '%e%' THEN 1 ELSE 0 END) AS BIGINT) AS with_e
+        |FROM part
+        |GROUP BY 1""".stripMargin,
+    "q_ocsf_classify" ->
+      """SELECT CASE event_type WHEN 'signup' THEN 3002
+        |                       WHEN 'click' THEN 4002
+        |                       WHEN 'view' THEN 4002
+        |                       WHEN 'purchase' THEN 6002
+        |                       WHEN 'error' THEN 2004
+        |                       ELSE 0 END AS class_uid,
+        |       CASE event_type WHEN 'signup' THEN 'Authentication'
+        |                       WHEN 'click' THEN 'HTTP Activity'
+        |                       WHEN 'view' THEN 'HTTP Activity'
+        |                       WHEN 'purchase' THEN 'Application Lifecycle'
+        |                       WHEN 'error' THEN 'Detection Finding'
+        |                       ELSE 'Unknown' END AS class_name,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
+    // q_approx_distinct intentionally has no oracle (HLL is engine-specific).
+  )
+}
