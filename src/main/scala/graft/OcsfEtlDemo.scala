@@ -1,0 +1,20 @@
+package graft
+
+import graft.ocsf.OcsfSink
+import graft.sources.FdrSource
+
+/** End-to-end ETL example: gz FDR landing dir → classified events →
+  * 13-way OCSF fan-out in Security Lake layout. Usage:
+  * {{{ runMain graft.OcsfEtlDemo <landingPath> <outDir> }}} */
+object OcsfEtlDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(landing, outDir) = args
+    val spark = GraftSession.get()
+    val classified = FdrSource.load(spark, landing)
+    println(s"[demo] classified events: ${classified.count()}")
+    classified.groupBy("route").count().show(20, truncate = false)
+    OcsfSink.fanOut(classified, outDir, "us-east-1", "123456789012")
+    println(s"[demo] wrote OCSF tables under $outDir")
+    spark.stop()
+  }
+}

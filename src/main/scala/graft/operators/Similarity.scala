@@ -35,27 +35,36 @@ object Similarity {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** C6 — LSH-bucketed ANN: sign-of-dot-product against `bits` random
-    * hyperplanes forms the bucket key; cosine pairs are computed only
-    * within buckets. Bucket keys are the shuffle key (2^bits spread).
-    * Returns within-bucket pairs with cosine ≥ `threshold`. */
+  /** C6 — LSH-bucketed ANN with `tables` independent hash tables of
+    * `bits` sign-of-dot-product hyperplane bits each (multi-table LSH:
+    * recall = 1-(1-p^bits)^tables for collision prob p = 1-θ/π).
+    * Cosine pairs are computed only within (table, bucket) groups —
+    * the shuffle key — and deduplicated across tables; the plan never
+    * contains an all-pairs join. Returns pairs with cosine ≥
+    * `threshold`. */
   def lshCosinePairs(spark: SparkSession, emb: DataFrame, idCol: String,
-                     vecCol: String, bits: Int = 12, dim: Int = 64,
-                     threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, bits, seed)
+                     vecCol: String, bits: Int = 4, tables: Int = 8,
+                     dim: Int = 64, threshold: Double = 0.4,
+                     seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits * tables, seed)
     val v = toDoubles(col(vecCol))
-    val bucketBits = planes.zipWithIndex.map { case (p, i) =>
-      val lp = array(p.map(lit): _*)
-      when(dot(v, lp) >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
+    val tableKeys = (0 until tables).map { t =>
+      val keyBits = (0 until bits).map { i =>
+        val lp = array(planes(t * bits + i).map(lit): _*)
+        when(dot(v, lp) >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
+      }
+      struct(lit(t).as("tbl"), keyBits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    val bucketed = emb.select(col(idCol), v.as("v"),
-      bucketBits.reduce(_.bitwiseOR(_)).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
-    a.join(b, "bucket")
+    val bucketed = emb
+      .select(col(idCol), v.as("v"), explode(array(tableKeys: _*)).as("tk"))
+      .select(col(idCol), col("v"), col("tk.tbl").as("tbl"), col("tk.bucket").as("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }

@@ -112,10 +112,11 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- B5
-  /** Anti-join (NOT EXISTS): customers that never placed an order. */
+  /** Anti-join (NOT EXISTS): customers with no fulfilled order. */
   def q16Antijoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
 
@@ -425,7 +426,8 @@ object Relational {
     "q16_antijoin" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY c_mktsegment""".stripMargin,
     "q13_outerjoin_count" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Specs for the non-SQL-expressible dedup/similarity operators
+  * (C2/C3/C6) and the scale property that none of them ever plans an
+  * all-pairs (cartesian) join. */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark query engines at scale")
+  ).toDF("doc_id", "text")
+
+  test("C1: exact dedup keeps one survivor per distinct text") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 3)
+    val dup = out.filter(col("n_copies") === 2).head()
+    assert(dup.getAs[Long]("doc_id") == 1L) // min id survives
+  }
+
+  test("C2: minhash-LSH finds exact and near dups, no cartesian product") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, ngram = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"exact dup pair missing from $got")
+    assert(got.contains((1L, 3L)) || got.contains((2L, 3L)),
+      s"near dup pair missing from $got")
+    assert(!got.exists { case (a, b) => Set(a, b).contains(4L) },
+      s"unrelated doc paired in $got")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH must not go all-pairs")
+  }
+
+  test("C3: simhash — identical docs identical, near dups close, different far") {
+    val sh = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sh(1L), sh(3L)) < dist(sh(1L), sh(4L)),
+      s"near-dup hamming ${dist(sh(1L), sh(3L))} should beat ${dist(sh(1L), sh(4L))}")
+  }
+
+  test("C4: ngram jaccard exact pair scores 1.0") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+  }
+
+  test("C6: LSH ANN buckets cosine pairs without cartesian join") {
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i + d).toFloat)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCosinePairs(spark, vecs, "vec_id", "embedding",
+      bits = 2, tables = 4, dim = 8, threshold = 0.9)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH ANN must not go all-pairs")
+    assert(pairs.count() > 0)
+  }
+
+  test("C5: brute-force top-k broadcasts the query side") {
+    val vecs = (0L until 20L).map(i => (i, Array.tabulate(8)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 5)
+    assert(topk.count() == 5)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query vector should broadcast:\n$plan")
+  }
+
+  test("C10: rolling hash is order-sensitive, fingerprint is not") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val rh = d.select(TextFunctions.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(rh(0) != rh(1))
+    val same = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+      .select(TextFunctions.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(same(0) == same(1))
+  }
+}

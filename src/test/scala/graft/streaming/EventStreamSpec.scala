@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ocsf.Normalizers
+
+/** A24 — streaming ingestion: the file-source stream discovers landed
+  * gz objects, normalizes, and writes partitioned parquet exactly-once
+  * via checkpoint. Uses AvailableNow so the test drains and stops. */
+class EventStreamSpec extends SparkSpec {
+
+  def writeGz(dir: Path, name: String, lines: Seq[String]): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(dir.resolve(name).toFile)), "UTF-8"))
+    lines.foreach { l => w.write(l); w.write("\n") }
+    w.close()
+  }
+
+  test("stream: land gz → normalized partitioned parquet with checkpoint") {
+    val landing = Files.createTempDirectory("stream-landing")
+    val out     = Files.createTempDirectory("stream-out")
+    val ckpt    = Files.createTempDirectory("stream-ckpt")
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a1","cid":"c1","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"one.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a2","cid":"c2","id":"e2","timestamp":"1700086400000","event_platform":"Lin","DomainName":"two.example.com"}"""))
+
+    val classified = EventStream.readClassified(spark, landing.toString)
+    val q = Normalizers.byRoute("DNS Activity")(
+        classified.filter(col("route") === "DNS Activity"))
+      .withColumn("region", lit("us-east-1"))
+      .withColumn("accountId", lit("123456789012"))
+      .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/dns_activity")
+      .option("checkpointLocation", s"$ckpt/dns_activity")
+      .partitionBy("region", "accountId", "eventDay")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val back = spark.read.parquet(s"$out/dns_activity")
+    assert(back.count() == 2)
+    // two event days → two partitions
+    val days = back.select(col("eventDay").cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(days.toSeq == Seq("20231114", "20231115"))
+
+    // restart with same checkpoint: no new data → no duplicates (exactly-once)
+    val q2 = Normalizers.byRoute("DNS Activity")(
+        EventStream.readClassified(spark, landing.toString)
+          .filter(col("route") === "DNS Activity"))
+      .withColumn("region", lit("us-east-1"))
+      .withColumn("accountId", lit("123456789012"))
+      .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/dns_activity")
+      .option("checkpointLocation", s"$ckpt/dns_activity")
+      .partitionBy("region", "accountId", "eventDay")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
+  }
+}
