@@ -22,9 +22,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Distinct (id, gram) pairs from word `n`-grams — the shared shingle
-    * relation used by MinHash and Jaccard. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
+    * relation used by MinHash and Jaccard.
+    *
+    * Built as posexplode + window `lead` rather than an array-lambda:
+    * expressions captured inside Catalyst lambda functions are
+    * re-evaluated per element (the array formulation re-split the text
+    * for every gram — quadratic), while this shape is one split, one
+    * explode, and one linear window pass per document. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val gramParts = col("tok") +: (1 until n).map(o => lead(col("tok"), o).over(w))
+    docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("gram",
+        when(lead(col("tok"), n - 1).over(w).isNotNull, concat_ws(" ", gramParts: _*)))
+      .filter(col("gram").isNotNull)
+      .select(col(idCol), col("gram"))
+      .distinct()
+  }
 
   /** C2 — MinHash signatures: `numHashes` independent min-hashes per
     * document. Hash family i is xxhash64 salted with the function index

@@ -38,32 +38,42 @@ object Similarity {
   /** C6 — LSH-bucketed ANN with `tables` independent hash tables of
     * `bits` sign-of-dot-product hyperplane bits each (multi-table LSH:
     * recall = 1-(1-p^bits)^tables for collision prob p = 1-θ/π).
-    * Cosine pairs are computed only within (table, bucket) groups —
-    * the shuffle key — and deduplicated across tables; the plan never
-    * contains an all-pairs join. Returns pairs with cosine ≥
-    * `threshold`. */
+    *
+    * The hyperplanes are a broadcast dimension table — each (vector,
+    * plane) dot product is one codegen'd `zip_with`/`aggregate` over
+    * attribute arrays, never a literal array captured inside a lambda
+    * (which Catalyst re-evaluates per element). Norms are computed once
+    * per vector and carried through the pair join, so the per-pair work
+    * is a single dot product. Cosine pairs are computed only within
+    * (table, bucket) groups — the shuffle key — and deduplicated across
+    * tables; the plan never contains an all-pairs join. */
   def lshCosinePairs(spark: SparkSession, emb: DataFrame, idCol: String,
-                     vecCol: String, bits: Int = 4, tables: Int = 8,
+                     vecCol: String, bits: Int = 6, tables: Int = 6,
                      dim: Int = 64, threshold: Double = 0.4,
                      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, bits * tables, seed)
-    val v = toDoubles(col(vecCol))
-    val tableKeys = (0 until tables).map { t =>
-      val keyBits = (0 until bits).map { i =>
-        val lp = array(planes(t * bits + i).map(lit): _*)
-        when(dot(v, lp) >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
-      }
-      struct(lit(t).as("tbl"), keyBits.reduce(_.bitwiseOR(_)).as("bucket"))
-    }
-    val bucketed = emb
-      .select(col(idCol), v.as("v"), explode(array(tableKeys: _*)).as("tk"))
-      .select(col(idCol), col("v"), col("tk.tbl").as("tbl"), col("tk.bucket").as("bucket"))
-    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
+    import spark.implicits._
+    val planesDf = hyperplanes(dim, bits * tables, seed).zipWithIndex
+      .map { case (p, i) => (i / bits, i % bits, p) }
+      .toDF("tbl", "bit", "w")
+    val base = emb
+      .select(col(idCol), toDoubles(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val sigs = base
+      .join(broadcast(planesDf))
+      .select(col(idCol), col("tbl"),
+        when(dot(col("v"), col("w")) >= 0.0,
+          expr("shiftleft(1L, bit)")).otherwise(0L).as("b"))
+      .groupBy(col(idCol), col("tbl"))
+      .agg(sum("b").as("bucket"))
+    val bucketed = sigs.join(base, idCol)
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-              round(cosine(col("va"), col("vb")), 4).as("cosine"))
+        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

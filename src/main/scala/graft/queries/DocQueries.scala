@@ -50,7 +50,7 @@ object DocQueries {
   // ---------------------------------------------------------------- C6
   def qEmbLshAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(s, emb(s, dir), "vec_id", "embedding",
-      bits = 4, tables = 8, dim = 64, threshold = 0.4)
+      bits = 6, tables = 6, dim = 64, threshold = 0.4)
 
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
