@@ -25,4 +25,11 @@ object VectorFunctions {
     val nn = l2Norm(a) * l2Norm(b)
     when(nn > 0.0, d / nn).otherwise(lit(0.0))
   }
+
+  /** Native codegen'd cosine ([[CosineSimilarity]]) — requires a
+    * session with [[graft.GraftExtensions]] installed (GraftSession
+    * always installs it). Fused primitive loop, ~10× the HOF
+    * [[cosine]] per pair. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 }

@@ -23,7 +23,7 @@ object Similarity {
     val corpus = emb.select(col(idCol), v.as("v")).filter(col(idCol) =!= queryId)
     val query  = emb.filter(col(idCol) === queryId).select(v.as("qv"))
     corpus.join(broadcast(query))
-      .select(col(idCol), round(cosine(col("v"), col("qv")), 4).as("cosine"))
+      .select(col(idCol), round(cosineNative(col("v"), col("qv")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -73,7 +73,7 @@ object Similarity {
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 4).as("cosine"))
+        round(cosineNative(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

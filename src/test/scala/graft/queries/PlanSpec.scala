@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec}
+import graft.functions.VectorFunctions
+
+/** Physical-plan audits on the sf0.001 tables: the properties that
+  * decide whether these plans survive a 100 TB scale-up — filters and
+  * projections pushed into the parquet scan, small sides broadcast,
+  * and no accidental all-pairs joins anywhere in the surface. */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("B1: selective filter reaches the parquet scan (PushedFilters)") {
+    val p = plan("q6_selective_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+  }
+
+  test("B1: projection pruning — q6 reads only the 4 needed columns") {
+    val p = plan("q6_selective_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"column not pruned: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("B3: dimension sides of the star joins broadcast") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q5_multijoin").contains("BroadcastHashJoin"))
+  }
+
+  test("B4/B5: semi and anti joins plan as such, not as filters on full joins") {
+    assert(plan("q4_semijoin").contains("LeftSemi"))
+    assert(plan("q16_antijoin").contains("LeftAnti"))
+  }
+
+  test("B2: grouped agg has map-side partial aggregation") {
+    val p = plan("q1_agg")
+    // two HashAggregate nodes (partial + final) around the exchange
+    // (pre-execution AQE plans don't render WholeStageCodegen spans)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("no query in the surface plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name goes all-pairs:\n$p")
+    }
+  }
+
+  test("B10: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q9_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("native graft_cosine matches the HOF cosine exactly") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0)) // zero norm → 0.0
+    ).toDF("a", "b")
+    val r = vecs.select(
+      VectorFunctions.cosineNative(col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1), row.toString))
+  }
+}
