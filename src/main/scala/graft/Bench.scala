@@ -7,9 +7,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // One JIT/IO warm-up pass over the shared tables (not timed).
+    // Warm-up (not timed): page-cache the shared tables and JIT the
+    // scan/agg/join/window/HOF code paths with representative queries.
     graft.sources.Tables.names.foreach { n =>
       try graft.sources.Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
+    Seq("q1_agg", "q3_join_agg", "q_events_lag", "q_doc_tokens").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

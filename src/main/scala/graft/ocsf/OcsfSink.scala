@@ -27,17 +27,27 @@ object OcsfSink {
     route.toLowerCase.replace(' ', '_')
 
   /** A22 — write one normalized class DataFrame in Security Lake
-    * layout. `time` must exist (all normalizers emit it). */
+    * layout. `time` must exist (all normalizers emit it).
+    *
+    * `filesPerDay` is the skew lever: 1 gives exactly one file per
+    * (region, account, day) partition; at 100 TB/day raise it so a
+    * single hot day spreads across that many writers — the salt only
+    * affects the repartition, never the directory layout. */
   def write(df: DataFrame, baseDir: String, route: String,
             region: String, accountId: String,
-            maxEventDayFiles: Int = 1): Unit = {
+            filesPerDay: Int = 1): Unit = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
     val partitioned = df
       .withColumn("region", lit(region))
       .withColumn("accountId", lit(accountId))
       .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
-    partitioned
-      .repartition(col("region"), col("accountId"), col("eventDay"))
-      .write
+    val salted =
+      if (filesPerDay == 1) partitioned.repartition(
+        col("region"), col("accountId"), col("eventDay"))
+      else partitioned.repartition(
+        col("region"), col("accountId"), col("eventDay"),
+        pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay)))
+    salted.write
       .mode("append")
       .partitionBy("region", "accountId", "eventDay")
       .parquet(s"$baseDir/${tableName(route)}")

@@ -269,21 +269,15 @@ object Relational {
            round(sum("value"), 4).as("total_value"))
 
   // ---------------------------------------------------------------- B18
-  /** Sessionization: a gap of >30 min starts a new session. Window lag
-    * per user, then counted — the classic gap-and-island pattern. */
-  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_us").isNull ||
-             (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
+  /** Sessionization: a gap of >30 min starts a new session — the
+    * classic gap-and-island pattern via the [[graft.operators.Sessionize]]
+    * operator. */
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize
+      .withSessionIds(t(s, dir, "events"), "user_id", "ts", "event_id", 1800L)
       .groupBy("user_id")
-      .agg(sum("new_session").as("n_sessions"),
+      .agg(max("session_seq").as("n_sessions"),
            count(lit(1)).as("n_events"))
-  }
 
   // ---------------------------------------------------------------- B19
   /** Pivot-style conditional matrix: per-user counts by event type. */

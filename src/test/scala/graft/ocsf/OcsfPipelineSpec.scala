@@ -188,6 +188,22 @@ class OcsfPipelineSpec extends SparkSpec {
     assert(files.length == 1, s"expected 1 file, got ${files.length}")
   }
 
+  test("A22: salted write spreads a hot day across filesPerDay files") {
+    val outDir = Files.createTempDirectory("ocsf-salted")
+    OcsfSink.write(
+      Normalizers.processActivity(classified.filter(col("route") === "Process Activity")),
+      outDir.toString, "Process Activity", "us-east-1", "123456789012",
+      filesPerDay = 3)
+    val day = outDir.resolve("process_activity")
+      .resolve("region=us-east-1").resolve("accountId=123456789012")
+      .resolve("eventDay=20231114")
+    assert(Files.exists(day))
+    // 1 row can't fill 3 files, but layout must be unchanged and readable
+    val back = spark.read.parquet(outDir.resolve("process_activity").toString)
+    assert(back.count() == 1)
+    assert(!back.columns.contains("salt"), "salt must not leak into the schema")
+  }
+
   test("normalizeAll covers all 13 routes") {
     val all = Normalizers.normalizeAll(classified)
     assert(all.keySet.size == 13)

@@ -67,4 +67,28 @@ class EventStreamSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
   }
+
+  test("watermarked windowed counts aggregate the classified stream") {
+    val landing = Files.createTempDirectory("stream-window")
+    // two DnsRequests in the same minute, one in the next
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w1","cid":"c","id":"e1","timestamp":"1700000010000","event_platform":"Lin","DomainName":"a.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w2","cid":"c","id":"e2","timestamp":"1700000020000","event_platform":"Lin","DomainName":"b.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w3","cid":"c","id":"e3","timestamp":"1700000070000","event_platform":"Lin","DomainName":"c.example.com"}"""))
+    val counts = EventStream.windowedCounts(
+      EventStream.readClassified(spark, landing.toString))
+    // complete mode to a memory sink: asserts the aggregation itself
+    // without depending on append-mode watermark flush timing
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("windowed_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("windowed_counts")
+      .select(col("window.start").cast("string"), col("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("2023-11-14 22:13:00" -> 2L, "2023-11-14 22:14:00" -> 1L), rows.toString)
+  }
 }
