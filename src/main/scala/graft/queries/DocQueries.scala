@@ -52,6 +52,12 @@ object DocQueries {
     Similarity.lshCosinePairs(s, emb(s, dir), "vec_id", "embedding",
       bits = 6, tables = 6, dim = 64, threshold = 0.4)
 
+  // ---------------------------------------------------------------- C6b
+  /** IVF coarse-quantizer ANN: probe 4 of 16 k-means cells. */
+  def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ivf.topK(s, emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 20, numCentroids = 16, nprobe = 4)
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -113,6 +119,7 @@ object DocQueries {
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
+    "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),

@@ -75,6 +75,26 @@ class OperatorsSpec extends SparkSpec {
       s"query vector should broadcast:\n$plan")
   }
 
+  test("C6b: IVF with full probe equals brute force; partial probe recalls most") {
+    val vecs = (0L until 60L).map(i => (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probing every cell makes IVF exhaustive → identical to brute force
+    val full = Ivf.topK(spark, vecs, "vec_id", "embedding", 0L, 10,
+        numCentroids = 4, nprobe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+    // partial probe returns a subset of true neighbors, in order
+    val partial = Ivf.topK(spark, vecs, "vec_id", "embedding", 0L, 10,
+        numCentroids = 4, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(partial.nonEmpty)
+    assert(partial.subsetOf(
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet))
+  }
+
   test("C10: rolling hash is order-sensitive, fingerprint is not") {
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val rh = d.select(TextFunctions.rollingHash(col("text"))).collect().map(_.getLong(0))
