@@ -15,6 +15,14 @@ object OcsfEtlDemo {
     classified.groupBy("route").count().show(20, truncate = false)
     OcsfSink.fanOut(classified, outDir, "us-east-1", "123456789012")
     println(s"[demo] wrote OCSF tables under $outDir")
+    // consumption surface: SQL over the normalized lake
+    val views = graft.ocsf.OcsfTables.registerAll(spark, outDir)
+    println(s"[demo] registered views: ${views.mkString(", ")}")
+    views.headOption.foreach { v =>
+      spark.sql(
+        s"SELECT class_name, activity_name, status, count(*) AS n FROM $v GROUP BY 1, 2, 3"
+      ).show(10, truncate = false)
+    }
     spark.stop()
   }
 }

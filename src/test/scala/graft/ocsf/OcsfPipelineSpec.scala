@@ -204,6 +204,23 @@ class OcsfPipelineSpec extends SparkSpec {
     assert(!back.columns.contains("salt"), "salt must not leak into the schema")
   }
 
+  test("lake read-back: OcsfTables registers views and SQL prunes partitions") {
+    val outDir = Files.createTempDirectory("ocsf-lake")
+    OcsfSink.fanOut(classified, outDir.toString, "eu-west-1", "000011112222")
+    val views = OcsfTables.registerAll(spark, outDir.toString)
+    assert(views.contains("ocsf_dns_activity"), views.toString)
+    val n = spark.sql(
+      """SELECT count(*) FROM ocsf_dns_activity
+        |WHERE eventDay = 20231114 AND class_uid = 4003""".stripMargin)
+      .head().getLong(0)
+    assert(n == 1)
+    // the partition filter must prune, not post-filter: PartitionFilters
+    val plan = spark.sql(
+      "SELECT * FROM ocsf_dns_activity WHERE eventDay = 20231114")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(eventDay"), plan)
+  }
+
   test("normalizeAll covers all 13 routes") {
     val all = Normalizers.normalizeAll(classified)
     assert(all.keySet.size == 13)
