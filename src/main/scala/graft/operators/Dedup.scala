@@ -29,17 +29,20 @@ object Dedup {
     * re-evaluated per element (the array formulation re-split the text
     * for every gram — quadratic), while this shape is one split, one
     * explode, and one linear window pass per document. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+  /** `dedupGrams = false` skips the distinct shuffle for consumers
+    * whose aggregate is idempotent over duplicates (MinHash's min). */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3,
+               dedupGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("pos")
     val gramParts = col("tok") +: (1 until n).map(o => lead(col("tok"), o).over(w))
-    docs
+    val g = docs
       .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("gram",
         when(lead(col("tok"), n - 1).over(w).isNotNull, concat_ws(" ", gramParts: _*)))
       .filter(col("gram").isNotNull)
       .select(col(idCol), col("gram"))
-      .distinct()
+    if (dedupGrams) g.distinct() else g
   }
 
   /** C2 — MinHash signatures: `numHashes` independent min-hashes per
@@ -50,7 +53,8 @@ object Dedup {
                         numHashes: Int = 32, ngram: Int = 3): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(concat(lit(s"mh$i|"), col("gram")))).as(s"mh_$i"))
-    shingles(docs, textCol, idCol, ngram)
+    // min() is idempotent over duplicate grams → skip the distinct shuffle
+    shingles(docs, textCol, idCol, ngram, dedupGrams = false)
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
   }
@@ -102,17 +106,18 @@ object Dedup {
     * complexity is Σ|posting list|², not |docs|². */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-doc gram count attached via a window over the shingle
+    // relation itself — no separate counts branch, so the (expensive)
+    // shingle subtree is planned twice (a/b join sides), not four times
     val g = shingles(docs, textCol, idCol, n)
-    val counts = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val a = g.select(col(idCol).as("doc1"), col("gram"))
-    val b = g.select(col(idCol).as("doc2"), col("gram"))
-    val inter = a.join(b, "gram")
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(idCol)))
+    val a = g.select(col(idCol).as("doc1"), col("gram"), col("n_grams").as("n1"))
+    val b = g.select(col(idCol).as("doc2"), col("gram"), col("n_grams").as("n2"))
+    a.join(b, "gram")
       .filter(col("doc1") < col("doc2"))
-      .groupBy("doc1", "doc2")
+      .groupBy("doc1", "doc2", "n1", "n2")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col(idCol).as("doc1"), col("n_grams").as("n1")), "doc1")
-      .join(counts.select(col(idCol).as("doc2"), col("n_grams").as("n2")), "doc2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
