@@ -58,4 +58,14 @@ object TextFunctions {
     * or single other non-space characters. */
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Alphabetic-character fraction of the text. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+
+  /** Composite quality score in [0, 1]: length saturation (50 tokens)
+    * × alphabetic ratio. The shared definition behind q_doc_quality
+    * and the corpus curation gate. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), size(tokens(text)) / lit(50.0)) * alphaRatio(text)
 }

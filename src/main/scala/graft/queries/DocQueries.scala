@@ -87,13 +87,15 @@ object DocQueries {
       col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars"),
       size(t).cast("bigint").as("n_tokens"),
-      round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text")), 4).as("alpha_ratio"),
+      round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
       round(TextFunctions.stopwordRatio(col("text"), enStop), 4).as("stop_ratio"),
-      round(least(lit(1.0), size(t) / lit(50.0)) *
-            (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-             length(col("text"))), 4).as("quality"))
+      round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
   }
+
+  // ---------------------------------------------------------- C1+C8
+  /** Corpus curation capstone: exact dedup → quality gate → stats. */
+  def qDocPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.curate(docs(s, dir), "text", "doc_id", minQuality = 0.5)
 
   // ---------------------------------------------------------------- C9
   def qDocTokens(s: SparkSession, dir: String): DataFrame =
@@ -123,6 +125,7 @@ object DocQueries {
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),
+    "q_doc_pipeline"      -> (qDocPipeline _),
     "q_doc_fingerprint"   -> (qDocFingerprint _)
   )
 
@@ -200,7 +203,18 @@ object DocQueries {
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_doc_pipeline" ->
+      """WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(least(1.0, len(string_split(d.text, ' ')) / 50.0) *
+        |          (length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 /
+        |           length(d.text)), 4) AS quality
+        |  FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM survivors))
+        |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin
     // q_doc_minhash_pairs / q_doc_simhash / q_emb_lsh_ann: hash-family
     // dependent → rows-only checks; semantics pinned by ScalaTest specs.
   )
