@@ -53,7 +53,7 @@ object Ivf {
   private def withAssignment(df: DataFrame, vCol: String,
                              centroids: Seq[Array[Double]]): DataFrame = {
     val sims = array(centroids.map(c =>
-      cosineNative(col(vCol), array(c.map(lit): _*))): _*)
+      cosineNative(col(vCol), array(c.toIndexedSeq.map(lit): _*))): _*)
     df.withColumn("sims", sims)
       .withColumn("centroid_id",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
