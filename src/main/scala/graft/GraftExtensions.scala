@@ -15,6 +15,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_cosine",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSimilarity(children(0), children(1))
+      }))
   }
 }

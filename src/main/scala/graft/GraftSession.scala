@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // set once at build time (not per-read): parquet TIMESTAMP(NANOS)
+      // columns (events.ts in the driver testdata) are read as Long;
+      // Tables.load converts back gated on the parquet logical type
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

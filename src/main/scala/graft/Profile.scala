@@ -20,9 +20,11 @@ object Profile {
     val t1 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     val second = (System.nanoTime() - t1) / 1e9
-    out.println(f"first run: $first%.3f s, second run: $second%.3f s")
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    out.println(s"first run: ${s3(first)} s, second run: ${s3(second)} s")
     out.close()
-    println(f"[profile] $name first=$first%.3f s second=$second%.3f s -> /tmp/profile_$name.txt")
+    println(s"[profile] $name first=${s3(first)} s second=${s3(second)} s -> /tmp/profile_$name.txt")
     spark.stop()
   }
 }

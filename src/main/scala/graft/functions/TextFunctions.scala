@@ -14,16 +14,10 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-grams joined by a single space. Rows with fewer
-    * than `n` tokens yield an empty array (guarded — Spark's `sequence`
-    * would otherwise produce a descending range). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val idx = sequence(lit(1), greatest(size(t) - (n - 1), lit(0)))
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
-    array_distinct(when(size(t) >= n, grams).otherwise(array()))
-  }
+  // NOTE: n-gram generation lives in graft.operators.Dedup.shingles
+  // (posexplode + window). Do NOT reintroduce an array-lambda variant
+  // here: a `split` captured inside a `transform` lambda is re-evaluated
+  // by Catalyst once per element — quadratic in document length.
 
   /** Number of distinct tokens that appear in `words`. */
   def distinctOverlap(text: Column, words: Seq[String]): Column =

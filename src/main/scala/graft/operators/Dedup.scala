@@ -59,13 +59,31 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
   }
 
+  /** All ordered pairs (a < b in array order) within one bucket's id
+    * list, as an array of `{a, b}` structs. `xs` is an attribute
+    * reference (not a computed expression), so capturing it inside the
+    * lambdas is a cheap lookup — not the per-element re-evaluation trap
+    * documented on [[shingles]]. */
+  private def pairsWithin(xs: Column): Column =
+    flatten(transform(xs, (a, i) =>
+      transform(slice(xs, i + 2, size(xs)), b => struct(a.as("a"), b.as("b")))))
+
   /** C2 — LSH banding: candidate pairs sharing at least one band.
     * Signature is cut into `bands` bands of `numHashes/bands` rows; the
-    * band hash is the shuffle key. Band-hash keys are high-cardinality
-    * → even distribution at scale; the self-join is bucket-local. */
+    * band hash is the shuffle key.
+    *
+    * Shape: ONE aggregation per band bucket (`collect_list` of ids),
+    * pairs expanded bucket-locally — the signature relation is computed
+    * once, vs twice for a bucket self-join, and the only shuffles are
+    * the signature groupBy, the bucket groupBy and the final pair
+    * distinct. Band-hash keys are high-cardinality (64-bit hash of r
+    * mins) → even distribution at scale; buckets larger than
+    * `maxBucket` are dropped, because a bucket of m ids expands to
+    * m²/2 pairs — oversized buckets are exact-duplicate clusters that
+    * [[exactDedup]] already handles for a fraction of the cost. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 32, bands: Int = 8,
-                            ngram: Int = 3): DataFrame = {
+                            ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, textCol, idCol, numHashes, ngram)
@@ -73,14 +91,13 @@ object Dedup {
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val bucketed = sig
+    sig
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = bucketed.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = bucketed.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsWithin(array_sort(col("ids")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
@@ -103,15 +120,31 @@ object Dedup {
 
   /** C4 — n-gram Jaccard similarity pairs ≥ `threshold`. Candidate pairs
     * come from the shared-shingle join (gram is the shuffle key), so
-    * complexity is Σ|posting list|², not |docs|². */
+    * complexity is Σ|posting list|², not |docs|².
+    *
+    * `maxDocFreq` caps that Σ|posting list|² term: a gram appearing in
+    * more than `maxDocFreq` documents ("of the and" at web scale has a
+    * posting list ~O(corpus)) is dropped before the join. Such grams
+    * carry no similarity signal — every document contains them — while
+    * contributing the quadratically dominant join blow-up; dropping
+    * them only slightly underestimates Jaccard for genuinely similar
+    * pairs (per-doc totals `n1`/`n2` are computed before the cap, so
+    * the denominator is exact). The default is far above the test
+    * corpus size (500 docs), i.e. a no-op locally; at 100 TB set it to
+    * ~0.1–1% of the document count. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.1): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.1,
+                        maxDocFreq: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // per-doc gram count attached via a window over the shingle
     // relation itself — no separate counts branch, so the (expensive)
     // shingle subtree is planned twice (a/b join sides), not four times
     val g = shingles(docs, textCol, idCol, n)
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(idCol)))
+      // hot-gram cap; the window repartitions by gram, which the join
+      // below reuses as its own partitioning
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") <= maxDocFreq)
     val a = g.select(col(idCol).as("doc1"), col("gram"), col("n_grams").as("n1"))
     val b = g.select(col(idCol).as("doc2"), col("gram"), col("n_grams").as("n2"))
     a.join(b, "gram")

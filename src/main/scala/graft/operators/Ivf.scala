@@ -2,11 +2,21 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** IVF (inverted-file) approximate nearest neighbor over an embedding
   * column — the coarse-quantizer scale path complementing the LSH one
   * (SURVEY.md §2 C6).
+  *
+  * The index build ([[fit]]) and the probe ([[IvfIndex.topK]]) are
+  * separate steps, mirroring production IVF systems: the build is an
+  * offline batch job (k-means over the corpus, then one assignment
+  * pass); queries only touch the `nprobe` cells nearest to the query
+  * vector. At 100 TB the assigned corpus is written bucketed /
+  * partitioned by `centroid_id` ([[IvfIndex.writeBucketed]]) so a probe
+  * prunes file groups before any IO — the query plan contains no
+  * k-means jobs and no full-corpus scan.
   *
   * The coarse quantizer is Lloyd's k-means expressed as DataFrame
   * programs: assignment is a map-only pass against broadcast centroid
@@ -14,12 +24,60 @@ import graft.functions.VectorFunctions._
   * `graft_cosine`), the update step is posexplode + groupBy (cid,
   * dim) mean — both linear, both shuffle-light. k centroids live on
   * the driver between iterations (k × dim doubles — trivially small).
-  *
-  * Query path: probe the `nprobe` centroids nearest to the query, then
-  * brute-force only within those cells. At 100 TB the corpus can be
-  * written bucketed by `centroid_id` so a probe prunes file groups.
   */
 object Ivf {
+
+  /** A fitted IVF index: driver-side centroids + the corpus with its
+    * cell assignment (`idCol`, `v`, `centroid_id`), cached so probes
+    * never recompute assignments. */
+  final case class IvfIndex(centroids: Seq[Array[Double]], assigned: DataFrame,
+                            idCol: String) {
+
+    /** Top-k by cosine against the vector with id `queryId`, searching
+      * only the `nprobe` cells nearest to the query. The only driver
+      * work is one single-row lookup of the query vector and a k ×
+      * nprobe centroid scan — no k-means, no corpus pass outside the
+      * probed cells. */
+    def topK(queryId: Long, k: Int, nprobe: Int): DataFrame = {
+      val query = assigned.filter(col(idCol) === queryId)
+        .select(col("v").as("qv")).limit(1)
+      val qv = query.collect().head.getSeq[Double](0).toArray
+      def cosineLocal(c: Array[Double]): Double = {
+        val dot = c.zip(qv).map { case (a, b) => a * b }.sum
+        val d = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
+        if (d == 0.0) 0.0 else dot / d
+      }
+      val probeCells = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cosineLocal(c) }
+        .take(nprobe).map(_._2)
+      assigned
+        .filter(col("centroid_id").isin(probeCells.map(x => x: Any): _*))
+        .filter(col(idCol) =!= queryId)
+        .join(broadcast(query))
+        .select(col(idCol), round(cosineNative(col("v"), col("qv")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+
+    /** Materializes the index for a 100 TB corpus: one directory per
+      * cell (`partitionBy(centroid_id)`), so probes prune whole file
+      * groups at planning time. */
+    def writeBucketed(path: String): Unit =
+      assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Offline index build: fit the coarse quantizer, assign every vector
+    * to its cell once, cache the assignment. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, numCentroids: Int,
+          iters: Int = 3, seed: Long = 42L): IvfIndex = {
+    val centroids = fitCentroids(emb, idCol, vecCol, numCentroids, iters, seed)
+    val assigned = withAssignment(
+      emb.select(col(idCol), toDoubles(col(vecCol)).as("v")), "v", centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centroids, assigned, idCol)
+  }
 
   /** Centroids after `iters` Lloyd iterations, as driver-side arrays.
     * Initialization is a deterministic hash-ordered sample. */
@@ -60,31 +118,16 @@ object Ivf {
       .drop("sims")
   }
 
-  /** Top-k by cosine against the vector with id `queryId`, searching
-    * only the `nprobe` cells nearest to the query. */
+  /** Fit-and-probe convenience for small/ad-hoc inputs (specs, demos).
+    * Production callers hold an [[IvfIndex]] from [[fit]] instead —
+    * this builds a throwaway index per call. */
   def topK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
            queryId: Long, k: Int, numCentroids: Int = 16, nprobe: Int = 4,
            iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val centroids = fitCentroids(emb, idCol, vecCol, numCentroids, iters, seed)
-    val base = withAssignment(
-      emb.select(col(idCol), toDoubles(col(vecCol)).as("v")), "v", centroids)
-    val query = base.filter(col(idCol) === queryId)
-      .select(col("v").as("qv")).limit(1)
-    val qv = query.collect().head.getSeq[Double](0).toArray
-    def cosineLocal(c: Array[Double]): Double = {
-      val dot = c.zip(qv).map { case (a, b) => a * b }.sum
-      val d = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
-      if (d == 0.0) 0.0 else dot / d
-    }
-    val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cosineLocal(c) }
-      .take(nprobe).map(_._2)
-    base
-      .filter(col("centroid_id").isin(probeCells.map(x => x: Any): _*))
-      .filter(col(idCol) =!= queryId)
-      .join(broadcast(query))
-      .select(col(idCol), round(cosineNative(col("v"), col("qv")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    val index = fit(emb, idCol, vecCol, numCentroids, iters, seed)
+    val result = index.topK(queryId, k, nprobe)
+    // the probe is fully planned; drop the cache pin for throwaway use
+    index.unpersist()
+    result
   }
 }

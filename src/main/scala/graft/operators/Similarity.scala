@@ -21,7 +21,9 @@ object Similarity {
                      queryId: Long, k: Int): DataFrame = {
     val v = toDoubles(col(vecCol))
     val corpus = emb.select(col(idCol), v.as("v")).filter(col(idCol) =!= queryId)
-    val query  = emb.filter(col(idCol) === queryId).select(v.as("qv"))
+    // limit(1) guards against duplicate queryId rows multiplying the
+    // corpus through the cross join
+    val query  = emb.filter(col(idCol) === queryId).select(v.as("qv")).limit(1)
     corpus.join(broadcast(query))
       .select(col(idCol), round(cosineNative(col("v"), col("qv")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -65,7 +67,12 @@ object Similarity {
           expr("shiftleft(1L, bit)")).otherwise(0L).as("b"))
       .groupBy(col(idCol), col("tbl"))
       .agg(sum("b").as("bucket"))
-    val bucketed = sigs.join(base, idCol)
+    // Materialize the signed/bucketed relation once: both sides of the
+    // pair join read it, and without a cut Catalyst plans the whole
+    // plane-join + signature-agg subtree twice. localCheckpoint keeps
+    // the blocks on executors (GC-reclaimed); a long-lived cluster
+    // pipeline would use a reliable checkpoint/table instead.
+    val bucketed = sigs.join(base, idCol).localCheckpoint()
     val a = bucketed.select(col("tbl"), col("bucket"),
       col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
     val b = bucketed.select(col("tbl"), col("bucket"),

@@ -251,10 +251,16 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- B16
-  /** JSON extraction from a string payload column. */
+  /** JSON extraction from a string payload column. `from_json` with a
+    * typed schema parses each payload exactly once into a prunable
+    * struct (vs `get_json_object`, which re-parses the string per
+    * extracted path — the reference's payload maps carry dozens of
+    * keys, so per-path parsing multiplies the scan cost at 100 TB). */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
       .groupBy("event_type")
       .agg(round(avg("k"), 4).as("avg_k"),
            sum("k").as("sum_k"),

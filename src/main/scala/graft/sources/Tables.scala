@@ -3,6 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 
 /** Loader for the driver-generated star-schema parquet tables.
   *
@@ -23,12 +28,54 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // idempotent safety net for sessions not built by GraftSession
+    // (GraftSession sets this once at build time)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    if (table == "events" && df.schema("ts").dataType == LongType)
+    val path = s"$sfDir/$table.parquet"
+    val df = spark.read.parquet(path)
+    // Convert only when the parquet logical type is really
+    // TIMESTAMP(NANOS) — a genuinely Long ts column must pass through
+    // untouched, so gate on the footer annotation, not the Spark type.
+    if (table == "events" && df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == LongType && tsIsNanos(spark, path))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  private val nanosCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** True iff the `ts` column's parquet logical type annotation is
+    * TIMESTAMP with NANOS unit (checked on one footer; the driver
+    * writes homogeneous files). */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    nanosCache.getOrElseUpdate(path, {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file: Option[Path] =
+        if (fs.getFileStatus(p).isDirectory) {
+          val it = fs.listFiles(p, true)
+          var found: Option[Path] = None
+          while (found.isEmpty && it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) found = Some(f)
+          }
+          found
+        } else Some(p)
+      file.exists { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.containsField("ts") && {
+            schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == TimeUnit.NANOS
+              case _ => false
+            }
+          }
+        } finally reader.close()
+      }
+    })
 
   /** Registers every table as a temp view so `spark.sql` can be used with
     * the same statements the DuckDB oracle runs. */
