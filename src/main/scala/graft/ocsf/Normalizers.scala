@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
   *  - a payload key counts as consumed (removed from `unmapped`) when
   *    present, even if its value is empty — the reference leaves
   *    falsy-valued keys in `unmapped`.
+  *  - numeric OCSF fields (`pid`, ports, …) are natively typed; the
+  *    reference passes some through as the raw payload strings and the
+  *    downstream Firehose/Glue conversion coerces them.
+  *
+  * These four (plus null-vs-absent, which parquet cannot distinguish)
+  * are the ONLY allowed deltas: `tools/normalizer_diff.py` runs the
+  * actual reference loader on the NormalizerParitySpec fixtures and
+  * fails on any divergence outside them.
   */
 object Normalizers {
 
@@ -75,10 +83,22 @@ object Normalizers {
       .withColumn("platform", f("event_platform"))
 
   /** A6 — the `unmapped` remainder: the payload map minus common keys
-    * and the class-specific consumed keys. */
-  private def unmappedCol(classKeys: Seq[String]): Column = {
+    * and the class-specific consumed keys.
+    *
+    * `fallbacks` mirrors the reference's coalescing quirk (e.g.
+    * py:2832-2838): it reads `get(primary) or get(fallback)` but then
+    * runs `try: del primary except KeyError: del fallback` — so when
+    * BOTH keys are present only the primary is deleted and the
+    * fallback key STAYS in `unmapped`. The fallback is consumed only
+    * when the primary key is absent. Pinned by the parity differ. */
+  private def unmappedCol(classKeys: Seq[String],
+                          fallbacks: Seq[(String, String)] = Nil): Column = {
     val consumed = (commonKeys ++ classKeys).map(x => x: Any)
-    map_filter(col("fields"), (k, _) => !k.isin(consumed: _*))
+    fallbacks.foldLeft(
+      map_filter(col("fields"), (k, _) => !k.isin(consumed: _*))) {
+      case (m, (primary, fb)) =>
+        map_filter(m, (k, _) => !(k === fb && f(primary).isNull))
+    }
   }
 
   // ----------------------------------------------------------- A9
@@ -238,8 +258,9 @@ object Normalizers {
       .withColumn("mac", f("PhysicalAddress"))
       .withColumn("conn_dir", f("ConnectionDirection"))
     val consumed = Seq("LocalPort", "RemotePort", "RemoteAddressIP4",
-      "RemoteAddressIP6", "LocalAddressIP4", "LocalAddressIP6",
-      "PhysicalAddress", "ConnectionDirection")
+      "LocalAddressIP4", "PhysicalAddress", "ConnectionDirection")
+    val fallbacks = Seq("RemoteAddressIP4" -> "RemoteAddressIP6",
+                        "LocalAddressIP4" -> "LocalAddressIP6")
     val directionId =
       when(col("conn_dir") === "0", 2).when(col("conn_dir") === "1", 1)
         .when(col("conn_dir") === "2", 99).when(col("conn_dir") === "3", 3)
@@ -279,7 +300,7 @@ object Normalizers {
         osStruct.as("os"),
         agentList(col("c_aid"), col("config_build")).as("agent_list")).as("src_endpoint"),
       struct(col("dst_ip").as("ip"), col("dst_port").as("port")).as("dst_endpoint"),
-      unmappedCol(consumed).as("unmapped")): _*)
+      unmappedCol(consumed, fallbacks).as("unmapped")): _*)
   }
 
   // =========================================================== A10
@@ -375,9 +396,10 @@ object Normalizers {
       .withColumn("file_uid", f("FileIdentifier"))
       .withColumn("creator", f("UserName"))
       .withColumn("sha256", coalesce(f("SHA256HashData"), f("ContentSHA256HashData")))
-    val consumed = Seq("TargetFileName", "ScriptContentName",
-      "TargetDirectoryName", "FileIdentifier", "UserName",
-      "SHA256HashData", "ContentSHA256HashData")
+    val consumed = Seq("TargetFileName", "TargetDirectoryName",
+      "FileIdentifier", "UserName", "SHA256HashData")
+    val fallbacks = Seq("TargetFileName" -> "ScriptContentName",
+                        "SHA256HashData" -> "ContentSHA256HashData")
     val observables = observablesArr(Seq(
       obs("file.name", 7, "File Name", col("file_name")),
       obs("file.creator.name", 4, "User Name", col("creator")),
@@ -395,7 +417,7 @@ object Normalizers {
         lit("Unknown").as("confidentiality"),
         struct(col("creator").as("name")).as("creator"),
         hashesArr(Seq(hashStructI(3, "SHA-256", col("sha256")))).as("hashes")).as("file"),
-      unmappedCol(consumed).as("unmapped")): _*)
+      unmappedCol(consumed, fallbacks).as("unmapped")): _*)
   }
 
   // =========================================================== A14
@@ -465,9 +487,12 @@ object Normalizers {
       .withColumn("logon_raw", f("LogonType"))
       .withColumn("pid", f("RawProcessId"))
       .withColumn("is_admin", f("UserIsAdmin"))
+    // reference quirk (pinned by the parity differ): LogonType is read
+    // via .get() but never deleted (py:2245), so it STAYS in unmapped —
+    // unlike every other consumed key here
     val consumed = Seq("UserName", "UserPrincipal", "UserSid",
       "AuthenticationId", "AuthenticationUuid", "AuthenticationIdMac",
-      "LogonType", "RawProcessId", "UserIsAdmin")
+      "RawProcessId", "UserIsAdmin")
     // Windows logon type decimals → OCSF logon_type (py:2245-2285)
     val logonNames = Map(2 -> "Interactive", 3 -> "Network", 4 -> "Batch",
       5 -> "OS Service", 7 -> "Unlock", 8 -> "Network Cleartext",
@@ -530,7 +555,10 @@ object Normalizers {
       .when(fl.isin("1", "2", "3", "5"), 1).otherwise(99)
     val statusName = when(fl.isNull, "Unknown").when(fl.isin("0", "4"), "Failure")
       .when(fl.isin("1", "2", "3", "5"), "Success").otherwise("Other")
-    d.select(baseCols(actId, actName, statusId, statusName, col("c_id"), Nil) ++ Seq(
+    // metadata.profiles = ["host"] (py:2578), as for HTTP Activity and
+    // Detection Finding — pinned by the parity differ
+    d.select(baseCols(actId, actName, statusId, statusName, col("c_id"),
+                      profiles = Seq("host")) ++ Seq(
       observablesArr(deviceObs).as("observables"),
       deviceStruct.as("device"),
       struct(col("app_name").as("name"), col("app_source").as("uid"),
@@ -570,8 +598,10 @@ object Normalizers {
       .withColumn("sha256", coalesce(f("SHA256HashData"), f("ContentSHA256HashData")))
       .withColumn("dl_server", f("DownloadServer"))
       .withColumn("dl_port", f("DownloadPort").try_cast(IntegerType))
-    val consumed = Seq("SourceFileName", "DownloadPath", "SHA256HashData",
-      "ContentSHA256HashData", "DownloadServer", "DownloadPort")
+    val consumed = Seq("SourceFileName", "SHA256HashData",
+      "DownloadServer", "DownloadPort")
+    val fallbacks = Seq("SourceFileName" -> "DownloadPath",
+                        "SHA256HashData" -> "ContentSHA256HashData")
     val observables = observablesArr(Seq(
       obs("file.name", 7, "File Name", col("file_name")),
       obs("file.hashes[0].value", 8, "Hash", col("sha256")),
@@ -585,7 +615,7 @@ object Normalizers {
              lit(0).as("confidentiality_id"),
              lit("Unknown").as("confidentiality"),
              hashesArr(Seq(hashStructI(3, "SHA-256", col("sha256")))).as("hashes")).as("file"),
-      unmappedCol(consumed).as("unmapped")): _*)
+      unmappedCol(consumed, fallbacks).as("unmapped")): _*)
   }
 
   // =========================================================== A20

@@ -132,6 +132,9 @@ class OcsfPipelineSpec extends SparkSpec {
     assert(user.getAs[String]("name") == "alice")
     assert(user.getAs[Int]("type_id") == 2) // admin
     assert(r.getAs[Int]("activity_id") == 1) // UserLogon → Logon
+    // reference quirk: LogonType is read but never deleted (py:2245),
+    // so it stays in unmapped
+    assert(r.getAs[Map[String, String]]("unmapped").contains("LogonType"))
   }
 
   test("A10: http activity method decode + status override") {
