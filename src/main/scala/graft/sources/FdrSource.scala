@@ -56,6 +56,30 @@ object FdrSource {
             col("event_name") === col("eventName"))
       .drop("eventName")
 
+  /** Classified events plus the quarantine relation. The reference
+    * logs-and-skips bad lines (py:113-135); at 100 TB a silent drop is
+    * invisible data loss, so the skipped lines are a first-class
+    * output instead: `quarantined` carries (raw, reason) with reason ∈
+    * {unparseable_json, missing_event_key, unmapped_event}, cheap to
+    * count per reason or land beside the lake for replay. Both
+    * DataFrames share the one scan+parse subtree. */
+  final case class Loaded(classified: DataFrame, quarantined: DataFrame)
+
+  def loadWithQuarantine(spark: SparkSession, path: String): Loaded = {
+    val named = readJsonLines(spark, path)
+      .withColumn("event_name", eventName(col("fields")))
+    val mappedNames = OcsfMappings.dimension(spark).select(col("eventName"))
+    val good = mappedWithClass(spark, named.filter(col("event_name").isNotNull))
+    val quarantined = named
+      .join(broadcast(mappedNames), col("event_name") === col("eventName"), "left")
+      .filter(col("fields").isNull || col("event_name").isNull || col("eventName").isNull)
+      .select(col("raw"),
+        when(col("fields").isNull, "unparseable_json")
+          .when(col("event_name").isNull, "missing_event_key")
+          .otherwise("unmapped_event").as("reason"))
+    Loaded(good, quarantined)
+  }
+
   /** Full front-end: raw gz json-lines path → classified events. */
   def load(spark: SparkSession, path: String): DataFrame =
     mappedWithClass(spark, withEventName(readJsonLines(spark, path)))
