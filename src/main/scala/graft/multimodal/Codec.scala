@@ -1,0 +1,226 @@
+package graft.multimodal
+
+/** Pure-JVM codecs for the multimodal pipeline (SURVEY.md §2 C11).
+  *
+  * Real decoders for formats simple enough to parse without native
+  * libraries, all deterministic and unit-tested:
+  *  - PPM (P6) binary images — the netpbm format: ASCII header
+  *    `P6 <w> <h> <maxval>` followed by interleaved RGB bytes.
+  *  - WAV (RIFF, PCM 16-bit) audio, mono or stereo (downmixed).
+  *  - "ppmseq" video: concatenated P6 frames (a trivial container the
+  *    tests synthesize), enabling real frame extraction + sampling.
+  *
+  * Compressed formats (JPEG, MP3, H.264…) still need external
+  * libraries and keep the byte-hash fallback in [[Multimodal]] — the
+  * dispatch is per-row on the `format` column, so adding a codec never
+  * touches the pipeline.
+  */
+object Codec {
+
+  // ------------------------------------------------------------ images
+
+  /** Decoded RGB image, 8 bits per channel, row-major interleaved. */
+  final case class Image(width: Int, height: Int, pixels: Array[Byte]) {
+    def r(x: Int, y: Int): Int = pixels(3 * (y * width + x)) & 0xff
+    def g(x: Int, y: Int): Int = pixels(3 * (y * width + x) + 1) & 0xff
+    def b(x: Int, y: Int): Int = pixels(3 * (y * width + x) + 2) & 0xff
+  }
+
+  /** Parses one P6 image starting at `off`; returns the image and the
+    * offset just past its pixel data. Header tokens may be separated
+    * by any whitespace and `#` comments (the netpbm spec). */
+  def decodePpmAt(data: Array[Byte], off: Int): Option[(Image, Int)] = {
+    var i = off
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < data.length) {
+        val c = data(i).toChar
+        if (c == '#') { while (i < data.length && data(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val s = new StringBuilder
+      while (i < data.length && !data(i).toChar.isWhitespace) {
+        s.append(data(i).toChar); i += 1
+      }
+      s.toString
+    }
+    if (token() != "P6") return None
+    try {
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      if (w <= 0 || h <= 0 || maxval != 255) return None
+      i += 1 // exactly one whitespace byte after maxval per spec
+      val n = 3 * w * h
+      if (i + n > data.length) return None
+      val px = java.util.Arrays.copyOfRange(data, i, i + n)
+      Some((Image(w, h, px), i + n))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  def decodePpm(data: Array[Byte]): Option[Image] =
+    decodePpmAt(data, 0).map(_._1)
+
+  /** All frames of a concatenated-P6 "ppmseq" container. */
+  def decodePpmSeq(data: Array[Byte]): Seq[Image] = {
+    val frames = Seq.newBuilder[Image]
+    var off = 0
+    var ok = true
+    while (ok && off < data.length) decodePpmAt(data, off) match {
+      case Some((img, next)) => frames += img; off = next
+      case None => ok = false
+    }
+    frames.result()
+  }
+
+  /** Nearest-neighbor resize — deterministic, no filtering kernel to
+    * disagree about across platforms. */
+  def resize(img: Image, w: Int, h: Int): Image = {
+    val out = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(img.height - 1, y * img.height / h)
+      var x = 0
+      while (x < w) {
+        val sx = math.min(img.width - 1, x * img.width / w)
+        val s = 3 * (sy * img.width + sx)
+        val d = 3 * (y * w + x)
+        out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1); out(d + 2) = img.pixels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
+  /** 16-dim image feature: per-channel means (3) + per-channel std
+    * devs (3) + 8-bin luma histogram + horizontal edge energy (1) +
+    * log-aspect (1). All in [0, 1]-ish ranges, deterministic. */
+  def imageFeatures(img: Image): Array[Float] = {
+    val n = img.width * img.height
+    val out = new Array[Float](Multimodal.FeatureDim)
+    val sums = new Array[Double](3)
+    val sqs = new Array[Double](3)
+    val hist = new Array[Int](8)
+    var edge = 0.0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val r = img.r(x, y); val g = img.g(x, y); val b = img.b(x, y)
+        sums(0) += r; sums(1) += g; sums(2) += b
+        sqs(0) += r.toDouble * r; sqs(1) += g.toDouble * g; sqs(2) += b.toDouble * b
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        hist(math.min(7, luma / 32)) += 1
+        if (x > 0) {
+          val lumaPrev = (299 * img.r(x - 1, y) + 587 * img.g(x - 1, y) +
+            114 * img.b(x - 1, y)) / 1000
+          edge += math.abs(luma - lumaPrev)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var c = 0
+    while (c < 3) {
+      val mean = sums(c) / n
+      out(c) = (mean / 255.0).toFloat
+      out(3 + c) = (math.sqrt(math.max(0, sqs(c) / n - mean * mean)) / 255.0).toFloat
+      c += 1
+    }
+    var k = 0
+    while (k < 8) { out(6 + k) = hist(k).toFloat / n; k += 1 }
+    out(14) = (edge / (255.0 * math.max(1, n - img.height))).toFloat
+    out(15) = math.log(img.width.toDouble / img.height).toFloat
+    out
+  }
+
+  // ------------------------------------------------------------- audio
+
+  /** Decoded PCM audio, downmixed to mono 16-bit. */
+  final case class Audio(sampleRate: Int, samples: Array[Short])
+
+  private def le16(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+  private def le32(d: Array[Byte], i: Int): Long =
+    (le16(d, i).toLong) | (le16(d, i + 2).toLong << 16)
+
+  /** RIFF/WAVE parser for PCM (format tag 1), 16-bit samples; walks
+    * the chunk list, honors chunk sizes, downmixes channels. */
+  def decodeWav(data: Array[Byte]): Option[Audio] = {
+    if (data.length < 44) return None
+    if (new String(data, 0, 4, "US-ASCII") != "RIFF") return None
+    if (new String(data, 8, 4, "US-ASCII") != "WAVE") return None
+    var i = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (i + 8 <= data.length) {
+      val id = new String(data, i, 4, "US-ASCII")
+      val size = le32(data, i + 4).toInt
+      val body = i + 8
+      id match {
+        case "fmt " =>
+          if (le16(data, body) != 1) return None // PCM only
+          channels = le16(data, body + 2)
+          sampleRate = le32(data, body + 4).toInt
+          bits = le16(data, body + 14)
+        case "data" if bits == 16 && channels > 0 =>
+          val n = math.min(size, data.length - body) / (2 * channels)
+          val mono = new Array[Short](n)
+          var s = 0
+          while (s < n) {
+            var acc = 0
+            var ch = 0
+            while (ch < channels) {
+              acc += le16(data, body + 2 * (s * channels + ch)).toShort
+              ch += 1
+            }
+            mono(s) = (acc / channels).toShort
+            s += 1
+          }
+          samples = mono
+        case _ => ()
+      }
+      i = body + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate > 0 && samples != null) Some(Audio(sampleRate, samples))
+    else None
+  }
+
+  /** 16-dim audio feature: RMS (1) + zero-crossing rate (1) + peak
+    * (1) + log-duration (1) + 12-segment energy profile. */
+  def audioFeatures(a: Audio): Array[Float] = {
+    val out = new Array[Float](Multimodal.FeatureDim)
+    val n = a.samples.length
+    if (n == 0) return out
+    var sq = 0.0; var zc = 0; var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toInt
+      sq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    out(0) = (math.sqrt(sq / n) / 32768.0).toFloat
+    out(1) = zc.toFloat / n
+    out(2) = peak / 32768.0f
+    out(3) = math.log1p(n.toDouble / a.sampleRate).toFloat
+    var seg = 0
+    while (seg < 12) {
+      val from = n.toLong * seg / 12
+      val until = n.toLong * (seg + 1) / 12
+      var e = 0.0
+      var j = from
+      while (j < until) { val s = a.samples(j.toInt).toInt; e += s.toDouble * s; j += 1 }
+      val len = math.max(1L, until - from)
+      out(4 + seg) = (math.sqrt(e / len) / 32768.0).toFloat
+      seg += 1
+    }
+    out
+  }
+}

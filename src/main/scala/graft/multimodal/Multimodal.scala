@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal binary-column plumbing (SURVEY.md §2 C11).
   *
   * Images / audio / video ride through the engine as opaque `binary`
-  * columns with a typed metadata struct. The Spark-side plumbing —
-  * schema, batch shape, partition sizing, frame-sampling arithmetic —
-  * is real; the codec itself is STUBBED (`fakeDecode`) because no
-  * image/audio library ships in this environment. Swapping the stub
-  * for a real decoder changes only the function passed to
-  * [[featurize]], not the pipeline.
+  * columns with a typed metadata struct. Feature extraction dispatches
+  * per row on `format`: uncompressed formats get REAL decoders
+  * ([[Codec]] — PPM images, WAV PCM audio, ppmseq frame containers,
+  * all pure JVM and unit-tested); compressed formats (jpeg, mp3,
+  * h264…) need external libraries absent from this environment and
+  * fall back to a clearly-labeled deterministic byte-hash. Adding a
+  * codec extends [[decodeFeature]]'s match — the pipeline is format
+  * agnostic.
   *
   * Scale notes: rows carry megabyte-scale payloads, so
   * `spark.sql.files.maxPartitionBytes` governs rows/task, and feature
@@ -37,11 +39,11 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder: a deterministic byte-hash "embedding" standing in
-    * for a real image/audio decode + model forward pass. Marked
-    * clearly so it is never mistaken for a real codec. */
-  def fakeDecode(data: Array[Byte]): Array[Float] = {
-    // ??? real codec goes here; deterministic stand-in below
+  /** FALLBACK for formats without a bundled decoder (compressed
+    * codecs need external libraries): a deterministic byte-hash
+    * "embedding", clearly labeled so it is never mistaken for a real
+    * decode. */
+  def byteHashFallback(data: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var i = 0
     while (i < data.length) {
@@ -51,13 +53,53 @@ object Multimodal {
     out
   }
 
+  /** Backwards-compatible alias for the fallback. */
+  def fakeDecode(data: Array[Byte]): Array[Float] = byteHashFallback(data)
+
+  /** Format-dispatched feature extraction. Real codecs where the
+    * format allows; byte-hash fallback otherwise (including corrupt
+    * payloads, so a bad row never kills a 100 TB job). Images are
+    * resized to 32×32 before featurization so the feature is
+    * resolution-invariant; ppmseq features are the mean over frames
+    * sampled with stride [[FrameStride]]. */
+  val FrameStride = 2
+
+  def decodeFeature(format: String, data: Array[Byte]): Array[Float] = format match {
+    case "ppm" =>
+      Codec.decodePpm(data)
+        .map(img => Codec.imageFeatures(Codec.resize(img, 32, 32)))
+        .getOrElse(byteHashFallback(data))
+    case "wav" =>
+      Codec.decodeWav(data).map(Codec.audioFeatures)
+        .getOrElse(byteHashFallback(data))
+    case "ppmseq" =>
+      val frames = Codec.decodePpmSeq(data)
+      if (frames.isEmpty) byteHashFallback(data)
+      else {
+        val sampled = frames.zipWithIndex.collect {
+          case (f, i) if i % FrameStride == 0 => f
+        }
+        val acc = new Array[Float](FeatureDim)
+        sampled.foreach { f =>
+          val feat = Codec.imageFeatures(Codec.resize(f, 32, 32))
+          var i = 0
+          while (i < FeatureDim) { acc(i) += feat(i); i += 1 }
+        }
+        var i = 0
+        while (i < FeatureDim) { acc(i) /= sampled.length; i += 1 }
+        acc
+      }
+    case _ => byteHashFallback(data)
+  }
+
   /** Feature extraction as a typed mapPartitions pass (batch shape:
     * iterator of rows per partition, one output row per input). */
   def featurize(ds: Dataset[MediaRow],
-                decode: Array[Byte] => Array[Float] = fakeDecode): Dataset[MediaFeatures] = {
+                decode: (String, Array[Byte]) => Array[Float] = decodeFeature)
+      : Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      MediaFeatures(r.media_id, r.format, r.data.length, decode(r.data))
+      MediaFeatures(r.media_id, r.format, r.data.length, decode(r.format, r.data))
     })
   }
 
