@@ -139,12 +139,16 @@ object Dedup {
     // per-doc gram count attached via a window over the shingle
     // relation itself — no separate counts branch, so the (expensive)
     // shingle subtree is planned twice (a/b join sides), not four times
+    // materialize the shingle relation once: both join sides read it,
+    // and the chain above it (explode → two windows) is expensive
+    // enough that planning it twice dominates the query
     val g = shingles(docs, textCol, idCol, n)
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(idCol)))
       // hot-gram cap; the window repartitions by gram, which the join
       // below reuses as its own partitioning
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxDocFreq)
+      .localCheckpoint()
     val a = g.select(col(idCol).as("doc1"), col("gram"), col("n_grams").as("n1"))
     val b = g.select(col(idCol).as("doc2"), col("gram"), col("n_grams").as("n2"))
     a.join(b, "gram")
