@@ -26,27 +26,41 @@ object OcsfSink {
   def tableName(route: String): String =
     route.toLowerCase.replace(' ', '_')
 
+  /** Auto-sizing for [[write]]'s `filesPerDay`: Catalyst's size
+    * estimate for the plan divided by a target in-memory chunk per
+    * writer (512 MB in-memory ≈ 100-200 MB parquet after encoding),
+    * clamped to [1, 4096]. Tiny inputs still get exactly one file per
+    * (region, account, day) — the anti-small-files default — while a
+    * 100 TB/day feed fans out across thousands of writers without the
+    * caller having to remember the lever. Cheap: reads optimizer
+    * stats, runs no job. */
+  def autoFilesPerDay(df: DataFrame, targetChunkBytes: Long = 512L << 20): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (est / targetChunkBytes).min(BigInt(4096)).max(BigInt(1)).toInt
+  }
+
   /** A22 — write one normalized class DataFrame in Security Lake
     * layout. `time` must exist (all normalizers emit it).
     *
-    * `filesPerDay` is the skew lever: 1 gives exactly one file per
-    * (region, account, day) partition; at 100 TB/day raise it so a
-    * single hot day spreads across that many writers — the salt only
-    * affects the repartition, never the directory layout. */
+    * `filesPerDay` is the skew lever: how many writer tasks (and so
+    * files) share one (region, account, day) partition; the salt only
+    * affects the repartition, never the directory layout. The default
+    * 0 means derive it from the input size ([[autoFilesPerDay]]). */
   def write(df: DataFrame, baseDir: String, route: String,
             region: String, accountId: String,
-            filesPerDay: Int = 1): Unit = {
-    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+            filesPerDay: Int = 0): Unit = {
+    require(filesPerDay >= 0, "filesPerDay must be >= 0 (0 = auto)")
+    val filesPerDay0 = if (filesPerDay == 0) autoFilesPerDay(df) else filesPerDay
     val partitioned = df
       .withColumn("region", lit(region))
       .withColumn("accountId", lit(accountId))
       .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
     val salted =
-      if (filesPerDay == 1) partitioned.repartition(
+      if (filesPerDay0 == 1) partitioned.repartition(
         col("region"), col("accountId"), col("eventDay"))
       else partitioned.repartition(
         col("region"), col("accountId"), col("eventDay"),
-        pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay)))
+        pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay0)))
     salted.write
       .mode("append")
       .partitionBy("region", "accountId", "eventDay")

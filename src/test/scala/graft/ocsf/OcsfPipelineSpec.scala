@@ -191,6 +191,14 @@ class OcsfPipelineSpec extends SparkSpec {
     assert(files.length == 1, s"expected 1 file, got ${files.length}")
   }
 
+  test("A22: filesPerDay auto-derives from plan size, 1 for tiny inputs") {
+    val df = Normalizers.processActivity(
+      classified.filter(col("route") === "Process Activity"))
+    assert(OcsfSink.autoFilesPerDay(df) == 1)
+    // a 1 KB chunk target forces fan-out even on the fixture
+    assert(OcsfSink.autoFilesPerDay(df, targetChunkBytes = 1024) > 1)
+  }
+
   test("A22: salted write spreads a hot day across filesPerDay files") {
     val outDir = Files.createTempDirectory("ocsf-salted")
     OcsfSink.write(
