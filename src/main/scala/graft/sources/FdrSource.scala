@@ -65,9 +65,15 @@ object FdrSource {
     * DataFrames share the one scan+parse subtree. */
   final case class Loaded(classified: DataFrame, quarantined: DataFrame)
 
-  def loadWithQuarantine(spark: SparkSession, path: String): Loaded = {
-    val named = readJsonLines(spark, path)
-      .withColumn("event_name", eventName(col("fields")))
+  def loadWithQuarantine(spark: SparkSession, path: String): Loaded =
+    splitQuarantine(spark,
+      readJsonLines(spark, path).withColumn("event_name", eventName(col("fields"))))
+
+  /** Shared batch/streaming split: `named` is the parsed relation with
+    * (raw, fields, event_name). The dimension side is a broadcast
+    * static table, so in streaming this is a stream-static join —
+    * fully supported, no state store. */
+  def splitQuarantine(spark: SparkSession, named: DataFrame): Loaded = {
     val mappedNames = OcsfMappings.dimension(spark).select(col("eventName"))
     val good = mappedWithClass(spark, named.filter(col("event_name").isNotNull))
     val quarantined = named

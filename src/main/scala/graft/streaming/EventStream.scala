@@ -23,10 +23,10 @@ import graft.sources.FdrSource
   */
 object EventStream {
 
-  /** Streaming equivalent of FdrSource.load: gz json-lines →
-    * classified events. */
-  def readClassified(spark: SparkSession, landingDir: String): DataFrame = {
-    val raw = spark.readStream
+  /** Parsed streaming relation (raw, fields, event_name) over the
+    * landing prefix. */
+  private def readNamed(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
       .option("maxFilesPerTrigger", 64)
       .text(landingDir)
       .toDF("raw")
@@ -35,8 +35,34 @@ object EventStream {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType)))
-    FdrSource.mappedWithClass(spark, FdrSource.withEventName(raw))
-  }
+      .withColumn("event_name", FdrSource.eventName(col("fields")))
+
+  /** Streaming equivalent of FdrSource.load: gz json-lines →
+    * classified events. */
+  def readClassified(spark: SparkSession, landingDir: String): DataFrame =
+    FdrSource.mappedWithClass(spark,
+      readNamed(spark, landingDir).filter(col("event_name").isNotNull))
+
+  /** Streaming equivalent of FdrSource.loadWithQuarantine: classified
+    * events plus the (raw, reason) quarantine stream. Run the
+    * quarantine side as its own query (e.g. [[startQuarantineSink]])
+    * so skipped lines are counted and replayable instead of silently
+    * dropped — the reference merely logs them from the Lambda. */
+  def readWithQuarantine(spark: SparkSession, landingDir: String): FdrSource.Loaded =
+    FdrSource.splitQuarantine(spark, readNamed(spark, landingDir))
+
+  /** Lands the quarantine stream as parquet with its own checkpoint. */
+  def startQuarantineSink(quarantined: DataFrame, dir: String,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    quarantined.writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .queryName("fdr-quarantine")
+      .start()
 
   /** One streaming query per OCSF route, each writing its own
     * partitioned parquet table with its own checkpoint. Returns the

@@ -68,6 +68,30 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
   }
 
+  test("streaming quarantine lands skipped lines with reasons") {
+    val landing = Files.createTempDirectory("stream-quarantine")
+    val out     = Files.createTempDirectory("stream-qout")
+    val ckpt    = Files.createTempDirectory("stream-qckpt")
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a1","cid":"c1","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"ok.example.com"}""",
+      """broken {json""",
+      """{"name":"keyless","timestamp":"1700000001000"}""",
+      """{"event_simpleName":"NotMappedEver","timestamp":"1700000002000"}"""))
+
+    val loaded = EventStream.readWithQuarantine(spark, landing.toString)
+    val q = EventStream.startQuarantineSink(loaded.quarantined,
+      s"$out/quarantine", s"$ckpt/quarantine", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val back = spark.read.parquet(s"$out/quarantine")
+    val reasons = back.collect().map(_.getString(1))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(reasons == Map(
+      "unparseable_json" -> 1,
+      "missing_event_key" -> 1,
+      "unmapped_event" -> 1), reasons.toString)
+  }
+
   test("watermarked windowed counts aggregate the classified stream") {
     val landing = Files.createTempDirectory("stream-window")
     // two DnsRequests in the same minute, one in the next
