@@ -61,11 +61,33 @@ object Ivf {
 
     /** Materializes the index for a 100 TB corpus: one directory per
       * cell (`partitionBy(centroid_id)`), so probes prune whole file
-      * groups at planning time. */
-    def writeBucketed(path: String): Unit =
+      * groups at planning time, plus the centroid table under
+      * `_centroids` (underscore-prefixed → invisible to the corpus
+      * read). [[Ivf.load]] restores the index in a different job —
+      * the build/serve split as separate processes. */
+    def writeBucketed(path: String): Unit = {
       assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("centroid_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_centroids")
+    }
 
     def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Restores a bucketed index written by [[IvfIndex.writeBucketed]].
+    * The corpus read keeps `centroid_id` as a directory-partition
+    * column, so `topK`'s `isin(probeCells)` filter prunes whole cell
+    * directories before any IO. */
+  def load(spark: SparkSession, path: String, idCol: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .orderBy("centroid_id").collect()
+      .map(r => r.getSeq[Double](1).toArray).toSeq
+    IvfIndex(centroids, spark.read.parquet(path), idCol)
   }
 
   /** Offline index build: fit the coarse quantizer, assign every vector

@@ -103,4 +103,35 @@ class OperatorsSpec extends SparkSpec {
       .select(TextFunctions.rollingHash(col("text"))).collect().map(_.getLong(0))
     assert(same(0) == same(1))
   }
+
+  test("C6c: bucketed IVF round-trips and the probe prunes cell directories") {
+    val vecs = (0L until 60L).map(i => (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = Ivf.fit(vecs, "vec_id", "embedding", numCentroids = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-bucketed")
+    index.writeBucketed(dir.toString)
+
+    // layout: one directory per non-empty cell + hidden centroid table
+    val entries = java.nio.file.Files.list(dir).toArray.map(_.toString)
+    assert(entries.exists(_.contains("centroid_id=")), entries.mkString(","))
+    assert(entries.exists(_.endsWith("_centroids")))
+
+    val loaded = Ivf.load(spark, dir.toString, "vec_id")
+    assert(loaded.assigned.count() == 60)
+    assert(loaded.centroids.length == 4)
+
+    // the loaded index probes identically to the in-memory one
+    val mem = index.topK(0L, 10, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = loaded.topK(0L, 10, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(disk == mem)
+
+    // a partial probe's isin(centroid_id) is a PartitionFilter on the
+    // bucketed scan — cells are pruned before IO, not post-filtered
+    val probePlan = loaded.assigned
+      .filter(col("centroid_id").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") && probePlan.contains("centroid_id"),
+      probePlan)
+    index.unpersist()
+  }
 }
