@@ -63,6 +63,14 @@ object Normalizers {
   // ----------------------------------------------------------- A6
   private def f(k: String): Column = col("fields").getItem(k)
 
+  /** Field read with the reference's truthiness semantics: an
+    * empty-string value behaves like an absent key wherever the
+    * reference guards with `if payload.get(k):` — i.e. in fallback
+    * coalescing and branch decodes. Raw `f(k)` stays correct for
+    * value positions, where the reference emits the falsy value
+    * as-is. */
+  private def fnb(k: String): Column = nullif(f(k), lit(""))
+
   /** Keys consumed by the common parser (qopcfdr_stream_loader.py:
     * 227-275) plus ConfigBuild / event_platform, pulled by every
     * class normalizer. */
@@ -91,13 +99,22 @@ object Normalizers {
     * BOTH keys are present only the primary is deleted and the
     * fallback key STAYS in `unmapped`. The fallback is consumed only
     * when the primary key is absent. Pinned by the parity differ. */
+  /** `conditionals` handles keys the reference deletes only under a
+    * runtime condition (e.g. HttpPath only for HttpRequest events,
+    * TlsVersion only when Ja3Hash is set): the key is consumed iff its
+    * condition holds. */
   private def unmappedCol(classKeys: Seq[String],
-                          fallbacks: Seq[(String, String)] = Nil): Column = {
+                          fallbacks: Seq[(String, String)] = Nil,
+                          conditionals: Seq[(String, Column)] = Nil): Column = {
     val consumed = (commonKeys ++ classKeys).map(x => x: Any)
-    fallbacks.foldLeft(
+    val base = fallbacks.foldLeft(
       map_filter(col("fields"), (k, _) => !k.isin(consumed: _*))) {
       case (m, (primary, fb)) =>
         map_filter(m, (k, _) => !(k === fb && f(primary).isNull))
+    }
+    conditionals.foldLeft(base) {
+      case (m, (key, consumedWhen)) =>
+        map_filter(m, (k, _) => !(k === key && consumedWhen))
     }
   }
 
@@ -106,10 +123,12 @@ object Normalizers {
     struct(lit(name).as("name"), lit(typeId).as("type_id"),
            lit(typ).as("type"), value.cast("string").as("value"))
 
-  /** Observables array keeping only present values (the reference's
-    * conditional appends). */
+  /** Observables array keeping only present values. The reference's
+    * appends are guarded with `if value:` — truthiness — so empty
+    * strings are dropped too. */
   private def observablesArr(items: Seq[Column]): Column =
-    filter(array(items: _*), x => x.getField("value").isNotNull)
+    filter(array(items: _*),
+      x => x.getField("value").isNotNull && x.getField("value") =!= "")
 
   private def deviceObs: Seq[Column] = Seq(
     obs("device.agent_list[0].uid", 10, "Resource UID", col("c_aid")),
@@ -157,10 +176,12 @@ object Normalizers {
   private def hashStructI(algId: Int, alg: String, value: Column): Column =
     hashStruct(lit(algId), lit(alg), value)
 
-  /** Hash list with present values only; [null-struct] when empty
-    * (the reference back-fills one null hash entry). */
+  /** Hash list with present (truthy — `if hash:` in the reference)
+    * values only; [null-struct] when empty (the reference back-fills
+    * one null hash entry). */
   private def hashesArr(items: Seq[Column]): Column = {
-    val present = filter(array(items: _*), x => x.getField("value").isNotNull)
+    val present = filter(array(items: _*),
+      x => x.getField("value").isNotNull && x.getField("value") =!= "")
     when(size(present) > 0, present).otherwise(array(hashStruct(
       lit(null).cast("int"), lit(null).cast("string"), lit(null).cast("string"))))
   }
@@ -214,11 +235,22 @@ object Normalizers {
       .withColumn("pid", f("RawProcessId"))
       .withColumn("puid", f("SourceProcessId"))
       .withColumn("parent_uid", f("ParentProcessId"))
-      .withColumn("parent_file", coalesce(f("ParentBaseFileName"), f("ParentImageFileName")))
+      // reference shape: `p = get(primary); if not p: p = get(fallback)`
+      // — a truthiness test on the primary but the RAW fallback value
+      // (an empty-string fallback stays an empty string)
+      .withColumn("parent_file", coalesce(fnb("ParentBaseFileName"), f("ParentImageFileName")))
       .withColumn("parent_cmd", f("ParentCommandLine"))
+    // ParentImageFileName is read as the parent-name fallback but is
+    // NEVER consumed: the reference's only path that would delete it
+    // (py:778 — a bare `del unmapped["ParentBaseFileName"]` with no
+    // try/except after the fallback get) raises KeyError and crashes
+    // its Lambda whenever ParentImageFileName is present without
+    // ParentBaseFileName, and when both are present it deletes only
+    // ParentBaseFileName. We normalize such events instead of crashing
+    // (declared divergence) and keep the key in unmapped either way.
     val consumed = Seq("ImageFileName", "SHA256HashData", "MD5HashData",
       "CommandLine", "RawProcessId", "SourceProcessId", "ParentProcessId",
-      "ParentBaseFileName", "ParentImageFileName", "ParentCommandLine")
+      "ParentBaseFileName", "ParentCommandLine")
     val observables = observablesArr(Seq(
       obs("process.file.name", 7, "File Name", col("image")),
       obs("process.file.hashes[0].value", 8, "Hash", col("sha256")),
@@ -253,8 +285,8 @@ object Normalizers {
     val d = withCommon(df)
       .withColumn("src_port", f("LocalPort").try_cast(IntegerType))
       .withColumn("dst_port", f("RemotePort").try_cast(IntegerType))
-      .withColumn("dst_ip", coalesce(f("RemoteAddressIP4"), f("RemoteAddressIP6")))
-      .withColumn("local_ip", coalesce(f("LocalAddressIP4"), f("LocalAddressIP6")))
+      .withColumn("dst_ip", coalesce(fnb("RemoteAddressIP4"), f("RemoteAddressIP6")))
+      .withColumn("local_ip", coalesce(fnb("LocalAddressIP4"), f("LocalAddressIP6")))
       .withColumn("mac", f("PhysicalAddress"))
       .withColumn("conn_dir", f("ConnectionDirection"))
     val consumed = Seq("LocalPort", "RemotePort", "RemoteAddressIP4",
@@ -314,20 +346,28 @@ object Normalizers {
       .withColumn("http_host", f("HttpHost"))
       .withColumn("http_path", f("HttpPath"))
       .withColumn("http_status", f("HttpStatus"))
-      .withColumn("dst_ip", coalesce(f("RemoteAddressIP4"), f("RemoteAddressIP6")))
+      .withColumn("dst_ip", coalesce(fnb("RemoteAddressIP4"), f("RemoteAddressIP6")))
       .withColumn("dst_port", f("RemotePort").try_cast(IntegerType))
       .withColumn("src_port", f("LocalPort").try_cast(IntegerType))
       .withColumn("image", f("ImageFileName"))
       .withColumn("cmd", f("CommandLine"))
-      .withColumn("ja3", f("Ja3Hash"))
+      .withColumn("ja3", fnb("Ja3Hash"))
       .withColumn("tls_ver", f("TlsVersion"))
       .withColumn("domain", f("DomainName"))
     // HttpStatus is read for the status override but never removed
-    // from unmapped (the reference has no del for it, py:1313)
-    val consumed = Seq("HttpMethod", "HttpHost", "HttpPath",
-      "RemoteAddressIP4", "RemoteAddressIP6", "RemotePort", "LocalPort",
-      "ImageFileName", "CommandLine", "Ja3Hash", "TlsVersion", "DomainName")
+    // from unmapped (the reference has no del for it, py:1313).
+    // HttpMethod/HttpHost/HttpPath are read ONLY inside the
+    // `if eventName == "HttpRequest"` branch (py:1200-1277) — for
+    // HttpResponse/TlsClientHello they stay in unmapped — and
+    // TlsVersion is deleted only inside the `if ja3Hash:` block
+    // (py:1396), hence the conditional consumption below.
+    val consumed = Seq("RemoteAddressIP4", "RemotePort", "LocalPort",
+      "ImageFileName", "CommandLine", "Ja3Hash", "DomainName")
+    val httpFallbacks = Seq("RemoteAddressIP4" -> "RemoteAddressIP6")
     val isReq = col("event_name") === "HttpRequest"
+    val httpConditionals = Seq(
+      "HttpMethod" -> isReq, "HttpHost" -> isReq, "HttpPath" -> isReq,
+      "TlsVersion" -> fnb("Ja3Hash").isNotNull)
     // HttpMethod decimal → (activity_name, activity_id, http_method)
     val m = col("http_method_raw")
     val actName = when(!isReq, col("activityName"))
@@ -350,7 +390,9 @@ object Normalizers {
     val statusName = when(canDerive, when(fail, "Failure").otherwise("Success"))
       .otherwise(col("statusName"))
     val observables = observablesArr(Seq(
-      obs("http_request.url.hostname", 1, "Hostname", col("http_host")),
+      // the host observable is appended only inside the HttpRequest
+      // branch (py:1256) — HttpHost on other events stays unread
+      obs("http_request.url.hostname", 1, "Hostname", when(isReq, col("http_host"))),
       // reference quirk (py:1320-1341): dst IP observable reuses the
       // dst_endpoint.port name/type
       obs("dst_endpoint.port", 11, "Port", col("dst_ip")),
@@ -384,18 +426,18 @@ object Normalizers {
         struct(when(col("ja3").isNotNull, "ja3").as("algorithm"),
                when(col("ja3").isNotNull, 99).cast("int").as("algorithm_id"),
                col("ja3").as("value")).as("ja3_hash")).as("tls"),
-      unmappedCol(consumed).as("unmapped")): _*)
+      unmappedCol(consumed, httpFallbacks, httpConditionals).as("unmapped")): _*)
   }
 
   // =========================================================== A13
   /** File System Activity (1001) — qopcfdr_stream_loader.py:1541-1759. */
   def fileSystemActivity(df: DataFrame): DataFrame = {
     val d = withCommon(df)
-      .withColumn("file_name", coalesce(f("TargetFileName"), f("ScriptContentName")))
+      .withColumn("file_name", coalesce(fnb("TargetFileName"), f("ScriptContentName")))
       .withColumn("file_path", f("TargetDirectoryName"))
       .withColumn("file_uid", f("FileIdentifier"))
       .withColumn("creator", f("UserName"))
-      .withColumn("sha256", coalesce(f("SHA256HashData"), f("ContentSHA256HashData")))
+      .withColumn("sha256", coalesce(fnb("SHA256HashData"), f("ContentSHA256HashData")))
     val consumed = Seq("TargetFileName", "TargetDirectoryName",
       "FileIdentifier", "UserName", "SHA256HashData")
     val fallbacks = Seq("TargetFileName" -> "ScriptContentName",
@@ -411,8 +453,8 @@ object Normalizers {
         col("file_name").as("name"),
         col("file_uid").as("uid"),
         col("file_path").as("path"),
-        when(col("file_path").isNotNull, 2).otherwise(1).cast("int").as("type_id"),
-        when(col("file_path").isNotNull, "Folder").otherwise("Regular File").as("type"),
+        when(fnb("TargetDirectoryName").isNotNull, 2).otherwise(1).cast("int").as("type_id"),
+        when(fnb("TargetDirectoryName").isNotNull, "Folder").otherwise("Regular File").as("type"),
         lit(0).as("confidentiality_id"),
         lit("Unknown").as("confidentiality"),
         struct(col("creator").as("name")).as("creator"),
@@ -424,13 +466,16 @@ object Normalizers {
   /** Module Activity (1005) — qopcfdr_stream_loader.py:1760-1994. */
   def moduleActivity(df: DataFrame): DataFrame = {
     val d = withCommon(df)
-      .withColumn("module_name", coalesce(f("BundleID"), f("IOServicePath")))
+      .withColumn("module_name", coalesce(fnb("BundleID"), f("IOServicePath")))
       .withColumn("image", f("ImageFileName"))
       .withColumn("sha256", f("SHA256HashData"))
       .withColumn("sha1", f("SHA1HashData"))
       .withColumn("md5h", f("MD5HashData"))
-    val consumed = Seq("BundleID", "IOServicePath", "ImageFileName",
+    // BundleID → IOServicePath is the same try-del-except-del fallback
+    // as the file-name pairs: both present → only BundleID deleted
+    val consumed = Seq("BundleID", "ImageFileName",
       "SHA256HashData", "SHA1HashData", "MD5HashData")
+    val fallbacks = Seq("BundleID" -> "IOServicePath")
     val observables = observablesArr(Seq(
       obs("module.file.name", 7, "File Name", col("image")),
       obs("file.hashes[0].value", 8, "Hash", col("sha256")),
@@ -441,14 +486,16 @@ object Normalizers {
       deviceStruct.as("device"),
       struct(
         col("module_name").as("function_name"),
-        when(col("module_name").isNotNull, 1).otherwise(0).cast("int").as("load_type_id"),
-        when(col("module_name").isNotNull, "Standard").otherwise("Unknown").as("load_type"),
+        when(nullif(col("module_name"), lit("")).isNotNull, 1)
+          .otherwise(0).cast("int").as("load_type_id"),
+        when(nullif(col("module_name"), lit("")).isNotNull, "Standard")
+          .otherwise("Unknown").as("load_type"),
         struct(col("image").as("name"),
                hashesArr(Seq(hashStructI(3, "SHA-256", col("sha256")),
                              hashStructI(2, "SHA-1", col("sha1")),
                              hashStructI(1, "MD5", col("md5h")))).as("hashes")).as("file")
       ).as("module"),
-      unmappedCol(consumed).as("unmapped")): _*)
+      unmappedCol(consumed, fallbacks).as("unmapped")): _*)
   }
 
   // =========================================================== A15
@@ -499,17 +546,18 @@ object Normalizers {
       9 -> "New Credentials", 10 -> "Remote Interactive",
       11 -> "Cached Interactive", 12 -> "Cached Remote Interactive",
       13 -> "Cached Unlock")
-    val lt = col("logon_raw")
+    val lt = nullif(col("logon_raw"), lit(""))
     val logonTypeId = logonNames.keys.toSeq.sorted
       .foldLeft(when(lit(false), 0)) { (acc, k) => acc.when(lt === k.toString, k) }
       .otherwise(0)
     val logonTypeName = logonNames.toSeq.sortBy(_._1)
       .foldLeft(when(lit(false), "")) { case (acc, (k, v)) => acc.when(lt === k.toString, v) }
       .otherwise("Unknown")
-    val userTypeId = when(col("is_admin").isNull, 0)
-      .when(col("is_admin") === "1", 2).otherwise(1)
-    val userTypeName = when(col("is_admin").isNull, "Unknown")
-      .when(col("is_admin") === "1", "Admin").otherwise("User")
+    val adm = nullif(col("is_admin"), lit(""))
+    val userTypeId = when(adm.isNull, 0)
+      .when(adm === "1", 2).otherwise(1)
+    val userTypeName = when(adm.isNull, "Unknown")
+      .when(adm === "1", "Admin").otherwise("User")
     val observables = observablesArr(Seq(
       obs("user.name", 4, "User Name", col("user_name")),
       obs("user.uid", 10, "Resource UID", col("user_principal")),
@@ -543,7 +591,7 @@ object Normalizers {
       .withColumn("app_vendor", f("AppVendor"))
       .withColumn("app_version", f("AppVersion"))
     val consumed = Seq("UpdateFlag", "AppName", "AppSource", "AppVendor", "AppVersion")
-    val fl = col("flag")
+    val fl = nullif(col("flag"), lit(""))
     val actId = when(fl.isNull, 0).when(fl === "2", 2).when(fl === "3", 1)
       .when(fl.isin("0", "1", "4", "5"), 99).otherwise(99)
     val actName = when(fl.isNull, "Unknown")
@@ -575,12 +623,12 @@ object Normalizers {
       .withColumn("status_flag", f("Status"))
       .withColumn("kbs_raw", f("InstalledUpdateIds"))
     val consumed = Seq("Status", "InstalledUpdateIds")
-    val sf = col("status_flag")
+    val sf = nullif(col("status_flag"), lit(""))
     val actId = when(sf.isNull, 0).when(sf === "0", 1).otherwise(99)
     val actName = when(sf.isNull, "Unknown").when(sf === "0", "Install").otherwise("Other")
     val statusId = when(sf.isNull, 0).when(sf === "0", 1).otherwise(99)
     val statusName = when(sf.isNull, "Unknown").when(sf === "0", "Success").otherwise("Other")
-    val kbList = when(col("kbs_raw").isNotNull,
+    val kbList = when(nullif(col("kbs_raw"), lit("")).isNotNull,
       transform(split(col("kbs_raw"), ";"), kb => struct(kb.as("uid"))))
       .otherwise(array(struct(lit(null).cast("string").as("uid"))))
     d.select(baseCols(actId, actName, statusId, statusName, col("c_id"), Nil) ++ Seq(
@@ -594,8 +642,8 @@ object Normalizers {
   /** File Hosting Activity (6006) — qopcfdr_stream_loader.py:2790-3005. */
   def fileHostingActivity(df: DataFrame): DataFrame = {
     val d = withCommon(df)
-      .withColumn("file_name", coalesce(f("SourceFileName"), f("DownloadPath")))
-      .withColumn("sha256", coalesce(f("SHA256HashData"), f("ContentSHA256HashData")))
+      .withColumn("file_name", coalesce(fnb("SourceFileName"), f("DownloadPath")))
+      .withColumn("sha256", coalesce(fnb("SHA256HashData"), f("ContentSHA256HashData")))
       .withColumn("dl_server", f("DownloadServer"))
       .withColumn("dl_port", f("DownloadPort").try_cast(IntegerType))
     val consumed = Seq("SourceFileName", "SHA256HashData",
@@ -635,12 +683,17 @@ object Normalizers {
       "ContextProcessId", "ParentImageFileName", "GrandparentImageFileName",
       "GrandparentCommandLine")
     val nullStr = lit(null).cast("string")
+    // the reference re-gets the CommandLine key for the parent cmd_line
+    // (py:3099): when CommandLine was truthy it was deleted → null; a
+    // FALSY CommandLine was never deleted, so the re-get returns it
+    val parentCmd = when(fnb("CommandLine").isNotNull, nullStr)
+      .otherwise(f("CommandLine"))
     val observables = observablesArr(Seq(
       obs("evidences[0].process.file.name", 7, "File Name", col("image")),
       obs("evidences[0].process.cmd_line", 13, "Command Line", col("cmd")),
       obs("evidences[0].process.file.hashes[0].value", 8, "Hash", col("sha256")),
       obs("evidences[0].process.parent_process.file.name", 7, "File Name", col("parent_file")),
-      obs("evidences[0].process.parent_process.cmd_line", 13, "Command Line", nullStr),
+      obs("evidences[0].process.parent_process.cmd_line", 13, "Command Line", parentCmd),
       obs("evidences[0].process.parent_process.parent_process.file.name", 7, "File Name", col("gp_file")),
       obs("evidences[0].process.parent_process.parent_process.cmd_line", 13, "Command Line", col("gp_cmd"))) ++
       deviceObs)
@@ -648,12 +701,15 @@ object Normalizers {
       observables.as("observables"),
       deviceStruct.as("device"),
       array(struct(struct(
+        // the reference builds this hash entry unconditionally with
+        // the algorithm fields filled and the (possibly null) raw
+        // value (py:3221-3227) — unlike the hashesArr classes
         struct(col("image").as("name"),
-               hashesArr(Seq(hashStructI(3, "SHA-256", col("sha256")))).as("hashes")).as("file"),
+               array(hashStructI(3, "SHA-256", col("sha256"))).as("hashes")).as("file"),
         col("cmd").as("cmd_line"),
         col("ctx_uid").as("uid"),
         struct(struct(col("parent_file").as("name")).as("file"),
-               nullStr.as("cmd_line"),
+               parentCmd.as("cmd_line"),
                struct(struct(col("gp_file").as("name")).as("file"),
                       col("gp_cmd").as("cmd_line")).as("parent_process")
         ).as("parent_process")).as("process"))).as("evidences"),

@@ -22,9 +22,9 @@ import graft.SparkSpec
   */
 class NormalizerParitySpec extends SparkSpec {
 
-  test("all 13 normalizers match the reference loader field-by-field") {
+  def runParity(fixtureFile: String, expectAllRoutes: Boolean): Unit = {
     val refLoader = Paths.get("/root/reference/src/python/qopcfdr_stream_loader.py")
-    val fixtures = Paths.get("src/test/resources/fdr_parity_fixtures.jsonl")
+    val fixtures = Paths.get(fixtureFile)
     assume(Files.exists(refLoader), "reference checkout not present")
     assume(Files.exists(fixtures), "fixtures missing")
     assume(Process(Seq("python3", "--version")).!(ProcessLogger(_ => ())) == 0,
@@ -39,6 +39,19 @@ class NormalizerParitySpec extends SparkSpec {
       Seq("python3", "tools/normalizer_diff.py", fixtures.toString, outDir))
       .!(ProcessLogger(l => { output.append(l).append('\n'); () }))
     assert(exit == 0, s"undeclared divergences vs reference loader:\n$output")
-    assert(output.toString.contains("routes: 13"), output.toString)
+    if (expectAllRoutes)
+      assert(output.toString.contains("routes: 13"), output.toString)
+  }
+
+  test("all 13 normalizers match the reference loader field-by-field") {
+    runParity("src/test/resources/fdr_parity_fixtures.jsonl", expectAllRoutes = true)
+  }
+
+  test("fuzz corpus: random key subsets match the reference loader") {
+    // 260 generated events (tools/parity_fuzz.py, seed 7) exercising
+    // the get/del branch combinatorics: random key subsets, empty
+    // strings, odd platforms, missing timestamps. extApi has its own
+    // payload shape and is covered by the curated corpus.
+    runParity("src/test/resources/fdr_parity_fuzz.jsonl", expectAllRoutes = false)
   }
 }

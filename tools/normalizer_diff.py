@@ -29,6 +29,12 @@ scaladoc:
   D5 typed numerics: Spark types `pid` & co natively (int/long); the
      reference passes raw payload strings through. Equal when the
      digits match and exactly one side is a string.
+  D6 reference crashes: some inputs raise inside the reference (e.g.
+     py:778 dels ParentBaseFileName after falling back to
+     ParentImageFileName — KeyError when only the fallback is present),
+     killing its Lambda; Spark normalizes them instead of losing them
+     to the DLQ. Such lines are excluded from the diff and reported as
+     ref_crashes.
 
 Exit code 0 = zero undeclared divergences; 1 otherwise.
 
@@ -104,7 +110,10 @@ def load_reference_module(ref_path):
 
 def run_reference(mod, lines):
     """Feed fixture lines through the reference mapper, capturing the
-    dicts it would send to SQS as (table_name, payload)."""
+    dicts it would send to SQS as (table_name, payload). Returns
+    (events, crashed_ids): lines the reference raises on (D6) are
+    collected separately — its Lambda would die and the batch retry
+    to the DLQ."""
     captured = []
 
     def capture(className=None, payload=None):
@@ -112,13 +121,17 @@ def run_reference(mod, lines):
 
     mod.sendToSqs = capture
     mapped = {x["EventName"] for x in mod.QFDR_OCSF_NORMALIZATION}
+    crashed = set()
     for line in lines:
         obj = json.loads(line)
         ev = obj.get("event_simpleName", obj.get("event_type", obj.get("EventType")))
         if ev is None or ev not in mapped:
             continue  # the reference logs-and-skips these
-        mod.ocsfQfdrMapper(eventName=ev, payload=dict(obj))
-    return [(table_name(c), p) for c, p in captured]
+        try:
+            mod.ocsfQfdrMapper(eventName=ev, payload=dict(obj))
+        except Exception:
+            crashed.add(obj.get("id"))
+    return [(table_name(c), p) for c, p in captured], crashed
 
 
 def table_name(class_name):
@@ -206,7 +219,7 @@ def main():
         lines = [l for l in f.read().splitlines() if l.strip()]
 
     mod = load_reference_module(ref_path)
-    ref_events = run_reference(mod, lines)
+    ref_events, ref_crashes = run_reference(mod, lines)
 
     spark_events = {}
     for fn in os.listdir(dump_dir):
@@ -235,12 +248,12 @@ def main():
         for p, rv, sv in diff(ref_c, spark_c):
             problems.append((table, uid, p, rv, sv))
     for key in spark_events:
-        if key not in seen:
+        if key not in seen and key[1] not in ref_crashes:  # D6
             problems.append((key[0], key[1], "<event>", "missing in reference", "present in spark"))
 
     print(f"[parity] reference events: {len(ref_events)}, "
           f"spark events: {len(spark_events)}, routes: "
-          f"{len({t for t, _ in ref_events})}")
+          f"{len({t for t, _ in ref_events})}, ref_crashes: {len(ref_crashes)}")
     if problems:
         print(f"[parity] {len(problems)} UNDECLARED divergences:")
         for table, uid, p, rv, sv in problems:
