@@ -740,11 +740,13 @@ object Normalizers {
       .withColumn("accept_hdr", kv("request_accept"))
       .withColumn("content_type", kv("request_content_type"))
       .withColumn("api_client_id", kv("APIClientID"))
-      .withColumn("user_ip", f("UserIp"))
-      .withColumn("x_aid", f("AgentIdString"))
-      .withColumn("x_cid", f("cid"))
-      .withColumn("user_id", f("UserId"))
-      .withColumn("customer_id", f("CustomerIdString"))
+      // the reference maps falsy values to None here (ternaries,
+      // py:342-346), so empty strings become nulls in value positions
+      .withColumn("user_ip", fnb("UserIp"))
+      .withColumn("x_aid", fnb("AgentIdString"))
+      .withColumn("x_cid", fnb("cid"))
+      .withColumn("user_id", fnb("UserId"))
+      .withColumn("customer_id", fnb("CustomerIdString"))
       .withColumn("ext_type", f("ExternalApiType"))
       .withColumn("utc_ts", f("UTCTimestamp"))
     val actName = when(col("method_raw").isNull, "Unknown")
