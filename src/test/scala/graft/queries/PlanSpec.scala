@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("B16: JSON extraction parses each payload once (from_json, not per-path)") {
+    val p = plan("q_events_json")
+    assert(p.contains("from_json"), p)
+    // get_json_object re-parses the string per extracted path — the
+    // wrong shape for wide payloads at scale
+    assert(!p.contains("get_json_object"), p)
+  }
+
   test("B10: top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plan("q9_topk").contains("TakeOrderedAndProject"))
   }
