@@ -62,4 +62,13 @@ object TextFunctions {
     * and the corpus curation gate. */
   def qualityScore(text: Column): Column =
     least(lit(1.0), size(tokens(text)) / lit(50.0)) * alphaRatio(text)
+
+  /** 4-decimal rounding that matches DuckDB's semantics for oracle
+    * comparison: DuckDB rounds the SCALED double (`round(x·10⁴)/10⁴`),
+    * Spark's `round(x, 4)` rounds the unscaled value through
+    * BigDecimal — on an exact .xxxx5 tie (common for ratio-of-small-
+    * ints scores like quality) the two can land on opposite sides
+    * because x·10⁴ re-rounds in binary. Rounding the same scaled
+    * double makes both engines bit-agree. */
+  def round4(c: Column): Column = round(c * 10000d) / 10000d
 }

@@ -26,7 +26,7 @@ object Corpus {
       .join(survivors, Seq(idCol), "left_semi")
       .select(col(idCol),
         size(TextFunctions.tokens(col(textCol))).cast("bigint").as("n_tokens"),
-        round(TextFunctions.qualityScore(col(textCol)), 4).as("quality"))
+        TextFunctions.round4(TextFunctions.qualityScore(col(textCol))).as("quality"))
       .filter(col("quality") >= minQuality)
   }
 }

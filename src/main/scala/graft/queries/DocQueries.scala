@@ -101,9 +101,9 @@ object DocQueries {
       col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars"),
       size(t).cast("bigint").as("n_tokens"),
-      round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
-      round(TextFunctions.stopwordRatio(col("text"), enStop), 4).as("stop_ratio"),
-      round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+      TextFunctions.round4(TextFunctions.alphaRatio(col("text"))).as("alpha_ratio"),
+      TextFunctions.round4(TextFunctions.stopwordRatio(col("text"), enStop)).as("stop_ratio"),
+      TextFunctions.round4(TextFunctions.qualityScore(col("text"))).as("quality"))
   }
 
   // ---------------------------------------------------------- C1+C8
