@@ -336,8 +336,23 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
            approx_count_distinct(col("event_id")).as("approx_events"))
 
+  // ---------------------------------------------------------------- B23
+  /** Exact interpolated percentiles (the Athena approx_percentile /
+    * quantile surface, done exactly so the oracle can verify it).
+    * `percentile` aggregates with map-side partial state (a digest of
+    * the group), so the shuffle carries group summaries, not rows. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_percentile"      -> (qPercentile _),
     "q6_selective_filter" -> (q6SelectiveFilter _),
     "q1_agg"              -> (q1Agg _),
     "q3_join_agg"         -> (q3JoinAgg _),
@@ -367,6 +382,14 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q21_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
     "q6_selective_filter" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_rows

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.{Bucketing, Tables}
+
+/** Scale-mechanics specs: co-bucketed joins are exchange-free, and
+  * salted joins flatten hot keys without changing results. */
+class ScaleSpec extends SparkSpec {
+
+  test("co-bucketed tables join without an Exchange on either side") {
+    val dir = Files.createTempDirectory("bucketed")
+    val orders   = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    Bucketing.writeBucketed(orders.withColumnRenamed("o_orderkey", "orderkey"),
+      "b_orders", s"$dir/orders", "orderkey", buckets = 8)
+    Bucketing.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "orderkey"),
+      "b_lineitem", s"$dir/lineitem", "orderkey", buckets = 8)
+
+    // force the non-broadcast path so the exchange-free property is
+    // what's actually under test
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.cobucketedJoin(spark, "b_lineitem", "b_orders", "orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      // and it computes the right thing
+      val expected = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val big = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"dim-$i") }.toDF("key", "attr")
+
+    val plain  = big.join(small, "key")
+    val salted = SkewJoin.saltedJoin(big, small, "key", distributor = Seq("v"), n = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select(sum("v")).head().getLong(0) ==
+      plain.select(sum("v")).head().getLong(0))
+    assert(!salted.columns.contains("__salt"))
+
+    // the hot key's rows really do spread across multiple salt values
+    val spread = big.filter(col("key") === "hot")
+      .select(pmod(xxhash64(col("key"), col("v")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"salt fan-out collapsed to $spread value(s)")
+  }
+}
