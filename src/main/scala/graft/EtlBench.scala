@@ -1,0 +1,89 @@
+package graft
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+import graft.ocsf.{Normalizers, OcsfSink}
+import graft.sources.FdrSource
+
+/** ETL throughput benchmark: synthetic FDR gz corpus → classify →
+  * all 13 normalizers → Security-Lake parquet fan-out, reported as
+  * events/second end-to-end (including the write).
+  *
+  * The comparable reference number comes from
+  * `tools/ref_etl_bench.py`, which times the reference loader's
+  * row-at-a-time normalization (AWS stubbed) on identically-shaped
+  * lines. Run both to compare single-node ETL throughput.
+  *
+  * Usage: runMain graft.EtlBench [nEvents] [nFiles]
+  */
+object EtlBench {
+
+  /** Deterministic synthetic FDR lines cycling through event shapes
+    * that exercise every sink route. */
+  def line(i: Long): String = {
+    val ts = 1700000000000L + i
+    (i % 13) match {
+      case 0 => s"""{"event_simpleName":"ProcessRollup2","name":"ProcessRollup2V19","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","aip":"10.0.${i % 256}.${(i / 256) % 256}","timestamp":"$ts","event_platform":"Win","ImageFileName":"C:\\\\W\\\\cmd$i.exe","CommandLine":"cmd /c job $i","SHA256HashData":"${i}a","RawProcessId":"${1000 + i % 50000}","ParentBaseFileName":"explorer.exe"}"""
+      case 1 => s"""{"event_simpleName":"NetworkConnectIP4","name":"NetworkConnectIP4V10","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Lin","LocalPort":"${1024 + i % 60000}","RemotePort":"443","RemoteAddressIP4":"93.184.${i % 256}.${(i / 7) % 256}","LocalAddressIP4":"10.0.0.${i % 256}","ConnectionDirection":"${i % 4}"}"""
+      case 2 => s"""{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Mac","DomainName":"host${i % 5000}.example.com","ContextBaseFileName":"proc${i % 11}"}"""
+      case 3 => s"""{"event_simpleName":"UserLogon","name":"UserLogonV10","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Win","UserName":"user${i % 500}","UserSid":"S-1-5-$i","LogonType":"${2 + i % 11}","UserIsAdmin":"${i % 2}"}"""
+      case 4 => s"""{"event_simpleName":"HttpRequest","name":"HttpRequestV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Lin","HttpMethod":"${1 + i % 8}","HttpHost":"api${i % 31}.example.com","HttpPath":"/v1/r/$i","HttpStatus":"${if (i % 9 == 0) 404 else 200}"}"""
+      case 5 => s"""{"event_simpleName":"NewScriptWritten","name":"NewScriptWrittenV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Lin","TargetFileName":"/tmp/s$i.sh","TargetDirectoryName":"/tmp","UserName":"svc${i % 17}","ContentSHA256HashData":"${i}b"}"""
+      case 6 => s"""{"event_simpleName":"KextLoad","name":"KextLoadV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Mac","BundleID":"com.example.k${i % 29}","ImageFileName":"/L/E/k$i.kext","SHA256HashData":"${i}c"}"""
+      case 7 => s"""{"event_simpleName":"InstalledApplication","name":"InstalledApplicationV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Win","UpdateFlag":"${i % 6}","AppName":"App${i % 200}","AppVendor":"Vendor${i % 40}","AppVersion":"1.${i % 30}"}"""
+      case 8 => s"""{"event_simpleName":"InstalledUpdates","name":"InstalledUpdatesV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Win","Status":"${i % 2}","InstalledUpdateIds":"KB${i};KB${i + 1}"}"""
+      case 9 => s"""{"event_simpleName":"LFODownloadConfirmation","name":"LFODownloadConfirmationV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Win","SourceFileName":"f$i.bin","SHA256HashData":"${i}d","DownloadServer":"lfo${i % 7}.example.com","DownloadPort":"443"}"""
+      case 10 => s"""{"event_simpleName":"ScriptControlDetectInfo","name":"ScriptControlDetectInfoV1","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Win","ImageFileName":"ps$i.exe","CommandLine":"ps -enc $i","ContentSHA256HashData":"${i}e","ContextProcessId":"$i","ParentImageFileName":"cmd.exe"}"""
+      case 11 => s"""{"event_simpleName":"SensorHeartbeat","name":"SensorHeartbeatV4","aid":"aid-$i","cid":"cid-${i % 97}","id":"e-$i","timestamp":"$ts","event_platform":"Win","ConfigBuild":"1007.${i % 10}"}"""
+      case _ => s"""{"event_simpleName":"Event_ExternalApiEvent","ExternalApiType":"Event_AuthActivityAuditEvent","UTCTimestamp":"${ts / 1000}","UserIp":"9.9.${i % 256}.9","AgentIdString":"aid-$i","cid":"cid-${i % 97}","UserId":"u$i@example.com","CustomerIdString":"cust-${i % 5}","AuditKeyValues":[{"Key":"request_method","ValueString":"GET"},{"Key":"status_code","ValueString":"200"},{"Key":"trace_id","ValueString":"t-$i"},{"Key":"request_path","ValueString":"/v1/$i"}]}"""
+    }
+  }
+
+  def writeCorpus(dir: Path, nEvents: Long, nFiles: Int): Unit = {
+    val perFile = nEvents / nFiles
+    (0 until nFiles).foreach { fi =>
+      val w = new BufferedWriter(new OutputStreamWriter(new GZIPOutputStream(
+        new FileOutputStream(dir.resolve(f"fdr-$fi%04d.gz").toFile)), "UTF-8"), 1 << 20)
+      var i = fi * perFile
+      val end = (fi + 1) * perFile
+      while (i < end) { w.write(line(i)); w.write("\n"); i += 1 }
+      w.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toLong else 200000L
+    val nFiles = if (args.length > 1) args(1).toInt else 32
+    val spark = GraftSession.get()
+    val landing = Files.createTempDirectory("etl-bench-landing")
+    val out = Files.createTempDirectory("etl-bench-out")
+    writeCorpus(landing, nEvents, nFiles)
+
+    // Warm-up on a small corpus: compiles the 13 normalizer codegen
+    // stages and the parquet write path once, so the timed run
+    // measures steady-state throughput (the Python reference loop has
+    // no equivalent cold cost).
+    val wl = Files.createTempDirectory("etl-bench-warm")
+    val wo = Files.createTempDirectory("etl-bench-warmout")
+    writeCorpus(wl, 1300, 4)
+    val warm = FdrSource.load(spark, wl.toString).cache()
+    warm.count()
+    OcsfSink.fanOut(warm, wo.toString, "us-east-1", "123456789012")
+    warm.unpersist()
+
+    val t0 = System.nanoTime()
+    val classified = FdrSource.load(spark, landing.toString).cache()
+    val nClassified = classified.count()
+    val t1 = System.nanoTime()
+    OcsfSink.fanOut(classified, out.toString, "us-east-1", "123456789012")
+    val t2 = System.nanoTime()
+    val sec = (t2 - t0) / 1e9
+    classified.unpersist()
+
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    println(s"""{"metric":"etl_events_per_sec","value":${jnum(nClassified / sec)},"events":$nClassified,"seconds":${jnum(sec)},"classify_sec":${jnum((t1 - t0) / 1e9)},"fanout_sec":${jnum((t2 - t1) / 1e9)},"files":$nFiles}""")
+    spark.stop()
+  }
+}
