@@ -350,8 +350,26 @@ object Relational {
         round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
 
+  // ---------------------------------------------------------------- B24
+  /** As-of join: each purchase event paired with the user's most
+    * recent click at-or-before it — via [[graft.operators.AsOfJoin]] (one
+    * shuffle, union+window; no inequality-join blow-up). */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val proc = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val logins = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(proc, logins, "user_id", "ts",
+        Seq("ts" -> "login_ts"))
+      .select(col("event_id"),
+        unix_micros(col("login_ts")).as("login_epoch_us"),
+        (col("ts").cast("long") - col("login_ts").cast("long")).as("gap_sec"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_asof"            -> (qAsofJoin _),
     "q21_percentile"      -> (qPercentile _),
     "q6_selective_filter" -> (q6SelectiveFilter _),
     "q1_agg"              -> (q1Agg _),
@@ -382,6 +400,15 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q22_asof" ->
+      """SELECT p.event_id,
+        |  epoch_us(l.ts) AS login_epoch_us,
+        |  CAST(date_diff('second', l.ts, p.ts) AS BIGINT) AS gap_sec
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |                WHERE event_type = 'click') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts""".stripMargin,
     "q21_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,

@@ -104,6 +104,16 @@ class OperatorsSpec extends SparkSpec {
     assert(same(0) == same(1))
   }
 
+  test("B24: as-of join matches ties, latest-before otherwise, null when none") {
+    val l = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "ts", "id")
+    val r = Seq((1L, 100L), (1L, 200L), (1L, 300L)).toDF("k", "ts")
+    val out = AsOfJoin.asOf(l, r, "k", "ts", Seq("ts" -> "r_ts"))
+      .orderBy("id").select("id", "r_ts").collect()
+      .map(row => row.getString(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1)))
+    assert(out.toSeq == Seq("e1" -> 100L, "e2" -> 200L, "e3" -> -1L), out.mkString(","))
+  }
+
   test("C6c: bucketed IVF round-trips and the probe prunes cell directories") {
     val vecs = (0L until 60L).map(i => (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
       .toDF("vec_id", "embedding")
