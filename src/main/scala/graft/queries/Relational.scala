@@ -367,8 +367,25 @@ object Relational {
         (col("ts").cast("long") - col("login_ts").cast("long")).as("gap_sec"))
   }
 
+  // ---------------------------------------------------------------- B25
+  /** Range join: customers whose balance falls inside a supplier's
+    * ±50 band — via [[graft.operators.RangeJoin]] (bucketized
+    * equi-join, no nested-loop blow-up). */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val ranges = t(s, dir, "supplier")
+      .select(col("s_nationkey"),
+              (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+    graft.operators.RangeJoin
+      .pointInRange(points, "c_acctbal", ranges, "lo", "hi", bucketWidth = 100.0)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_matches"),
+           countDistinct("c_custkey").as("n_customers"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_range"           -> (qRangeJoin _),
     "q22_asof"            -> (qAsofJoin _),
     "q21_percentile"      -> (qPercentile _),
     "q6_selective_filter" -> (q6SelectiveFilter _),
@@ -400,6 +417,14 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q23_range" ->
+      """SELECT s.s_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+        |FROM customer c
+        |JOIN supplier s
+        |  ON c.c_acctbal BETWEEN s.s_acctbal - 50 AND s.s_acctbal + 50
+        |GROUP BY s.s_nationkey""".stripMargin,
     "q22_asof" ->
       """SELECT p.event_id,
         |  epoch_us(l.ts) AS login_epoch_us,

@@ -114,6 +114,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq("e1" -> 100L, "e2" -> 200L, "e3" -> -1L), out.mkString(","))
   }
 
+  test("B25: range join matches boundaries inclusively, once per pair, no NL join") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, -3.0)).toDF("id", "v")
+    val ranges = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 24.0, 26.0))
+      .toDF("name", "lo", "hi")
+    val out = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", bucketWidth = 7.0)
+    val pairs = out.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1)))
+    // 5→a; 10→a AND b (inclusive boundaries); 25→c; -3 matches nothing
+    assert(pairs.sorted.toSeq == Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "c")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("C6c: bucketed IVF round-trips and the probe prunes cell directories") {
     val vecs = (0L until 60L).map(i => (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
       .toDF("vec_id", "embedding")
