@@ -22,11 +22,37 @@ object Corpus {
   def curate(docs: DataFrame, textCol: String, idCol: String,
              minQuality: Double): DataFrame = {
     val survivors = Dedup.exactDedup(docs, textCol, idCol).select(idCol)
-    docs
-      .join(survivors, Seq(idCol), "left_semi")
-      .select(col(idCol),
+    scoreAndGate(docs.join(survivors, Seq(idCol), "left_semi"),
+      textCol, idCol, minQuality)
+  }
+
+  /** One-pass near-dup removal: for every similar pair (a, b) with
+    * a < b, the larger id is a "loser" and is dropped (keep-the-
+    * smallest — the standard single-pass approximation of clustering;
+    * a full transitive closure would need iterative connected
+    * components for marginal gain on near-dup data). `pairs` is any
+    * (doc1, doc2) relation with doc1 < doc2: exact
+    * [[Dedup.ngramJaccardPairs]] here (deterministic, oracle-checked);
+    * at 100 TB feed [[Dedup.minhashCandidatePairs]] verified by exact
+    * Jaccard on the candidates only — same shape, same downstream. */
+  def removeNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Full curation: exact dedup → near-dup removal → quality gate. */
+  def curateFull(docs: DataFrame, textCol: String, idCol: String,
+                 minQuality: Double, jaccardThreshold: Double,
+                 ngram: Int = 3): DataFrame = {
+    val survivors = Dedup.exactDedup(docs, textCol, idCol).select(idCol)
+    val exact = docs.join(survivors, Seq(idCol), "left_semi")
+    val nearPairs = Dedup.ngramJaccardPairs(exact, textCol, idCol, ngram, jaccardThreshold)
+    scoreAndGate(removeNearDups(exact, idCol, nearPairs), textCol, idCol, minQuality)
+  }
+
+  private def scoreAndGate(docs: DataFrame, textCol: String, idCol: String,
+                           minQuality: Double): DataFrame =
+    docs.select(col(idCol),
         size(TextFunctions.tokens(col(textCol))).cast("bigint").as("n_tokens"),
         TextFunctions.round4(TextFunctions.qualityScore(col(textCol))).as("quality"))
       .filter(col("quality") >= minQuality)
-  }
 }

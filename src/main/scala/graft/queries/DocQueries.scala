@@ -111,6 +111,13 @@ object DocQueries {
   def qDocPipeline(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.curate(docs(s, dir), "text", "doc_id", minQuality = 0.5)
 
+  // ------------------------------------------------------ C1+C4+C8
+  /** Full curation: exact dedup → near-dup removal (Jaccard ≥ 0.5,
+    * keep-smallest) → quality gate. */
+  def qDocPipelineFull(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.curateFull(docs(s, dir), "text", "doc_id",
+      minQuality = 0.5, jaccardThreshold = 0.5)
+
   // ---------------------------------------------------------------- C9
   def qDocTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -140,6 +147,7 @@ object DocQueries {
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),
     "q_doc_pipeline"      -> (qDocPipeline _),
+    "q_doc_pipeline_full" -> (qDocPipelineFull _),
     "q_doc_fingerprint"   -> (qDocFingerprint _)
   )
 
@@ -218,6 +226,34 @@ object DocQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_doc_pipeline_full" ->
+      """WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |sdocs AS (SELECT d.* FROM documents d
+        |          WHERE d.doc_id IN (SELECT doc_id FROM survivors)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT doc2 FROM pairs
+        |           JOIN counts ca ON ca.doc_id = doc1
+        |           JOIN counts cb ON cb.doc_id = doc2
+        |           WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5),
+        |kept AS (SELECT s.* FROM sdocs s
+        |         WHERE s.doc_id NOT IN (SELECT doc2 FROM losers)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 50.0) *
+        |          (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
+        |           length(text)), 4) AS quality
+        |  FROM kept)
+        |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin,
     "q_doc_pipeline" ->
       """WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |scored AS (
