@@ -88,6 +88,21 @@ object EventStream {
     }
   }
 
+  /** Exactly-once on an at-least-once landing feed: FDR can redeliver
+    * objects (the reference relies on SQS redrive), so replayed lines
+    * reappear with the same event id. Dedup on the id with a
+    * watermark-bounded state TTL — state holds only ids younger than
+    * the lateness bound, not the full history (the unbounded-state
+    * trap of plain dropDuplicates on a stream). */
+  def dedupedByEventId(classified: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    classified
+      .withColumn("event_time",
+        Normalizers.epochToTimestamp(col("fields").getItem("timestamp")))
+      .filter(col("event_time").isNotNull && col("fields").getItem("id").isNotNull)
+      .withColumn("event_id", col("fields").getItem("id"))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked windowed aggregation over the classified stream:
     * events per (route, 1-minute window), tolerating 5 minutes of
     * lateness — the streaming-analytics counterpart of

@@ -92,6 +92,27 @@ class EventStreamSpec extends SparkSpec {
       "unmapped_event" -> 1), reasons.toString)
   }
 
+  test("redelivered events dedupe by id within the watermark") {
+    val landing = Files.createTempDirectory("stream-dedup")
+    val line =
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"d1","cid":"c","id":"dup-1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"a.example.com"}"""
+    val other =
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"d2","cid":"c","id":"dup-2","timestamp":"1700000001000","event_platform":"Lin","DomainName":"b.example.com"}"""
+    // the same object replayed (same ids), plus one new event
+    writeGz(landing, "obj-1.gz", Seq(line, other))
+    writeGz(landing, "obj-1-redelivered.gz", Seq(line, other))
+
+    val deduped = EventStream.dedupedByEventId(
+      EventStream.readClassified(spark, landing.toString))
+    val q = deduped.select("event_id").writeStream
+      .format("memory").queryName("deduped_events")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("deduped_events").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("dup-1", "dup-2"), ids.mkString(","))
+  }
+
   test("watermarked windowed counts aggregate the classified stream") {
     val landing = Files.createTempDirectory("stream-window")
     // two DnsRequests in the same minute, one in the next
