@@ -118,6 +118,38 @@ object Dedup {
       .select(col(idCol), packed.as("simhash"))
   }
 
+  /** C3b — near-dup pairs with simhash hamming distance ≤ `maxDist`,
+    * by pigeonhole banding: the 64-bit signature splits into
+    * `maxDist + 1` bands, and any pair within `maxDist` differing bits
+    * must agree EXACTLY on at least one band — so candidates come from
+    * a band-value equi-join (same one-aggregation bucket shape as
+    * MinHash banding, never all-pairs) and the exact hamming filter
+    * (`bit_count(xor)`) runs on candidates only. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
+      "maxDist+1 must divide 64 (e.g. 0, 1, 3, 7, 15)")
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = simhash(docs, textCol, idCol)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bh"))
+    }
+    val hamming = bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh")))
+    sig
+      .select(col(idCol), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(pairsWithin(array_sort(col("xs")))).as("p"))
+      .filter(hamming <= maxDist)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+              hamming.cast("int").as("hamming"))
+      .distinct()
+  }
+
   /** C4 — n-gram Jaccard similarity pairs ≥ `threshold`. Candidate pairs
     * come from the shared-shingle join (gram is the shuffle key), so
     * complexity is Σ|posting list|², not |docs|².

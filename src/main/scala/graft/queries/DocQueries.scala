@@ -39,6 +39,12 @@ object DocQueries {
   def qDocSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "text", "doc_id")
 
+  // ---------------------------------------------------------------- C3b
+  /** SimHash near-dup pairs (hamming ≤ 3 via pigeonhole banding).
+    * Rows-only: the signature is hash-family specific. */
+  def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
+
   // ---------------------------------------------------------------- C4
   def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
@@ -139,6 +145,7 @@ object DocQueries {
     "q_doc_exact_dedup"   -> (qDocExactDedup _),
     "q_doc_minhash_pairs" -> (qDocMinhashPairs _),
     "q_doc_simhash"       -> (qDocSimhash _),
+    "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),

@@ -104,6 +104,20 @@ class OperatorsSpec extends SparkSpec {
     assert(same(0) == same(1))
   }
 
+  test("C3b: simhash pairs find exact+near dups within hamming 3, not the far doc") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0), pairs.mkString(",")) // exact dup
+    assert(byPair.contains((1L, 3L)) || byPair.contains((2L, 3L)),
+      s"near dup not found: ${pairs.mkString(",")}") // one-word change
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc matched: ${pairs.mkString(",")}")
+    val plan = Dedup.simhashPairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("B24: as-of join matches ties, latest-before otherwise, null when none") {
     val l = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "ts", "id")
