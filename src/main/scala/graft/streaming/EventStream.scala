@@ -64,28 +64,49 @@ object EventStream {
       .queryName("fdr-quarantine")
       .start()
 
-  /** One streaming query per OCSF route, each writing its own
-    * partitioned parquet table with its own checkpoint. Returns the
-    * running queries; call `.awaitTermination()` or stop them. */
+  /** Single-pass 13-way fan-out: ONE streaming query reads the landing
+    * prefix once per micro-batch and writes every route's partitioned
+    * parquet table from the cached batch — the streaming counterpart
+    * of [[OcsfSink.fanOut]].
+    *
+    * One file-source stream per route would list and parse every
+    * landing object 13 times (13× IO at 100 TB/day: reading 1.3 PB to
+    * ingest 100 TB); the reference ingests each object exactly once
+    * (one Lambda invocation feeding 13 Firehoses,
+    * /root/reference/README.md:34-46). Here the batch is persisted, the
+    * 13 per-route writes run concurrently against the cache, then the
+    * batch is released.
+    *
+    * Delivery: the one checkpoint records completed batches, so a
+    * clean restart reprocesses nothing (the spec pins this). A crash
+    * MID-batch can re-append files for routes that already finished
+    * that batch — at-least-once on failure retry, the same contract as
+    * the reference's Firehose retries; pair with [[dedupedByEventId]]
+    * (or batchId-keyed output paths) where exactly-once matters. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
-            routes: Seq[String] = OcsfMappings.routes): Seq[StreamingQuery] = {
-    val classified = readClassified(spark, landingDir)
-    routes.map { route =>
-      val normalized = Normalizers.byRoute(route)(
-          classified.filter(col("route") === route))
-        .withColumn("region", lit(region))
-        .withColumn("accountId", lit(accountId))
-        .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
-      normalized.writeStream
-        .format("parquet")
-        .option("path", s"$baseDir/${OcsfSink.tableName(route)}")
-        .option("checkpointLocation", s"$checkpointDir/${OcsfSink.tableName(route)}")
-        .partitionBy("region", "accountId", "eventDay")
-        .trigger(Trigger.ProcessingTime("10 seconds"))
-        .queryName(s"ocsf-${OcsfSink.tableName(route)}")
-        .start()
-    }
+            routes: Seq[String] = OcsfMappings.routes,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    readClassified(spark, landingDir).writeStream
+      .queryName("ocsf-fanout")
+      .option("checkpointLocation", s"$checkpointDir/_fanout")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val jobs = routes.map { route =>
+            Future(OcsfSink.write(
+              Normalizers.byRoute(route)(batch.filter(col("route") === route)),
+              baseDir, route, region, accountId))
+          }
+          Await.result(Future.sequence(jobs), Duration.Inf)
+          ()
+        } finally { batch.unpersist(); () }
+      }
+      .start()
   }
 
   /** Exactly-once on an at-least-once landing feed: FDR can redeliver
@@ -93,13 +114,24 @@ object EventStream {
     * reappear with the same event id. Dedup on the id with a
     * watermark-bounded state TTL — state holds only ids younger than
     * the lateness bound, not the full history (the unbounded-state
-    * trap of plain dropDuplicates on a stream). */
+    * trap of plain dropDuplicates on a stream).
+    *
+    * Rows missing `id` or a parseable `timestamp` are NOT dropped
+    * (quarantine-not-drop, as in the load path): a missing id falls
+    * back to a hash of the raw line — a redelivered object replays
+    * byte-identical lines, so the raw hash still collapses true
+    * redeliveries while distinct events (which differ at least in
+    * payload) pass through — and a missing event time falls back to
+    * the batch's processing time, keeping the row inside the
+    * watermark. */
   def dedupedByEventId(classified: DataFrame, lateness: String = "10 minutes"): DataFrame =
     classified
       .withColumn("event_time",
-        Normalizers.epochToTimestamp(col("fields").getItem("timestamp")))
-      .filter(col("event_time").isNotNull && col("fields").getItem("id").isNotNull)
-      .withColumn("event_id", col("fields").getItem("id"))
+        coalesce(Normalizers.epochToTimestamp(col("fields").getItem("timestamp")),
+                 current_timestamp()))
+      .withColumn("event_id",
+        coalesce(col("fields").getItem("id"),
+                 concat(lit("__raw__"), xxhash64(col("raw")).cast("string"))))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 

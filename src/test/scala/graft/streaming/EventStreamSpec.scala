@@ -68,6 +68,45 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
   }
 
+  test("fan-out: ONE source scan feeds all route sinks, exactly-once on restart") {
+    val landing = Files.createTempDirectory("stream-fanout")
+    val out     = Files.createTempDirectory("stream-fanout-out")
+    val ckpt    = Files.createTempDirectory("stream-fanout-ckpt")
+    val routes  = Seq("DNS Activity", "Process Activity", "Network Activity")
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a1","cid":"c1","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"one.example.com"}""",
+      """{"event_simpleName":"ProcessRollup2","name":"ProcessRollup2V19","aid":"a2","cid":"c2","id":"e2","timestamp":"1700000000123","event_platform":"Win","ImageFileName":"\\Device\\HarddiskVolume3\\Windows\\System32\\cmd.exe","RawProcessId":"42"}"""))
+    writeGz(landing, "obj-2.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a3","cid":"c3","id":"e3","timestamp":"1700086400000","event_platform":"Lin","DomainName":"two.example.com"}""",
+      """{"event_type":"NetworkConnectIP4","name":"NetworkConnectIP4V10","aid":"a4","cid":"c4","id":"e4","timestamp":"1700000000","event_platform":"Lin","LocalPort":"5555","RemotePort":"443","RemoteAddressIP4":"93.184.216.34"}"""))
+
+    val q = EventStream.start(spark, landing.toString, out.toString, ckpt.toString,
+      "us-east-1", "123456789012", routes, Trigger.AvailableNow())
+    q.awaitTermination(180000)
+
+    // single-pass: the one query's source read exactly the 4 landed
+    // lines — a stream-per-route design would read 4 lines × 3 routes
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows == 4, s"expected 4 source rows read once, got $inputRows")
+
+    assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
+    assert(spark.read.parquet(s"$out/process_activity").count() == 1)
+    assert(spark.read.parquet(s"$out/network_activity").count() == 1)
+    // partition layout intact (Security Lake contract)
+    val days = spark.read.parquet(s"$out/dns_activity")
+      .select(col("eventDay").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.toSeq == Seq("20231114", "20231115"))
+
+    // restart on the same checkpoint with no new data: nothing re-written
+    val q2 = EventStream.start(spark, landing.toString, out.toString, ckpt.toString,
+      "us-east-1", "123456789012", routes, Trigger.AvailableNow())
+    q2.awaitTermination(180000)
+    assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
+    assert(spark.read.parquet(s"$out/process_activity").count() == 1)
+    assert(spark.read.parquet(s"$out/network_activity").count() == 1)
+  }
+
   test("streaming quarantine lands skipped lines with reasons") {
     val landing = Files.createTempDirectory("stream-quarantine")
     val out     = Files.createTempDirectory("stream-qout")
@@ -98,9 +137,13 @@ class EventStreamSpec extends SparkSpec {
       """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"d1","cid":"c","id":"dup-1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"a.example.com"}"""
     val other =
       """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"d2","cid":"c","id":"dup-2","timestamp":"1700000001000","event_platform":"Lin","DomainName":"b.example.com"}"""
+    // a mapped event with NO id field — must survive (not be dropped),
+    // deduped by its raw-line hash across the redelivered object
+    val noId =
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"d3","cid":"c","timestamp":"1700000002000","event_platform":"Lin","DomainName":"c.example.com"}"""
     // the same object replayed (same ids), plus one new event
-    writeGz(landing, "obj-1.gz", Seq(line, other))
-    writeGz(landing, "obj-1-redelivered.gz", Seq(line, other))
+    writeGz(landing, "obj-1.gz", Seq(line, other, noId))
+    writeGz(landing, "obj-1-redelivered.gz", Seq(line, other, noId))
 
     val deduped = EventStream.dedupedByEventId(
       EventStream.readClassified(spark, landing.toString))
@@ -110,7 +153,10 @@ class EventStreamSpec extends SparkSpec {
       .start()
     q.awaitTermination(120000)
     val ids = spark.table("deduped_events").collect().map(_.getString(0)).sorted
-    assert(ids.toSeq == Seq("dup-1", "dup-2"), ids.mkString(","))
+    assert(ids.length == 3, ids.mkString(","))
+    assert(ids.count(_.startsWith("__raw__")) == 1, ids.mkString(","))
+    assert(ids.filterNot(_.startsWith("__raw__")).toSeq == Seq("dup-1", "dup-2"),
+      ids.mkString(","))
   }
 
   test("watermarked windowed counts aggregate the classified stream") {
