@@ -9,11 +9,13 @@ package graft.multimodal
   *  - WAV (RIFF, PCM 16-bit) audio, mono or stereo (downmixed).
   *  - "ppmseq" video: concatenated P6 frames (a trivial container the
   *    tests synthesize), enabling real frame extraction + sampling.
+  *  - JPEG / PNG / BMP / GIF via the JDK's `javax.imageio.ImageIO` —
+  *    already on every JVM classpath, zero new dependencies
+  *    ([[decodeImageIO]]), feeding the same [[Image]] / feature path.
   *
-  * Compressed formats (JPEG, MP3, H.264…) still need external
-  * libraries and keep the byte-hash fallback in [[Multimodal]] — the
-  * dispatch is per-row on the `format` column, so adding a codec never
-  * touches the pipeline.
+  * Only formats the JDK genuinely cannot decode (MP3, H.264…) keep the
+  * byte-hash fallback in [[Multimodal]] — the dispatch is per-row on
+  * the `format` column, so adding a codec never touches the pipeline.
   */
 object Codec {
 
@@ -55,10 +57,12 @@ object Codec {
       val maxval = token().toInt
       if (w <= 0 || h <= 0 || maxval != 255) return None
       i += 1 // exactly one whitespace byte after maxval per spec
-      val n = 3 * w * h
-      if (i + n > data.length) return None
-      val px = java.util.Arrays.copyOfRange(data, i, i + n)
-      Some((Image(w, h, px), i + n))
+      // 3*w*h in Long: huge header dims must not overflow Int and
+      // sneak a negative length past the bounds check
+      val n = 3L * w * h
+      if (n > data.length - i) return None
+      val px = java.util.Arrays.copyOfRange(data, i, i + n.toInt)
+      Some((Image(w, h, px), i + n.toInt))
     } catch { case _: NumberFormatException => None }
   }
 
@@ -75,6 +79,34 @@ object Codec {
       case None => ok = false
     }
     frames.result()
+  }
+
+  /** JPEG / PNG / BMP / GIF decode via the JDK's `javax.imageio` —
+    * on every JVM classpath, so "compressed formats need external
+    * libraries" never applied to these four. The decoded frame is
+    * redrawn into 3-byte BGR (normalizing away palette/alpha/gray
+    * source models) and re-ordered into this codec's interleaved RGB
+    * [[Image]], so JPEG bytes and a pixel-identical PPM produce the
+    * SAME features downstream. Returns None on undecodable bytes
+    * (ImageIO yields null) — the caller's fallback path. */
+  def decodeImageIO(data: Array[Byte]): Option[Image] = {
+    import java.awt.image.BufferedImage
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    if (src == null) return None
+    val w = src.getWidth; val h = src.getHeight
+    if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
+    val rgb = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = rgb.createGraphics()
+    try g.drawImage(src, 0, 0, null) finally g.dispose()
+    val bgr = rgb.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val px = new Array[Byte](bgr.length)
+    var i = 0
+    while (i < bgr.length) { // BGR → RGB
+      px(i) = bgr(i + 2); px(i + 1) = bgr(i + 1); px(i + 2) = bgr(i)
+      i += 3
+    }
+    Some(Image(w, h, px))
   }
 
   /** Nearest-neighbor resize — deterministic, no filtering kernel to
@@ -160,16 +192,22 @@ object Codec {
     var samples: Array[Short] = null
     while (i + 8 <= data.length) {
       val id = new String(data, i, 4, "US-ASCII")
-      val size = le32(data, i + 4).toInt
+      val size = le32(data, i + 4)
       val body = i + 8
+      // corrupt/negative sizes must not wedge the walk (a size of -8
+      // would leave i unchanged — an infinite loop inside an executor
+      // task) or read past the buffer; a truncated file decodes as far
+      // as its valid prefix allows
+      if (size < 0 || size > Int.MaxValue - 8) return None
       id match {
         case "fmt " =>
+          if (size < 16 || body + 16 > data.length) return None
           if (le16(data, body) != 1) return None // PCM only
           channels = le16(data, body + 2)
           sampleRate = le32(data, body + 4).toInt
           bits = le16(data, body + 14)
         case "data" if bits == 16 && channels > 0 =>
-          val n = math.min(size, data.length - body) / (2 * channels)
+          val n = math.min(size.toInt, data.length - body) / (2 * channels)
           val mono = new Array[Short](n)
           var s = 0
           while (s < n) {
@@ -185,7 +223,9 @@ object Codec {
           samples = mono
         case _ => ()
       }
-      i = body + size + (size & 1) // chunks are word-aligned
+      // advance in Long so body+size can't overflow back into range
+      val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+      i = if (next > data.length) data.length else next.toInt
     }
     if (sampleRate > 0 && samples != null) Some(Audio(sampleRate, samples))
     else None

@@ -7,13 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * Images / audio / video ride through the engine as opaque `binary`
   * columns with a typed metadata struct. Feature extraction dispatches
-  * per row on `format`: uncompressed formats get REAL decoders
-  * ([[Codec]] — PPM images, WAV PCM audio, ppmseq frame containers,
-  * all pure JVM and unit-tested); compressed formats (jpeg, mp3,
-  * h264…) need external libraries absent from this environment and
-  * fall back to a clearly-labeled deterministic byte-hash. Adding a
-  * codec extends [[decodeFeature]]'s match — the pipeline is format
-  * agnostic.
+  * per row on `format`: real decoders for PPM images, JPEG/PNG/BMP/GIF
+  * (the JDK's ImageIO — no new dependencies), WAV PCM audio, and
+  * ppmseq frame containers ([[Codec]], all pure JVM and unit-tested);
+  * formats the JVM genuinely cannot decode (mp3, h264…) fall back to a
+  * clearly-labeled deterministic byte-hash. Adding a codec extends
+  * [[decodeFeature]]'s match — the pipeline is format agnostic.
   *
   * Scale notes: rows carry megabyte-scale payloads, so
   * `spark.sql.files.maxPartitionBytes` governs rows/task, and feature
@@ -57,40 +56,50 @@ object Multimodal {
   def fakeDecode(data: Array[Byte]): Array[Float] = byteHashFallback(data)
 
   /** Format-dispatched feature extraction. Real codecs where the
-    * format allows; byte-hash fallback otherwise (including corrupt
-    * payloads, so a bad row never kills a 100 TB job). Images are
-    * resized to 32×32 before featurization so the feature is
-    * resolution-invariant; ppmseq features are the mean over frames
+    * format allows; byte-hash fallback otherwise. The whole dispatch
+    * is exception-guarded: a corrupt payload that slips past a codec's
+    * own validation falls back instead of killing a 100 TB job —
+    * `Option`-returning codecs only cover the None path, not throws.
+    * Images are resized to 32×32 before featurization so the feature
+    * is resolution-invariant; ppmseq features are the mean over frames
     * sampled with stride [[FrameStride]]. */
   val FrameStride = 2
 
-  def decodeFeature(format: String, data: Array[Byte]): Array[Float] = format match {
-    case "ppm" =>
-      Codec.decodePpm(data)
-        .map(img => Codec.imageFeatures(Codec.resize(img, 32, 32)))
-        .getOrElse(byteHashFallback(data))
-    case "wav" =>
-      Codec.decodeWav(data).map(Codec.audioFeatures)
-        .getOrElse(byteHashFallback(data))
-    case "ppmseq" =>
-      val frames = Codec.decodePpmSeq(data)
-      if (frames.isEmpty) byteHashFallback(data)
-      else {
-        val sampled = frames.zipWithIndex.collect {
-          case (f, i) if i % FrameStride == 0 => f
-        }
-        val acc = new Array[Float](FeatureDim)
-        sampled.foreach { f =>
-          val feat = Codec.imageFeatures(Codec.resize(f, 32, 32))
+  private def imageFeature(img: Codec.Image): Array[Float] =
+    Codec.imageFeatures(Codec.resize(img, 32, 32))
+
+  def decodeFeature(format: String, data: Array[Byte]): Array[Float] =
+    try decodeFeatureUnsafe(format, data)
+    catch { case scala.util.control.NonFatal(_) => byteHashFallback(data) }
+
+  private def decodeFeatureUnsafe(format: String, data: Array[Byte]): Array[Float] =
+    format match {
+      case "ppm" =>
+        Codec.decodePpm(data).map(imageFeature).getOrElse(byteHashFallback(data))
+      case "jpeg" | "jpg" | "png" | "bmp" | "gif" =>
+        Codec.decodeImageIO(data).map(imageFeature).getOrElse(byteHashFallback(data))
+      case "wav" =>
+        Codec.decodeWav(data).map(Codec.audioFeatures)
+          .getOrElse(byteHashFallback(data))
+      case "ppmseq" =>
+        val frames = Codec.decodePpmSeq(data)
+        if (frames.isEmpty) byteHashFallback(data)
+        else {
+          val sampled = frames.zipWithIndex.collect {
+            case (f, i) if i % FrameStride == 0 => f
+          }
+          val acc = new Array[Float](FeatureDim)
+          sampled.foreach { f =>
+            val feat = imageFeature(f)
+            var i = 0
+            while (i < FeatureDim) { acc(i) += feat(i); i += 1 }
+          }
           var i = 0
-          while (i < FeatureDim) { acc(i) += feat(i); i += 1 }
+          while (i < FeatureDim) { acc(i) /= sampled.length; i += 1 }
+          acc
         }
-        var i = 0
-        while (i < FeatureDim) { acc(i) /= sampled.length; i += 1 }
-        acc
-      }
-    case _ => byteHashFallback(data)
-  }
+      case _ => byteHashFallback(data)
+    }
 
   /** Feature extraction as a typed mapPartitions pass (batch shape:
     * iterator of rows per partition, one output row per input). */

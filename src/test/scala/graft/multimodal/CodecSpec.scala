@@ -110,4 +110,77 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeature("ppm", junk).toSeq ==
       Multimodal.byteHashFallback(junk).toSeq)
   }
+
+  /** Encodes pixels `f(x, y)` via the JDK into `fmt` (png/jpg/bmp/gif)
+    * bytes — the fixture generator for the ImageIO decode path. */
+  def encode(fmt: String, w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("PNG/BMP/GIF decode via ImageIO matches a pixel-identical PPM byte-exactly") {
+    val grad = (x: Int, y: Int) => (x * 16, y * 16, 128)
+    val viaPpm = Codec.decodePpm(ppm(16, 16)(grad)).get
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val img = Codec.decodeImageIO(encode(fmt, 16, 16)(grad)).get
+      assert(img.width == 16 && img.height == 16, fmt)
+      if (fmt == "gif") {
+        // GIF palettizes to 256 colors: features close, not byte-equal
+        val a = Codec.imageFeatures(img); val b = Codec.imageFeatures(viaPpm)
+        (0 until 6).foreach(i => assert(math.abs(a(i) - b(i)) < 0.05f, s"$fmt dim $i"))
+      } else {
+        assert(img.pixels.toSeq == viaPpm.pixels.toSeq, fmt)
+        assert(Codec.imageFeatures(img).toSeq == Codec.imageFeatures(viaPpm).toSeq, fmt)
+      }
+    }
+  }
+
+  test("JPEG decode is real: features track the (lossy) pixel content") {
+    val bytes = encode("jpg", 16, 16)((_, _) => (200, 40, 40))
+    val img = Codec.decodeImageIO(bytes).get
+    assert(img.width == 16 && img.height == 16)
+    val feat = Multimodal.decodeFeature("jpeg", bytes)
+    // solid color survives JPEG within a small tolerance — and is
+    // nothing like the byte-hash fallback
+    assert(math.abs(feat(0) - 200 / 255.0f) < 0.03f)
+    assert(math.abs(feat(1) - 40 / 255.0f) < 0.03f)
+    assert(feat.toSeq != Multimodal.byteHashFallback(bytes).toSeq)
+    // jpg and jpeg dispatch identically
+    assert(Multimodal.decodeFeature("jpg", bytes).toSeq == feat.toSeq)
+  }
+
+  test("decode guards: truncated JPEG, huge PPM header, corrupt WAV chunks") {
+    // a JPEG SOI marker followed by garbage makes ImageIO throw — the
+    // dispatch guard turns that into the fallback, not a task failure
+    val truncated = Array(0xFF, 0xD8, 0xFF, 0xE0, 9, 9, 9, 9).map(_.toByte)
+    assert(Multimodal.decodeFeature("jpeg", truncated).toSeq ==
+      Multimodal.byteHashFallback(truncated).toSeq)
+    // 3*29000*29000 overflows Int to NEGATIVE, which used to slip past
+    // the bounds check into a copyOfRange throw → must reject instead
+    val huge = "P6\n29000 29000\n255\n".getBytes("US-ASCII") ++ Array.fill(64)(1.toByte)
+    assert(Codec.decodePpm(huge).isEmpty)
+    // negative chunk size must not loop forever or read out of bounds
+    val negChunk = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(-8)
+      .array()
+    assert(Codec.decodeWav(negChunk).isEmpty)
+    // fmt chunk shorter than its 16-byte body → reject, not read past end
+    val shortFmt = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(4)
+      .array()
+    assert(Codec.decodeWav(shortFmt).isEmpty)
+  }
 }
