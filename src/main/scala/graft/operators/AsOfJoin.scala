@@ -22,7 +22,14 @@ object AsOfJoin {
 
   /** Left rows plus `valueCols` from the as-of-matching right row
     * (null when no right row precedes). Column names in `valueCols`
-    * must not collide with left columns; alias them via `out`. */
+    * must not collide with left columns; alias them via `out`.
+    *
+    * Match identity is ROW-level, as in ASOF JOIN semantics: ONE
+    * `last(struct(valueCols))` carries the entire most-recent right
+    * row forward, so a null value column in that row stays null in
+    * the output — per-column `last(..., ignoreNulls)` would smuggle a
+    * non-null value from an OLDER right row past it. One window
+    * function regardless of |valueCols|, same one-shuffle plan. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            valueCols: Seq[(String, String)]): DataFrame = {
     val l = left.withColumn("__is_left", lit(true))
@@ -32,13 +39,19 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__is_left").cast("int").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { case (df, (in, out)) =>
-      df.withColumn(out,
-        last(when(!col("__is_left"), col(in)), ignoreNulls = true).over(w))
+    // the struct itself is non-null iff the row is a right row, so
+    // ignoreNulls skips left rows but never a matched right ROW
+    val matchRow = last(
+      when(!col("__is_left"),
+        struct(valueCols.zipWithIndex.map { case ((in, _), i) => col(in).as(s"_$i") }: _*)),
+      ignoreNulls = true).over(w)
+    val projected = valueCols.zipWithIndex.foldLeft(
+        unioned.withColumn("__match", matchRow)) { case (df, ((_, out), i)) =>
+      df.withColumn(out, col("__match").getField(s"_$i"))
     }
     val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
-    filled.filter(col("__is_left"))
-      .drop("__is_left")
+    projected.filter(col("__is_left"))
+      .drop("__is_left", "__match")
       .drop(rightOnly.filterNot(c => valueCols.exists(_._2 == c)): _*)
   }
 }

@@ -39,14 +39,26 @@ object Corpus {
     docs.join(pairs.select(col("doc2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** Full curation: exact dedup → near-dup removal → quality gate. */
+  /** Full curation: exact dedup → near-dup removal → quality gate.
+    *
+    * `pairs` is the near-dup pair source — any exact-deduped docs →
+    * (doc1, doc2) relation with doc1 < doc2. The default is the exact
+    * posting-list Jaccard (deterministic, oracle-checked); at 100 TB
+    * pass the candidates-then-verify composition instead —
+    * [[Dedup.minhashCandidatePairs]] confirmed by
+    * [[Dedup.exactJaccardForPairs]] — which never runs a corpus-wide
+    * pair join (CorpusSpec executes exactly that wiring). */
   def curateFull(docs: DataFrame, textCol: String, idCol: String,
                  minQuality: Double, jaccardThreshold: Double,
-                 ngram: Int = 3): DataFrame = {
+                 ngram: Int = 3,
+                 pairs: DataFrame => DataFrame = null): DataFrame = {
+    val pairSource: DataFrame => DataFrame =
+      if (pairs != null) pairs
+      else Dedup.ngramJaccardPairs(_, textCol, idCol, ngram, jaccardThreshold)
     val survivors = Dedup.exactDedup(docs, textCol, idCol).select(idCol)
     val exact = docs.join(survivors, Seq(idCol), "left_semi")
-    val nearPairs = Dedup.ngramJaccardPairs(exact, textCol, idCol, ngram, jaccardThreshold)
-    scoreAndGate(removeNearDups(exact, idCol, nearPairs), textCol, idCol, minQuality)
+    scoreAndGate(removeNearDups(exact, idCol, pairSource(exact)),
+      textCol, idCol, minQuality)
   }
 
   private def scoreAndGate(docs: DataFrame, textCol: String, idCol: String,

@@ -60,10 +60,12 @@ object Dedup {
   }
 
   /** All ordered pairs (a < b in array order) within one bucket's id
-    * list, as an array of `{a, b}` structs. `xs` is an attribute
-    * reference (not a computed expression), so capturing it inside the
-    * lambdas is a cheap lookup — not the per-element re-evaluation trap
-    * documented on [[shingles]]. */
+    * list, as an array of `{a, b}` structs. `xs` MUST be an attribute
+    * reference (project computed expressions — e.g. an `array_sort` —
+    * to a column FIRST): a computed expression captured inside these
+    * nested lambdas is re-evaluated once per outer element, turning an
+    * O(m²) expansion into O(m² log m) re-sorts — the per-element
+    * re-evaluation trap documented on [[shingles]]. */
   private def pairsWithin(xs: Column): Column =
     flatten(transform(xs, (a, i) =>
       transform(slice(xs, i + 2, size(xs)), b => struct(a.as("a"), b.as("b")))))
@@ -83,7 +85,18 @@ object Dedup {
     * [[exactDedup]] already handles for a fraction of the cost. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 32, bands: Int = 8,
-                            ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
+                            ngram: Int = 3, maxBucket: Int = 4096): DataFrame =
+    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+      .filter(size(col("ids")).between(2, maxBucket))
+      .withColumn("ids", array_sort(col("ids"))) // plain attribute for pairsWithin
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
+  /** The band-bucket relation behind [[minhashCandidatePairs]]:
+    * (band, bh, ids). */
+  private def minhashBuckets(docs: DataFrame, textCol: String, idCol: String,
+                             numHashes: Int, bands: Int, ngram: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, textCol, idCol, numHashes, ngram)
@@ -95,11 +108,21 @@ object Dedup {
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsWithin(array_sort(col("ids")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
   }
+
+  /** Accounting for the `maxBucket` cap in [[minhashCandidatePairs]]:
+    * one row per DROPPED bucket with (band, bh, bucket_size). The cap
+    * is correct policy (an m-id bucket expands to m²/2 pairs, and
+    * mega-buckets are exact-dup clusters [[exactDedup]] handles for a
+    * fraction of the cost) but must not be invisible data loss — the
+    * same quarantine-not-drop stance as FdrSource.loadWithQuarantine.
+    * Count it, histogram `bucket_size`, or join `ids` back for replay. */
+  def minhashDroppedBuckets(docs: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            ngram: Int = 3, maxBucket: Int = 4096): DataFrame =
+    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+      .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** C3 — 64-bit SimHash: per bit, sum +1/-1 votes of each distinct
     * token's xxhash64 bit, then pack the sign vector into a Long.
@@ -124,31 +147,55 @@ object Dedup {
     * must agree EXACTLY on at least one band — so candidates come from
     * a band-value equi-join (same one-aggregation bucket shape as
     * MinHash banding, never all-pairs) and the exact hamming filter
-    * (`bit_count(xor)`) runs on candidates only. */
+    * (`bit_count(xor)`) runs on candidates only.
+    *
+    * The banding is EXACT in signature space (AccuracySpec pins it
+    * against a brute-force hamming scan). But signature distance is
+    * NOT n-gram Jaccard: on template-generated text, token-DISTRIBUTION
+    * look-alikes land within hamming 3 while true near-dups that swap
+    * a few tokens flip more bits (measured at sf0.01: precision 0.004
+    * / recall 0.16 vs the Jaccard≥0.5 oracle). When the dedup target
+    * is Jaccard, use [[minhashCandidatePairs]] +
+    * [[exactJaccardForPairs]]; use this for signature-space dedup. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
-      "maxDist+1 must divide 64 (e.g. 0, 1, 3, 7, 15)")
-    val bands = maxDist + 1
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = simhash(docs, textCol, idCol)
-    val bandKeys = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bh"))
-    }
     val hamming = bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh")))
-    sig
-      .select(col(idCol), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
-      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("xs"))
+    simhashBuckets(docs, textCol, idCol, maxDist)
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(pairsWithin(array_sort(col("xs")))).as("p"))
+      .withColumn("xs", array_sort(col("xs"))) // plain attribute for pairsWithin
+      .select(explode(pairsWithin(col("xs"))).as("p"))
       .filter(hamming <= maxDist)
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
               hamming.cast("int").as("hamming"))
       .distinct()
   }
+
+  /** The pigeonhole-band bucket relation behind [[simhashPairs]]:
+    * (band, bh, xs) with xs = [{id, sh}]. */
+  private def simhashBuckets(docs: DataFrame, textCol: String, idCol: String,
+                             maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
+      "maxDist+1 must divide 64 (e.g. 0, 1, 3, 7, 15)")
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bh"))
+    }
+    simhash(docs, textCol, idCol)
+      .select(col(idCol), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("xs"))
+  }
+
+  /** Dropped-bucket accounting for [[simhashPairs]]'s `maxBucket` cap —
+    * see [[minhashDroppedBuckets]]. */
+  def simhashDroppedBuckets(docs: DataFrame, textCol: String, idCol: String,
+                            maxDist: Int = 3, maxBucket: Int = 4096): DataFrame =
+    simhashBuckets(docs, textCol, idCol, maxDist)
+      .select(col("band"), col("bh"), size(col("xs")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** C4 — n-gram Jaccard similarity pairs ≥ `threshold`. Candidate pairs
     * come from the shared-shingle join (gram is the shuffle key), so
@@ -191,5 +238,24 @@ object Dedup {
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard computed ONLY for the given candidate pairs
+    * (`id_a`, `id_b`) — the verify half of the candidates-then-verify
+    * composition every approximate dedup runs at 100 TB: MinHash or
+    * SimHash proposes, this confirms. Two equi-joins on the id attach
+    * each side's gram set; cost is O(|pairs| × grams-per-doc), never
+    * the corpus-wide posting-list join of [[ngramJaccardPairs]]. */
+  def exactJaccardForPairs(docs: DataFrame, textCol: String, idCol: String,
+                           pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sets = shingles(docs, textCol, idCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("grams"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

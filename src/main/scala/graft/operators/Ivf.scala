@@ -19,11 +19,13 @@ import graft.functions.VectorFunctions._
   * k-means jobs and no full-corpus scan.
   *
   * The coarse quantizer is Lloyd's k-means expressed as DataFrame
-  * programs: assignment is a map-only pass against broadcast centroid
-  * literals (constant-folded arrays, scored by the codegen'd
-  * `graft_cosine`), the update step is posexplode + groupBy (cid,
-  * dim) mean — both linear, both shuffle-light. k centroids live on
-  * the driver between iterations (k × dim doubles — trivially small).
+  * programs: assignment is a broadcast join against the centroid
+  * table with a `max_by` argmax (scored by the codegen'd
+  * `graft_cosine`; the plan is k-independent, so production cell
+  * counts of 10⁴+ don't explode it), the update step is posexplode +
+  * groupBy (cid, dim) mean — both linear, both shuffle-light. k
+  * centroids live on the driver between iterations (k × dim doubles —
+  * trivially small).
   */
 object Ivf {
 
@@ -96,7 +98,7 @@ object Ivf {
           iters: Int = 3, seed: Long = 42L): IvfIndex = {
     val centroids = fitCentroids(emb, idCol, vecCol, numCentroids, iters, seed)
     val assigned = withAssignment(
-      emb.select(col(idCol), toDoubles(col(vecCol)).as("v")), "v", centroids)
+      emb.select(col(idCol), toDoubles(col(vecCol)).as("v")), idCol, "v", centroids)
       .persist(StorageLevel.MEMORY_AND_DISK)
     IvfIndex(centroids, assigned, idCol)
   }
@@ -111,7 +113,7 @@ object Ivf {
       .limit(k)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 0 until iters) {
-      val assigned = withAssignment(base, "v", centroids)
+      val assigned = withAssignment(base, "id", "v", centroids)
       val updated = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
@@ -128,16 +130,28 @@ object Ivf {
     centroids
   }
 
-  /** Adds `centroid_id` = argmax cosine over the (constant-folded)
-    * centroid literals. */
-  private def withAssignment(df: DataFrame, vCol: String,
+  /** Adds `centroid_id` = argmax cosine, via a broadcast join against
+    * the centroid table + `max_by`: the plan stays k-INDEPENDENT, so
+    * k = 4096+ cells (what a real 100 TB IVF needs) work where k
+    * centroid-array literals would explode the plan itself. Ties break
+    * to the lowest centroid id (deterministic). The k-way expansion is
+    * collapsed map-side by partial aggregation — the shuffle carries
+    * one row per vector, not k. */
+  private def withAssignment(df: DataFrame, idCol: String, vCol: String,
                              centroids: Seq[Array[Double]]): DataFrame = {
-    val sims = array(centroids.map(c =>
-      cosineNative(col(vCol), array(c.toIndexedSeq.map(lit): _*))): _*)
-    df.withColumn("sims", sims)
-      .withColumn("centroid_id",
-        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
-      .drop("sims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("__cid", "__centroid")
+    df.crossJoin(broadcast(cdf))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cid"), struct(
+          cosineNative(col(vCol), col("__centroid")).as("sim"),
+          (-col("__cid")).as("tie"))).cast("int").as("centroid_id"),
+        first(col(vCol)).as(vCol))
+      .select(col(idCol), col(vCol), col("centroid_id"))
   }
 
   /** Fit-and-probe convenience for small/ad-hoc inputs (specs, demos).

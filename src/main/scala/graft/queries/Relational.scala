@@ -337,10 +337,13 @@ object Relational {
            approx_count_distinct(col("event_id")).as("approx_events"))
 
   // ---------------------------------------------------------------- B23
-  /** Exact interpolated percentiles (the Athena approx_percentile /
-    * quantile surface, done exactly so the oracle can verify it).
-    * `percentile` aggregates with map-side partial state (a digest of
-    * the group), so the shuffle carries group summaries, not rows. */
+  /** Exact interpolated percentiles, kept exact so the DuckDB oracle
+    * can hash-verify them. NOT the scale path: Spark's exact
+    * `percentile` aggregation state is a value→count map — O(distinct
+    * values) per group, which on a continuous column like
+    * `l_extendedprice` approaches the group's row count and OOMs an
+    * executor at 100×. At scale use [[qApproxPercentile]]: KLL-sketch
+    * state of bounded size, mergeable map-side. */
   def qPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -349,6 +352,21 @@ object Relational {
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
         round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
+
+  /** B23b — the scale path for percentiles: `approx_percentile`
+    * carries a bounded-size sketch per group regardless of value
+    * cardinality (accuracy 10000 ≈ 0.01% rank error), the same
+    * exact-for-the-oracle / approx-for-scale split B22 uses for
+    * count-distinct. Rows-only driver check — sketch results are
+    * engine-specific; AccuracySpec pins the error against the exact
+    * percentiles. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("price_ap90"),
+        count(lit(1)).as("n_rows"))
 
   // ---------------------------------------------------------------- B24
   /** As-of join: each purchase event paired with the user's most
@@ -388,6 +406,7 @@ object Relational {
     "q23_range"           -> (qRangeJoin _),
     "q22_asof"            -> (qAsofJoin _),
     "q21_percentile"      -> (qPercentile _),
+    "q_approx_percentile" -> (qApproxPercentile _),
     "q6_selective_filter" -> (q6SelectiveFilter _),
     "q1_agg"              -> (q1Agg _),
     "q3_join_agg"         -> (q3JoinAgg _),

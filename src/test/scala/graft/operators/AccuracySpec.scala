@@ -29,6 +29,65 @@ class AccuracySpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("B23b: approx_percentile tracks the exact percentiles per group") {
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+           percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.queries.Relational.qApproxPercentile(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (p50, p90)) =>
+      val (ap50, ap90) = approx(flag)
+      // accuracy=10000 → ~0.01% rank error; 1% value tolerance is generous
+      assert(math.abs(ap50 - p50) <= math.max(1e-9, 0.01 * p50), s"$flag p50 $ap50 vs $p50")
+      assert(math.abs(ap90 - p90) <= math.max(1e-9, 0.01 * p90), s"$flag p90 $ap90 vs $p90")
+    }
+  }
+
+  /** Two different claims, separately pinned. (1) EXACTNESS: the
+    * pigeonhole banding finds exactly the pairs within hamming ≤ 3 of
+    * the 64-bit signatures — verified against a brute-force all-pairs
+    * hamming scan. That is the operator's contract and it holds with
+    * zero error. (2) CHARACTERIZATION: signature distance is a poor
+    * proxy for 3-gram Jaccard on THIS template-generated corpus —
+    * measured at sf0.01: 1034 emitted pairs, recall 0.16 and precision
+    * 0.004 against the Jaccard≥0.5 oracle, mean exact Jaccard 0.005.
+    * Template docs share token DISTRIBUTIONS (simhash votes over
+    * distinct tokens collide) while sharing few 3-gram sequences; and
+    * a handful of token swaps flips >3 bits, so most true near-dups
+    * sit outside hamming 3. This explains the 1034-vs-25 pair-count
+    * gap in the correctness run: use MinHash banding when the target
+    * measure is n-gram Jaccard; simhash pairs dedup signature space. */
+  test("C3b: simhash pairs equal brute-force hamming<=3; Jaccard agreement measured") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sigs = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val emitted = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+    val got = emitted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"banding missed ${(brute -- got).size}, fabricated ${(got -- brute).size}")
+
+    val oracle = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.exactJaccardForPairs(docs, "text", "doc_id", emitted)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val recall = (got & oracle).size.toDouble / oracle.size
+    val precision = verified.count(_._2 >= 0.5).toDouble / verified.size
+    val meanJ = verified.map(_._2).sum / verified.size
+    info(f"emitted=${got.size} recall=$recall%.3f precision@J0.5=$precision%.3f meanJ=$meanJ%.3f")
+    // deterministic corpus → pin the measured operating point (loose
+    // bands so a regenerated-but-same-recipe corpus stays green)
+    assert(recall >= 0.10 && recall <= 0.40, f"recall $recall%.3f left its pinned band")
+    assert(precision <= 0.05, f"precision $precision%.3f — expected LOW on template text")
+    assert(meanJ <= 0.05, f"meanJ $meanJ%.3f — emitted pairs should be Jaccard-unlike")
+  }
+
   test("B22: HLL approx distinct is within the advertised error bound") {
     val events = Tables.load(spark, sf, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)

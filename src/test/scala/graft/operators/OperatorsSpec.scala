@@ -118,6 +118,71 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("C2d: maxBucket cap is accounted, not silent") {
+    // 8 identical docs → every band hashes them into one 8-id bucket
+    val mega = (1L to 8L).map(i => (i, "same text repeated over and over for the bucket"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minhashDroppedBuckets(mega, "text", "doc_id",
+      numHashes = 32, bands = 8, maxBucket = 4)
+    val sizes = dropped.select("bucket_size").collect().map(_.getInt(0))
+    assert(sizes.length == 8 && sizes.forall(_ == 8), // one dropped bucket per band
+      s"expected 8 dropped buckets of size 8, got ${sizes.mkString(",")}")
+    // and the capped pair expansion emits nothing for that cluster
+    assert(Dedup.minhashCandidatePairs(mega, "text", "doc_id",
+      numHashes = 32, bands = 8, maxBucket = 4).count() == 0)
+    // uncapped: accounting empty, pairs present
+    assert(Dedup.minhashDroppedBuckets(mega, "text", "doc_id").count() == 0)
+    // same contract on the simhash side (4 pigeonhole bands at maxDist=3)
+    val simDropped = Dedup.simhashDroppedBuckets(mega, "text", "doc_id",
+      maxDist = 3, maxBucket = 4)
+    val simSizes = simDropped.select("bucket_size").collect().map(_.getInt(0))
+    assert(simSizes.length == 4 && simSizes.forall(_ == 8), simSizes.mkString(","))
+    assert(Dedup.simhashPairs(mega, "text", "doc_id", maxBucket = 4).count() == 0)
+  }
+
+  test("C4b: exact Jaccard for given pairs matches the corpus-wide join") {
+    val cands = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+    val verified = Dedup.exactJaccardForPairs(docs, "text", "doc_id", cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    verified.foreach { case (pair, j) =>
+      assert(full.get(pair).contains(j), s"$pair: pair-local $j vs full ${full.get(pair)}")
+    }
+    assert(verified((1L, 2L)) == 1.0)
+  }
+
+  test("C12b: curateFull with minhash-candidates-then-verify equals the exact path") {
+    val exact = Corpus.curateFull(docs, "text", "doc_id",
+      minQuality = 0.0, jaccardThreshold = 0.5)
+    // the 100 TB composition: LSH proposes, exact Jaccard confirms on
+    // candidates only — wired through the pluggable pair source
+    val viaCandidates = Corpus.curateFull(docs, "text", "doc_id",
+      minQuality = 0.0, jaccardThreshold = 0.5,
+      pairs = { deduped =>
+        val cands = Dedup.minhashCandidatePairs(deduped, "text", "doc_id")
+        Dedup.exactJaccardForPairs(deduped, "text", "doc_id", cands)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a").as("doc1"), col("id_b").as("doc2"))
+      })
+    assert(viaCandidates.collect().map(_.getLong(0)).sorted.toSeq ==
+      exact.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("C6d: IVF assignment is plan-size-independent — k=512 fits in bounded time") {
+    // 2000 deterministic pseudo-random vectors, dim 8
+    val vecs = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => pmod(xxhash64(col("id"), j), lit(997)).cast("float") / 997f).as("embedding"))
+    val index = Ivf.fit(vecs, "vec_id", "embedding", numCentroids = 512, iters = 1)
+    assert(index.centroids.length == 512)
+    assert(index.assigned.count() == 2000)
+    val cids = index.assigned.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < 512), s"cid out of range: ${cids.min}..${cids.max}")
+    index.unpersist()
+  }
+
   test("B24: as-of join matches ties, latest-before otherwise, null when none") {
     val l = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "ts", "id")
@@ -126,6 +191,21 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("id").select("id", "r_ts").collect()
       .map(row => row.getString(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1)))
     assert(out.toSeq == Seq("e1" -> 100L, "e2" -> 200L, "e3" -> -1L), out.mkString(","))
+  }
+
+  test("B24b: as-of match is row-level — a null value in the matched row stays null") {
+    val l = Seq((1L, 250L, "e1")).toDF("k", "ts", "id")
+    val r = Seq((1L, 100L, Some("old")), (1L, 200L, None))
+      .toDF("k", "ts", "v")
+    // the most recent right row (ts=200) has v=null; per-column
+    // ignoreNulls would smuggle "old" from ts=100 past it
+    val row = AsOfJoin.asOf(l, r, "k", "ts", Seq("v" -> "r_v", "ts" -> "r_ts")).head()
+    assert(row.getAs[Long]("r_ts") == 200L)
+    assert(row.isNullAt(row.fieldIndex("r_v")), row.toString)
+    // and no-match still yields null, not a fabricated struct
+    val none = AsOfJoin.asOf(Seq((2L, 10L, "e")).toDF("k", "ts", "id"), r,
+      "k", "ts", Seq("v" -> "r_v")).head()
+    assert(none.isNullAt(none.fieldIndex("r_v")))
   }
 
   test("B25: range join matches boundaries inclusively, once per pair, no NL join") {
