@@ -140,8 +140,54 @@ object DocQueries {
       col("doc_id"),
       TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
 
+  // ---------------------------------------------------------------- C13
+  /** TF-IDF relevance scoring: top-3 terms per document by
+    * tf × ln(N/df) — the standard training-data relevance/keyword
+    * signal. All relational: one explode, two aggregations (term
+    * frequencies combine map-side), a broadcast scalar for N, and a
+    * per-doc window for the top-3. Ranking happens on the ROUNDED
+    * score with the term as tie-break, so the order is discrete and
+    * engine-independent (raw-double ordering could flip ranks on a
+    * 1-ulp libm difference between engines). */
+  def qDocTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", TextFunctions.round4(
+        col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- C14
+  /** Deterministic stratified sampling: a reproducible hash of the id
+    * (never `rand()` — re-runs and retried tasks must agree) with a
+    * per-stratum rate — 50% of `en` documents, 25% of the rest. The
+    * filter is map-only, pushes no shuffle, and any engine computing
+    * the same md5 draws the same sample — the property that makes
+    * training-data subsets auditable and repeatable at 100 TB. */
+  def qDocSample(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val enRate = Seq("0", "1", "2", "3", "4", "5", "6", "7") // 8/16 = 50%
+    val restRate = Seq("0", "1", "2", "3")                   // 4/16 = 25%
+    docs(s, dir)
+      .filter((col("lang") === "en" && digit.isin(enRate: _*)) ||
+              (col("lang") =!= "en" && digit.isin(restRate: _*)))
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_tfidf"         -> (qDocTfidf _),
+    "q_doc_sample"        -> (qDocSample _),
     "q_doc_exact_dedup"   -> (qDocExactDedup _),
     "q_doc_minhash_pairs" -> (qDocMinhashPairs _),
     "q_doc_simhash"       -> (qDocSimhash _),
@@ -159,6 +205,31 @@ object DocQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |                  round(tf.tf * ln(n.n_docs * 1.0 / dfq.df), 4) AS tfidf
+        |           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |                  row_number() OVER (PARTITION BY doc_id
+        |                                     ORDER BY tfidf DESC, term) AS rk
+        |           FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+    "q_doc_sample" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE (lang = 'en'
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7'))
+        |   OR (lang <> 'en'
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3'))""".stripMargin,
     "q_doc_exact_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -336,6 +336,23 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
            approx_count_distinct(col("event_id")).as("approx_events"))
 
+  // ---------------------------------------------------------------- B22b
+  /** Mergeable-sketch distinct rollup: one HLL sketch per day, then a
+    * sketch UNION for the total — the incremental pattern a lake uses
+    * at 100 TB (daily sketches persist; totals, trailing windows and
+    * re-aggregations come from unioning kilobyte sketches, never
+    * rescanning the raw events). Rows-only check (sketch estimates are
+    * engine-specific); AccuracySpec pins the union's error against the
+    * exact distinct count. */
+  def qApproxDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_total"))
+  }
+
   // ---------------------------------------------------------------- B23
   /** Exact interpolated percentiles, kept exact so the DuckDB oracle
     * can hash-verify them. NOT the scale path: Spark's exact
@@ -432,7 +449,8 @@ object Relational {
     "q_events_pivot"      -> (qEventsPivot _),
     "q20_strings"         -> (q20Strings _),
     "q_ocsf_classify"     -> (qOcsfClassify _),
-    "q_approx_distinct"   -> (qApproxDistinct _)
+    "q_approx_distinct"   -> (qApproxDistinct _),
+    "q_approx_distinct_rollup" -> (qApproxDistinctRollup _)
   )
 
   val oracleSql: Map[String, String] = Map(

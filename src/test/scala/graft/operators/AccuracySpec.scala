@@ -88,6 +88,16 @@ class AccuracySpec extends SparkSpec {
     assert(meanJ <= 0.05, f"meanJ $meanJ%.3f — emitted pairs should be Jaccard-unlike")
   }
 
+  test("B22b: union of daily HLL sketches tracks the exact total distinct") {
+    val events = Tables.load(spark, sf, "events")
+    val exact = events.select(countDistinct("user_id")).head().getLong(0)
+    val viaSketches = graft.queries.Relational.qApproxDistinctRollup(spark, sf)
+      .head().getLong(1)
+    val err = math.abs(viaSketches - exact).toDouble / exact
+    // lgConfigK default 12 → rse ~1.6%/sqrt? use a conservative 10%
+    assert(err <= 0.10, s"sketch-rollup error $err (exact=$exact approx=$viaSketches)")
+  }
+
   test("B22: HLL approx distinct is within the advertised error bound") {
     val events = Tables.load(spark, sf, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)
