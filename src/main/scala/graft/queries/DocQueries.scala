@@ -152,8 +152,11 @@ object DocQueries {
   def qDocTfidf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
+    // materialize tf once: both the score side and the df aggregation
+    // read it (same double-planned-subtree cut as ngramJaccardPairs)
     val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     tf.join(df_, "term")
