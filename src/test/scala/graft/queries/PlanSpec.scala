@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q9_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("C13: TF-IDF top-3 uses WindowGroupLimit and broadcasts the df side") {
+    val p = plan("q_doc_tfidf")
+    // rank() <= 3 prunes per-group BEFORE the window exchange — at
+    // scale the shuffle carries ~3 rows/doc, not every (doc, term)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("C14: sampling scan prunes to the 3 projected columns") {
+    val readSchema = plan("q_doc_sample").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"columns not pruned: $readSchema")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
