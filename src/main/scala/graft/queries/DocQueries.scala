@@ -187,10 +187,24 @@ object DocQueries {
         size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C15
+  /** Corpus-composition report: per (source, lang) document counts,
+    * token volume and mean quality — the mix dashboard a training
+    * pipeline checks before sampling weights. One partial-aggregated
+    * groupBy over a 3-column scan; group count is tiny (sources ×
+    * langs), so the shuffle is negligible at any corpus size. */
+  def qDocSourceMix(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("bigint")).as("total_tokens"),
+        TextFunctions.round4(avg(TextFunctions.qualityScore(col("text")))).as("mean_quality"))
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
+    "q_doc_source_mix"    -> (qDocSourceMix _),
     "q_doc_exact_dedup"   -> (qDocExactDedup _),
     "q_doc_minhash_pairs" -> (qDocMinhashPairs _),
     "q_doc_simhash"       -> (qDocSimhash _),
@@ -223,6 +237,15 @@ object DocQueries {
         |           FROM scored)
         |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
         |FROM ranked WHERE rk <= 3""".stripMargin,
+    "q_doc_source_mix" ->
+      """SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(avg(least(1.0, len(string_split(text, ' ')) / 50.0) *
+        |            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
+        |             length(text))), 4) AS mean_quality
+        |FROM documents
+        |GROUP BY source, lang""".stripMargin,
     "q_doc_sample" ->
       """SELECT doc_id, lang,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
