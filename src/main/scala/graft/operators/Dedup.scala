@@ -240,6 +240,53 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** C16 — near-dup CLUSTERING: connected components over a pair
+    * relation, labeling every document with the minimum id of its
+    * component. The keep-smallest pass ([[graft.operators.Corpus
+    * .removeNearDups]]) only drops docs that appear as the LARGER side
+    * of some pair — on a chain like (b,c),(a,c) it keeps both a and b
+    * even though they share a component — while the component label
+    * gives exact transitive clusters (keep one representative per
+    * component, as production dedup does over MinHash candidates).
+    *
+    * Min-label propagation: each iteration every vertex takes the min
+    * of its own label and its neighbors' labels — converges in
+    * O(component diameter) rounds, and near-dup clusters are
+    * shallow by construction. Each round is one equi-join + one
+    * groupBy (shuffles on the vertex id); `localCheckpoint` per round
+    * cuts the iterative lineage so round N doesn't replan rounds
+    * 1..N-1. Driver work is one boolean convergence probe per round. */
+  def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs
     * (`id_a`, `id_b`) — the verify half of the candidates-then-verify
     * composition every approximate dedup runs at 100 TB: MinHash or

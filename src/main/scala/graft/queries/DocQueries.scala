@@ -200,11 +200,23 @@ object DocQueries {
         sum(size(TextFunctions.tokens(col("text"))).cast("bigint")).as("total_tokens"),
         TextFunctions.round4(avg(TextFunctions.qualityScore(col("text")))).as("mean_quality"))
 
+  // ---------------------------------------------------------------- C16
+  /** Near-dup clustering: every document labeled with the min id of
+    * its Jaccard≥0.5 connected component (singletons label
+    * themselves) — the exact transitive grouping behind
+    * keep-one-per-cluster dedup. */
+  def qDocDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.connectedComponents(d, "doc_id",
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
+    "q_doc_dup_components" -> (qDocDupComponents _),
     "q_doc_exact_dedup"   -> (qDocExactDedup _),
     "q_doc_minhash_pairs" -> (qDocMinhashPairs _),
     "q_doc_simhash"       -> (qDocSimhash _),
@@ -237,6 +249,29 @@ object DocQueries {
         |           FROM scored)
         |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
         |FROM ranked WHERE rk <= 3""".stripMargin,
+    "q_doc_dup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |prs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |jp AS (SELECT doc1, doc2 FROM prs
+        |       JOIN counts ca ON ca.doc_id = doc1
+        |       JOIN counts cb ON cb.doc_id = doc2
+        |       WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5),
+        |edges AS (SELECT doc1 AS src, doc2 AS dst FROM jp
+        |          UNION ALL SELECT doc2, doc1 FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+        |FROM reach GROUP BY src""".stripMargin,
     "q_doc_source_mix" ->
       """SELECT source, lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -183,6 +183,31 @@ class OperatorsSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("C16: connected components cluster transitively where keep-smallest cannot") {
+    val verts = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // component {1,2,3} via the chain (2,3),(1,3) — doc 2 never appears
+    // as the larger side, so keep-smallest would KEEP it; clustering
+    // must label it 1. {4,5} is a plain pair; 6 is a singleton.
+    val pairs = Seq((2L, 3L), (1L, 3L), (4L, 5L)).toDF("doc1", "doc2")
+    val comp = Dedup.connectedComponents(verts, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       4L -> 4L, 5L -> 4L, 6L -> 6L), comp.toString)
+    // keep-smallest (drop doc2s) keeps {1, 2, 4, 6}: doc 2 survives
+    val keepSmallest = verts.join(
+      pairs.select(col("doc2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(keepSmallest == Set(1L, 2L, 4L, 6L))
+    // one-representative-per-component keeps {1, 4, 6}: strictly tighter
+    assert(comp.values.toSet == Set(1L, 4L, 6L))
+    // a 4-long chain needs >1 propagation round to converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
+    val chained = Dedup.connectedComponents(
+        (1L to 4L).map(i => (i, "")).toDF("doc_id", "text"), "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained.values.forall(_ == 1L), chained.toString)
+  }
+
   test("B24: as-of join matches ties, latest-before otherwise, null when none") {
     val l = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "ts", "id")
