@@ -240,6 +240,61 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** Labels for the EDGE-INCIDENT vertices of a pair relation, with
+    * convergence accounting — the output of [[propagateMinLabels]].
+    * `labels` has columns (id, comp); vertices with no incident pair
+    * (the overwhelming majority of a near-dup corpus) are NOT present —
+    * [[connectedComponents]] unions them back once at the end. */
+  final case class ComponentLabels(labels: DataFrame, converged: Boolean,
+                                   rounds: Int)
+
+  /** Min-label propagation over the edge-incident vertex set ONLY.
+    *
+    * On a near-dup graph at 100 TB, <1% of documents appear in any
+    * pair; iterating the full corpus would shuffle and checkpoint the
+    * unchanging 99% every round. So every relation inside the loop is
+    * EDGE-sized: the vertex set is `distinct src` of the symmetric edge
+    * relation, each round is one edge⋈labels join + one groupBy (both
+    * shuffling on vertex id over edge-sized inputs), and the
+    * convergence probe is folded into the update pass as a `changed`
+    * flag scanned off the round's already-materialized checkpoint — no
+    * separate convergence join. Converges in O(component diameter)
+    * rounds; `localCheckpoint` per round cuts the iterative lineage so
+    * round N doesn't replan rounds 1..N-1.
+    *
+    * Never silently truncates: the result carries `converged` and the
+    * round count, so callers can retry with a higher budget or fail —
+    * the same accounting stance as [[minhashDroppedBuckets]]. */
+  def propagateMinLabels(pairs: DataFrame, maxIter: Int = 20): ComponentLabels = {
+    val edges = pairs
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // symmetric edges → every incident vertex appears as some `src`
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      // inner join: symmetry guarantees every labeled id has a neighbor
+      val updated = labels
+        .join(neighborMin, Seq("id"))
+        .select(col("id"), least(col("comp"), col("nmin")).as("comp"),
+          (col("nmin") < col("comp")).as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select(col("id"), col("comp"))
+      rounds += 1
+    }
+    ComponentLabels(labels, converged, rounds)
+  }
+
   /** C16 — near-dup CLUSTERING: connected components over a pair
     * relation, labeling every document with the minimum id of its
     * component. The keep-smallest pass ([[graft.operators.Corpus
@@ -249,42 +304,26 @@ object Dedup {
     * gives exact transitive clusters (keep one representative per
     * component, as production dedup does over MinHash candidates).
     *
-    * Min-label propagation: each iteration every vertex takes the min
-    * of its own label and its neighbors' labels — converges in
-    * O(component diameter) rounds, and near-dup clusters are
-    * shallow by construction. Each round is one equi-join + one
-    * groupBy (shuffles on the vertex id); `localCheckpoint` per round
-    * cuts the iterative lineage so round N doesn't replan rounds
-    * 1..N-1. Driver work is one boolean convergence probe per round. */
+    * Composition: [[propagateMinLabels]] iterates over the edge-incident
+    * vertices only (edge-sized rounds — see its scaladoc for why that
+    * matters at 100 TB), then ONE corpus-sized anti-join labels the
+    * untouched singletons with their own id. Throws if label
+    * propagation hit `maxIter` before converging — a silent truncation
+    * would return plausible-looking but WRONG components; callers that
+    * want the partial result use [[propagateMinLabels]] directly. */
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("doc1").as("src"), col("doc2").as("dst"))
-      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("ncomp")).as("nmin"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old"))
-        .isEmpty
-      labels = updated
-      i += 1
-    }
-    labels.select(col("id").as(idCol), col("comp").as("component"))
+    val r = propagateMinLabels(pairs, maxIter)
+    if (!r.converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in ${r.rounds} rounds " +
+          s"(maxIter=$maxIter): a component's diameter exceeds the round " +
+          "budget; raise maxIter or use propagateMinLabels for partial labels")
+    val incident = r.labels.select(col("id").as(idCol), col("comp").as("component"))
+    val singletons = vertices.select(col(idCol))
+      .join(r.labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("component"))
+    incident.union(singletons)
   }
 
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs

@@ -208,6 +208,38 @@ class OperatorsSpec extends SparkSpec {
     assert(chained.values.forall(_ == 1L), chained.toString)
   }
 
+  test("C16b: label propagation iterates edge-incident vertices only") {
+    // 10,000-vertex corpus, but only 7 vertices touch any pair — the
+    // iterated relation must be edge-sized (7 rows), never corpus-sized
+    val verts = spark.range(1, 10001).select(col("id").as("doc_id"), lit("t").as("text"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L), (60L, 61L)).toDF("doc1", "doc2")
+    val r = Dedup.propagateMinLabels(pairs)
+    assert(r.converged, s"rounds=${r.rounds}")
+    assert(r.labels.count() == 7, "labels must cover edge-incident vertices only")
+    // full result still covers the whole corpus, singletons self-labeled
+    val full = Dedup.connectedComponents(verts, "doc_id", pairs)
+    assert(full.count() == 10000)
+    val labeled = full.filter(col("doc_id") =!= col("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled == Map(2L -> 1L, 3L -> 1L, 51L -> 50L, 61L -> 60L), labeled.toString)
+  }
+
+  test("C16c: maxIter exhaustion raises instead of returning wrong labels") {
+    // a 6-chain has diameter 5: 2 rounds cannot converge it
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val verts = (1L to 6L).map(i => (i, "")).toDF("doc_id", "text")
+    val partial = Dedup.propagateMinLabels(chain, maxIter = 2)
+    assert(!partial.converged && partial.rounds == 2)
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(verts, "doc_id", chain, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("converge"), ex.getMessage)
+    // with budget it converges and labels the whole chain 1
+    val ok = Dedup.connectedComponents(verts, "doc_id", chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
   test("B24: as-of join matches ties, latest-before otherwise, null when none") {
     val l = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
       .toDF("k", "ts", "id")
