@@ -48,23 +48,29 @@ object OcsfSink {
     * 0 means derive it from the input size ([[autoFilesPerDay]]). */
   def write(df: DataFrame, baseDir: String, route: String,
             region: String, accountId: String,
-            filesPerDay: Int = 0): Unit = {
+            filesPerDay: Int = 0): Unit =
+    partitionedFrame(df, region, accountId, filesPerDay).write
+      .mode("append")
+      .partitionBy("region", "accountId", "eventDay")
+      .parquet(s"$baseDir/${tableName(route)}")
+
+  /** The partition-keyed, writer-salted frame behind [[write]] — also
+    * the staging half of [[IdempotentSink.writeBatch]]'s two-phase
+    * commit, which must produce the exact final directory layout. */
+  private[ocsf] def partitionedFrame(df: DataFrame, region: String,
+                                     accountId: String,
+                                     filesPerDay: Int): DataFrame = {
     require(filesPerDay >= 0, "filesPerDay must be >= 0 (0 = auto)")
     val filesPerDay0 = if (filesPerDay == 0) autoFilesPerDay(df) else filesPerDay
     val partitioned = df
       .withColumn("region", lit(region))
       .withColumn("accountId", lit(accountId))
       .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
-    val salted =
-      if (filesPerDay0 == 1) partitioned.repartition(
-        col("region"), col("accountId"), col("eventDay"))
-      else partitioned.repartition(
-        col("region"), col("accountId"), col("eventDay"),
-        pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay0)))
-    salted.write
-      .mode("append")
-      .partitionBy("region", "accountId", "eventDay")
-      .parquet(s"$baseDir/${tableName(route)}")
+    if (filesPerDay0 == 1) partitioned.repartition(
+      col("region"), col("accountId"), col("eventDay"))
+    else partitioned.repartition(
+      col("region"), col("accountId"), col("eventDay"),
+      pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay0)))
   }
 
   /** A23 — 13-way fan-out: normalize every route off the same

@@ -1,9 +1,11 @@
 package graft.streaming
 
+import scala.concurrent.duration.{Duration, DurationInt}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.ocsf.{Normalizers, OcsfMappings, OcsfSink}
+import graft.ocsf.{IdempotentSink, Normalizers, OcsfMappings}
 import graft.sources.FdrSource
 
 /** Streaming ingestion (SURVEY.md §2 A24).
@@ -67,7 +69,7 @@ object EventStream {
   /** Single-pass 13-way fan-out: ONE streaming query reads the landing
     * prefix once per micro-batch and writes every route's partitioned
     * parquet table from the cached batch — the streaming counterpart
-    * of [[OcsfSink.fanOut]].
+    * of [[graft.ocsf.OcsfSink.fanOut]].
     *
     * One file-source stream per route would list and parse every
     * landing object 13 times (13× IO at 100 TB/day: reading 1.3 PB to
@@ -77,32 +79,46 @@ object EventStream {
     * 13 per-route writes run concurrently against the cache, then the
     * batch is released.
     *
-    * Delivery: the one checkpoint records completed batches, so a
-    * clean restart reprocesses nothing (the spec pins this). A crash
-    * MID-batch can re-append files for routes that already finished
-    * that batch — at-least-once on failure retry, the same contract as
-    * the reference's Firehose retries; pair with [[dedupedByEventId]]
-    * (or batchId-keyed output paths) where exactly-once matters. */
+    * Delivery: exactly-once per (route, batch). The checkpoint records
+    * completed batches (clean restarts reprocess nothing), and a crash
+    * MID-batch replays the batch under the SAME batchId into
+    * [[graft.ocsf.IdempotentSink.writeBatch]]'s two-phase commit —
+    * routes that already committed the batch skip, half-written routes
+    * restage or resume their promote, so nothing is re-appended (the
+    * spec pins the crash-after-k-routes replay). See IdempotentSink
+    * for the S3A-rename caveat.
+    *
+    * `batchTimeout` bounds the per-batch wait on the 13 route writes:
+    * one wedged write (a stuck remote upload) must FAIL the batch — so
+    * the checkpoint retry machinery engages and the stuck route is
+    * named — rather than hang the whole query forever. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
             routes: Seq[String] = OcsfMappings.routes,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+            batchTimeout: Duration = 10.minutes): StreamingQuery = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     readClassified(spark, landingDir).writeStream
       .queryName("ocsf-fanout")
       .option("checkpointLocation", s"$checkpointDir/_fanout")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           implicit val ec: ExecutionContext = ExecutionContext.global
           val jobs = routes.map { route =>
-            Future(OcsfSink.write(
+            route -> Future(IdempotentSink.writeBatch(
               Normalizers.byRoute(route)(batch.filter(col("route") === route)),
-              baseDir, route, region, accountId))
+              baseDir, route, region, accountId, batchId))
           }
-          Await.result(Future.sequence(jobs), Duration.Inf)
+          try Await.result(Future.sequence(jobs.map(_._2)), batchTimeout)
+          catch {
+            case _: concurrent.TimeoutException =>
+              val stuck = jobs.collect { case (r, f) if !f.isCompleted => r }
+              throw new java.util.concurrent.TimeoutException(
+                s"fan-out batch $batchId exceeded $batchTimeout; " +
+                  s"stuck routes: ${stuck.mkString(", ")}")
+          }
           ()
         } finally { batch.unpersist(); () }
       }

@@ -1,0 +1,95 @@
+package graft.ocsf
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A24 — the two-phase (stage → manifest → promote → commit) batch
+  * write: every step must be idempotent under replay, so a crash at
+  * ANY point between routes or inside one route's write never
+  * duplicates rows. */
+class IdempotentSinkSpec extends SparkSpec {
+
+  private val region = "us-east-1"
+  private val acct = "123456789012"
+
+  /** (uid, day) rows; distinct days land in distinct partition dirs,
+    * so multi-day batches stage MULTIPLE files — the partial-promote
+    * scenario needs at least two. */
+  private def df(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("uid", "day")
+      .select(struct(col("uid")).as("metadata"),
+        to_timestamp(concat(col("day"), lit(" 12:00:00"))).as("time"))
+  }
+
+  private def tableUids(base: Path): Seq[String] =
+    spark.read.parquet(s"$base/dns_activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+
+  test("writeBatch skips a fully committed (route, batch) on replay") {
+    val base = Files.createTempDirectory("idem-skip")
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), base.toString, "DNS Activity",
+      region, acct, batchId = 0L)
+    assert(tableUids(base) == Seq("e1", "e2"))
+    // full replay of the same batch: marker short-circuits, zero dups
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), base.toString, "DNS Activity",
+      region, acct, batchId = 0L)
+    assert(tableUids(base) == Seq("e1", "e2"))
+    // the NEXT batch appends normally
+    IdempotentSink.writeBatch(df("e3" -> "2023-11-14"), base.toString, "DNS Activity",
+      region, acct, batchId = 1L)
+    assert(tableUids(base) == Seq("e1", "e2", "e3"))
+    // bookkeeping is invisible to readers but present on disk
+    assert(Files.exists(base.resolve("dns_activity/_committed_batches/0.committed")))
+    assert(Files.exists(base.resolve("dns_activity/_committed_batches/1.committed")))
+    assert(!Files.exists(base.resolve("dns_activity/_staging/batch_0")))
+  }
+
+  test("writeBatch resumes a half-promoted batch without restaging") {
+    val base = Files.createTempDirectory("idem-resume")
+    val table = base.resolve("dns_activity")
+    val staging = table.resolve("_staging/batch_7")
+    // stage exactly as writeBatch does (same layout, overwrite mode)
+    OcsfSink.partitionedFrame(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), region, acct, 0).write
+      .mode("overwrite")
+      .partitionBy("region", "accountId", "eventDay")
+      .parquet(staging.toString)
+    val staged = Files.walk(staging).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => staging.relativize(p).toString)
+      .filterNot(p => Paths.get(p).getFileName.toString.matches("^[_.].*"))
+      .toSeq.sorted
+    assert(staged.nonEmpty, "staging produced no data files")
+    // crash AFTER the manifest published, DURING the promote: one file
+    // already moved into the table, the rest still staged
+    val cb = table.resolve("_committed_batches")
+    Files.createDirectories(cb)
+    Files.write(cb.resolve("7.manifest"), staged.mkString("\n").getBytes("UTF-8"))
+    val moved = staging.resolve(staged.head)
+    val dst = table.resolve(staged.head)
+    Files.createDirectories(dst.getParent)
+    Files.move(moved, dst)
+
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), base.toString, "DNS Activity",
+      region, acct, batchId = 7L)
+    assert(tableUids(base) == Seq("e1", "e2"))
+    // resumed, not restaged: the landed files are the ORIGINAL staged
+    // names (a restage would have minted fresh part-file UUIDs)
+    val landed = Files.walk(table).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => table.relativize(p).toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(landed == staged, s"landed=$landed staged=$staged")
+    assert(Files.exists(cb.resolve("7.committed")))
+    assert(!Files.exists(staging))
+    // and a second replay after commit is a no-op
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), base.toString, "DNS Activity",
+      region, acct, batchId = 7L)
+    assert(tableUids(base) == Seq("e1", "e2"))
+  }
+}

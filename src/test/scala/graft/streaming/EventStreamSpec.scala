@@ -107,6 +107,62 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/network_activity").count() == 1)
   }
 
+  test("fan-out replays a crashed batch without duplicating committed routes") {
+    val landing = Files.createTempDirectory("stream-crash")
+    val out     = Files.createTempDirectory("stream-crash-out")
+    val ckpt    = Files.createTempDirectory("stream-crash-ckpt")
+    val routes  = Seq("DNS Activity", "Process Activity", "Network Activity")
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a1","cid":"c1","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"one.example.com"}""",
+      """{"event_simpleName":"ProcessRollup2","name":"ProcessRollup2V19","aid":"a2","cid":"c2","id":"e2","timestamp":"1700000000123","event_platform":"Win","ImageFileName":"\\Device\\HarddiskVolume3\\Windows\\System32\\cmd.exe","RawProcessId":"42"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a3","cid":"c3","id":"e3","timestamp":"1700086400000","event_platform":"Lin","DomainName":"two.example.com"}""",
+      """{"event_type":"NetworkConnectIP4","name":"NetworkConnectIP4V10","aid":"a4","cid":"c4","id":"e4","timestamp":"1700000000","event_platform":"Lin","LocalPort":"5555","RemotePort":"443","RemoteAddressIP4":"93.184.216.34"}"""))
+
+    // simulate a crash AFTER the DNS route committed micro-batch 0 but
+    // BEFORE the other routes: land exactly that route's slice of the
+    // batch under the same batchId the stream will replay with
+    val classified = graft.sources.FdrSource.load(spark, landing.toString)
+    graft.ocsf.IdempotentSink.writeBatch(
+      Normalizers.byRoute("DNS Activity")(
+        classified.filter(col("route") === "DNS Activity")),
+      out.toString, "DNS Activity", "us-east-1", "123456789012", batchId = 0L)
+    assert(spark.read.parquet(s"$out/dns_activity").count() == 2)
+
+    // restart: the query reprocesses the same files as batchId 0 — the
+    // committed DNS route must SKIP, the crashed-out routes must write
+    val q = EventStream.start(spark, landing.toString, out.toString, ckpt.toString,
+      "us-east-1", "123456789012", routes, Trigger.AvailableNow())
+    q.awaitTermination(180000)
+    assert(spark.read.parquet(s"$out/dns_activity").count() == 2,
+      "replay re-appended a route that had already committed this batch")
+    assert(spark.read.parquet(s"$out/process_activity").count() == 1)
+    assert(spark.read.parquet(s"$out/network_activity").count() == 1)
+    // and ids are unique — no row landed twice anywhere
+    val dnsIds = spark.read.parquet(s"$out/dns_activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted
+    assert(dnsIds.toSeq == Seq("e1", "e3"), dnsIds.mkString(","))
+  }
+
+  test("a wedged route write fails the batch naming the route, not a hang") {
+    import scala.concurrent.duration.DurationInt
+    val landing = Files.createTempDirectory("stream-wedge")
+    val out     = Files.createTempDirectory("stream-wedge-out")
+    val ckpt    = Files.createTempDirectory("stream-wedge-ckpt")
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a1","cid":"c1","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"one.example.com"}"""))
+    // a 1 ms budget is far below any real write: the await must trip,
+    // fail the batch, and name the unfinished route
+    val q = EventStream.start(spark, landing.toString, out.toString, ckpt.toString,
+      "us-east-1", "123456789012", Seq("DNS Activity"), Trigger.AvailableNow(),
+      batchTimeout = 1.millis)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("stuck routes: DNS Activity"), msgs)
+  }
+
   test("streaming quarantine lands skipped lines with reasons") {
     val landing = Files.createTempDirectory("stream-quarantine")
     val out     = Files.createTempDirectory("stream-qout")
