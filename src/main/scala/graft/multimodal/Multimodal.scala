@@ -112,6 +112,48 @@ object Multimodal {
     })
   }
 
+  /** Deterministic text→image rendering: the seed bytes are cycled
+    * into a P6 raster. Real encoder — the decode side is the same
+    * [[Codec.decodePpm]] path production media takes, which is what
+    * lets q_mm_features drive the actual codecs from the plain-text
+    * `documents` table (no binary fixtures needed). */
+  def renderPpm(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = 3 * w * h
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) = if (seed.isEmpty) 0 else seed(i % seed.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic text→audio rendering: seed bytes become centered
+    * PCM16 samples in a complete RIFF/WAVE container (mono, 16-bit LE)
+    * that [[Codec.decodeWav]] parses like any recorded file. */
+  def renderWavPcm16(seed: Array[Byte], nSamples: Int,
+                     sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                     // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)   // byte rate
+      .putShort(2).putShort(16)                    // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      buf.putShort(((b - 128) << 8).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Frame sampling for video-like payloads: keep every `stride`-th
     * frame index. Pure column arithmetic — the decode of the selected
     * frames happens later in [[featurize]]. */

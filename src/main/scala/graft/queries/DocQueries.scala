@@ -172,17 +172,23 @@ object DocQueries {
   // ---------------------------------------------------------------- C14
   /** Deterministic stratified sampling: a reproducible hash of the id
     * (never `rand()` — re-runs and retried tasks must agree) with a
-    * per-stratum rate — 50% of `en` documents, 25% of the rest. The
-    * filter is map-only, pushes no shuffle, and any engine computing
-    * the same md5 draws the same sample — the property that makes
-    * training-data subsets auditable and repeatable at 100 TB. */
+    * per-stratum rate — 37.5% of `en` documents, 3% of the rest. The
+    * first FOUR md5 hex digits give 65,536 strata, so real corpus-mix
+    * rates like 1% are expressible (granularity ≈ 0.0015%; one digit
+    * only allowed multiples of 6.25%). The rate is a lexicographic
+    * hex-prefix threshold — md5 is lowercase hex in Spark and DuckDB
+    * alike, so `prefix < '6000'` selects exactly 0x6000/0x10000 =
+    * 37.5% in any engine. The filter is map-only, pushes no shuffle,
+    * and any engine computing the same md5 draws the same sample — the
+    * property that makes training-data subsets auditable and
+    * repeatable at 100 TB. */
   def qDocSample(s: SparkSession, dir: String): DataFrame = {
-    val digit = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val enRate = Seq("0", "1", "2", "3", "4", "5", "6", "7") // 8/16 = 50%
-    val restRate = Seq("0", "1", "2", "3")                   // 4/16 = 25%
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val enCut = "6000"   // 0x6000 / 0x10000 = 37.5%
+    val restCut = "07ae" // 0x07ae / 0x10000 = 1966/65536 ≈ 3.00%
     docs(s, dir)
-      .filter((col("lang") === "en" && digit.isin(enRate: _*)) ||
-              (col("lang") =!= "en" && digit.isin(restRate: _*)))
+      .filter((col("lang") === "en" && bucket < enCut) ||
+              (col("lang") =!= "en" && bucket < restCut))
       .select(col("doc_id"), col("lang"),
         size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
   }
@@ -211,8 +217,36 @@ object DocQueries {
       Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5))
   }
 
+  // ---------------------------------------------------------------- C11
+  /** Multimodal feature extraction, end-to-end through the REAL
+    * codecs: each document's text is rendered into a P6 image and a
+    * RIFF/WAVE PCM16 clip (deterministic byte-cycling — no binary
+    * fixtures, any engine re-derives the same payloads), then decoded
+    * back through [[graft.multimodal.Codec]] and featurized by the
+    * same `mapPartitions` pass production media takes. Rows-only by
+    * design (the 16-float feature vector has no SQL oracle); the
+    * decode-not-fallback property and exact feature values are pinned
+    * by MultimodalSpec. Two rows per document: (2·id, ppm) and
+    * (2·id+1, wav). */
+  def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => MM}
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        Seq(
+          MM.MediaRow(2 * id, MM.renderPpm(seed, 16, 16), "ppm", 16, 16, 1),
+          MM.MediaRow(2 * id + 1, MM.renderWavPcm16(seed, 800), "wav", 0, 0, 1))
+      }
+    MM.featurize(media).toDF()
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("feature"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_features"       -> (qMmFeatures _),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
@@ -286,11 +320,9 @@ object DocQueries {
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents
         |WHERE (lang = 'en'
-        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-        |           IN ('0','1','2','3','4','5','6','7'))
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6000')
         |   OR (lang <> 'en'
-        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-        |           IN ('0','1','2','3'))""".stripMargin,
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '07ae')""".stripMargin,
     "q_doc_exact_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -37,4 +37,43 @@ class MultimodalSpec extends SparkSpec {
       .select("resize_target.width", "resize_target.height").head()
     assert(r.getInt(0) == 224 && r.getInt(1) == 224)
   }
+
+  test("rendered media decode through the REAL codecs, not the fallback") {
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val ppm = renderPpm(seed, 16, 16)
+    val wav = renderWavPcm16(seed, 800)
+    // both containers parse with the production decoders
+    val img = Codec.decodePpm(ppm)
+    assert(img.exists(i => i.width == 16 && i.height == 16))
+    val aud = Codec.decodeWav(wav)
+    assert(aud.exists(a => a.samples.length == 800 && a.sampleRate == 8000))
+    // ...and the dispatched feature is the codec's, NOT the byte-hash
+    assert(decodeFeature("ppm", ppm).toSeq !=
+      byteHashFallback(ppm).toSeq)
+    assert(decodeFeature("wav", wav).toSeq !=
+      byteHashFallback(wav).toSeq)
+    // deterministic: same text, same payload, same feature
+    assert(renderPpm(seed, 16, 16).toSeq == ppm.toSeq)
+    assert(decodeFeature("wav", renderWavPcm16(seed, 800)).toSeq ==
+      decodeFeature("wav", wav).toSeq)
+  }
+
+  test("q_mm_features drives the codecs distributed and matches local decode") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.DocQueries.qMmFeatures(spark, dir)
+    val rows = out.collect()
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.length == 2 * nDocs, s"${rows.length} vs 2*$nDocs")
+    assert(rows.forall(_.getSeq[Float](3).length == FeatureDim))
+    // a sampled row's feature equals the local single-row decode of
+    // the same rendered payload — the distributed pass adds nothing
+    val doc0 = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val seed = doc0.getBytes("UTF-8")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getSeq[Float](3).toSeq ==
+      decodeFeature("ppm", renderPpm(seed, 16, 16)).toSeq)
+    assert(byId(1L).getSeq[Float](3).toSeq ==
+      decodeFeature("wav", renderWavPcm16(seed, 800)).toSeq)
+  }
 }
