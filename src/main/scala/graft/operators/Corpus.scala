@@ -14,6 +14,15 @@ import graft.functions.TextFunctions
   * the survivor set is small relative to the corpus, co-partitioned
   * otherwise). Near-dup removal composes in front via
   * [[Dedup.minhashCandidatePairs]].
+  *
+  * Every lossy cap in the composition has an accounting relation —
+  * run them beside the pipeline so capped work is counted, never
+  * silently gone: [[Dedup.minhashDroppedBuckets]] /
+  * [[Dedup.simhashDroppedBuckets]] for the `maxBucket` bucket caps,
+  * [[Dedup.ngramDroppedGrams]] for the `maxDocFreq` hot-gram cap, and
+  * [[graft.sources.FdrSource.loadWithQuarantine]] for skipped input
+  * lines. [[Dedup.connectedComponents]] raises on a blown iteration
+  * budget rather than returning partial labels.
   */
 object Corpus {
 
@@ -39,25 +48,28 @@ object Corpus {
     docs.join(pairs.select(col("doc2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** Full curation: exact dedup → near-dup removal → quality gate.
-    *
-    * `pairs` is the near-dup pair source — any exact-deduped docs →
-    * (doc1, doc2) relation with doc1 < doc2. The default is the exact
-    * posting-list Jaccard (deterministic, oracle-checked); at 100 TB
-    * pass the candidates-then-verify composition instead —
-    * [[Dedup.minhashCandidatePairs]] confirmed by
-    * [[Dedup.exactJaccardForPairs]] — which never runs a corpus-wide
-    * pair join (CorpusSpec executes exactly that wiring). */
+  /** Full curation: exact dedup → near-dup removal → quality gate,
+    * with the exact posting-list Jaccard as the pair source
+    * (deterministic, oracle-checked). */
   def curateFull(docs: DataFrame, textCol: String, idCol: String,
                  minQuality: Double, jaccardThreshold: Double,
-                 ngram: Int = 3,
-                 pairs: DataFrame => DataFrame = null): DataFrame = {
-    val pairSource: DataFrame => DataFrame =
-      if (pairs != null) pairs
-      else Dedup.ngramJaccardPairs(_, textCol, idCol, ngram, jaccardThreshold)
+                 ngram: Int = 3): DataFrame =
+    curateFull(docs, textCol, idCol, minQuality,
+      Dedup.ngramJaccardPairs(_, textCol, idCol, ngram, jaccardThreshold))
+
+  /** Full curation with a caller-supplied near-dup pair source: any
+    * exact-deduped docs → (doc1, doc2) relation with doc1 < doc2,
+    * similarity threshold included (which is why this overload takes
+    * none). At 100 TB pass the candidates-then-verify composition —
+    * [[Dedup.minhashCandidatePairs]] confirmed by
+    * [[Dedup.exactJaccardForPairs]] — which never runs a corpus-wide
+    * pair join (OperatorsSpec C12b executes exactly that wiring). */
+  def curateFull(docs: DataFrame, textCol: String, idCol: String,
+                 minQuality: Double,
+                 pairs: DataFrame => DataFrame): DataFrame = {
     val survivors = Dedup.exactDedup(docs, textCol, idCol).select(idCol)
     val exact = docs.join(survivors, Seq(idCol), "left_semi")
-    scoreAndGate(removeNearDups(exact, idCol, pairSource(exact)),
+    scoreAndGate(removeNearDups(exact, idCol, pairs(exact)),
       textCol, idCol, minQuality)
   }
 

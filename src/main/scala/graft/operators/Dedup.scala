@@ -295,6 +295,20 @@ object Dedup {
     ComponentLabels(labels, converged, rounds)
   }
 
+  /** Accounting for [[ngramJaccardPairs]]'s `maxDocFreq` cap: one row
+    * per DROPPED gram with its document frequency. The cap is correct
+    * policy (a corpus-frequent gram carries no similarity signal while
+    * contributing the quadratically dominant posting-list blow-up) but
+    * must not be invisible: count the dropped grams, histogram `df`,
+    * or join them back to bound the per-pair Jaccard underestimate —
+    * the same stance as [[minhashDroppedBuckets]]. One aggregation
+    * over the shingle relation; no joins. */
+  def ngramDroppedGrams(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, maxDocFreq: Long = 100000L): DataFrame =
+    shingles(docs, textCol, idCol, n)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+
   /** C16 — near-dup CLUSTERING: connected components over a pair
     * relation, labeling every document with the minimum id of its
     * component. The keep-smallest pass ([[graft.operators.Corpus

@@ -140,6 +140,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simhashPairs(mega, "text", "doc_id", maxBucket = 4).count() == 0)
   }
 
+  test("C4c: maxDocFreq hot-gram cap is accounted, not silent") {
+    // "the quick brown" (and the rest of the shared prefix) appears in
+    // docs 1-3; a df cap of 2 drops those grams from the posting join
+    val dropped = Dedup.ngramDroppedGrams(docs, "text", "doc_id", maxDocFreq = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped.nonEmpty && dropped.values.forall(_ == 3), dropped.toString)
+    assert(dropped.contains("the quick brown"), dropped.keys.mkString("|"))
+    // the capped run loses exactly those grams' contribution: the
+    // 1-2 exact-dup pair now intersects only on grams with df <= 2
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      threshold = 0.0, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.getOrElse((1L, 2L), 0.0) < uncapped((1L, 2L)),
+      s"capped=$capped uncapped=$uncapped")
+    // default cap is far above any test corpus: accounting is empty
+    assert(Dedup.ngramDroppedGrams(docs, "text", "doc_id").count() == 0)
+  }
+
   test("C4b: exact Jaccard for given pairs matches the corpus-wide join") {
     val cands = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
     val verified = Dedup.exactJaccardForPairs(docs, "text", "doc_id", cands)
@@ -158,7 +178,7 @@ class OperatorsSpec extends SparkSpec {
     // the 100 TB composition: LSH proposes, exact Jaccard confirms on
     // candidates only — wired through the pluggable pair source
     val viaCandidates = Corpus.curateFull(docs, "text", "doc_id",
-      minQuality = 0.0, jaccardThreshold = 0.5,
+      minQuality = 0.0,
       pairs = { deduped =>
         val cands = Dedup.minhashCandidatePairs(deduped, "text", "doc_id")
         Dedup.exactJaccardForPairs(deduped, "text", "doc_id", cands)
