@@ -65,14 +65,25 @@ object DocQueries {
     * its centroid table; the query path is probe-only. */
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.Ivf.IvfIndex]
+  private val IvfCacheMax = 8
 
   /** Offline IVF index build (idempotent per session+dir). Bench calls
-    * this in warm-up, mirroring the build/serve split. */
+    * this in warm-up, mirroring the build/serve split. Bounded: past
+    * [[IvfCacheMax]] entries the oldest indexes are unpersisted and
+    * dropped, so a long-lived multi-tenant session never pins stale
+    * `assigned` caches (a production system would persist the index
+    * with [[graft.operators.Ivf]]'s bucketed writer instead). */
   def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.IvfIndex = {
     val key = s"${System.identityHashCode(s.sparkContext)}|$dir"
-    ivfIndexes.getOrElseUpdate(key,
+    ivfIndexes.getOrElseUpdate(key, {
+      if (ivfIndexes.size >= IvfCacheMax) {
+        ivfIndexes.keys.foreach(k =>
+          ivfIndexes.remove(k).foreach(i =>
+            scala.util.Try(i.unpersist())))
+      }
       graft.operators.Ivf.fit(emb(s, dir), "vec_id", "embedding",
-        numCentroids = 16, iters = 3))
+        numCentroids = 16, iters = 3)
+    })
   }
 
   def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
@@ -217,6 +228,48 @@ object DocQueries {
       Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5))
   }
 
+  // ---------------------------------------------------------------- C17
+  /** Context-window sequence packing: every document gets its token
+    * offset in the concatenated corpus stream, the 2048-token shard
+    * its first token lands in, and a straddles-the-boundary flag —
+    * the layout step before writing fixed-length training shards. The
+    * global prefix sum runs as [[graft.operators.Pack]]'s two-level
+    * cumsum (bucket-parallel windows + a tiny bucket-offset
+    * broadcast), never a single-partition corpus window. */
+  def qDocPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pack.packOffsets(
+      docs(s, dir).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048)
+
+  // ---------------------------------------------------------------- C18
+  /** Token-budget source mixing: split a global token budget equally
+    * across sources, derive each source's deterministic sampling rate
+    * from its token total, and draw the sample with the same
+    * md5-hex-prefix thresholds as [[qDocSample]] — the step that turns
+    * "mix sources at these weights" into an auditable document list.
+    * All integer arithmetic (`div`, 16-bit strata), so any engine
+    * derives identical cutoffs; per-source totals are a tiny
+    * aggregate broadcast back to the map-only filter. */
+  def qDocMixSample(s: SparkSession, dir: String,
+                    totalBudget: Long = 10000L): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"),
+      substring(md5(col("doc_id").cast("string")), 1, 4).as("bucket"))
+    val totals = d.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+    val nSrc = totals.agg(count(lit(1)).as("n_src"))
+    val cuts = totals.crossJoin(broadcast(nSrc))
+      .withColumn("cut", least(lit(65536L),
+        expr(s"(${totalBudget}L div n_src) * 65536L div src_tokens")))
+      .withColumn("cut_hex",
+        when(col("cut") >= 65536L, lit("zzzz")) // keep-all sentinel > 'ffff'
+          .otherwise(lpad(lower(conv(col("cut"), 10, 16)), 4, "0")))
+      .select(col("source"), col("cut_hex"))
+    d.join(broadcast(cuts), "source")
+      .filter(col("bucket") < col("cut_hex"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   // ---------------------------------------------------------------- C11
   /** Multimodal feature extraction, end-to-end through the REAL
     * codecs: each document's text is rendered into a P6 image and a
@@ -247,6 +300,8 @@ object DocQueries {
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features"       -> (qMmFeatures _),
+    "q_doc_pack"          -> (qDocPack _),
+    "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
@@ -268,6 +323,38 @@ object DocQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0) AS BIGINT) AS start_offset
+        |      FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       CAST(start_offset // 2048 AS BIGINT) AS shard,
+        |       ((start_offset + n_tokens - 1) // 2048) >
+        |         (start_offset // 2048) AS spans_boundary
+        |FROM c""".stripMargin,
+    "q_doc_mix_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        |           FROM documents),
+        |totals AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |           FROM t GROUP BY source),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM totals),
+        |cuts AS (SELECT source,
+        |           least(65536, (10000 // n_src) * 65536 // src_tokens) AS cut
+        |         FROM totals CROSS JOIN n),
+        |hex AS (SELECT source,
+        |          CASE WHEN cut >= 65536 THEN 'zzzz'
+        |               ELSE printf('%04x', cut) END AS cut_hex
+        |        FROM cuts)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM t JOIN hex USING (source)
+        |WHERE t.bucket < hex.cut_hex""".stripMargin,
     "q_doc_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |              FROM documents),

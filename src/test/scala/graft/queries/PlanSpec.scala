@@ -81,6 +81,26 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
   }
 
+  test("C17: packing's corpus-sized window partitions by bucket, not globally") {
+    val p = plan("q_doc_pack")
+    // the only acceptable single-partition window is the bucket-offset
+    // cumsum over numBuckets rows; the full-corpus cumsum must hash-
+    // partition by _bucket. Count Window nodes: both present, and the
+    // corpus-side one carries the _bucket partition spec.
+    assert(p.contains("Window"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionspec=[_bucket") ||
+        l.contains("Window") && l.contains("[_bucket")), p)
+    // the bucket-offset side broadcasts back to the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("C18: mix sampling broadcasts the per-source cutoffs") {
+    val p = plan("q_doc_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
