@@ -232,6 +232,38 @@ object Relational {
       .agg(round(sum("l_quantity"), 4).as("sum_qty"),
            count(lit(1)).as("n_rows"))
 
+  // --------------------------------------------------------------- B14b
+  /** CUBE over two dimensions with `grouping_id` — all four grouping
+    * sets in one pass with partial aggregation; the gid disambiguates
+    * subtotal rows from genuine NULL dimension values. */
+  def q24Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("bigint").as("gid"),
+           round(sum("l_quantity"), 4).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+
+  // ---------------------------------------------------------------- B8c
+  /** Distribution windows: ntile quartiles, percent_rank and cume_dist
+    * per priority class, filtered to the top percentile — the "where
+    * does this order sit in its cohort" shape. Deterministic: the
+    * window orders by (totalprice, orderkey) which is unique, and the
+    * rank ratios are rounded before the filter so both engines cut the
+    * same boundary. */
+  def q25Ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cum_dist", round(cume_dist().over(w), 4))
+      .filter(col("quartile") === 1 && col("pct_rank") <= 0.01)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 4).as("totalprice"),
+        col("quartile"), col("pct_rank"), col("cum_dist"))
+  }
+
   // ---------------------------------------------------------------- B15
   /** Complex predicates: OR-of-ANDs with BETWEEN / IN / LIKE (TPC-H Q19
     * shape). Catalyst pushes the common conjuncts into both scans. */
@@ -442,6 +474,8 @@ object Relational {
     "q12_setops"          -> (q12Setops _),
     "q14_case_agg"        -> (q14CaseAgg _),
     "q15_rollup"          -> (q15Rollup _),
+    "q24_cube"            -> (q24Cube _),
+    "q25_ntile"           -> (q25Ntile _),
     "q19_complex_pred"    -> (q19ComplexPred _),
     "q_events_json"       -> (qEventsJson _),
     "q_events_timebucket" -> (qEventsTimebucket _),
@@ -606,6 +640,26 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q25_ntile" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         round(o_totalprice, 4) AS totalprice,
+        |         CAST(ntile(4) OVER win AS INT) AS quartile,
+        |         round(percent_rank() OVER win, 4) AS pct_rank,
+        |         round(cume_dist() OVER win, 4) AS cum_dist
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_orderkey, o_orderpriority, totalprice,
+        |       quartile, pct_rank, cum_dist
+        |FROM w WHERE quartile = 1 AND pct_rank <= 0.01""".stripMargin,
     "q19_complex_pred" ->
       """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_rows
