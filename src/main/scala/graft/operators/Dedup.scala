@@ -340,6 +340,23 @@ object Dedup {
     incident.union(singletons)
   }
 
+  /** C19 — benchmark decontamination screening: every corpus document
+    * sharing at least one word n-gram with a benchmark/eval set, with
+    * the count of distinct overlapping grams — the contamination check
+    * a training pipeline runs before a model ever sees the data.
+    *
+    * Scale shape: eval suites are KB–MB scale, so the benchmark gram
+    * set BROADCASTS and the join is a map-side gram-equality probe
+    * over the corpus shingle relation (one explode + window per doc) —
+    * never a corpus×corpus join, and documents with zero hits never
+    * shuffle at all. */
+  def contaminationHits(docs: DataFrame, textCol: String, idCol: String,
+                        benchGrams: DataFrame, n: Int = 13): DataFrame =
+    shingles(docs, textCol, idCol, n)
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs
     * (`id_a`, `id_b`) — the verify half of the candidates-then-verify
     * composition every approximate dedup runs at 100 TB: MinHash or

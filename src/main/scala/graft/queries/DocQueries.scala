@@ -270,6 +270,21 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C19
+  /** Benchmark decontamination: screen the corpus (doc_id ≥ 10)
+    * against the 5-gram fingerprints of a stand-in eval set (the 10
+    * smallest doc ids) and report every document with overlapping
+    * grams. The benchmark side broadcasts; see
+    * [[graft.operators.Dedup.contaminationHits]]. */
+  def qDocContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = Dedup.shingles(d.filter(col("doc_id") < 10),
+      "text", "doc_id", n = 5).select(col("gram"))
+    Dedup.contaminationHits(d.filter(col("doc_id") >= 10),
+        "text", "doc_id", bench, n = 5)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
   // ---------------------------------------------------------------- C11
   /** Multimodal feature extraction, end-to-end through the REAL
     * codecs: each document's text is rendered into a P6 image and a
@@ -302,6 +317,7 @@ object DocQueries {
     "q_mm_features"       -> (qMmFeatures _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
+    "q_doc_contamination" -> (qDocContamination _),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
@@ -337,6 +353,19 @@ object DocQueries {
         |       ((start_offset + n_tokens - 1) // 2048) >
         |         (start_offset // 2048) AS spans_boundary
         |FROM c""".stripMargin,
+    "q_doc_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5),
+        |grams AS (SELECT DISTINCT doc_id,
+        |            t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |            t[i+3] || ' ' || t[i+4] AS gram
+        |          FROM idx),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM grams g JOIN bench USING (gram)
+        |WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id""".stripMargin,
     "q_doc_mix_sample" ->
       """WITH t AS (SELECT doc_id, source,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

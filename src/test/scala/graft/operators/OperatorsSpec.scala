@@ -140,6 +140,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simhashPairs(mega, "text", "doc_id", maxBucket = 4).count() == 0)
   }
 
+  test("C19: contamination screening flags exactly the overlapping docs") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon tail words here"), // contains the bench 5-gram
+      (11L, "totally unrelated text with no shared sequences at all"),
+      (12L, "prefix alpha beta gamma delta epsilon and alpha beta gamma delta epsilon again")
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, "text", "doc_id",
+        Dedup.shingles(bench, "text", "doc_id", n = 5), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 12 repeats the gram but distinct shingling counts it once
+    assert(hits == Map(10L -> 1L, 12L -> 1L), hits.toString)
+    // the broadcast probe never plans an all-pairs join
+    val plan = Dedup.contaminationHits(corpus, "text", "doc_id",
+      Dedup.shingles(bench, "text", "doc_id", n = 5), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("C4c: maxDocFreq hot-gram cap is accounted, not silent") {
     // "the quick brown" (and the rest of the shared prefix) appears in
     // docs 1-3; a df cap of 2 drops those grams from the posting join
