@@ -318,26 +318,70 @@ object Dedup {
     * gives exact transitive clusters (keep one representative per
     * component, as production dedup does over MinHash candidates).
     *
-    * Composition: [[propagateMinLabels]] iterates over the edge-incident
-    * vertices only (edge-sized rounds — see its scaladoc for why that
-    * matters at 100 TB), then ONE corpus-sized anti-join labels the
-    * untouched singletons with their own id. Throws if label
-    * propagation hit `maxIter` before converging — a silent truncation
-    * would return plausible-looking but WRONG components; callers that
-    * want the partial result use [[propagateMinLabels]] directly. */
+    * ADAPTIVE execution, both paths producing identical labels:
+    *  - pair relations of at most `driverMaxEdges` rows (long-typed
+    *    ids) run as a driver union-find — the collect is bounded by
+    *    the threshold (100k edges ≈ 1.6 MB, the same O(MB) class as
+    *    the IVF centroid collect), and a multi-round Spark loop over a
+    *    KB-scale graph is pure scheduling overhead;
+    *  - larger graphs run [[propagateMinLabels]]'s distributed loop
+    *    over the edge-incident vertices only (edge-sized rounds — see
+    *    its scaladoc for why that matters at 100 TB), throwing if
+    *    `maxIter` is exhausted rather than silently truncating.
+    * Either way ONE corpus-sized anti-join then labels the untouched
+    * singletons with their own id. Pass `driverMaxEdges = 0` to force
+    * the distributed path. */
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val r = propagateMinLabels(pairs, maxIter)
-    if (!r.converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in ${r.rounds} rounds " +
-          s"(maxIter=$maxIter): a component's diameter exceeds the round " +
-          "budget; raise maxIter or use propagateMinLabels for partial labels")
-    val incident = r.labels.select(col("id").as(idCol), col("comp").as("component"))
+                          maxIter: Int = 20,
+                          driverMaxEdges: Long = 100000L): DataFrame = {
+    // materialize the (often expensive) pair computation once: the
+    // size probe and whichever path runs both read this
+    val p = pairs.select(col("doc1"), col("doc2")).localCheckpoint()
+    val longIds = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val incident =
+      if (longIds && driverMaxEdges > 0 && p.count() <= driverMaxEdges)
+        driverUnionFind(vertices.sparkSession, p, idCol)
+      else {
+        val r = propagateMinLabels(p, maxIter)
+        if (!r.converged)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in ${r.rounds} rounds " +
+              s"(maxIter=$maxIter): a component's diameter exceeds the round " +
+              "budget; raise maxIter or use propagateMinLabels for partial labels")
+        r.labels.select(col("id").as(idCol), col("comp").as("component"))
+      }
     val singletons = vertices.select(col(idCol))
-      .join(r.labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .join(incident.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), col(idCol).as("component"))
     incident.union(singletons)
+  }
+
+  /** Min-representative union-find over a collected edge list — the
+    * small-graph path of [[connectedComponents]]. Roots are always the
+    * component minimum (unions attach the larger root under the
+    * smaller), so labels equal min-label propagation's fixpoint. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              pairs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(v => (v, find(v)))
+      .toDF(idCol, "component")
   }
 
   /** C19 — benchmark decontamination screening: every corpus document

@@ -270,13 +270,33 @@ class OperatorsSpec extends SparkSpec {
     val partial = Dedup.propagateMinLabels(chain, maxIter = 2)
     assert(!partial.converged && partial.rounds == 2)
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(verts, "doc_id", chain, maxIter = 2)
+      Dedup.connectedComponents(verts, "doc_id", chain, maxIter = 2,
+        driverMaxEdges = 0) // force the distributed loop
     }
     assert(ex.getMessage.contains("converge"), ex.getMessage)
     // with budget it converges and labels the whole chain 1
-    val ok = Dedup.connectedComponents(verts, "doc_id", chain)
+    val ok = Dedup.connectedComponents(verts, "doc_id", chain,
+        driverMaxEdges = 0)
       .collect().map(r => r.getLong(1)).toSet
     assert(ok == Set(1L))
+  }
+
+  test("C16d: driver union-find and distributed propagation label identically") {
+    // deterministic pseudo-random graph: 300 vertices, 150 edges
+    val verts = spark.range(300).select(col("id").as("doc_id"), lit("t").as("text"))
+    val pairs = spark.range(150).select(
+        pmod(xxhash64(col("id")), lit(300)).as("a"),
+        pmod(xxhash64(col("id") + 1000), lit(300)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc1"),
+              greatest(col("a"), col("b")).as("doc2"))
+    val viaDriver = Dedup.connectedComponents(verts, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSpark = Dedup.connectedComponents(verts, "doc_id", pairs,
+        driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaSpark)
+    assert(viaDriver.size == 300)
   }
 
   test("B24: as-of join matches ties, latest-before otherwise, null when none") {
