@@ -110,6 +110,47 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
   }
 
+  /** The band-bucket relation (band, bh, ids) as a PERSISTABLE index:
+    * write it partitioned/bucketed by (band, bh) once per corpus
+    * snapshot and feed it to [[incrementalMinhashPairs]] so daily
+    * deltas dedup against 100 TB without recomputing the corpus. */
+  def minhashBandBuckets(docs: DataFrame, textCol: String, idCol: String,
+                         numHashes: Int = 32, bands: Int = 8,
+                         ngram: Int = 3): DataFrame =
+    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+
+  /** C2e — INCREMENTAL near-dup candidates: a new delta screened
+    * against an existing corpus using the corpus's persisted
+    * band-bucket index ([[minhashBandBuckets]] — same numHashes/bands/
+    * ngram, or the band hashes will not line up). Emits delta↔delta
+    * and delta↔corpus candidate pairs only — corpus↔corpus pairs are
+    * already known from the index build, and at 100 TB re-deriving
+    * them daily is the cost this operator exists to avoid. The join is
+    * bucket-local on (band, bh) exactly like the batch path; buckets
+    * whose combined size exceeds `maxBucket` are dropped (account via
+    * the same dropped-bucket stance if the cap is live). */
+  def incrementalMinhashPairs(corpusBuckets: DataFrame, docs: DataFrame,
+                              textCol: String, idCol: String,
+                              numHashes: Int = 32, bands: Int = 8,
+                              ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val newOld = minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+      .withColumnRenamed("ids", "new_ids")
+      .join(corpusBuckets.withColumnRenamed("ids", "old_ids"),
+        Seq("band", "bh"), "left")
+      .withColumn("old_ids",
+        coalesce(col("old_ids"), expr("CAST(array() AS array<bigint>)")))
+      .filter((size(col("new_ids")) + size(col("old_ids")))
+        .between(2, maxBucket))
+      .withColumn("new_ids", array_sort(col("new_ids")))
+    val crossPairs = flatten(transform(col("new_ids"), a =>
+      transform(col("old_ids"), b =>
+        struct(least(a, b).as("a"), greatest(a, b).as("b")))))
+    newOld
+      .select(explode(concat(pairsWithin(col("new_ids")), crossPairs)).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
   /** Accounting for the `maxBucket` cap in [[minhashCandidatePairs]]:
     * one row per DROPPED bucket with (band, bh, bucket_size). The cap
     * is correct policy (an m-id bucket expands to m²/2 pairs, and

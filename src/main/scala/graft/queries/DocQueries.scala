@@ -270,6 +270,20 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C2e
+  /** Incremental near-dup screening: the "daily delta" (doc_id ≥ 250)
+    * against the persisted band-bucket index of the existing corpus
+    * (doc_id < 250) — emits delta↔delta and delta↔corpus candidates
+    * only, never re-deriving corpus↔corpus pairs. Rows-only (hash-
+    * family dependent); the incremental property is spec-pinned. */
+  def qDocMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpusIdx = Dedup.minhashBandBuckets(
+      d.filter(col("doc_id") < 250), "text", "doc_id")
+    Dedup.incrementalMinhashPairs(corpusIdx,
+      d.filter(col("doc_id") >= 250), "text", "doc_id")
+  }
+
   // ---------------------------------------------------------------- C19
   /** Benchmark decontamination: screen the corpus (doc_id ≥ 10)
     * against the 5-gram fingerprints of a stand-in eval set (the 10
@@ -318,6 +332,7 @@ object DocQueries {
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_contamination" -> (qDocContamination _),
+    "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),

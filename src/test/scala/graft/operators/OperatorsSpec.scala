@@ -140,6 +140,28 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simhashPairs(mega, "text", "doc_id", maxBucket = 4).count() == 0)
   }
 
+  test("C2e: incremental candidates cover delta pairs, never corpus-corpus") {
+    // corpus: docs 1,2 (exact dups of each other); delta: 3 (near dup
+    // of 1/2) and 4 (unrelated). The batch path finds (1,2),(1,3),(2,3);
+    // the incremental path must find the delta pairs but NOT (1,2).
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val delta = docs.filter(col("doc_id") >= 3)
+    val idx = Dedup.minhashBandBuckets(corpus, "text", "doc_id")
+    val inc = Dedup.incrementalMinhashPairs(idx, delta, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!inc.contains((1L, 2L)), s"corpus-corpus pair re-derived: $inc")
+    assert(inc.contains((1L, 3L)) || inc.contains((2L, 3L)),
+      s"delta-corpus near-dup missed: $inc")
+    assert(!inc.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated delta doc paired: $inc")
+    // batch equivalence: incremental ∪ known-corpus-pairs ⊇ batch pairs
+    val batch = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusPairs = Dedup.minhashCandidatePairs(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.subsetOf(inc ++ corpusPairs), s"batch=$batch inc=$inc corpus=$corpusPairs")
+  }
+
   test("C19: contamination screening flags exactly the overlapping docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon tail words here"), // contains the bench 5-gram
