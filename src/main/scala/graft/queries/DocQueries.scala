@@ -270,6 +270,21 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C20
+  /** Corpus vocabulary report: the 20 highest-document-frequency terms
+    * with document and occurrence counts — the signal behind tokenizer
+    * vocab planning and stopword lists. One explode + one partial
+    * aggregation; top-k plans as TakeOrderedAndProject (no global
+    * sort), ordered on (df, term) so the cut is discrete. */
+  def qDocVocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"),
+           count(lit(1)).as("occurrences"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(20)
+
   // ---------------------------------------------------------------- C2e
   /** Incremental near-dup screening: the "daily delta" (doc_id ≥ 250)
     * against the persisted band-bucket index of the existing corpus
@@ -333,6 +348,7 @@ object DocQueries {
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_contamination" -> (qDocContamination _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
+    "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
@@ -368,6 +384,15 @@ object DocQueries {
         |       ((start_offset + n_tokens - 1) // 2048) >
         |         (start_offset // 2048) AS spans_boundary
         |FROM c""".stripMargin,
+    "q_doc_vocab" ->
+      """SELECT term,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS occurrences
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY df DESC, term
+        |LIMIT 20""".stripMargin,
     "q_doc_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
