@@ -90,4 +90,23 @@ object OcsfSink {
     Await.result(Future.sequence(jobs), Duration.Inf)
     ()
   }
+
+  /** [[fanOut]] with restart safety: each route lands through
+    * [[IdempotentSink.writeBatch]] keyed by a caller-chosen `runId`
+    * (e.g. the ingest day or the input manifest hash), so re-running a
+    * batch job that died mid-fan-out skips the routes that already
+    * committed instead of re-appending them. Same two-phase commit as
+    * the streaming path. */
+  def fanOutIdempotent(classified: DataFrame, baseDir: String,
+                       region: String, accountId: String,
+                       runId: Long): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = Normalizers.normalizeAll(classified).toSeq.map { case (route, df) =>
+      Future(IdempotentSink.writeBatch(df, baseDir, route, region, accountId, runId))
+    }
+    Await.result(Future.sequence(jobs), Duration.Inf)
+    ()
+  }
 }

@@ -50,6 +50,29 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(!Files.exists(base.resolve("dns_activity/_staging/batch_0")))
   }
 
+  test("batch fanOutIdempotent replays without duplicating any route") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("idem-fanout")
+    val classified = Seq(
+      ("""{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a1","cid":"c1","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"one.example.com"}""", ""),
+      ("""{"event_simpleName":"ProcessRollup2","name":"ProcessRollup2V19","aid":"a2","cid":"c2","id":"e2","timestamp":"1700000000123","event_platform":"Win","ImageFileName":"C:\\x\\cmd.exe","RawProcessId":"42"}""", ""))
+      .toDF("raw", "unused").select(col("raw"))
+    val loaded = graft.sources.FdrSource.mappedWithClass(spark,
+      graft.sources.FdrSource.withEventName(
+        classified.withColumn("fields",
+          from_json(col("raw"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))))
+    OcsfSink.fanOutIdempotent(loaded, base.toString, region, acct, runId = 1L)
+    val n1 = spark.read.parquet(s"$base/dns_activity").count()
+    val n2 = spark.read.parquet(s"$base/process_activity").count()
+    assert(n1 == 1 && n2 == 1)
+    // the whole fan-out replayed under the same runId: zero new rows
+    OcsfSink.fanOutIdempotent(loaded, base.toString, region, acct, runId = 1L)
+    assert(spark.read.parquet(s"$base/dns_activity").count() == n1)
+    assert(spark.read.parquet(s"$base/process_activity").count() == n2)
+  }
+
   test("writeBatch resumes a half-promoted batch without restaging") {
     val base = Files.createTempDirectory("idem-resume")
     val table = base.resolve("dns_activity")
