@@ -270,6 +270,30 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  // --------------------------------------------------------------- C16b
+  /** Representative selection over near-dup clusters: per connected
+    * component keep the HIGHEST-quality member (min id on ties) with
+    * the member count — production dedup keeps the best copy, not the
+    * numerically smallest id. Composes [[qDocDupComponents]]'s labels
+    * with the quality signal; one component-partitioned window. */
+  def qDocKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val comp = Dedup.connectedComponents(d, "doc_id",
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    d.join(comp, "doc_id")
+      .withColumn("quality",
+        TextFunctions.round4(TextFunctions.qualityScore(col("text"))))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("keeper"),
+        col("quality"), col("n_members"))
+  }
+
   // ---------------------------------------------------------------- C20
   /** Corpus vocabulary report: the 20 highest-document-frequency terms
     * with document and occurrence counts — the signal behind tokenizer
@@ -349,6 +373,7 @@ object DocQueries {
     "q_doc_contamination" -> (qDocContamination _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
+    "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
@@ -393,6 +418,42 @@ object DocQueries {
         |GROUP BY term
         |ORDER BY df DESC, term
         |LIMIT 20""".stripMargin,
+    "q_doc_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |prs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |jp AS (SELECT doc1, doc2 FROM prs
+        |       JOIN counts ca ON ca.doc_id = doc1
+        |       JOIN counts cb ON cb.doc_id = doc2
+        |       WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5),
+        |edges AS (SELECT doc1 AS src, doc2 AS dst FROM jp
+        |          UNION ALL SELECT doc2, doc1 FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+        |         FROM reach GROUP BY src),
+        |scored AS (SELECT c.component, d.doc_id,
+        |             round(least(1.0, len(string_split(d.text, ' ')) / 50.0) *
+        |                   (length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 /
+        |                    length(d.text)), 4) AS quality
+        |           FROM comp c JOIN documents d USING (doc_id)),
+        |ranked AS (SELECT component, doc_id, quality,
+        |             row_number() OVER (PARTITION BY component
+        |                                ORDER BY quality DESC, doc_id) AS rk,
+        |             count(*) OVER (PARTITION BY component) AS nm
+        |           FROM scored)
+        |SELECT component, doc_id AS keeper, quality,
+        |       CAST(nm AS BIGINT) AS n_members
+        |FROM ranked WHERE rk = 1""".stripMargin,
     "q_doc_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
