@@ -306,6 +306,39 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
            round(sum("value"), 4).as("total_value"))
 
+  // ---------------------------------------------------------------- B4c
+  /** Correlated EXISTS subquery through the SQL front-end: Catalyst
+    * decorrelates it into the same LeftSemi join the DataFrame API
+    * would plan (PlanSpec pins that), proving the SQL surface users
+    * would migrate from Athena keeps its plans. */
+  def q26ExistsCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    t(s, dir, "orders").createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+        |FROM g_customer
+        |WHERE EXISTS (SELECT 1 FROM g_orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 150000)""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- B26
+  /** Cohort retention matrix: users bucketed by first-seen day, then
+    * distinct active users per (cohort, day) — the engagement shape
+    * behind every retention dashboard. The first-seen relation is one
+    * min-aggregate re-joined on the user id; both aggregations combine
+    * map-side. */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+               date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   // ---------------------------------------------------------------- B18
   /** Sessionization: a gap of >30 min starts a new session — the
     * classic gap-and-island pattern via the [[graft.operators.Sessionize]]
@@ -476,6 +509,8 @@ object Relational {
     "q15_rollup"          -> (q15Rollup _),
     "q24_cube"            -> (q24Cube _),
     "q25_ntile"           -> (q25Ntile _),
+    "q26_exists_correlated" -> (q26ExistsCorrelated _),
+    "q_events_retention"  -> (qEventsRetention _),
     "q19_complex_pred"    -> (q19ComplexPred _),
     "q_events_json"       -> (qEventsJson _),
     "q_events_timebucket" -> (qEventsTimebucket _),
@@ -647,6 +682,22 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q26_exists_correlated" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 150000)""".stripMargin,
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day
+        |            FROM e GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM e JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q25_ntile" ->
       """WITH w AS (
         |  SELECT o_orderkey, o_orderpriority,

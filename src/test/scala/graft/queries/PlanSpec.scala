@@ -38,6 +38,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q16_antijoin").contains("LeftAnti"))
   }
 
+  test("B4c: SQL correlated EXISTS decorrelates to the same LeftSemi join") {
+    val p = plan("q26_exists_correlated")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("B2: grouped agg has map-side partial aggregation") {
     val p = plan("q1_agg")
     // two HashAggregate nodes (partial + final) around the exchange
