@@ -22,26 +22,29 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Distinct (id, gram) pairs from word `n`-grams — the shared shingle
-    * relation used by MinHash and Jaccard.
+    * relation used by MinHash, Jaccard and contamination screening.
     *
-    * Built as posexplode + window `lead` rather than an array-lambda:
-    * expressions captured inside Catalyst lambda functions are
-    * re-evaluated per element (the array formulation re-split the text
-    * for every gram — quadratic), while this shape is one split, one
-    * explode, and one linear window pass per document. */
-  /** `dedupGrams = false` skips the distinct shuffle for consumers
+    * MAP-ONLY: the token array is projected to a plain attribute
+    * first, so the gram lambda captures only attribute references —
+    * safe under Catalyst's per-element re-evaluation of captured
+    * computed expressions (capturing `split(text)` directly would
+    * re-split the text once per gram — quadratic; capturing the
+    * projected attribute costs nothing). Each gram is a 3-element
+    * slice + concat, O(tokens·n) per document and NO shuffle — the
+    * earlier posexplode+lead-window shape paid a full
+    * repartition-by-id for what is a purely local computation.
+    *
+    * `dedupGrams = false` skips the distinct shuffle for consumers
     * whose aggregate is idempotent over duplicates (MinHash's min). */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3,
                dedupGrams: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val gramParts = col("tok") +: (1 until n).map(o => lead(col("tok"), o).over(w))
     val g = docs
-      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("gram",
-        when(lead(col("tok"), n - 1).over(w).isNotNull, concat_ws(" ", gramParts: _*)))
-      .filter(col("gram").isNotNull)
-      .select(col(idCol), col("gram"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
     if (dedupGrams) g.distinct() else g
   }
 
