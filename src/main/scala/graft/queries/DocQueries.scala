@@ -270,6 +270,29 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C21
+  /** Intra-document repetition ratio: 1 − distinct/total word 3-grams
+    * — the boilerplate/loop detector in Gopher-style quality
+    * filtering (a high ratio means the document repeats itself).
+    * One map-only shingle pass + one aggregation; docs shorter than
+    * the gram width report 0 total grams and ratio 0. */
+  def qDocRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val g = Dedup.shingles(d, "text", "doc_id", n = 3, dedupGrams = false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_grams"),
+           countDistinct(col("gram")).as("distinct_grams"))
+    d.select(col("doc_id"))
+      .join(g, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        when(col("total_grams").isNull, lit(0.0)).otherwise(
+          TextFunctions.round4(lit(1.0) -
+            col("distinct_grams").cast("double") / col("total_grams")))
+          .as("rep_ratio"))
+  }
+
   // --------------------------------------------------------------- C16b
   /** Representative selection over near-dup clusters: per connected
     * component keep the HIGHEST-quality member (min id on ties) with
@@ -374,6 +397,7 @@ object DocQueries {
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
+    "q_doc_repetition"    -> (qDocRepetition _),
     "q_doc_tfidf"         -> (qDocTfidf _),
     "q_doc_sample"        -> (qDocSample _),
     "q_doc_source_mix"    -> (qDocSourceMix _),
@@ -418,6 +442,24 @@ object DocQueries {
         |GROUP BY term
         |ORDER BY df DESC, term
         |LIMIT 20""".stripMargin,
+    "q_doc_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT doc_id,
+        |            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM idx),
+        |agg AS (SELECT doc_id,
+        |          CAST(count(*) AS BIGINT) AS total_grams,
+        |          CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+        |        FROM grams GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.total_grams, 0) AS total_grams,
+        |  COALESCE(a.distinct_grams, 0) AS distinct_grams,
+        |  CASE WHEN a.total_grams IS NULL THEN 0.0
+        |       ELSE round(1.0 - a.distinct_grams * 1.0 / a.total_grams, 4)
+        |  END AS rep_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_doc_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
