@@ -88,6 +88,28 @@ class AccuracySpec extends SparkSpec {
     assert(meanJ <= 0.05, f"meanJ $meanJ%.3f — emitted pairs should be Jaccard-unlike")
   }
 
+  test("C2f: minhash signature agreement estimates Jaccard within theory bounds") {
+    // For each oracle near-dup pair, the fraction of agreeing minhash
+    // rows is an unbiased Jaccard estimator with sd sqrt(J(1-J)/k).
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    val k = 32
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", numHashes = k)
+      .collect().map(r => r.getLong(0) ->
+        (1 to k).map(i => r.getLong(i)).toArray).toMap
+    val errs = exact.map { case ((a, b), j) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / k
+      math.abs(est - j)
+    }
+    val mae = errs.sum / errs.size
+    info(f"pairs=${errs.size} meanAbsErr=$mae%.4f maxAbsErr=${errs.max}%.4f")
+    // planted dups sit at J≈0.99 where sd ≈ 0.018; 4-sigma-ish bands
+    assert(mae <= 0.08, f"mean abs error $mae%.4f exceeds the k=32 bound")
+    assert(errs.max <= 0.25, f"max abs error ${errs.max}%.4f — estimator broken")
+  }
+
   test("B22b: union of daily HLL sketches tracks the exact total distinct") {
     val events = Tables.load(spark, sf, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)
