@@ -38,6 +38,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("shingle generation is map-only: no Exchange, no Window") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Dedup.shingles(docs, "text", "doc_id", dedupGrams = false)
+      .queryExecution.executedPlan.toString
+    // the exploded token relation is the largest intermediate in every
+    // dedup pipeline — gram construction must not shuffle or sort it
+    assert(!plan.contains("Exchange"), s"shingles should not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"shingles should not need a window:\n$plan")
+    // the deduped variant's only exchange is its own distinct
+    val dedupPlan = Dedup.shingles(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(dedupPlan).size <= 1, dedupPlan)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // one hot key (90% of rows) + a long tail
