@@ -339,6 +339,30 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  // ---------------------------------------------------------------- B27
+  /** Ordered funnel: users who viewed, then clicked AFTER the first
+    * view, then purchased AFTER that click — the staged-conversion
+    * shape behind product funnels. Three aggregates, each joining the
+    * previous stage's (user, first-ts) relation on the user id; every
+    * stage partially aggregates map-side and the stage relations only
+    * shrink. */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    def first(df: DataFrame, typ: String): DataFrame =
+      df.filter(col("event_type") === typ)
+        .groupBy("user_id").agg(min(col("ts")).as(s"${typ}_ts"))
+    val views = first(e, "view")
+    val clicks = e.join(views, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val purchases = e.join(clicks, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    views.agg(count(lit(1)).as("n_view")).crossJoin(
+        clicks.agg(count(lit(1)).as("n_click"))).crossJoin(
+        purchases.agg(count(lit(1)).as("n_purchase")))
+  }
+
   // ---------------------------------------------------------------- B18
   /** Sessionization: a gap of >30 min starts a new session — the
     * classic gap-and-island pattern via the [[graft.operators.Sessionize]]
@@ -511,6 +535,7 @@ object Relational {
     "q25_ntile"           -> (q25Ntile _),
     "q26_exists_correlated" -> (q26ExistsCorrelated _),
     "q_events_retention"  -> (qEventsRetention _),
+    "q_events_funnel"     -> (qEventsFunnel _),
     "q19_complex_pred"    -> (q19ComplexPred _),
     "q_events_json"       -> (qEventsJson _),
     "q_events_timebucket" -> (qEventsTimebucket _),
@@ -689,6 +714,20 @@ object Relational {
         |              WHERE o_custkey = c_custkey
         |                AND o_orderpriority = '1-URGENT'
         |                AND o_totalprice > 150000)""".stripMargin,
+    "q_events_funnel" ->
+      """WITH views AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |               WHERE event_type = 'view' GROUP BY user_id),
+        |clicks AS (SELECT e.user_id, min(e.ts) AS click_ts
+        |           FROM events e JOIN views USING (user_id)
+        |           WHERE e.event_type = 'click' AND e.ts > view_ts
+        |           GROUP BY e.user_id),
+        |purchases AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+        |              FROM events e JOIN clicks USING (user_id)
+        |              WHERE e.event_type = 'purchase' AND e.ts > click_ts
+        |              GROUP BY e.user_id)
+        |SELECT CAST((SELECT count(*) FROM views) AS BIGINT) AS n_view,
+        |       CAST((SELECT count(*) FROM clicks) AS BIGINT) AS n_click,
+        |       CAST((SELECT count(*) FROM purchases) AS BIGINT) AS n_purchase""".stripMargin,
     "q_events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohorts AS (SELECT user_id, min(day) AS cohort_day
