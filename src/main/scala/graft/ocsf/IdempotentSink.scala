@@ -1,6 +1,8 @@
 package graft.ocsf
 
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
@@ -16,23 +18,46 @@ import org.apache.spark.sql.DataFrame
   * idempotent under replay:
   *
   *  1. STAGE — write the batch's files (final partition layout) under
-  *     `table/_staging/batch_<id>/`, `mode("overwrite")` so a replay
-  *     clobbers any partial attempt.
-  *  2. MANIFEST — atomically publish the staged file list as
-  *     `_committed_batches/<id>.manifest` (write-temp-then-rename).
-  *     Until this exists, a replay restarts from step 1.
+  *     a per-ATTEMPT dir `table/_staging/batch_<id>/g<gen>/`. `gen` is
+  *     a process-wide generation counter per (table, batch), so a
+  *     replayed attempt in the same JVM never shares a staging path
+  *     with a timed-out attempt it superseded — the two bulk writes
+  *     cannot interleave on the same files.
+  *  2. MANIFEST — atomically publish the staged file list (paths carry
+  *     the `g<gen>/` component) as `_committed_batches/<id>.manifest`
+  *     (write-temp-then-rename). Until this exists, a replay restarts
+  *     from step 1 under a fresh generation.
   *  3. PROMOTE — rename each manifest entry into the table. Replays
   *     resume: a source gone + destination present means that file
   *     already moved.
   *  4. COMMIT — atomically publish `_committed_batches/<id>.committed`
-  *     and delete the staging dir. Once this exists the (route, batch)
-  *     is done and every later replay returns without touching data.
+  *     and delete the batch staging dir (ALL generations). Once this
+  *     exists the (route, batch) is done and every later replay
+  *     returns without touching data — and sweeps any staging leftovers
+  *     an earlier crash orphaned.
+  *
+  * Concurrent attempts for the same (table, batch) — the timed-out
+  * route future the streaming layer abandoned racing the replayed
+  * batch — are serialized at the CONTROL steps (manifest publish,
+  * promote, commit run under one in-process lock per key) and the
+  * stale attempt is rejected there with [[SupersededAttemptException]]
+  * before it can publish or promote anything. Only the bulk staging
+  * write runs unlocked, and it targets a generation-unique dir. The
+  * control steps are metadata-only (a handful of renames), so holding
+  * the lock through them cannot wedge on data volume. A superseded
+  * attempt whose staging write straggles past the winner's cleanup can
+  * leave an orphaned `_staging` dir behind; it is invisible to readers
+  * (underscore-prefixed) and swept by the next replay of any committed
+  * batch for that table.
   *
   * Rename-based, so exactly-once holds on filesystems with atomic
   * rename (HDFS, local, ABFS). On S3A, rename is copy+delete and the
   * promote step narrows but does not fully close the window — there,
   * front a committer or pair with
-  * [[graft.streaming.EventStream.dedupedByEventId]] as before.
+  * [[graft.streaming.EventStream.dedupedByEventId]] as before. The
+  * attempt lock is per-JVM: concurrent drivers writing the same table
+  * are out of contract (Structured Streaming's checkpoint lease already
+  * forbids them).
   *
   * Readers never see staged or half-promoted state as committed data:
   * `_staging`/`_committed_batches` are underscore-prefixed, which
@@ -41,41 +66,106 @@ import org.apache.spark.sql.DataFrame
   */
 object IdempotentSink {
 
+  /** Thrown by a (route, batch) attempt that lost the generation race:
+    * a newer replay of the same batch began after this attempt's
+    * `writeBatch` call. The loser must not publish a manifest, promote
+    * or commit — the winner owns the batch. */
+  final class SupersededAttemptException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Latest attempt generation per (qualified table dir, batchId). */
+  private val generations = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** Control-step lock per (qualified table dir, batchId). */
+  private val controlLocks = new ConcurrentHashMap[String, Object]()
+
+  private def genCounter(key: String): AtomicLong =
+    generations.computeIfAbsent(key, _ => new AtomicLong(0L))
+  private def lockFor(key: String): Object =
+    controlLocks.computeIfAbsent(key, _ => new Object)
+
+  private def attemptKey(fs: FileSystem, tableDir: Path, batchId: Long): String =
+    s"${fs.makeQualified(tableDir)}#$batchId"
+
   /** Idempotently land one route's slice of a micro-batch. Safe to
-    * call again for the same (route, batchId) after a crash at ANY
-    * point — the replay either skips (already committed), resumes the
-    * promote, or restarts the staging write. */
+    * call again for the same (route, batchId) after a crash OR timeout
+    * at ANY point — the replay either skips (already committed),
+    * resumes the promote, or restages under a fresh generation while
+    * the superseded attempt is fenced off at its next control step. */
   def writeBatch(df: DataFrame, baseDir: String, route: String,
                  region: String, accountId: String, batchId: Long,
                  filesPerDay: Int = 0): Unit = {
     val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
     val fs = tableDir.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
+    val gen = beginAttempt(fs, tableDir, batchId)
+    runAttempt(df, fs, tableDir, route, region, accountId, batchId,
+      filesPerDay, gen)
+  }
+
+  /** Registers a new attempt generation, superseding any in-flight
+    * attempt for the same (table, batch). Package-private so the spec
+    * can model a timed-out attempt racing its replay. */
+  private[ocsf] def beginAttempt(fs: FileSystem, tableDir: Path,
+                                 batchId: Long): Long =
+    genCounter(attemptKey(fs, tableDir, batchId)).incrementAndGet()
+
+  private def checkCurrent(key: String, gen: Long, route: String,
+                           batchId: Long): Unit =
+    if (genCounter(key).get() != gen)
+      throw new SupersededAttemptException(
+        s"attempt g$gen for route=$route batch=$batchId was superseded " +
+          "by a newer replay of the same batch; aborting without publishing")
+
+  /** The body of one attempt at a fixed generation. Package-private
+    * for the superseded-attempt spec. */
+  private[ocsf] def runAttempt(df: DataFrame, fs: FileSystem, tableDir: Path,
+                               route: String, region: String,
+                               accountId: String, batchId: Long,
+                               filesPerDay: Int, gen: Long): Unit = {
+    val key = attemptKey(fs, tableDir, batchId)
     val committed = new Path(tableDir, s"_committed_batches/$batchId.committed")
-    if (fs.exists(committed)) return
     val manifest = new Path(tableDir, s"_committed_batches/$batchId.manifest")
-    val staging = new Path(tableDir, s"_staging/batch_$batchId")
+    val batchStaging = new Path(tableDir, s"_staging/batch_$batchId")
+    if (fs.exists(committed)) {
+      // already done: sweep any staging dir a pre-commit crash (or a
+      // straggling superseded attempt) orphaned, then no-op
+      fs.delete(batchStaging, true)
+      return
+    }
     if (!fs.exists(manifest)) {
+      val genDir = new Path(batchStaging, s"g$gen")
       OcsfSink.partitionedFrame(df, region, accountId, filesPerDay).write
         .mode("overwrite")
         .partitionBy("region", "accountId", "eventDay")
-        .parquet(staging.toString)
-      writeAtomic(fs, manifest, listRelative(fs, staging).mkString("\n"))
+        .parquet(genDir.toString)
+      val lines = listRelative(fs, genDir).map(rel => s"g$gen/$rel")
+      lockFor(key).synchronized {
+        checkCurrent(key, gen, route, batchId)
+        if (!fs.exists(manifest))
+          writeAtomic(fs, manifest, lines.mkString("\n"))
+      }
     }
-    readLines(fs, manifest).foreach { rel =>
-      val src = new Path(staging, rel)
-      val dst = new Path(tableDir, rel)
-      if (fs.exists(src)) {
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst) && !fs.exists(dst))
+    lockFor(key).synchronized {
+      checkCurrent(key, gen, route, batchId)
+      if (fs.exists(committed)) { fs.delete(batchStaging, true); return }
+      readLines(fs, manifest).foreach { rel =>
+        val src = new Path(batchStaging, rel)
+        // drop the g<gen>/ attempt component: files land at the same
+        // table-relative path whichever generation staged them
+        val dst = new Path(tableDir, rel.split('/').drop(1).mkString("/"))
+        if (fs.exists(src)) {
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst) && !fs.exists(dst))
+            throw new IllegalStateException(
+              s"promote failed for $src -> $dst (route=$route batch=$batchId)")
+        } else if (!fs.exists(dst))
           throw new IllegalStateException(
-            s"promote failed for $src -> $dst (route=$route batch=$batchId)")
-      } else if (!fs.exists(dst))
-        throw new IllegalStateException(
-          s"staged file lost before promote: $rel (route=$route batch=$batchId)")
+            s"staged file lost before promote: $rel (route=$route batch=$batchId)")
+      }
+      writeAtomic(fs, committed, "")
+      fs.delete(batchStaging, true)
     }
-    writeAtomic(fs, committed, "")
-    fs.delete(staging, true)
     ()
   }
 

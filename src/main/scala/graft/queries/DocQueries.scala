@@ -64,26 +64,40 @@ object DocQueries {
     * per (session, dir) and cached, as a production IVF system persists
     * its centroid table; the query path is probe-only. */
   private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Ivf.IvfIndex]
+    new java.util.LinkedHashMap[String, graft.operators.Ivf.IvfIndex]()
   private val IvfCacheMax = 8
 
   /** Offline IVF index build (idempotent per session+dir). Bench calls
-    * this in warm-up, mirroring the build/serve split. Bounded: past
-    * [[IvfCacheMax]] entries the oldest indexes are unpersisted and
-    * dropped, so a long-lived multi-tenant session never pins stale
-    * `assigned` caches (a production system would persist the index
-    * with [[graft.operators.Ivf]]'s bucketed writer instead). */
+    * this in warm-up, mirroring the build/serve split. Bounded LRU-by-
+    * insertion: past [[IvfCacheMax]] entries only the OLDEST index is
+    * unpersisted and dropped (insertion order tracked by the
+    * LinkedHashMap, reads/writes under its lock), so a long-lived
+    * multi-tenant session never pins stale `assigned` caches and an
+    * index another session is actively probing is not flushed
+    * wholesale (a production system would persist the index with
+    * [[graft.operators.Ivf]]'s bucketed writer instead). The k-means
+    * fit runs OUTSIDE the lock; a racing duplicate fit loses and is
+    * unpersisted. */
   def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.IvfIndex = {
     val key = s"${System.identityHashCode(s.sparkContext)}|$dir"
-    ivfIndexes.getOrElseUpdate(key, {
-      if (ivfIndexes.size >= IvfCacheMax) {
-        ivfIndexes.keys.foreach(k =>
-          ivfIndexes.remove(k).foreach(i =>
-            scala.util.Try(i.unpersist())))
-      }
-      graft.operators.Ivf.fit(emb(s, dir), "vec_id", "embedding",
+    val cached = ivfIndexes.synchronized(Option(ivfIndexes.get(key)))
+    cached.getOrElse {
+      val fresh = graft.operators.Ivf.fit(emb(s, dir), "vec_id", "embedding",
         numCentroids = 16, iters = 3)
-    })
+      ivfIndexes.synchronized {
+        val raced = ivfIndexes.get(key)
+        if (raced != null) { scala.util.Try(fresh.unpersist()); raced }
+        else {
+          if (ivfIndexes.size >= IvfCacheMax) {
+            val eldest = ivfIndexes.keySet.iterator.next()
+            Option(ivfIndexes.remove(eldest))
+              .foreach(i => scala.util.Try(i.unpersist()))
+          }
+          ivfIndexes.put(key, fresh)
+          fresh
+        }
+      }
+    }
   }
 
   def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
@@ -257,17 +271,28 @@ object DocQueries {
       size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"),
       substring(md5(col("doc_id").cast("string")), 1, 4).as("bucket"))
     val totals = d.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+    d.join(broadcast(mixCuts(totals, totalBudget)), "source")
+      .filter(col("bucket") < col("cut_hex"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** Per-source md5-prefix cutoffs from `(source, src_tokens)` totals:
+    * an equal split of `totalBudget` over the sources, rendered as the
+    * 4-hex-digit threshold [[qDocSample]] uses. A zero-token source
+    * gets cut 0 (sample nothing) — guarded explicitly, since ANSI mode
+    * would throw on the division and the oracle engine would return
+    * NULL: neither is the intended policy. */
+  private[queries] def mixCuts(totals: DataFrame, totalBudget: Long): DataFrame = {
     val nSrc = totals.agg(count(lit(1)).as("n_src"))
-    val cuts = totals.crossJoin(broadcast(nSrc))
-      .withColumn("cut", least(lit(65536L),
-        expr(s"(${totalBudget}L div n_src) * 65536L div src_tokens")))
+    totals.crossJoin(broadcast(nSrc))
+      .withColumn("cut",
+        when(col("src_tokens") === 0L, lit(0L))
+          .otherwise(least(lit(65536L),
+            expr(s"(${totalBudget}L div n_src) * 65536L div src_tokens"))))
       .withColumn("cut_hex",
         when(col("cut") >= 65536L, lit("zzzz")) // keep-all sentinel > 'ffff'
           .otherwise(lpad(lower(conv(col("cut"), 10, 16)), 4, "0")))
       .select(col("source"), col("cut_hex"))
-    d.join(broadcast(cuts), "source")
-      .filter(col("bucket") < col("cut_hex"))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
   // ---------------------------------------------------------------- C21
@@ -371,7 +396,11 @@ object DocQueries {
     * design (the 16-float feature vector has no SQL oracle); the
     * decode-not-fallback property and exact feature values are pinned
     * by MultimodalSpec. Two rows per document: (2·id, ppm) and
-    * (2·id+1, wav). */
+    * (2·id+1, wav). The feature vector is emitted as a fixed-precision
+    * string signature, not a raw float array — the correctness
+    * harness sorts and hashes every output column, and an array column
+    * is unhashable there; the signature is deterministic and carries
+    * the same information for a rows-level check. */
   def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
@@ -385,7 +414,8 @@ object DocQueries {
       }
     MM.featurize(media).toDF()
       .select(col("media_id"), col("format"), col("n_bytes"),
-        col("feature"))
+        concat_ws(",", transform(col("feature"),
+          f => format_string("%.4f", f.cast("double")))).as("feature_sig"))
   }
 
   // ------------------------------------------------------------------
@@ -518,7 +548,9 @@ object DocQueries {
         |           FROM t GROUP BY source),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM totals),
         |cuts AS (SELECT source,
-        |           least(65536, (10000 // n_src) * 65536 // src_tokens) AS cut
+        |           CASE WHEN src_tokens = 0 THEN 0
+        |                ELSE least(65536, (10000 // n_src) * 65536 // src_tokens)
+        |           END AS cut
         |         FROM totals CROSS JOIN n),
         |hex AS (SELECT source,
         |          CASE WHEN cut >= 65536 THEN 'zzzz'

@@ -91,7 +91,13 @@ object EventStream {
     * `batchTimeout` bounds the per-batch wait on the 13 route writes:
     * one wedged write (a stuck remote upload) must FAIL the batch — so
     * the checkpoint retry machinery engages and the stuck route is
-    * named — rather than hang the whole query forever. */
+    * named — rather than hang the whole query forever. The timed-out
+    * futures are abandoned, not cancelled; if the query restarts in
+    * the SAME JVM, the replayed batch supersedes them via
+    * IdempotentSink's per-(route, batch) generation token — a stale
+    * attempt stages into its own generation dir and is fenced off
+    * (SupersededAttemptException) at its first control step, so it can
+    * never publish a manifest or promote files the replay owns. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
             routes: Seq[String] = OcsfMappings.routes,

@@ -64,16 +64,21 @@ class MultimodalSpec extends SparkSpec {
     val rows = out.collect()
     val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
     assert(rows.length == 2 * nDocs, s"${rows.length} vs 2*$nDocs")
-    assert(rows.forall(_.getSeq[Float](3).length == FeatureDim))
+    // the query emits the harness-hashable signature: FeatureDim
+    // fixed-precision floats joined by commas
+    def sig(feature: Array[Float]): String =
+      feature.map(f => String.format(java.util.Locale.US, "%.4f",
+        Double.box(f.toDouble))).mkString(",")
+    assert(rows.forall(_.getString(3).split(',').length == FeatureDim))
     // a sampled row's feature equals the local single-row decode of
     // the same rendered payload — the distributed pass adds nothing
     val doc0 = graft.sources.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") === 0L).select("text").head().getString(0)
     val seed = doc0.getBytes("UTF-8")
     val byId = rows.map(r => r.getLong(0) -> r).toMap
-    assert(byId(0L).getSeq[Float](3).toSeq ==
-      decodeFeature("ppm", renderPpm(seed, 16, 16)).toSeq)
-    assert(byId(1L).getSeq[Float](3).toSeq ==
-      decodeFeature("wav", renderWavPcm16(seed, 800)).toSeq)
+    assert(byId(0L).getString(3) ==
+      sig(decodeFeature("ppm", renderPpm(seed, 16, 16))))
+    assert(byId(1L).getString(3) ==
+      sig(decodeFeature("wav", renderWavPcm16(seed, 800))))
   }
 }

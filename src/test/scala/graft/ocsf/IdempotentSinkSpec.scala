@@ -77,14 +77,16 @@ class IdempotentSinkSpec extends SparkSpec {
     val base = Files.createTempDirectory("idem-resume")
     val table = base.resolve("dns_activity")
     val staging = table.resolve("_staging/batch_7")
-    // stage exactly as writeBatch does (same layout, overwrite mode)
+    val genDir = staging.resolve("g1")
+    // stage exactly as writeBatch does (same layout, overwrite mode,
+    // per-attempt generation dir)
     OcsfSink.partitionedFrame(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), region, acct, 0).write
       .mode("overwrite")
       .partitionBy("region", "accountId", "eventDay")
-      .parquet(staging.toString)
-    val staged = Files.walk(staging).iterator().asScala
+      .parquet(genDir.toString)
+    val staged = Files.walk(genDir).iterator().asScala
       .filter(Files.isRegularFile(_))
-      .map(p => staging.relativize(p).toString)
+      .map(p => genDir.relativize(p).toString)
       .filterNot(p => Paths.get(p).getFileName.toString.matches("^[_.].*"))
       .toSeq.sorted
     assert(staged.nonEmpty, "staging produced no data files")
@@ -92,8 +94,9 @@ class IdempotentSinkSpec extends SparkSpec {
     // already moved into the table, the rest still staged
     val cb = table.resolve("_committed_batches")
     Files.createDirectories(cb)
-    Files.write(cb.resolve("7.manifest"), staged.mkString("\n").getBytes("UTF-8"))
-    val moved = staging.resolve(staged.head)
+    Files.write(cb.resolve("7.manifest"),
+      staged.map(r => s"g1/$r").mkString("\n").getBytes("UTF-8"))
+    val moved = genDir.resolve(staged.head)
     val dst = table.resolve(staged.head)
     Files.createDirectories(dst.getParent)
     Files.move(moved, dst)
@@ -114,5 +117,65 @@ class IdempotentSinkSpec extends SparkSpec {
     IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), base.toString, "DNS Activity",
       region, acct, batchId = 7L)
     assert(tableUids(base) == Seq("e1", "e2"))
+  }
+
+  test("a superseded attempt is fenced off and cannot publish or promote") {
+    val base = Files.createTempDirectory("idem-fence")
+    val batch = df("e1" -> "2023-11-14", "e2" -> "2023-11-15")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // attempt g1 begins (the route future the streaming layer later
+    // times out and abandons), then the replayed batch begins a NEWER
+    // attempt — but has not committed yet
+    val gen1 = IdempotentSink.beginAttempt(fs, tableDir, batchId = 3L)
+    val gen2 = IdempotentSink.beginAttempt(fs, tableDir, batchId = 3L)
+    // the abandoned g1 attempt gets scheduled mid-replay: it stages
+    // into its own generation dir, then must abort at the manifest
+    // control step — the replay owns the batch now
+    intercept[IdempotentSink.SupersededAttemptException] {
+      IdempotentSink.runAttempt(batch, fs, tableDir, "DNS Activity",
+        region, acct, batchId = 3L, filesPerDay = 0, gen = gen1)
+    }
+    assert(!Files.exists(base.resolve("dns_activity/_committed_batches/3.manifest")),
+      "a fenced attempt published a manifest")
+    // the current attempt then lands the batch exactly once
+    IdempotentSink.runAttempt(batch, fs, tableDir, "DNS Activity",
+      region, acct, batchId = 3L, filesPerDay = 0, gen = gen2)
+    assert(tableUids(base) == Seq("e1", "e2"))
+    // a late replay of the FENCED generation is also harmless: the
+    // committed marker short-circuits it
+    IdempotentSink.runAttempt(batch, fs, tableDir, "DNS Activity",
+      region, acct, batchId = 3L, filesPerDay = 0, gen = gen1)
+    assert(tableUids(base) == Seq("e1", "e2"))
+    // a straggler's staging leftovers (it wrote its gen dir before the
+    // winner's cleanup... or after) are swept on the next replay
+    val orphan = base.resolve(s"dns_activity/_staging/batch_3/g$gen1")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-straggler.parquet"), Array[Byte](1, 2, 3))
+    IdempotentSink.writeBatch(batch, base.toString, "DNS Activity",
+      region, acct, batchId = 3L)
+    assert(tableUids(base) == Seq("e1", "e2"))
+    assert(!Files.exists(base.resolve("dns_activity/_staging/batch_3")))
+  }
+
+  test("concurrent attempts for the same batch land the rows exactly once") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val base = Files.createTempDirectory("idem-race")
+    val batch = df("e1" -> "2023-11-14", "e2" -> "2023-11-15")
+    // two replays of the same (route, batch) racing in one JVM — the
+    // timed-out-future-vs-replay shape. Exactly one file set must land;
+    // a loser either no-ops (saw the winner's commit) or aborts fenced.
+    val attempts = (1 to 2).map { _ =>
+      Future(
+        try { IdempotentSink.writeBatch(batch, base.toString, "DNS Activity",
+          region, acct, batchId = 9L); true }
+        catch { case _: IdempotentSink.SupersededAttemptException => false })
+    }
+    val done = Await.result(Future.sequence(attempts), 120.seconds)
+    assert(done.contains(true), "no attempt committed the batch")
+    assert(tableUids(base) == Seq("e1", "e2"))
+    assert(!Files.exists(base.resolve("dns_activity/_staging/batch_9")))
   }
 }
