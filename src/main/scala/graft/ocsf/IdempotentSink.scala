@@ -23,18 +23,29 @@ import org.apache.spark.sql.DataFrame
   *     replayed attempt in the same JVM never shares a staging path
   *     with a timed-out attempt it superseded — the two bulk writes
   *     cannot interleave on the same files.
-  *  2. MANIFEST — atomically publish the staged file list (paths carry
-  *     the `g<gen>/` component) as `_committed_batches/<id>.manifest`
-  *     (write-temp-then-rename). Until this exists, a replay restarts
-  *     from step 1 under a fresh generation.
-  *  3. PROMOTE — rename each manifest entry into the table. Replays
-  *     resume: a source gone + destination present means that file
-  *     already moved.
+  *  2. MANIFEST — atomically publish the staged file list WITH SIZES
+  *     (paths carry the `g<gen>/` component; a header line carries the
+  *     entry count so a torn publish on a non-atomic store is
+  *     detectable) as `_committed_batches/<id>.manifest`
+  *     (write-temp-then-rename). Until a VALID manifest exists, a
+  *     replay restarts from step 1 under a fresh generation; a
+  *     truncated manifest is discarded and replaced under the lock.
+  *  3. PROMOTE — move each manifest entry into the table and VERIFY
+  *     its length against the manifest. Replays resume: a destination
+  *     already at its recorded length means that file already moved; a
+  *     destination at the WRONG length is the half-copied residue of a
+  *     crashed non-atomic (copy+delete) rename and is deleted and
+  *     re-promoted from staging. Nothing is marked done on length
+  *     mismatch — copy, verify, only then mark.
   *  4. COMMIT — atomically publish `_committed_batches/<id>.committed`
   *     and delete the batch staging dir (ALL generations). Once this
   *     exists the (route, batch) is done and every later replay
   *     returns without touching data — and sweeps any staging leftovers
-  *     an earlier crash orphaned.
+  *     an earlier crash orphaned. The in-process bookkeeping for the
+  *     (table, batch) — its generation counter and control lock — is
+  *     evicted here: the committed marker itself fences any straggler
+  *     (and a straggler that races the eviction sees a freshly-zeroed
+  *     generation counter, which can never equal its own generation).
   *
   * Concurrent attempts for the same (table, batch) — the timed-out
   * route future the streaming layer abandoned racing the replayed
@@ -50,19 +61,32 @@ import org.apache.spark.sql.DataFrame
   * (underscore-prefixed) and swept by the next replay of any committed
   * batch for that table.
   *
-  * Rename-based, so exactly-once holds on filesystems with atomic
-  * rename (HDFS, local, ABFS). On S3A, rename is copy+delete and the
-  * promote step narrows but does not fully close the window — there,
-  * front a committer or pair with
-  * [[graft.streaming.EventStream.dedupedByEventId]] as before. The
-  * attempt lock is per-JVM: concurrent drivers writing the same table
-  * are out of contract (Structured Streaming's checkpoint lease already
-  * forbids them).
+  * OBJECT-STORE SAFETY — the committed manifests are the READ
+  * CONTRACT, not just bookkeeping: [[committedFiles]] returns exactly
+  * the data files of committed batches, and [[OcsfTables.load]] reads
+  * a batch-committed table through it (`basePath`-anchored, so
+  * partition columns and pruning still work). A store whose rename is
+  * copy+delete (S3A) can crash between the copy and the delete, or
+  * mid-copy; either way the replay repairs the file (length-verified
+  * re-promote) and readers-by-manifest see each row exactly once at
+  * every point — they never see uncommitted, duplicated, or truncated
+  * objects, because they only ever open the exact paths a committed
+  * manifest names. Directory-scanning readers outside this contract
+  * (e.g. Athena over the same prefix) keep the weaker pre-existing
+  * guarantee: staged state is invisible (underscore-prefixed) but a
+  * mid-promote batch may be partially visible until its marker lands.
+  * Control files are write-once: existence of `.committed` implies a
+  * fully promoted, length-verified batch on any store, and manifest
+  * validity is self-checked via the header count.
   *
-  * Readers never see staged or half-promoted state as committed data:
-  * `_staging`/`_committed_batches` are underscore-prefixed, which
-  * Spark's parquet reader ignores, and promoted files become visible
-  * only under their final partition directories.
+  * The attempt lock is per-JVM: concurrent drivers writing the same
+  * table are out of contract (Structured Streaming's checkpoint lease
+  * already forbids them). Control files are one pair per batch:
+  * O(batches) small objects per table. At streaming cadence over
+  * months, compact them offline (merge manifests of committed batches
+  * into one and drop the originals) or raise the trigger interval —
+  * the read contract only requires that the set of (manifest,
+  * committed) pairs names every live data file exactly once.
   */
 object IdempotentSink {
 
@@ -73,16 +97,37 @@ object IdempotentSink {
   final class SupersededAttemptException(msg: String)
       extends RuntimeException(msg)
 
-  /** Latest attempt generation per (qualified table dir, batchId). */
+  /** Latest attempt generation per (qualified table dir, batchId).
+    * Entries live only while the batch is in flight — evicted on
+    * commit, so a year-long streaming query holds at most the
+    * in-flight batches, not its whole history. */
   private val generations = new ConcurrentHashMap[String, AtomicLong]()
 
-  /** Control-step lock per (qualified table dir, batchId). */
+  /** Control-step lock per (qualified table dir, batchId). Evicted on
+    * commit together with [[generations]]. */
   private val controlLocks = new ConcurrentHashMap[String, Object]()
 
   private def genCounter(key: String): AtomicLong =
     generations.computeIfAbsent(key, _ => new AtomicLong(0L))
   private def lockFor(key: String): Object =
     controlLocks.computeIfAbsent(key, _ => new Object)
+
+  /** Drop the in-process bookkeeping for a committed (table, batch).
+    * Safe even with a straggler attempt still running: its next
+    * control step either sees the committed marker (no-op return) or
+    * recreates a zeroed generation counter that cannot equal its own
+    * generation (fenced). */
+  private def evict(key: String): Unit = {
+    generations.remove(key)
+    controlLocks.remove(key)
+    ()
+  }
+
+  /** In-flight bookkeeping keys (spec hook: commit must evict). */
+  private[ocsf] def bookkeepingKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    generations.keySet.asScala.toSet ++ controlLocks.keySet.asScala.toSet
+  }
 
   private def attemptKey(fs: FileSystem, tableDir: Path, batchId: Long): String =
     s"${fs.makeQualified(tableDir)}#$batchId"
@@ -127,60 +172,161 @@ object IdempotentSink {
     val committed = new Path(tableDir, s"_committed_batches/$batchId.committed")
     val manifest = new Path(tableDir, s"_committed_batches/$batchId.manifest")
     val batchStaging = new Path(tableDir, s"_staging/batch_$batchId")
+    def currentManifest(): Option[Seq[(String, Long)]] =
+      if (fs.exists(manifest)) readManifest(fs, manifest) else None
     if (fs.exists(committed)) {
       // already done: sweep any staging dir a pre-commit crash (or a
       // straggling superseded attempt) orphaned, then no-op
       fs.delete(batchStaging, true)
+      evict(key)
       return
     }
-    if (!fs.exists(manifest)) {
+    if (currentManifest().isEmpty) {
       val genDir = new Path(batchStaging, s"g$gen")
       OcsfSink.partitionedFrame(df, region, accountId, filesPerDay).write
         .mode("overwrite")
         .partitionBy("region", "accountId", "eventDay")
         .parquet(genDir.toString)
-      val lines = listRelative(fs, genDir).map(rel => s"g$gen/$rel")
+      val entries = listRelative(fs, genDir)
+        .map { case (rel, len) => (s"g$gen/$rel", len) }
       lockFor(key).synchronized {
         checkCurrent(key, gen, route, batchId)
-        if (!fs.exists(manifest))
-          writeAtomic(fs, manifest, lines.mkString("\n"))
+        if (currentManifest().isEmpty) {
+          // a torn manifest from a crashed non-atomic publish blocks
+          // the write-once rename: discard it before republishing
+          if (fs.exists(manifest)) fs.delete(manifest, false)
+          writeAtomic(fs, manifest, manifestBody(entries))
+        }
       }
     }
     lockFor(key).synchronized {
       checkCurrent(key, gen, route, batchId)
-      if (fs.exists(committed)) { fs.delete(batchStaging, true); return }
-      readLines(fs, manifest).foreach { rel =>
-        val src = new Path(batchStaging, rel)
-        // drop the g<gen>/ attempt component: files land at the same
-        // table-relative path whichever generation staged them
-        val dst = new Path(tableDir, rel.split('/').drop(1).mkString("/"))
-        if (fs.exists(src)) {
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(src, dst) && !fs.exists(dst))
-            throw new IllegalStateException(
-              s"promote failed for $src -> $dst (route=$route batch=$batchId)")
-        } else if (!fs.exists(dst))
-          throw new IllegalStateException(
-            s"staged file lost before promote: $rel (route=$route batch=$batchId)")
+      if (fs.exists(committed)) {
+        fs.delete(batchStaging, true); evict(key); return
+      }
+      val entries = currentManifest().getOrElse(throw new IllegalStateException(
+        s"manifest unreadable after publish: $manifest (route=$route batch=$batchId)"))
+      entries.foreach { case (rel, len) =>
+        promoteOne(fs, batchStaging, tableDir, rel, len, route, batchId)
       }
       writeAtomic(fs, committed, "")
       fs.delete(batchStaging, true)
+      evict(key)
     }
     ()
   }
 
-  /** Data files under `root`, as `/`-relative paths, skipping Spark's
-    * `_SUCCESS`/hidden bookkeeping files. */
-  private def listRelative(fs: FileSystem, root: Path): Seq[String] = {
+  /** Move one staged file to its final path and VERIFY the landed
+    * length against the manifest (copy, verify, only then treat as
+    * done). Idempotent under replay on stores with non-atomic
+    * (copy+delete) rename: a complete destination is accepted as
+    * already promoted, a half-copied destination is deleted and
+    * re-promoted from the still-present source. `len < 0` means a
+    * legacy manifest without sizes — existence alone is then accepted,
+    * as before. */
+  private def promoteOne(fs: FileSystem, batchStaging: Path, tableDir: Path,
+                         rel: String, len: Long, route: String,
+                         batchId: Long): Unit = {
+    val src = new Path(batchStaging, rel)
+    // drop the g<gen>/ attempt component: files land at the same
+    // table-relative path whichever generation staged them
+    val dst = new Path(tableDir, finalRelPath(rel))
+    def dstComplete: Boolean =
+      fs.exists(dst) && (len < 0 || fs.getFileStatus(dst).getLen == len)
+    if (dstComplete) return
+    if (fs.exists(dst)) fs.delete(dst, false) // torn copy residue
+    if (!fs.exists(src))
+      throw new IllegalStateException(
+        s"staged file lost before promote: $rel (route=$route batch=$batchId)")
+    fs.mkdirs(dst.getParent)
+    fs.rename(src, dst)
+    if (!dstComplete)
+      throw new IllegalStateException(
+        s"promote failed or landed incomplete: $src -> $dst " +
+          s"(route=$route batch=$batchId)")
+    ()
+  }
+
+  private def finalRelPath(rel: String): String =
+    rel.split('/').drop(1).mkString("/")
+
+  /** True if the table has a batch-commit log with at least one
+    * committed batch — i.e. [[committedFiles]] is its read contract. */
+  def hasCommitLog(fs: FileSystem, tableDir: Path): Boolean = {
+    val cb = new Path(tableDir, "_committed_batches")
+    fs.exists(cb) && fs.listStatus(cb).exists(
+      _.getPath.getName.endsWith(".committed"))
+  }
+
+  /** The read contract of a batch-committed table: the exact final
+    * data-file paths of every COMMITTED batch, from the committed
+    * manifests. Readers opening precisely these paths see each row
+    * exactly once on any store — uncommitted batches, staging dirs,
+    * torn-rename residue and straggler leftovers are simply never
+    * named. One directory listing + one small read per batch. */
+  def committedFiles(fs: FileSystem, tableDir: Path): Seq[Path] = {
+    val cb = new Path(tableDir, "_committed_batches")
+    if (!fs.exists(cb)) return Seq.empty
+    val entries = fs.listStatus(cb).map(_.getPath)
+    val done = entries.filter(_.getName.endsWith(".committed"))
+      .map(_.getName.stripSuffix(".committed")).toSet
+    entries.toSeq
+      .filter(p => p.getName.endsWith(".manifest") &&
+        done.contains(p.getName.stripSuffix(".manifest")))
+      .sortBy(_.getName)
+      .flatMap { m =>
+        readManifest(fs, m).getOrElse(throw new IllegalStateException(
+          s"committed manifest unreadable: $m"))
+      }
+      .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
+      .distinct
+  }
+
+  /** Data files under `root` with their lengths, as `/`-relative
+    * paths, skipping Spark's `_SUCCESS`/hidden bookkeeping files. */
+  private def listRelative(fs: FileSystem, root: Path): Seq[(String, Long)] = {
     val rootUri = fs.makeQualified(root).toUri
     val it = fs.listFiles(root, true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
-      val f = it.next().getPath
-      if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
-        out += rootUri.relativize(fs.makeQualified(f).toUri).getPath
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        out += ((rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath,
+          f.getLen))
     }
     out.result()
+  }
+
+  private val ManifestHeader = "#graft-manifest files="
+
+  /** v2 manifest body: a count header (truncation-detectable) plus one
+    * `path<TAB>length` line per staged data file. */
+  private def manifestBody(entries: Seq[(String, Long)]): String =
+    (s"$ManifestHeader${entries.size}" +:
+      entries.map { case (rel, len) => s"$rel\t$len" }).mkString("\n")
+
+  /** Parse a manifest; None means torn/invalid (publish crashed on a
+    * non-atomic store) and the caller must discard and republish.
+    * Legacy headerless manifests (paths only) parse with unknown
+    * lengths (-1) — their publish predates the verify contract. */
+  private def readManifest(fs: FileSystem, p: Path): Option[Seq[(String, Long)]] = {
+    val lines = readLines(fs, p)
+    lines.headOption match {
+      case Some(h) if h.startsWith(ManifestHeader) =>
+        val expected = h.stripPrefix(ManifestHeader).toIntOption
+        val parsed = lines.tail.map { l =>
+          l.split('\t') match {
+            case Array(rel, len) => len.toLongOption.map(rel -> _)
+            case _ => None
+          }
+        }
+        if (expected.contains(parsed.size) && parsed.forall(_.isDefined))
+          Some(parsed.flatten)
+        else None
+      case Some(h) if h.startsWith("#") => None
+      case Some(_) => Some(lines.map(_ -> -1L)) // legacy: paths only
+      case None => None // zero bytes: a torn copy, never a valid publish
+    }
   }
 
   /** Publish a small control file atomically: existence implies

@@ -1,5 +1,6 @@
 package graft.ocsf
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Reader side of the lake (the reference's Athena consumption surface,
@@ -7,14 +8,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[OcsfSink]] and register all of them as temp views so the full SQL
   * surface runs over them.
   *
-  * Partition pruning comes free: `region`/`accountId`/`eventDay` are
-  * directory partitions, so `WHERE eventDay = ...` prunes files before
-  * any IO.
+  * Tables landed through [[IdempotentSink]] are read through their
+  * batch-commit log ([[IdempotentSink.committedFiles]]): the reader
+  * opens exactly the data files the committed manifests name, so it
+  * sees each row exactly once on ANY store — including one whose
+  * rename is a non-atomic copy+delete (S3A), where a directory scan
+  * could otherwise glimpse a mid-promote batch. Partition columns and
+  * pruning survive the explicit file list via `basePath`. Tables
+  * written by the plain append sink fall back to the directory scan.
+  * A table is one or the other — mixing plain appends and committed
+  * batches under one prefix is out of contract (the appends would be
+  * invisible to the manifest reader).
+  *
+  * Partition pruning comes free either way: `region`/`accountId`/
+  * `eventDay` are directory partitions, so `WHERE eventDay = ...`
+  * prunes files before any IO.
   */
 object OcsfTables {
 
-  def load(spark: SparkSession, baseDir: String, route: String): DataFrame =
-    spark.read.parquet(s"$baseDir/${OcsfSink.tableName(route)}")
+  def load(spark: SparkSession, baseDir: String, route: String): DataFrame = {
+    val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (IdempotentSink.hasCommitLog(fs, tableDir)) {
+      val files = IdempotentSink.committedFiles(fs, tableDir)
+      require(files.nonEmpty,
+        s"$tableDir has a batch-commit log but no committed data files")
+      spark.read.option("basePath", tableDir.toString)
+        .parquet(files.map(_.toString): _*)
+    } else spark.read.parquet(tableDir.toString)
+  }
 
   /** Registers every sink-route table that has data under `baseDir` as
     * a temp view named like `ocsf_process_activity`. Routes with no
@@ -24,26 +46,29 @@ object OcsfTables {
     * Probing goes through the Hadoop FileSystem API so the same call
     * works against `s3a://` / `hdfs://` lakes, not just the local FS. */
   def registerAll(spark: SparkSession, baseDir: String): Seq[String] = {
-    import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
     val hadoopConf = spark.sessionState.newHadoopConf()
     OcsfMappings.routes.flatMap { route =>
       val name = OcsfSink.tableName(route)
       val dir = new Path(s"$baseDir/$name")
       val fs = dir.getFileSystem(hadoopConf)
-      val hasParquet = fs.exists(dir) && {
-        // recursive object listing — one LIST call family on S3, no
-        // per-directory round trips
-        val it: RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
-          fs.listFiles(dir, true)
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getPath.getName.endsWith(".parquet")
-        found
-      }
-      if (hasParquet) {
+      val hasData =
+        if (IdempotentSink.hasCommitLog(fs, dir))
+          IdempotentSink.committedFiles(fs, dir).nonEmpty
+        else fs.exists(dir) && hasAnyParquet(fs, dir)
+      if (hasData) {
         load(spark, baseDir, route).createOrReplaceTempView(s"ocsf_$name")
         Some(s"ocsf_$name")
       } else None
     }
+  }
+
+  /** Recursive object listing — one LIST call family on S3, no
+    * per-directory round trips. */
+  private def hasAnyParquet(fs: FileSystem, dir: Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
   }
 }

@@ -119,6 +119,21 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(tableUids(base) == Seq("e1", "e2"))
   }
 
+  test("commit evicts bookkeeping: the generation/lock maps do not grow across batches") {
+    val base = Files.createTempDirectory("idem-evict")
+    (0L until 6L).foreach { b =>
+      IdempotentSink.writeBatch(df(s"e$b" -> "2023-11-14"), base.toString,
+        "DNS Activity", region, acct, batchId = b)
+    }
+    // every batch committed → every (table, batch) entry evicted; a
+    // year-long streaming query must not accumulate one entry per batch
+    assert(!IdempotentSink.bookkeepingKeys.exists(_.contains("idem-evict")),
+      "committed (table, batch) bookkeeping must be evicted")
+    assert(tableUids(base) == (0 until 6).map("e" + _))
+    // reads go through the batch-commit log for this table
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 6)
+  }
+
   test("a superseded attempt is fenced off and cannot publish or promote") {
     val base = Files.createTempDirectory("idem-fence")
     val batch = df("e1" -> "2023-11-14", "e2" -> "2023-11-15")

@@ -1,0 +1,195 @@
+package graft.ocsf
+
+import java.io.IOException
+import java.net.URI
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileStatus, FileUtil, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A local FileSystem whose rename is NON-ATOMIC — copy to the
+  * destination, then delete the source — with an injectable crash
+  * between (or inside) the two halves: the S3A/object-store rename
+  * model the two-phase commit must survive. Armed per-test via the
+  * companion; unmatched renames behave normally. */
+class NonAtomicRenameFs extends RawLocalFileSystem {
+  import NonAtomicRenameFs._
+  override def getUri: URI = URI.create("nonatomic:///")
+  // RawLocalFileSystem's lazy permission loading calls new File(uri),
+  // which rejects any scheme but file: — return eager statuses instead
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map { s =>
+      new FileStatus(s.getLen, s.isDirectory, s.getReplication,
+        s.getBlockSize, s.getModificationTime, s.getAccessTime,
+        FsPermission.getFileDefault, "test", "test", s.getPath)
+    }
+  override def rename(src: Path, dst: Path): Boolean = fire(dst) match {
+    case Pass => super.rename(src, dst)
+    case CrashAfterCopy =>
+      if (exists(dst)) return false
+      FileUtil.copy(this, src, this, dst, false, getConf)
+      throw new IOException(
+        s"simulated store crash: $dst fully copied, source delete pending")
+    case CrashMidCopy =>
+      if (exists(dst)) return false
+      val len = getFileStatus(src).getLen
+      val in = open(src)
+      val out = create(dst, true)
+      try {
+        val buf = new Array[Byte](math.max(1, (len / 2).toInt))
+        val n = in.read(buf)
+        if (n > 0) out.write(buf, 0, n)
+      } finally { out.close(); in.close() }
+      throw new IOException(s"simulated store crash mid-copy: $dst is partial")
+  }
+}
+
+object NonAtomicRenameFs {
+  sealed trait Mode
+  case object Pass extends Mode
+  case object CrashAfterCopy extends Mode
+  case object CrashMidCopy extends Mode
+
+  @volatile private var trigger: Path => Mode = _ => Pass
+  private val budget = new AtomicInteger(0)
+
+  /** The next `n` renames whose destination matches misbehave. */
+  def arm(n: Int)(f: Path => Mode): Unit = { budget.set(n); trigger = f }
+  def disarm(): Unit = { trigger = _ => Pass; budget.set(0) }
+  private[ocsf] def fire(dst: Path): Mode = trigger(dst) match {
+    case Pass => Pass
+    case m => if (budget.getAndDecrement() > 0) m else Pass
+  }
+}
+
+/** A24 object-store safety: on a store where rename = copy + delete
+  * (S3A), a crash at any point inside the promote or the control-file
+  * publish must never duplicate, lose, or tear a row for a reader of
+  * the committed table ([[OcsfTables.load]] via the batch-commit
+  * log). */
+class ObjectStoreSinkSpec extends SparkSpec {
+
+  private val region = "us-east-1"
+  private val acct = "123456789012"
+  private val route = "DNS Activity"
+
+  /** Fresh nonatomic:// base dir; registers the scheme once. */
+  private def mkBase(): String = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.nonatomic.impl", classOf[NonAtomicRenameFs].getName)
+    hc.set("fs.nonatomic.impl.disable.cache", "true")
+    "nonatomic:" + Files.createTempDirectory("objstore")
+  }
+
+  /** (uid, day) rows; two distinct days → two staged files, so the
+    * crash hits one file with another still pending. */
+  private def df(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("uid", "day")
+      .select(struct(col("uid")).as("metadata"),
+        to_timestamp(concat(col("day"), lit(" 12:00:00"))).as("time"))
+  }
+
+  private def committedUids(base: String): Seq[String] =
+    OcsfTables.load(spark, base, route)
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+
+  private def fsOf(base: String) = {
+    val dir = new Path(s"$base/dns_activity")
+    (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  /** Final-layout parquet paths a plain directory scan would read —
+    * everything outside the underscore-hidden control/staging dirs. */
+  private def visibleParquet(base: String): Seq[Path] = {
+    val (fs, dir) = fsOf(base)
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && !p.toString.contains("/_staging/"))
+        out += p
+    }
+    out.result()
+  }
+
+  private def isPromoteTarget(p: Path): Boolean =
+    p.toString.contains("/eventDay=") && !p.toString.contains("/_staging/")
+
+  test("copy-then-crash-before-delete mid-promote: replay lands every row exactly once") {
+    val base = mkBase()
+    val batch = df("e1" -> "2023-11-14", "e2" -> "2023-11-15")
+    NonAtomicRenameFs.arm(1)(p =>
+      if (isPromoteTarget(p)) NonAtomicRenameFs.CrashAfterCopy
+      else NonAtomicRenameFs.Pass)
+    try intercept[IOException] {
+      IdempotentSink.writeBatch(batch, base, route, region, acct, batchId = 0L)
+    } finally NonAtomicRenameFs.disarm()
+    val (fs, tableDir) = fsOf(base)
+    // the state S3A leaves: the first object fully visible at its final
+    // path, its source still in staging, nothing committed — the exact
+    // at-least-once window a naive append sink re-appends into
+    assert(visibleParquet(base).size == 1)
+    assert(fs.exists(new Path(tableDir, "_staging/batch_0")))
+    assert(!IdempotentSink.hasCommitLog(fs, tableDir))
+    // replay: the verified promote accepts the complete copy as already
+    // promoted (no re-land), moves the second file, commits
+    IdempotentSink.writeBatch(batch, base, route, region, acct, batchId = 0L)
+    assert(committedUids(base) == Seq("e1", "e2"))
+    assert(OcsfTables.load(spark, base, route).count() == 2)
+    assert(visibleParquet(base).size == 2)
+    assert(!fs.exists(new Path(tableDir, "_staging/batch_0")))
+    // committed bookkeeping evicted (straggler fencing now rests on the
+    // marker, not the in-process maps)
+    assert(!IdempotentSink.bookkeepingKeys.exists(_.contains("objstore")),
+      "commit must evict the (table, batch) generation/lock entries")
+  }
+
+  test("crash mid-copy tears the destination object: replay re-promotes it, length-verified") {
+    val base = mkBase()
+    val batch = df("p1" -> "2023-11-14", "p2" -> "2023-11-15")
+    NonAtomicRenameFs.arm(1)(p =>
+      if (isPromoteTarget(p)) NonAtomicRenameFs.CrashMidCopy
+      else NonAtomicRenameFs.Pass)
+    try intercept[IOException] {
+      IdempotentSink.writeBatch(batch, base, route, region, acct, batchId = 0L)
+    } finally NonAtomicRenameFs.disarm()
+    val (fs, _) = fsOf(base)
+    // a torn (half-copied) parquet object sits at a final path
+    val torn = visibleParquet(base)
+    assert(torn.size == 1)
+    val tornLen = fs.getFileStatus(torn.head).getLen
+    // replay: the length check rejects the torn object, deletes it and
+    // re-promotes the intact staged source before committing
+    IdempotentSink.writeBatch(batch, base, route, region, acct, batchId = 0L)
+    assert(fs.getFileStatus(torn.head).getLen > tornLen,
+      "torn object must be replaced by the full staged file")
+    assert(committedUids(base) == Seq("p1", "p2"))
+    assert(OcsfTables.load(spark, base, route).count() == 2)
+  }
+
+  test("torn manifest publish is detected, discarded and republished") {
+    val base = mkBase()
+    val batch = df("m1" -> "2023-11-14", "m2" -> "2023-11-15")
+    NonAtomicRenameFs.arm(1)(p =>
+      if (p.getName == "0.manifest") NonAtomicRenameFs.CrashMidCopy
+      else NonAtomicRenameFs.Pass)
+    try intercept[IOException] {
+      IdempotentSink.writeBatch(batch, base, route, region, acct, batchId = 0L)
+    } finally NonAtomicRenameFs.disarm()
+    val (fs, tableDir) = fsOf(base)
+    // the torn manifest EXISTS but fails its count header — it must not
+    // be trusted as a promote list
+    assert(fs.exists(new Path(tableDir, "_committed_batches/0.manifest")))
+    assert(visibleParquet(base).isEmpty, "nothing may promote off a torn manifest")
+    // replay restages under a fresh generation, republishes, commits
+    IdempotentSink.writeBatch(batch, base, route, region, acct, batchId = 0L)
+    assert(committedUids(base) == Seq("m1", "m2"))
+    assert(OcsfTables.load(spark, base, route).count() == 2)
+    assert(visibleParquet(base).size == 2)
+  }
+}
