@@ -24,9 +24,11 @@ import org.apache.spark.sql.DataFrame
   *     with a timed-out attempt it superseded — the two bulk writes
   *     cannot interleave on the same files.
   *  2. MANIFEST — atomically publish the staged file list WITH SIZES
-  *     (paths carry the `g<gen>/` component; a header line carries the
-  *     entry count so a torn publish on a non-atomic store is
-  *     detectable) as `_committed_batches/<id>.manifest`
+  *     (paths carry the `g<gen>/` component; a count header plus a
+  *     `#end` trailer make the format self-terminating, so a torn
+  *     publish on a non-atomic store is detectable at ANY cut point,
+  *     even one inside the last entry's length digits) as
+  *     `_committed_batches/<id>.manifest`
   *     (write-temp-then-rename). Until a VALID manifest exists, a
   *     replay restarts from step 1 under a fresh generation; a
   *     truncated manifest is discarded and replaced under the lock.
@@ -77,16 +79,17 @@ import org.apache.spark.sql.DataFrame
   * mid-promote batch may be partially visible until its marker lands.
   * Control files are write-once: existence of `.committed` implies a
   * fully promoted, length-verified batch on any store, and manifest
-  * validity is self-checked via the header count.
+  * validity is self-checked via the count header + `#end` trailer.
   *
   * The attempt lock is per-JVM: concurrent drivers writing the same
   * table are out of contract (Structured Streaming's checkpoint lease
   * already forbids them). Control files are one pair per batch:
   * O(batches) small objects per table. At streaming cadence over
-  * months, compact them offline (merge manifests of committed batches
-  * into one and drop the originals) or raise the trigger interval —
+  * months, run [[compactCommits]] offline to merge them into one pair —
   * the read contract only requires that the set of (manifest,
-  * committed) pairs names every live data file exactly once.
+  * committed) pairs names every live data file exactly once, and
+  * [[committedFiles]] dedups on final paths, so the compaction's
+  * publish-then-delete windows are reader-safe at every crash point.
   */
 object IdempotentSink {
 
@@ -109,14 +112,16 @@ object IdempotentSink {
 
   private def genCounter(key: String): AtomicLong =
     generations.computeIfAbsent(key, _ => new AtomicLong(0L))
-  private def lockFor(key: String): Object =
+  private[ocsf] def lockFor(key: String): Object =
     controlLocks.computeIfAbsent(key, _ => new Object)
 
   /** Drop the in-process bookkeeping for a committed (table, batch).
     * Safe even with a straggler attempt still running: its next
     * control step either sees the committed marker (no-op return) or
-    * recreates a zeroed generation counter that cannot equal its own
-    * generation (fenced). */
+    * finds its generation entry gone ([[checkCurrent]] treats a
+    * missing entry as superseded WITHOUT recreating it, and drops the
+    * lock entry the straggler's `lockFor` may have just recreated), so
+    * the race leaves no permanent per-(table, batch) residue. */
   private def evict(key: String): Unit = {
     generations.remove(key)
     controlLocks.remove(key)
@@ -129,7 +134,7 @@ object IdempotentSink {
     generations.keySet.asScala.toSet ++ controlLocks.keySet.asScala.toSet
   }
 
-  private def attemptKey(fs: FileSystem, tableDir: Path, batchId: Long): String =
+  private[ocsf] def attemptKey(fs: FileSystem, tableDir: Path, batchId: Long): String =
     s"${fs.makeQualified(tableDir)}#$batchId"
 
   /** Idempotently land one route's slice of a micro-batch. Safe to
@@ -155,12 +160,26 @@ object IdempotentSink {
                                  batchId: Long): Long =
     genCounter(attemptKey(fs, tableDir, batchId)).incrementAndGet()
 
-  private def checkCurrent(key: String, gen: Long, route: String,
-                           batchId: Long): Unit =
-    if (genCounter(key).get() != gen)
+  /** Fences a stale attempt at a control step. A MISSING generation
+    * entry means the batch committed and was evicted while this
+    * straggler was in flight: fence it without recreating the entry
+    * (a `computeIfAbsent` here would leak a zeroed counter forever in
+    * exactly the timeout-race case eviction targets), and drop the
+    * lock entry the straggler's own `lockFor` just recreated. */
+  private[ocsf] def checkCurrent(key: String, gen: Long, route: String,
+                                 batchId: Long): Unit = {
+    val counter = generations.get(key)
+    if (counter == null) {
+      controlLocks.remove(key)
+      throw new SupersededAttemptException(
+        s"attempt g$gen for route=$route batch=$batchId raced the commit " +
+          "of a newer replay (bookkeeping already evicted); aborting")
+    }
+    if (counter.get() != gen)
       throw new SupersededAttemptException(
         s"attempt g$gen for route=$route batch=$batchId was superseded " +
           "by a newer replay of the same batch; aborting without publishing")
+  }
 
   /** The body of one attempt at a fixed generation. Package-private
     * for the superseded-attempt spec. */
@@ -221,9 +240,11 @@ object IdempotentSink {
     * done). Idempotent under replay on stores with non-atomic
     * (copy+delete) rename: a complete destination is accepted as
     * already promoted, a half-copied destination is deleted and
-    * re-promoted from the still-present source. `len < 0` means a
-    * legacy manifest without sizes — existence alone is then accepted,
-    * as before. */
+    * re-promoted from the still-present source. The source-presence
+    * check runs BEFORE any destination delete: if the length
+    * mismatches and staging is gone too, the landed bytes are the only
+    * copy left — preserve them and fail loudly rather than deleting
+    * the evidence and wedging every replay on "staged file lost". */
   private def promoteOne(fs: FileSystem, batchStaging: Path, tableDir: Path,
                          rel: String, len: Long, route: String,
                          batchId: Long): Unit = {
@@ -232,12 +253,14 @@ object IdempotentSink {
     // table-relative path whichever generation staged them
     val dst = new Path(tableDir, finalRelPath(rel))
     def dstComplete: Boolean =
-      fs.exists(dst) && (len < 0 || fs.getFileStatus(dst).getLen == len)
+      fs.exists(dst) && fs.getFileStatus(dst).getLen == len
     if (dstComplete) return
-    if (fs.exists(dst)) fs.delete(dst, false) // torn copy residue
     if (!fs.exists(src))
       throw new IllegalStateException(
-        s"staged file lost before promote: $rel (route=$route batch=$batchId)")
+        s"staged file lost before promote: $rel (route=$route batch=$batchId)" +
+          (if (fs.exists(dst)) s"; incomplete destination $dst PRESERVED for inspection"
+           else ""))
+    if (fs.exists(dst)) fs.delete(dst, false) // torn copy residue
     fs.mkdirs(dst.getParent)
     fs.rename(src, dst)
     if (!dstComplete)
@@ -268,8 +291,21 @@ object IdempotentSink {
     val cb = new Path(tableDir, "_committed_batches")
     if (!fs.exists(cb)) return Seq.empty
     val entries = fs.listStatus(cb).map(_.getPath)
+    val manifests = entries.filter(_.getName.endsWith(".manifest"))
+      .map(_.getName.stripSuffix(".manifest")).toSet
     val done = entries.filter(_.getName.endsWith(".committed"))
       .map(_.getName.stripSuffix(".committed")).toSet
+    // a marker without its manifest means committed data has silently
+    // left the read contract (e.g. a compaction that deleted originals
+    // before publishing the merged pair) — fail loudly, never narrow
+    // the contract. compactCommits deletes markers BEFORE manifests so
+    // its crash windows never produce this state.
+    val orphanMarkers = done -- manifests
+    if (orphanMarkers.nonEmpty)
+      throw new IllegalStateException(
+        s"committed marker(s) without manifest under $cb: " +
+          s"${orphanMarkers.toSeq.sorted.mkString(", ")} — committed data " +
+          "would be invisible to readers; restore the manifest(s)")
     entries.toSeq
       .filter(p => p.getName.endsWith(".manifest") &&
         done.contains(p.getName.stripSuffix(".manifest")))
@@ -280,6 +316,85 @@ object IdempotentSink {
       }
       .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
       .distinct
+  }
+
+  /** Final data-file paths named by ANY parseable manifest — committed
+    * or still in flight. The superset [[OcsfTables.load]] checks a
+    * directory scan against to detect out-of-contract plain appends:
+    * a file at a final path that no manifest names was never written
+    * through this sink and would be silently invisible to readers-by-
+    * manifest. (An UNCOMMITTED manifest's files are a legitimate
+    * transient — a mid-promote batch — and must not trip the guard.) */
+  def manifestedFiles(fs: FileSystem, tableDir: Path): Set[Path] = {
+    val cb = new Path(tableDir, "_committed_batches")
+    if (!fs.exists(cb)) return Set.empty
+    fs.listStatus(cb).map(_.getPath).toSeq
+      .filter(_.getName.endsWith(".manifest"))
+      .flatMap(m => readManifest(fs, m).getOrElse(Seq.empty))
+      .map { case (rel, _) =>
+        fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
+      }
+      .toSet
+  }
+
+  /** Merge the control files of every COMMITTED batch into ONE
+    * (manifest, committed) pair named `compact-<k>`, then delete the
+    * originals — bounding the O(batches) LIST/GET tax [[committedFiles]]
+    * pays at streaming cadence (a 10 s trigger over months is 10⁵–10⁶
+    * small control objects per table). OFFLINE maintenance: run it
+    * only while no writer is active on the table (the same
+    * single-writer contract the sink itself requires).
+    *
+    * Crash-safe on any store by ordering alone:
+    *  1. publish the merged manifest (atomic), 2. publish the merged
+    *  marker (atomic), 3. delete original markers, 4. delete original
+    *  manifests. Until step 2 the merged manifest is unmarked and
+    *  invisible; between 2 and 4 the merged pair and surviving
+    *  originals name the same data files twice and [[committedFiles]]'s
+    *  final-path distinct keeps the read exactly-once; markers are
+    *  deleted BEFORE their manifests so no cut point ever produces a
+    *  marker without a manifest (the state [[committedFiles]] rejects
+    *  as data loss). A crashed compaction is simply re-run: leftover
+    *  unmarked `compact-*` manifests are swept, never reused (the next
+    *  attempt takes a fresh `k`).
+    *
+    * Returns the number of batch pairs merged (0 = nothing to do). */
+  def compactCommits(fs: FileSystem, tableDir: Path): Int = {
+    val cb = new Path(tableDir, "_committed_batches")
+    if (!fs.exists(cb)) return 0
+    val entries = fs.listStatus(cb).map(_.getPath)
+    val manifests = entries.filter(_.getName.endsWith(".manifest"))
+      .map(_.getName.stripSuffix(".manifest")).toSet
+    val done = entries.filter(_.getName.endsWith(".committed"))
+      .map(_.getName.stripSuffix(".committed")).toSet
+    // sweep unmarked compact-* manifests (a crashed attempt's step-1
+    // leftover; compaction owns this namespace and runs writer-free,
+    // so unlike a batch manifest it can never be an in-flight promote)
+    (manifests -- done).filter(_.startsWith("compact-")).foreach { n =>
+      fs.delete(new Path(cb, s"$n.manifest"), false)
+    }
+    val names = done.toSeq.sorted
+    if (names.size < 2) return 0
+    val merged = names.flatMap { n =>
+      val mp = new Path(cb, s"$n.manifest")
+      if (!fs.exists(mp)) throw new IllegalStateException(
+        s"committed marker without manifest during compaction: $mp — " +
+          "committed data would leave the read contract; restore it")
+      readManifest(fs, mp).getOrElse(throw new IllegalStateException(
+        s"committed manifest unreadable during compaction: $mp"))
+    } // re-anchor under a dummy attempt component so finalRelPath holds
+      .map { case (rel, len) => (s"c/${finalRelPath(rel)}", len) }
+      .distinct
+    val k = (manifests ++ done).flatMap(n =>
+      if (n.startsWith("compact-")) n.stripPrefix("compact-").toIntOption
+      else None).maxOption.getOrElse(-1) + 1
+    writeAtomic(fs, new Path(cb, s"compact-$k.manifest"), manifestBody(merged))
+    writeAtomic(fs, new Path(cb, s"compact-$k.committed"), "")
+    names.foreach { n =>
+      fs.delete(new Path(cb, s"$n.committed"), false)
+      fs.delete(new Path(cb, s"$n.manifest"), false)
+    }
+    names.size
   }
 
   /** Data files under `root` with their lengths, as `/`-relative
@@ -298,23 +413,31 @@ object IdempotentSink {
   }
 
   private val ManifestHeader = "#graft-manifest files="
+  private val ManifestTrailer = "#end"
 
-  /** v2 manifest body: a count header (truncation-detectable) plus one
-    * `path<TAB>length` line per staged data file. */
+  /** Manifest body: a count header, one `path<TAB>length` line per
+    * staged data file, and a `#end` trailer. The trailer makes the
+    * format SELF-TERMINATING: a prefix cut anywhere — including inside
+    * the last entry's length digits, where the count still matches and
+    * every line still parses — is detectably torn, because `#end` is
+    * the final bytes written and survives no truncation. */
   private def manifestBody(entries: Seq[(String, Long)]): String =
     (s"$ManifestHeader${entries.size}" +:
-      entries.map { case (rel, len) => s"$rel\t$len" }).mkString("\n")
+      entries.map { case (rel, len) => s"$rel\t$len" } :+
+      ManifestTrailer).mkString("\n")
 
   /** Parse a manifest; None means torn/invalid (publish crashed on a
-    * non-atomic store) and the caller must discard and republish.
-    * Legacy headerless manifests (paths only) parse with unknown
-    * lengths (-1) — their publish predates the verify contract. */
-  private def readManifest(fs: FileSystem, p: Path): Option[Seq[(String, Long)]] = {
+    * non-atomic store) and the caller must discard and republish. Only
+    * the self-terminating header+trailer format is valid — any other
+    * content is treated as torn, so a replay restages under a fresh
+    * generation rather than trusting a file of unknown provenance. */
+  private[ocsf] def readManifest(fs: FileSystem, p: Path): Option[Seq[(String, Long)]] = {
     val lines = readLines(fs, p)
     lines.headOption match {
-      case Some(h) if h.startsWith(ManifestHeader) =>
+      case Some(h) if h.startsWith(ManifestHeader) &&
+          lines.last == ManifestTrailer =>
         val expected = h.stripPrefix(ManifestHeader).toIntOption
-        val parsed = lines.tail.map { l =>
+        val parsed = lines.tail.dropRight(1).map { l =>
           l.split('\t') match {
             case Array(rel, len) => len.toLongOption.map(rel -> _)
             case _ => None
@@ -323,9 +446,7 @@ object IdempotentSink {
         if (expected.contains(parsed.size) && parsed.forall(_.isDefined))
           Some(parsed.flatten)
         else None
-      case Some(h) if h.startsWith("#") => None
-      case Some(_) => Some(lines.map(_ -> -1L)) // legacy: paths only
-      case None => None // zero bytes: a torn copy, never a valid publish
+      case _ => None // torn, zero-byte, or unknown format: never trusted
     }
   }
 

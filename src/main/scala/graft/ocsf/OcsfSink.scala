@@ -26,6 +26,28 @@ object OcsfSink {
   def tableName(route: String): String =
     route.toLowerCase.replace(' ', '_')
 
+  /** Runs `body` on a DEDICATED, named, bounded pool sized to the
+    * fan-out width, shut down when the body returns. The route writes
+    * are blocking parquet jobs; parking them on the JVM-shared
+    * fork-join pool (`ExecutionContext.global`) lets two concurrent
+    * fan-outs in one JVM starve each other and everything else sharing
+    * the global pool. Daemon threads; `shutdown()` is graceful, so a
+    * timed-out straggler the caller abandoned finishes on its own
+    * thread and the pool then dies — nothing leaks past the last task. */
+  private[graft] def withFanOutPool[T](threads: Int, name: String)(
+      body: scala.concurrent.ExecutionContext => T): T = {
+    val seq = new java.util.concurrent.atomic.AtomicInteger(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, threads),
+      (r: Runnable) => {
+        val t = new Thread(r, s"$name-${seq.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      })
+    try body(scala.concurrent.ExecutionContext.fromExecutorService(pool))
+    finally { pool.shutdown(); () }
+  }
+
   /** Auto-sizing for [[write]]'s `filesPerDay`: Catalyst's size
     * estimate for the plan divided by a target in-memory chunk per
     * writer (512 MB in-memory ≈ 100-200 MB parquet after encoding),
@@ -81,14 +103,28 @@ object OcsfSink {
     * first (as EtlBench/demos do) so the scan isn't re-run per route. */
   def fanOut(classified: DataFrame, baseDir: String,
              region: String, accountId: String): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = Normalizers.normalizeAll(classified).toSeq.map { case (route, df) =>
-      Future(write(df, baseDir, route, region, accountId))
-    }
-    Await.result(Future.sequence(jobs), Duration.Inf)
+    fanOutTimed(classified, baseDir, region, accountId)
     ()
+  }
+
+  /** [[fanOut]] that also reports per-route wall seconds (measured
+    * inside each route's future, so contention between the concurrent
+    * writes is included — the number a capacity plan needs). */
+  def fanOutTimed(classified: DataFrame, baseDir: String,
+                  region: String, accountId: String): Map[String, Double] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val routed = Normalizers.normalizeAll(classified).toSeq
+    withFanOutPool(routed.size, "graft-fanout") { implicit ec =>
+      val jobs = routed.map { case (route, df) =>
+        Future {
+          val t0 = System.nanoTime()
+          write(df, baseDir, route, region, accountId)
+          route -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf).toMap
+    }
   }
 
   /** [[fanOut]] with restart safety: each route lands through
@@ -100,13 +136,15 @@ object OcsfSink {
   def fanOutIdempotent(classified: DataFrame, baseDir: String,
                        region: String, accountId: String,
                        runId: Long): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = Normalizers.normalizeAll(classified).toSeq.map { case (route, df) =>
-      Future(IdempotentSink.writeBatch(df, baseDir, route, region, accountId, runId))
+    val routed = Normalizers.normalizeAll(classified).toSeq
+    withFanOutPool(routed.size, "graft-fanout-idem") { implicit ec =>
+      val jobs = routed.map { case (route, df) =>
+        Future(IdempotentSink.writeBatch(df, baseDir, route, region, accountId, runId))
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf)
     }
-    Await.result(Future.sequence(jobs), Duration.Inf)
     ()
   }
 }

@@ -17,8 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning survive the explicit file list via `basePath`. Tables
   * written by the plain append sink fall back to the directory scan.
   * A table is one or the other — mixing plain appends and committed
-  * batches under one prefix is out of contract (the appends would be
-  * invisible to the manifest reader).
+  * batches under one prefix is out of contract, and [[load]] REJECTS
+  * it (a stray final-path file named by no manifest raises instead of
+  * being silently dropped from the read).
   *
   * Partition pruning comes free either way: `region`/`accountId`/
   * `eventDay` are directory partitions, so `WHERE eventDay = ...`
@@ -33,9 +34,37 @@ object OcsfTables {
       val files = IdempotentSink.committedFiles(fs, tableDir)
       require(files.nonEmpty,
         s"$tableDir has a batch-commit log but no committed data files")
+      // mixed-table guard: a data file at a final path that NO manifest
+      // (committed or in-flight) names was plain-appended outside the
+      // commit log — it would be silently invisible to this reader, so
+      // fail loudly instead of narrowing the result. One extra LIST;
+      // mid-promote files are covered by their (uncommitted) manifest
+      // and never trip this.
+      val named = IdempotentSink.manifestedFiles(fs, tableDir)
+      val strays = finalDataFiles(fs, tableDir).filterNot(named.contains)
+      require(strays.isEmpty,
+        s"$tableDir mixes plain appends with committed batches (out of " +
+          s"contract): ${strays.size} data file(s) at final paths are not " +
+          s"named by any batch manifest and would be invisible to the " +
+          s"manifest reader; first: ${strays.headOption.getOrElse("")}")
       spark.read.option("basePath", tableDir.toString)
         .parquet(files.map(_.toString): _*)
     } else spark.read.parquet(tableDir.toString)
+  }
+
+  /** Qualified data files at FINAL paths — everything outside the
+    * underscore-hidden control/staging dirs. */
+  private def finalDataFiles(fs: FileSystem, tableDir: Path): Seq[Path] = {
+    val it = fs.listFiles(tableDir, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = fs.makeQualified(tableDir).toUri
+        .relativize(fs.makeQualified(f).toUri).getPath
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        out += fs.makeQualified(f)
+    }
+    out.result()
   }
 
   /** Registers every sink-route table that has data under `baseDir` as

@@ -450,11 +450,36 @@ object Dedup {
     * composition every approximate dedup runs at 100 TB: MinHash or
     * SimHash proposes, this confirms. Two equi-joins on the id attach
     * each side's gram set; cost is O(|pairs| × grams-per-doc), never
-    * the corpus-wide posting-list join of [[ngramJaccardPairs]]. */
+    * the corpus-wide posting-list join of [[ngramJaccardPairs]].
+    *
+    * Row width is BOUNDED: each doc's gram set travels as a sorted
+    * array of distinct xxhash64 values — 8 bytes per gram instead of
+    * the raw gram strings (a book-length doc has 10⁵–10⁶ grams; at
+    * ~20 B per raw 3-gram that is a tens-of-MB row meeting the join
+    * side by side, vs single-MB hashed). Intersection/union sizes — so
+    * the Jaccard — equal the raw-string computation absent 64-bit
+    * collisions within a pair's union (~m²/2⁶⁴, negligible). Hashing
+    * also drops a shuffle: the gram `distinct` folds into the
+    * `collect_set`, leaving one exchange (the groupBy on the id).
+    *
+    * `maxGrams > 0` additionally caps each doc at its `maxGrams`
+    * SMALLEST hashes — a bottom-k (KMV) sketch, sound because both
+    * sides keep the same "smallest hash" prefix of any shared gram
+    * set. Pairs where either side hit the cap get an ESTIMATED Jaccard
+    * (error ~1/√maxGrams); set the cap above the corpus's per-doc gram
+    * P99 so estimation only touches outlier documents, and keep 0
+    * (uncapped) when the downstream is an oracle-checked exact gate. */
   def exactJaccardForPairs(docs: DataFrame, textCol: String, idCol: String,
-                           pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sets = shingles(docs, textCol, idCol, n)
-      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("grams"))
+                           pairs: DataFrame, n: Int = 3,
+                           maxGrams: Int = 0): DataFrame = {
+    // collect_set dedups, so the shingle relation can skip its distinct
+    val hashed = shingles(docs, textCol, idCol, n, dedupGrams = false)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(xxhash64(col("gram")))).as("grams"))
+    val sets =
+      if (maxGrams > 0) hashed.withColumn("grams",
+        slice(col("grams"), 1, maxGrams))
+      else hashed
     pairs.select(col("id_a"), col("id_b"))
       .join(sets.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")

@@ -149,6 +149,26 @@ object DocQueries {
     graft.operators.Corpus.curateFull(docs(s, dir), "text", "doc_id",
       minQuality = 0.5, jaccardThreshold = 0.5)
 
+  // ------------------------------------------------------ C12b (scale)
+  /** The 100 TB configuration of the same pipeline: MinHash-LSH
+    * PROPOSES candidate pairs (bucketed, never corpus×corpus),
+    * [[Dedup.exactJaccardForPairs]] VERIFIES just those pairs on
+    * hashed bounded-width gram sets, and curation drops the confirmed
+    * near-dups. Same downstream as [[qDocPipelineFull]] — which is the
+    * oracle configuration (exact posting-list pairs, hash-checked vs
+    * DuckDB) — but the pair source here is hash-family-dependent, so
+    * this entry is rows-only by design; the wiring itself is pinned by
+    * PipelineSpec/OperatorsSpec C12b, and on the planted testdata
+    * (near-dups at Jaccard ≈0.99, which MinHash at 32 hashes × 8 bands
+    * recalls) it converges to the same survivor set. */
+  def qDocPipelineScale(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.curateFull(docs(s, dir), "text", "doc_id",
+      minQuality = 0.5,
+      pairs = deduped => Dedup.exactJaccardForPairs(deduped, "text", "doc_id",
+          Dedup.minhashCandidatePairs(deduped, "text", "doc_id"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("doc1"), col("id_b").as("doc2")))
+
   // ---------------------------------------------------------------- C9
   def qDocTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -445,6 +465,7 @@ object DocQueries {
     "q_doc_tokens"        -> (qDocTokens _),
     "q_doc_pipeline"      -> (qDocPipeline _),
     "q_doc_pipeline_full" -> (qDocPipelineFull _),
+    "q_doc_pipeline_scale" -> (qDocPipelineScale _),
     "q_doc_fingerprint"   -> (qDocFingerprint _)
   )
 

@@ -97,21 +97,27 @@ object EventStream {
     * IdempotentSink's per-(route, batch) generation token — a stale
     * attempt stages into its own generation dir and is fenced off
     * (SupersededAttemptException) at its first control step, so it can
-    * never publish a manifest or promote files the replay owns. */
+    * never publish a manifest or promote files the replay owns.
+    *
+    * The route writes run on a DEDICATED bounded pool (size = routes)
+    * created per batch and shut down when the batch ends — never the
+    * JVM-shared global pool, where two concurrent streams' blocking
+    * parquet writes would starve each other. An abandoned straggler
+    * finishes on its own (daemon) pool thread, then the pool dies. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
             routes: Seq[String] = OcsfMappings.routes,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
             batchTimeout: Duration = 10.minutes): StreamingQuery = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
+    import graft.ocsf.OcsfSink
     readClassified(spark, landingDir).writeStream
       .queryName("ocsf-fanout")
       .option("checkpointLocation", s"$checkpointDir/_fanout")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try {
-          implicit val ec: ExecutionContext = ExecutionContext.global
+        try OcsfSink.withFanOutPool(routes.size, "graft-stream-fanout") { implicit ec =>
           val jobs = routes.map { route =>
             route -> Future(IdempotentSink.writeBatch(
               Normalizers.byRoute(route)(batch.filter(col("route") === route)),

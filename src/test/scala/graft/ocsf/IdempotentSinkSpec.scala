@@ -92,10 +92,13 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(staged.nonEmpty, "staging produced no data files")
     // crash AFTER the manifest published, DURING the promote: one file
     // already moved into the table, the rest still staged
+    val sizes = staged.map(r => r -> Files.size(genDir.resolve(r))).toMap
     val cb = table.resolve("_committed_batches")
     Files.createDirectories(cb)
     Files.write(cb.resolve("7.manifest"),
-      staged.map(r => s"g1/$r").mkString("\n").getBytes("UTF-8"))
+      (s"#graft-manifest files=${staged.size}" +:
+        staged.map(r => s"g1/$r\t${sizes(r)}") :+ "#end")
+        .mkString("\n").getBytes("UTF-8"))
     val moved = genDir.resolve(staged.head)
     val dst = table.resolve(staged.head)
     Files.createDirectories(dst.getParent)
@@ -173,22 +176,156 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(!Files.exists(base.resolve("dns_activity/_staging/batch_3")))
   }
 
+  test("a manifest cut inside the last entry's length digits is torn, not trusted") {
+    // the cut point the count header alone cannot catch: the line count
+    // matches and every line still parses, but the last length is a
+    // truncated prefix — only the #end trailer exposes it. A replay
+    // must restage rather than promote (and then fail the verify, which
+    // previously wedged the batch forever after deleting the landed dst)
+    val base = Files.createTempDirectory("idem-torn-len")
+    val table = base.resolve("dns_activity")
+    val cb = table.resolve("_committed_batches")
+    Files.createDirectories(cb)
+    Files.write(cb.resolve("5.manifest"),
+      ("#graft-manifest files=1\n" +
+        "g1/region=us-east-1/accountId=123456789012/eventDay=20231114/part-0.parquet\t12")
+        .getBytes("UTF-8")) // real length was 12345; cut mid-digits, no #end
+    IdempotentSink.writeBatch(df("t1" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 5L)
+    assert(tableUids(base) == Seq("t1"))
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 1)
+  }
+
+  test("a straggler racing commit-time eviction is fenced without re-leaking bookkeeping") {
+    val base = Files.createTempDirectory("idem-evict-race")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // straggler attempt g1 begins; the replay (g2) lands and commits,
+    // evicting the (table, batch) bookkeeping
+    val gen1 = IdempotentSink.beginAttempt(fs, tableDir, batchId = 4L)
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 4L)
+    val key = IdempotentSink.attemptKey(fs, tableDir, 4L)
+    assert(!IdempotentSink.bookkeepingKeys.contains(key), "commit must evict")
+    // the straggler now reaches its next control step: lockFor recreates
+    // the lock entry (the computeIfAbsent race), then the generation
+    // check must fence it AND remove the recreated entry — not mint a
+    // zeroed counter that leaks forever
+    IdempotentSink.lockFor(key)
+    intercept[IdempotentSink.SupersededAttemptException] {
+      IdempotentSink.checkCurrent(key, gen1, "DNS Activity", 4L)
+    }
+    assert(!IdempotentSink.bookkeepingKeys.contains(key),
+      "fencing a post-eviction straggler must not re-leak (table, batch) entries")
+    assert(tableUids(base) == Seq("e1"))
+  }
+
+  test("a committed marker without its manifest fails the read loudly") {
+    val base = Files.createTempDirectory("idem-orphan-marker")
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L)
+    IdempotentSink.writeBatch(df("e2" -> "2023-11-15"), base.toString,
+      "DNS Activity", region, acct, batchId = 1L)
+    // naive compaction deleted a manifest but left the marker: batch 1's
+    // committed data just left the read contract — that must throw, not
+    // silently shrink the table
+    Files.delete(base.resolve("dns_activity/_committed_batches/1.manifest"))
+    val e = intercept[IllegalStateException] {
+      OcsfTables.load(spark, base.toString, "DNS Activity").count()
+    }
+    assert(e.getMessage.contains("without manifest"))
+  }
+
+  test("compactCommits merges committed batches into one pair; reads identical at every crash point") {
+    val base = Files.createTempDirectory("idem-compact")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (0L until 3L).foreach { b =>
+      IdempotentSink.writeBatch(df(s"e$b" -> "2023-11-14"), base.toString,
+        "DNS Activity", region, acct, batchId = b)
+    }
+    val cb = base.resolve("dns_activity/_committed_batches")
+    def controlFiles(): Seq[String] = // skip Hadoop local-FS .crc sidecars
+      Files.list(cb).iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq.sorted
+    val before = OcsfTables.load(spark, base.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    assert(before == Seq("e0", "e1", "e2") && controlFiles().size == 6)
+
+    // snapshot the originals so the publish-then-delete crash window —
+    // merged pair AND originals both present — can be reconstructed
+    val saved = controlFiles().map(n => n -> Files.readAllBytes(cb.resolve(n)))
+
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 3)
+    assert(controlFiles() == Seq("compact-0.committed", "compact-0.manifest"))
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq == before)
+
+    // crash window between merge-publish and original-delete: restore
+    // the originals beside the merged pair — every file is now named
+    // TWICE and the read must still be exactly-once (final-path distinct)
+    saved.foreach { case (n, bytes) => Files.write(cb.resolve(n), bytes) }
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq == before)
+    // re-running the crashed compaction converges: fresh k, originals gone
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 4)
+    assert(controlFiles() == Seq("compact-1.committed", "compact-1.manifest"))
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq == before)
+
+    // the NEXT batch lands normally on a compacted table and a further
+    // compaction folds it in
+    IdempotentSink.writeBatch(df("e3" -> "2023-11-15"), base.toString,
+      "DNS Activity", region, acct, batchId = 3L)
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 4)
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 2)
+    assert(controlFiles() == Seq("compact-2.committed", "compact-2.manifest"))
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("e0", "e1", "e2", "e3"))
+    // idempotent no-op when there is nothing to merge
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 0)
+  }
+
+  test("load rejects a plain-appended stray file on a batch-committed table") {
+    val base = Files.createTempDirectory("idem-mixed")
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L)
+    // someone mode("append")s outside the commit log: a data file at a
+    // final path that no manifest names — silently invisible to the
+    // manifest reader, so load must reject the table, not narrow it
+    val table = base.resolve("dns_activity")
+    val committed = Files.walk(table).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filterNot(_.toString.contains("/_")).toSeq.head
+    val stray = committed.getParent.resolve("part-stray-append.parquet")
+    Files.copy(committed, stray)
+    val e = intercept[IllegalArgumentException] {
+      OcsfTables.load(spark, base.toString, "DNS Activity").count()
+    }
+    assert(e.getMessage.contains("mixes plain appends"))
+    // removing the stray restores the table
+    Files.delete(stray)
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 1)
+  }
+
   test("concurrent attempts for the same batch land the rows exactly once") {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.DurationInt
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val base = Files.createTempDirectory("idem-race")
     val batch = df("e1" -> "2023-11-14", "e2" -> "2023-11-15")
     // two replays of the same (route, batch) racing in one JVM — the
     // timed-out-future-vs-replay shape. Exactly one file set must land;
     // a loser either no-ops (saw the winner's commit) or aborts fenced.
-    val attempts = (1 to 2).map { _ =>
-      Future(
-        try { IdempotentSink.writeBatch(batch, base.toString, "DNS Activity",
-          region, acct, batchId = 9L); true }
-        catch { case _: IdempotentSink.SupersededAttemptException => false })
+    val done = OcsfSink.withFanOutPool(2, "idem-race-test") { implicit ec =>
+      val attempts = (1 to 2).map { _ =>
+        Future(
+          try { IdempotentSink.writeBatch(batch, base.toString, "DNS Activity",
+            region, acct, batchId = 9L); true }
+          catch { case _: IdempotentSink.SupersededAttemptException => false })
+      }
+      Await.result(Future.sequence(attempts), 120.seconds)
     }
-    val done = Await.result(Future.sequence(attempts), 120.seconds)
     assert(done.contains(true), "no attempt committed the batch")
     assert(tableUids(base) == Seq("e1", "e2"))
     assert(!Files.exists(base.resolve("dns_activity/_staging/batch_9")))
