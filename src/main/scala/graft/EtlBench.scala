@@ -15,7 +15,16 @@ import graft.sources.FdrSource
   * row-at-a-time normalization (AWS stubbed) on identically-shaped
   * lines. Run both to compare single-node ETL throughput.
   *
-  * Usage: runMain graft.EtlBench [nEvents] [nFiles]
+  * Usage: runMain graft.EtlBench [nEvents] [nFiles] [codec] [filesPerDay]
+  *
+  * `codec` overrides `spark.sql.parquet.compression.codec` for the
+  * fan-out write. Measured warm at 1M events on this box: snappy
+  * 53.0k ev/s, lz4 53.8k, zstd 48.1k — the codec is NOT the lever on
+  * local disk (zstd trades ~10% CPU for ~2× smaller files, which wins
+  * back S3 PUT/GET time on real object storage). The lever is
+  * `filesPerDay`: the single-day bench corpus under auto-sizing gets
+  * ONE writer core per route (13 of 32 cores busy); `cores/13 + 1`
+  * writer tasks per (route, day) cover the whole machine.
   */
 object EtlBench {
 
@@ -56,6 +65,13 @@ object EtlBench {
     val nEvents = if (args.length > 0) args(0).toLong else 200000L
     val nFiles = if (args.length > 1) args(1).toInt else 32
     val spark = GraftSession.get()
+    if (args.length > 2)
+      spark.conf.set("spark.sql.parquet.compression.codec", args(2))
+    // Latency-optimal default: enough writer tasks per (route, day)
+    // that 13 concurrent route jobs cover the core budget (auto-sizing
+    // would give this single-day corpus ONE encode core per route).
+    val filesPerDay = if (args.length > 3) args(3).toInt
+      else math.max(1, GraftSession.cpus / 13 + 1)
     val landing = Files.createTempDirectory("etl-bench-landing")
     val out = Files.createTempDirectory("etl-bench-out")
     writeCorpus(landing, nEvents, nFiles)
@@ -73,17 +89,29 @@ object EtlBench {
     warm.unpersist()
 
     val t0 = System.nanoTime()
-    val classified = FdrSource.load(spark, landing.toString).cache()
+    // drop the raw line before caching: every route job re-scans this
+    // cache, and no normalizer reads `raw` (extapi parses its k/v
+    // array from the `fields` map) — the raw string duplicates every
+    // byte of `fields` and would double the 13× rescan cost
+    val classified = FdrSource.load(spark, landing.toString).drop("raw").cache()
     val nClassified = classified.count()
     val t1 = System.nanoTime()
-    OcsfSink.fanOut(classified, out.toString, "us-east-1", "123456789012")
+    val routeSec = OcsfSink.fanOutTimed(classified, out.toString,
+      "us-east-1", "123456789012", filesPerDay = filesPerDay)
     val t2 = System.nanoTime()
     val sec = (t2 - t0) / 1e9
     classified.unpersist()
 
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    println(s"""{"metric":"etl_events_per_sec","value":${jnum(nClassified / sec)},"events":$nClassified,"seconds":${jnum(sec)},"classify_sec":${jnum((t1 - t0) / 1e9)},"fanout_sec":${jnum((t2 - t1) / 1e9)},"files":$nFiles}""")
+    // Per-route seconds measured INSIDE each route's future, so they
+    // include contention between the 13 concurrent writes — each route
+    // number is its wall-clock share of fanout_sec, the figure a
+    // capacity plan needs (routes ≈ fanout_sec because they overlap).
+    val routes = routeSec.toSeq.sortBy(-_._2)
+      .map { case (r, s) => s""""${OcsfSink.tableName(r)}":${jnum(s)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"etl_events_per_sec","value":${jnum(nClassified / sec)},"events":$nClassified,"seconds":${jnum(sec)},"classify_sec":${jnum((t1 - t0) / 1e9)},"fanout_sec":${jnum((t2 - t1) / 1e9)},"routes":$routes,"codec":"${spark.conf.get("spark.sql.parquet.compression.codec", "snappy")}","files_per_day":$filesPerDay,"files":$nFiles}""")
     spark.stop()
   }
 }

@@ -109,9 +109,19 @@ object OcsfSink {
 
   /** [[fanOut]] that also reports per-route wall seconds (measured
     * inside each route's future, so contention between the concurrent
-    * writes is included — the number a capacity plan needs). */
+    * writes is included — the number a capacity plan needs).
+    *
+    * `filesPerDay` (default 0 = auto-size) is the write-parallelism
+    * lever fanned out to every route's [[write]]. The auto default
+    * optimizes for file hygiene: a small batch gets ONE file per
+    * (route, day) — which also means ONE parquet-encoding core per
+    * route, 13 busy cores on a 32-core box. When fan-out LATENCY
+    * matters more than file count (tight streaming triggers, bench),
+    * pass ~`cores / 13` so the concurrent route jobs can use the whole
+    * machine; the day's files stay `filesPerDay × routes`, bounded. */
   def fanOutTimed(classified: DataFrame, baseDir: String,
-                  region: String, accountId: String): Map[String, Double] = {
+                  region: String, accountId: String,
+                  filesPerDay: Int = 0): Map[String, Double] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val routed = Normalizers.normalizeAll(classified).toSeq
@@ -119,7 +129,7 @@ object OcsfSink {
       val jobs = routed.map { case (route, df) =>
         Future {
           val t0 = System.nanoTime()
-          write(df, baseDir, route, region, accountId)
+          write(df, baseDir, route, region, accountId, filesPerDay)
           route -> (System.nanoTime() - t0) / 1e9
         }
       }

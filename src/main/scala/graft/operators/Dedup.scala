@@ -472,14 +472,7 @@ object Dedup {
   def exactJaccardForPairs(docs: DataFrame, textCol: String, idCol: String,
                            pairs: DataFrame, n: Int = 3,
                            maxGrams: Int = 0): DataFrame = {
-    // collect_set dedups, so the shingle relation can skip its distinct
-    val hashed = shingles(docs, textCol, idCol, n, dedupGrams = false)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_set(xxhash64(col("gram")))).as("grams"))
-    val sets =
-      if (maxGrams > 0) hashed.withColumn("grams",
-        slice(col("grams"), 1, maxGrams))
-      else hashed
+    val sets = hashedGramSets(docs, textCol, idCol, n, maxGrams)
     pairs.select(col("id_a"), col("id_b"))
       .join(sets.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
@@ -487,5 +480,20 @@ object Dedup {
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The per-doc gram relation [[exactJaccardForPairs]] joins through:
+    * `(idCol, grams array<bigint>)`, sorted distinct xxhash64 gram
+    * hashes, bottom-`maxGrams` when capped. Exposed so callers (and the
+    * width spec) can audit exactly what meets the pair join. */
+  def hashedGramSets(docs: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, maxGrams: Int = 0): DataFrame = {
+    // collect_set dedups, so the shingle relation can skip its distinct
+    val hashed = shingles(docs, textCol, idCol, n, dedupGrams = false)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(xxhash64(col("gram")))).as("grams"))
+    if (maxGrams > 0) hashed.withColumn("grams",
+      slice(col("grams"), 1, maxGrams))
+    else hashed
   }
 }

@@ -213,6 +213,42 @@ class OperatorsSpec extends SparkSpec {
     assert(verified((1L, 2L)) == 1.0)
   }
 
+  test("C4d: pair verify is bounded-width on a 100k-gram doc and the KMV cap estimates") {
+    // two book-length docs, ~100k distinct word 3-grams each, sharing
+    // half their token range → exact 3-gram Jaccard 49998/149998
+    def text(from: Int, until: Int) =
+      (from until until).map(i => s"t$i").mkString(" ")
+    val big = Seq(
+      (1L, text(0, 100000)),
+      (2L, text(50000, 150000))
+    ).toDF("doc_id", "text")
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+
+    // row width is 8 B per gram by construction: the gram set meets the
+    // pair join as array<bigint> (hashed), never the raw gram strings
+    // (~10 B/gram of text would make this a multi-MB row)
+    val sets = Dedup.hashedGramSets(big, "text", "doc_id")
+    assert(sets.schema("grams").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    val nGrams = sets.select(size(col("grams"))).collect().map(_.getInt(0))
+    assert(nGrams.forall(_ == 99998), s"distinct gram counts ${nGrams.toSeq}")
+
+    val exact = Dedup.exactJaccardForPairs(big, "text", "doc_id", pair)
+    val j = exact.head().getDouble(2)
+    assert(j == math.rint(49998.0 / 149998 * 10000) / 10000, s"exact hashed jaccard $j")
+
+    // the KMV cap bounds what meets the join — 8 B × 2000 = 16 KB rows
+    // even for this book-length doc — at bounded estimation error
+    val cappedWidths = Dedup.hashedGramSets(big, "text", "doc_id",
+      maxGrams = 2000).select(size(col("grams"))).collect().map(_.getInt(0))
+    assert(cappedWidths.forall(_ <= 2000), s"capped widths ${cappedWidths.toSeq}")
+    val est = Dedup.exactJaccardForPairs(big, "text", "doc_id", pair,
+      maxGrams = 2000).head().getDouble(2)
+    // bottom-k sketch error ~1/sqrt(k) ≈ 0.022 at k=2000
+    assert(math.abs(est - j) < 0.06, s"KMV estimate $est vs exact $j")
+  }
+
   test("C12b: curateFull with minhash-candidates-then-verify equals the exact path") {
     val exact = Corpus.curateFull(docs, "text", "doc_id",
       minQuality = 0.0, jaccardThreshold = 0.5)
