@@ -48,4 +48,20 @@ class PipelineSpec extends SparkSpec {
     assert(stats.getLong(0) == stats.getLong(1),
       s"offset span ${stats.getLong(1)} != token total ${stats.getLong(0)}")
   }
+
+  test("scale config (q_doc_pipeline_scale) converges to the oracle config's survivors") {
+    // the claim q_doc_pipeline_scale's rows-only status rests on: at
+    // the planted testdata's duplication level (near-dups at Jaccard
+    // ≈0.99, squarely inside MinHash-at-32×8's recall), candidates →
+    // hashed pair-local verify drops exactly the docs the exact
+    // posting-list join drops
+    val sf = "/root/testdata/sf0.001"
+    val full = graft.queries.DocQueries.qDocPipelineFull(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val scale = graft.queries.DocQueries.qDocPipelineScale(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scale == full,
+      s"survivor sets diverge: scale-only ${scale.diff(full).take(5)}, " +
+        s"full-only ${full.diff(scale).take(5)}")
+  }
 }
