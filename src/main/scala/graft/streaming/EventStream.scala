@@ -103,12 +103,26 @@ object EventStream {
     * created per batch and shut down when the batch ends — never the
     * JVM-shared global pool, where two concurrent streams' blocking
     * parquet writes would starve each other. An abandoned straggler
-    * finishes on its own (daemon) pool thread, then the pool dies. */
+    * finishes on its own (daemon) pool thread, then the pool dies.
+    *
+    * `compactEvery` > 0 folds each route's per-batch manifest/marker
+    * pairs into one via [[IdempotentSink.compactCommits]] every N
+    * batches (after the batch commits, same pool). At a 10 s trigger a
+    * table otherwise accrues ~10⁵–10⁶ control files over months — an
+    * S3 LIST/GET tax on every read. Compaction is safe concurrent with
+    * readers (during its publish-then-delete window both the merged
+    * pair and the originals exist; the loader reads final paths
+    * distinct, so rows stay exactly-once) and with the NEXT batch's
+    * writer (it only merges pairs it listed; a pair landing mid-merge
+    * is picked up by the next compaction). A compaction failure only
+    * defers cleanup, so it must never fail the batch — it is logged
+    * and retried at the next interval. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
             routes: Seq[String] = OcsfMappings.routes,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-            batchTimeout: Duration = 10.minutes): StreamingQuery = {
+            batchTimeout: Duration = 10.minutes,
+            compactEvery: Int = 100): StreamingQuery = {
     import scala.concurrent.{Await, Future}
     import graft.ocsf.OcsfSink
     readClassified(spark, landingDir).writeStream
@@ -130,6 +144,18 @@ object EventStream {
               throw new java.util.concurrent.TimeoutException(
                 s"fan-out batch $batchId exceeded $batchTimeout; " +
                   s"stuck routes: ${stuck.mkString(", ")}")
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            val conf = spark.sessionState.newHadoopConf()
+            routes.foreach { route =>
+              val table = new org.apache.hadoop.fs.Path(
+                s"$baseDir/${OcsfSink.tableName(route)}")
+              try IdempotentSink.compactCommits(table.getFileSystem(conf), table)
+              catch { case e: Exception => // deferred cleanup, never a batch failure
+                System.err.println(
+                  s"[graft] compactCommits($route) failed at batch $batchId: ${e.getMessage}")
+              }
+            }
           }
           ()
         } finally { batch.unpersist(); () }

@@ -107,6 +107,33 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/network_activity").count() == 1)
   }
 
+  test("streaming compaction folds the commit log without disturbing the rows") {
+    val landing = Files.createTempDirectory("stream-compact")
+    val out     = Files.createTempDirectory("stream-compact-out")
+    val ckpt    = Files.createTempDirectory("stream-compact-ckpt")
+    val routes  = Seq("DNS Activity")
+    def dns(id: String, host: String) =
+      s"""{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a-$id","cid":"c1","id":"$id","timestamp":"1700000000000","event_platform":"Lin","DomainName":"$host.example.com"}"""
+    // three separate drains → batchIds 0, 1, 2; compactEvery=2 fires
+    // after batch 2 commits and folds all three pairs into one
+    (0 until 3).foreach { b =>
+      writeGz(landing, s"obj-$b.gz", Seq(dns(s"e$b", s"h$b")))
+      val q = EventStream.start(spark, landing.toString, out.toString,
+        ckpt.toString, "us-east-1", "123456789012", routes,
+        Trigger.AvailableNow(), compactEvery = 2)
+      q.awaitTermination(180000)
+    }
+    val cb = out.resolve("dns_activity/_committed_batches")
+    val control = Files.list(cb).iterator()
+    val names = Iterator.continually(control).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+    assert(names == Seq("compact-0.committed", "compact-0.manifest"),
+      s"expected one compacted pair, got $names")
+    val rows = graft.ocsf.OcsfTables.load(spark, out.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("e0", "e1", "e2"))
+  }
+
   test("fan-out replays a crashed batch without duplicating committed routes") {
     val landing = Files.createTempDirectory("stream-crash")
     val out     = Files.createTempDirectory("stream-crash-out")
