@@ -83,9 +83,12 @@ object EtlBench {
     val wl = Files.createTempDirectory("etl-bench-warm")
     val wo = Files.createTempDirectory("etl-bench-warmout")
     writeCorpus(wl, 1300, 4)
-    val warm = FdrSource.load(spark, wl.toString).cache()
+    // same shape as the timed run (raw dropped, explicit filesPerDay)
+    // so the warm-up JITs exactly the plans the measurement executes
+    val warm = FdrSource.load(spark, wl.toString).drop("raw").cache()
     warm.count()
-    OcsfSink.fanOut(warm, wo.toString, "us-east-1", "123456789012")
+    OcsfSink.fanOutTimed(warm, wo.toString, "us-east-1", "123456789012",
+      filesPerDay = filesPerDay)
     warm.unpersist()
 
     val t0 = System.nanoTime()
