@@ -26,5 +26,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         CosineSimilarity(children(0), children(1))
       }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime join filters but does not register them as SQL
+    // functions — expose them for the C19b bloom decontamination
+    // screen (graft_bloom_agg(xxhash64(x), items, bits) → binary;
+    // graft_bloom_contains(bf, xxhash64(x)) → boolean).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c)        => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)     => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b)  => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "graft_bloom_agg", "expectedNum" -> "1 to 3",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_bloom_contains", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }

@@ -445,6 +445,46 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** C19b — [[contaminationHits]] with a BLOOM FILTER in place of the
+    * exact gram broadcast: the screen for benchmark suites too large
+    * to ship to every task verbatim. `bloom_filter_agg` folds the
+    * benchmark grams into ~1.2 bytes/gram at 1% false-positive rate
+    * (vs ~15-25 raw bytes per 13-gram), and the corpus side stays a
+    * map-only `might_contain` probe — zero shuffle for clean docs,
+    * identical shape to the exact screen.
+    *
+    * One-sided error, the SAFE direction for decontamination: every
+    * truly-overlapping doc is flagged (no false negatives); a ~`fpp`
+    * fraction of clean docs' grams false-positive, so `n_hits` is an
+    * upper bound and a doc may be flagged spuriously. Use as the
+    * 100 TB pre-screen and confirm flagged docs with the exact join —
+    * the same candidates-then-verify shape as the dedup path.
+    *
+    * The sketch is built distributed (one aggregation over the gram
+    * relation) and its BYTES collected to the driver — a bounded
+    * collect by construction (`numBits/8` ≈ 1.2 MB per million grams
+    * at 1%), the same bounded-sketch-to-driver pattern as the IVF
+    * centroids — then embedded as a literal, because Spark's
+    * `BloomFilterMightContain` requires a constant filter. The probe
+    * side is then a pure map-side filter: no join node at all. */
+  def contaminationHitsBloom(docs: DataFrame, textCol: String, idCol: String,
+                             benchGrams: DataFrame, n: Int = 13,
+                             expectedGrams: Long = 1000000L,
+                             fpp: Double = 0.01): DataFrame = {
+    // numBits ≈ -items·ln(fpp)/ln(2)² — the standard Bloom sizing
+    val numBits = math.max(64L,
+      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = benchGrams.select(col("gram")).distinct()
+      .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedGrams}L, ${numBits}L)")
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    shingles(docs, textCol, idCol, n)
+      .filter(call_function("graft_bloom_contains",
+        lit(bloomBytes), xxhash64(col("gram"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs
     * (`id_a`, `id_b`) — the verify half of the candidates-then-verify
     * composition every approximate dedup runs at 100 TB: MinHash or

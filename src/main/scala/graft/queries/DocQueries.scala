@@ -406,6 +406,22 @@ object DocQueries {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  // --------------------------------------------------------------- C19b
+  /** The bloom-screen configuration of the same check: the benchmark
+    * grams broadcast as a fixed-size Bloom filter instead of verbatim
+    * — the pre-screen for eval suites too large to ship raw. Rows-only
+    * by design (bloom false positives may over-flag ~fpp of clean
+    * docs' grams); OperatorsSpec pins the superset-of-exact guarantee
+    * and the bounded over-flagging. */
+  def qDocContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = Dedup.shingles(d.filter(col("doc_id") < 10),
+      "text", "doc_id", n = 5).select(col("gram"))
+    Dedup.contaminationHitsBloom(d.filter(col("doc_id") >= 10),
+        "text", "doc_id", bench, n = 5, expectedGrams = 100000L)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
   // ---------------------------------------------------------------- C11
   /** Multimodal feature extraction, end-to-end through the REAL
     * codecs: each document's text is rendered into a P6 image and a
@@ -444,6 +460,7 @@ object DocQueries {
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_contamination" -> (qDocContamination _),
+    "q_doc_contamination_bloom" -> (qDocContaminationBloom _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_keep_best"     -> (qDocKeepBest _),

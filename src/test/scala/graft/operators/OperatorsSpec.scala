@@ -181,6 +181,32 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("C19b: bloom screen is a superset of the exact screen with bounded over-flagging") {
+    // 200 docs sharing a template vocabulary; docs 0-9 are the "bench"
+    val corpus = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), pmod(col("id") * 31 + j * 7, lit(500)))): _*).as("text"))
+    val bench = Dedup.shingles(corpus.filter(col("doc_id") < 10),
+      "text", "doc_id", n = 5).select(col("gram"))
+    val rest = corpus.filter(col("doc_id") >= 10)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(Dedup.contaminationHits(rest, "text", "doc_id", bench, n = 5))
+    val bloom = toMap(Dedup.contaminationHitsBloom(rest, "text", "doc_id", bench,
+      n = 5, expectedGrams = 1000L, fpp = 0.01))
+    // no false negatives: every exact hit is flagged with >= its count
+    exact.foreach { case (id, hits) =>
+      assert(bloom.getOrElse(id, 0L) >= hits, s"doc $id: bloom ${bloom.get(id)} < exact $hits")
+    }
+    // bounded one-sided error: spurious flags stay near fpp of the corpus
+    val spurious = bloom.keySet.diff(exact.keySet).size
+    assert(spurious <= 10, s"$spurious docs spuriously flagged of ${190 - exact.size} clean")
+    // still a broadcast probe, never an all-pairs join
+    val plan = Dedup.contaminationHitsBloom(rest, "text", "doc_id", bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("C4c: maxDocFreq hot-gram cap is accounted, not silent") {
     // "the quick brown" (and the rest of the shared prefix) appears in
     // docs 1-3; a df cap of 2 drops those grams from the posting join
