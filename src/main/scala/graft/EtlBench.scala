@@ -83,9 +83,11 @@ object EtlBench {
     val wl = Files.createTempDirectory("etl-bench-warm")
     val wo = Files.createTempDirectory("etl-bench-warmout")
     writeCorpus(wl, 1300, 4)
-    // same shape as the timed run (raw dropped, explicit filesPerDay)
-    // so the warm-up JITs exactly the plans the measurement executes
-    val warm = FdrSource.load(spark, wl.toString).drop("raw").cache()
+    // same shape as the timed run (raw dropped, route-clustered,
+    // explicit filesPerDay) so the warm-up JITs exactly the plans the
+    // measurement executes
+    val warm = OcsfSink.routeClustered(
+      FdrSource.load(spark, wl.toString).drop("raw")).cache()
     warm.count()
     OcsfSink.fanOutTimed(warm, wo.toString, "us-east-1", "123456789012",
       filesPerDay = filesPerDay)
@@ -95,8 +97,11 @@ object EtlBench {
     // drop the raw line before caching: every route job re-scans this
     // cache, and no normalizer reads `raw` (extapi parses its k/v
     // array from the `fields` map) — the raw string duplicates every
-    // byte of `fields` and would double the 13× rescan cost
-    val classified = FdrSource.load(spark, landing.toString).drop("raw").cache()
+    // byte of `fields` and would double the rescan cost. Route-cluster
+    // the cache so each route's rescan decompresses only its own
+    // batches (see OcsfSink.routeClustered).
+    val classified = OcsfSink.routeClustered(
+      FdrSource.load(spark, landing.toString).drop("raw")).cache()
     val nClassified = classified.count()
     val t1 = System.nanoTime()
     val routeSec = OcsfSink.fanOutTimed(classified, out.toString,

@@ -95,12 +95,41 @@ object OcsfSink {
       pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay0)))
   }
 
+  /** Route-clustered layout for the fan-out cache: repartitions the
+    * classified relation on (route, salt) so each cached partition —
+    * and so each columnar cache batch — holds (nearly) one route.
+    * Every route write then filters `route === r` against the cache,
+    * and `InMemoryTableScan` prunes whole batches via its per-batch
+    * min/max stats: a 13-way fan-out decompresses ~1× the data instead
+    * of 13×. Measured (EtlAb, 1M events, median-of-3 interleaved
+    * arms): fan-out 19.6 s plain → 10.2 s clustered, total 22.5 →
+    * 13.4 s; the no-shuffle alternative (`sortWithinPartitions` +
+    * small cache batches) recovered only ~2.6 s of that.
+    *
+    * `tasksPerRoute` salts the clustering so each route spans that
+    * many partitions (scan/normalize parallelism per route while the
+    * 13 route jobs run concurrently). The salt hashes the event id
+    * (falling back to the extapi timestamp key); rows where both are
+    * absent degrade to one partition for that route, never lost. One
+    * extra shuffle of the batch, repaid ~3× by the pruned rescans —
+    * at streaming cadence the batch is small and the shuffle is
+    * sub-second. */
+  def routeClustered(classified: DataFrame, tasksPerRoute: Int = 2): DataFrame = {
+    require(tasksPerRoute >= 1, "tasksPerRoute must be >= 1")
+    val salt = pmod(xxhash64(coalesce(col("fields").getItem("id"),
+      col("fields").getItem("UTCTimestamp"), lit(""))), lit(tasksPerRoute))
+    classified.repartition(OcsfMappings.routes.size * tasksPerRoute,
+      col("route"), salt)
+  }
+
   /** A23 — 13-way fan-out: normalize every route off the same
     * classified scan and write each to its own table. The 13 writes
     * are independent Spark jobs and run CONCURRENTLY — sequential
     * submission left the cluster idle between small jobs and made the
     * fan-out latency the sum instead of the max. Cache `classified`
-    * first (as EtlBench/demos do) so the scan isn't re-run per route. */
+    * first (as EtlBench/demos do) so the scan isn't re-run per route —
+    * ideally [[routeClustered]] first, so each route's rescan prunes
+    * to its own cache batches. */
   def fanOut(classified: DataFrame, baseDir: String,
              region: String, accountId: String): Unit = {
     fanOutTimed(classified, baseDir, region, accountId)

@@ -130,11 +130,15 @@ object EventStream {
       .option("checkpointLocation", s"$checkpointDir/_fanout")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
+        // route-cluster the batch cache so each route's rescan prunes
+        // to its own columnar batches (OcsfSink.routeClustered) — the
+        // 13 filters below otherwise decompress the whole batch each
+        val clustered = OcsfSink.routeClustered(batch)
+        clustered.persist()
         try OcsfSink.withFanOutPool(routes.size, "graft-stream-fanout") { implicit ec =>
           val jobs = routes.map { route =>
             route -> Future(IdempotentSink.writeBatch(
-              Normalizers.byRoute(route)(batch.filter(col("route") === route)),
+              Normalizers.byRoute(route)(clustered.filter(col("route") === route)),
               baseDir, route, region, accountId, batchId))
           }
           try Await.result(Future.sequence(jobs.map(_._2)), batchTimeout)
@@ -158,7 +162,7 @@ object EventStream {
             }
           }
           ()
-        } finally { batch.unpersist(); () }
+        } finally { clustered.unpersist(); () }
       }
       .start()
   }

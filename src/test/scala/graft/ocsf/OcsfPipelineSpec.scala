@@ -191,6 +191,27 @@ class OcsfPipelineSpec extends SparkSpec {
     assert(files.length == 1, s"expected 1 file, got ${files.length}")
   }
 
+  test("A23: routeClustered confines each route to tasksPerRoute partitions, loses nothing") {
+    val clustered = OcsfSink.routeClustered(classified, tasksPerRoute = 2)
+    assert(clustered.rdd.getNumPartitions == graft.ocsf.OcsfMappings.routes.size * 2)
+    assert(clustered.count() == classified.count())
+    // hash partitioning on (route, salt∈[0,2)) → each route meets at
+    // most 2 partitions, so a route-filtered rescan of the cache can
+    // prune everything else via per-batch stats
+    import org.apache.spark.sql.functions.{countDistinct, spark_partition_id}
+    val spread = clustered
+      .withColumn("pid", spark_partition_id()) // project first: not allowed inside agg
+      .groupBy(col("route"))
+      .agg(countDistinct(col("pid")).as("parts"))
+      .agg(org.apache.spark.sql.functions.max(col("parts"))).head().getLong(0)
+    assert(spread <= 2, s"a route spans $spread partitions, expected <= 2")
+    // fan-out from the clustered relation lands the same rows
+    val outDir = Files.createTempDirectory("ocsf-out-clustered")
+    OcsfSink.fanOut(clustered, outDir.toString, "us-east-1", "123456789012")
+    val back = spark.read.parquet(outDir.resolve("process_activity").toString)
+    assert(back.count() == 1)
+  }
+
   test("A22: filesPerDay auto-derives from plan size, 1 for tiny inputs") {
     val df = Normalizers.processActivity(
       classified.filter(col("route") === "Process Activity"))
