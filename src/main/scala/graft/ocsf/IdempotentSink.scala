@@ -306,14 +306,24 @@ object IdempotentSink {
         s"committed marker(s) without manifest under $cb: " +
           s"${orphanMarkers.toSeq.sorted.mkString(", ")} — committed data " +
           "would be invisible to readers; restore the manifest(s)")
-    entries.toSeq
+    val committed = entries.toSeq
       .filter(p => p.getName.endsWith(".manifest") &&
         done.contains(p.getName.stripSuffix(".manifest")))
       .sortBy(_.getName)
-      .flatMap { m =>
-        readManifest(fs, m).getOrElse(throw new IllegalStateException(
-          s"committed manifest unreadable: $m"))
+      .map { m =>
+        m.getName.stripSuffix(".manifest") ->
+          readManifestFull(fs, m).getOrElse(throw new IllegalStateException(
+            s"committed manifest unreadable: $m"))
       }
+    // a pair named in ANY committed manifest's supersedes set is dead:
+    // its rows were rewritten into the superseding manifest's files.
+    // The union includes dead manifests' own supersedes sets, so an
+    // interrupted cleanup chain (A superseded {1,2}, B superseded {A})
+    // keeps 1 and 2 excluded even while their pairs still linger.
+    val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
+    committed
+      .filterNot { case (n, _) => superseded.contains(n) }
+      .flatMap(_._2.entries)
       .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
       .distinct
   }
@@ -369,32 +379,215 @@ object IdempotentSink {
       .map(_.getName.stripSuffix(".committed")).toSet
     // sweep unmarked compact-* manifests (a crashed attempt's step-1
     // leftover; compaction owns this namespace and runs writer-free,
-    // so unlike a batch manifest it can never be an in-flight promote)
+    // so unlike a batch manifest it can never be an in-flight promote).
+    // compactdata-* is NOT swept here: those manifests own their data
+    // files, and only compactDataFiles knows how to sweep both.
     (manifests -- done).filter(_.startsWith("compact-")).foreach { n =>
       fs.delete(new Path(cb, s"$n.manifest"), false)
     }
-    val names = done.toSeq.sorted
-    if (names.size < 2) return 0
-    val merged = names.flatMap { n =>
+    val full = done.toSeq.sorted.map { n =>
       val mp = new Path(cb, s"$n.manifest")
       if (!fs.exists(mp)) throw new IllegalStateException(
         s"committed marker without manifest during compaction: $mp — " +
           "committed data would leave the read contract; restore it")
-      readManifest(fs, mp).getOrElse(throw new IllegalStateException(
+      n -> readManifestFull(fs, mp).getOrElse(throw new IllegalStateException(
         s"committed manifest unreadable during compaction: $mp"))
-    } // re-anchor under a dummy attempt component so finalRelPath holds
+    }
+    // superseded ghosts are never merged — their rows live in the
+    // superseding manifest's files. Ghosts of a committed CONTROL
+    // merge (compact-*) are pure dead control files (the merger
+    // re-owns the same data files), so deleting their pairs RESUMES a
+    // crashed step 3/4 cleanup here. Data-compaction ghosts
+    // (superseded by compactdata-*) may still own old data files and
+    // are left for compactDataFiles' settle, which deletes files
+    // before control pairs; their exclusions are carried forward so
+    // they stay dead if this merge outlives their superseder.
+    val ghostExclusions = full.iterator.flatMap(_._2.supersedes).toSet
+    full.iterator.filter(_._1.startsWith("compact-"))
+      .flatMap(_._2.supersedes)
+      .filter(n => manifests.contains(n) || done.contains(n))
+      .foreach { n =>
+        fs.delete(new Path(cb, s"$n.committed"), false)
+        fs.delete(new Path(cb, s"$n.manifest"), false)
+      }
+    val live = full.filterNot { case (n, _) => ghostExclusions.contains(n) }
+    if (live.size < 2) return 0
+    val merged = live
+      .flatMap(_._2.entries)
+      // re-anchor under a dummy attempt component so finalRelPath holds
       .map { case (rel, len) => (s"c/${finalRelPath(rel)}", len) }
       .distinct
     val k = (manifests ++ done).flatMap(n =>
       if (n.startsWith("compact-")) n.stripPrefix("compact-").toIntOption
       else None).maxOption.getOrElse(-1) + 1
-    writeAtomic(fs, new Path(cb, s"compact-$k.manifest"), manifestBody(merged))
+    writeAtomic(fs, new Path(cb, s"compact-$k.manifest"),
+      manifestBody(merged, live.map(_._1).toSet ++ ghostExclusions))
     writeAtomic(fs, new Path(cb, s"compact-$k.committed"), "")
-    names.foreach { n =>
+    live.foreach { case (n, _) =>
       fs.delete(new Path(cb, s"$n.committed"), false)
       fs.delete(new Path(cb, s"$n.manifest"), false)
     }
-    names.size
+    live.size
+  }
+
+  /** Rewrite the data files of every committed batch into (at most)
+    * `filesPerDay` files per (region, accountId, eventDay) partition —
+    * the DATA half of the small-files problem [[compactCommits]] only
+    * half-solves: at a 10 s trigger a route accrues ~8.6k batches/day,
+    * each with its own parquet files, and reading a day then opens
+    * thousands of small objects however few control files remain.
+    *
+    * OFFLINE maintenance, single operator, no concurrent writer on the
+    * table (the same contract as [[compactCommits]]). Readers BY
+    * MANIFEST ([[OcsfTables.load]]) are safe at every point; a
+    * directory-scanning reader (Athena over the prefix) may see rows
+    * doubled during the publish-to-cleanup window and must not run
+    * concurrently.
+    *
+    * Mechanism — the same staged two-phase commit as a batch write,
+    * plus the `#supersedes` manifest header:
+    *  1. SETTLE: finish any interrupted predecessor — for every pair
+    *     named in a committed manifest's supersedes set that still
+    *     exists, delete its data files, then its marker, then its
+    *     manifest; sweep unmarked `compactdata-*` manifests (deleting
+    *     the files they name — never reader-visible) and orphaned
+    *     compactdata staging dirs.
+    *  2. STAGE: read the rows of all live committed pairs (via the
+    *     read contract itself) and write them partitioned to
+    *     `_staging/compactdata_<k>/c/`.
+    *  3. MANIFEST: publish `compactdata-<k>.manifest` naming the new
+    *     files WITH a supersedes line listing every input pair.
+    *  4. PROMOTE: length-verified move of each file to its final path
+    *     (fresh Spark part-file names — no collision with the old
+    *     files, which stay live for readers until step 6).
+    *  5. COMMIT: publish `compactdata-<k>.committed`. THIS is the
+    *     atomic swap: committedFiles now returns exactly the new
+    *     files, because every input pair is superseded by name.
+    *  6. CLEANUP: delete the input pairs' old data files, then their
+    *     markers, then their manifests (files-first ordering means a
+    *     crash can never strand data files that no manifest names,
+    *     and markers-before-manifests never produces the
+    *     marker-without-manifest state committedFiles rejects). A
+    *     crash anywhere re-runs as step 1.
+    *
+    * Returns the number of input pairs compacted (0 = nothing to do). */
+  def compactDataFiles(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: Path, filesPerDay: Int = 1): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cb = new Path(tableDir, "_committed_batches")
+    if (!fs.exists(cb)) return 0
+
+    def listPairs(): (Set[String], Set[String]) = {
+      val es = fs.listStatus(cb).map(_.getPath.getName)
+      (es.filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSet,
+        es.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSet)
+    }
+    // files the CURRENT read contract names must survive every settle
+    // delete: a control-only merge (compactCommits) re-owns its inputs'
+    // files without rewriting them, so a superseded pair's manifest can
+    // name files that are live under the superseding manifest
+    val protectedFiles = committedFiles(fs, tableDir)
+      .map(fs.makeQualified).toSet
+    def deletePair(n: String): Unit = {
+      readManifestFull(fs, new Path(cb, s"$n.manifest")).foreach(_.entries
+        .foreach { case (rel, _) =>
+          val p = new Path(tableDir, finalRelPath(rel))
+          if (!protectedFiles.contains(fs.makeQualified(p)))
+            fs.delete(p, false)
+        })
+      fs.delete(new Path(cb, s"$n.committed"), false)
+      fs.delete(new Path(cb, s"$n.manifest"), false)
+    }
+
+    // 1. settle interrupted predecessors
+    val (manifests0, done0) = listPairs()
+    val committed0 = done0.toSeq.sorted.flatMap(n =>
+      readManifestFull(fs, new Path(cb, s"$n.manifest")).map(n -> _))
+    committed0.iterator.flatMap(_._2.supersedes).toSet
+      .filter(n => manifests0.contains(n) || done0.contains(n))
+      .foreach(deletePair)
+    (manifests0 -- done0).filter(_.startsWith("compactdata-")).foreach(deletePair)
+    val staging = new Path(tableDir, "_staging")
+    if (fs.exists(staging))
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("compactdata_"))
+        .foreach(p => fs.delete(p, true))
+
+    // 2. stage the rewrite of all live committed pairs
+    val (inputs, deadExclusions) = {
+      val (m, d) = listPairs()
+      val full = d.toSeq.sorted.map(n =>
+        n -> readManifestFull(fs, new Path(cb, s"$n.manifest")).getOrElse(
+          throw new IllegalStateException(
+            s"committed manifest unreadable during data compaction: $n" +
+              (if (m.contains(n)) "" else " (manifest missing)"))))
+      val dead = full.iterator.flatMap(_._2.supersedes).toSet
+      // carry forward only exclusions whose pairs still exist — those
+      // are the resurrectable ones; carrying every historical name
+      // would grow the supersedes header without bound
+      (full.filterNot { case (n, _) => dead.contains(n) },
+        dead.filter(n => m.contains(n) || d.contains(n)))
+    }
+    // already at the target layout? (filesPerDay files per partition
+    // dir) — counts files, not pairs: a control-file merge leaves one
+    // pair that can still name thousands of small objects
+    val partDirs = inputs.flatMap(_._2.entries.map { case (rel, _) =>
+      finalRelPath(rel).split('/').dropRight(1).mkString("/")
+    }).toSet
+    if (inputs.isEmpty ||
+        inputs.map(_._2.entries.size).sum <= partDirs.size * filesPerDay)
+      return 0
+    val files = committedFiles(fs, tableDir).map(_.toString)
+    val k = listPairs() match { case (m, d) => (m ++ d).flatMap(n =>
+      if (n.startsWith("compactdata-")) n.stripPrefix("compactdata-").toIntOption
+      else None).maxOption.getOrElse(-1) + 1 }
+    val stagingRoot = new Path(tableDir, s"_staging/compactdata_$k")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferOld = spark.conf.get(inferKey, "true")
+    try {
+      // string partition values round-trip exactly (an accountId with a
+      // leading zero must not re-land as a different directory)
+      spark.conf.set(inferKey, "false")
+      val rows = spark.read.option("basePath", tableDir.toString)
+        .parquet(files: _*)
+      val repart =
+        if (filesPerDay == 1)
+          rows.repartition(col("region"), col("accountId"), col("eventDay"))
+        else rows.repartition(col("region"), col("accountId"), col("eventDay"),
+          pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay)))
+      repart.write.mode("overwrite")
+        .partitionBy("region", "accountId", "eventDay")
+        .parquet(new Path(stagingRoot, "c").toString)
+    } finally spark.conf.set(inferKey, inferOld)
+
+    // 3.-5. publish, promote, commit. Supersedes carries forward the
+    // inputs' own exclusions: if a prior settle deleted a superseding
+    // pair but crashed before its ghosts, the ghosts must stay dead
+    // under THIS manifest or they would resurrect naming deleted files.
+    val entries = listRelative(fs, stagingRoot)
+    writeAtomic(fs, new Path(cb, s"compactdata-$k.manifest"),
+      manifestBody(entries, inputs.map(_._1).toSet ++ deadExclusions))
+    entries.foreach { case (rel, len) =>
+      promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toLong)
+    }
+    writeAtomic(fs, new Path(cb, s"compactdata-$k.committed"), "")
+    fs.delete(stagingRoot, true)
+
+    // 6. cleanup: old files first, then markers, then manifests
+    val keep = entries.map { case (rel, _) =>
+      fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
+    }.toSet
+    inputs.foreach { case (n, md) =>
+      md.entries.foreach { case (rel, _) =>
+        val p = new Path(tableDir, finalRelPath(rel))
+        if (!keep.contains(fs.makeQualified(p))) fs.delete(p, false)
+      }
+      fs.delete(new Path(cb, s"$n.committed"), false)
+      fs.delete(new Path(cb, s"$n.manifest"), false)
+    }
+    inputs.size
   }
 
   /** Data files under `root` with their lengths, as `/`-relative
@@ -414,37 +607,62 @@ object IdempotentSink {
 
   private val ManifestHeader = "#graft-manifest files="
   private val ManifestTrailer = "#end"
+  private val SupersedesHeader = "#supersedes "
 
-  /** Manifest body: a count header, one `path<TAB>length` line per
-    * staged data file, and a `#end` trailer. The trailer makes the
-    * format SELF-TERMINATING: a prefix cut anywhere — including inside
-    * the last entry's length digits, where the count still matches and
-    * every line still parses — is detectably torn, because `#end` is
-    * the final bytes written and survives no truncation. */
-  private def manifestBody(entries: Seq[(String, Long)]): String =
+  /** Parsed manifest: the staged data files (with lengths) plus the
+    * control-pair base names this manifest REPLACES. A committed
+    * manifest whose name appears in another committed manifest's
+    * `supersedes` set is dead — its entries are excluded from the read
+    * contract, which is what makes a data-rewriting compaction's
+    * marker publish an atomic swap for readers-by-manifest. */
+  private[ocsf] final case class ManifestData(entries: Seq[(String, Long)],
+                                              supersedes: Set[String])
+
+  /** Manifest body: a count header, an optional `#supersedes` line, one
+    * `path<TAB>length` line per staged data file, and a `#end` trailer.
+    * The trailer makes the format SELF-TERMINATING: a prefix cut
+    * anywhere — including inside the last entry's length digits, where
+    * the count still matches and every line still parses — is
+    * detectably torn, because `#end` is the final bytes written and
+    * survives no truncation. */
+  private def manifestBody(entries: Seq[(String, Long)],
+                           supersedes: Set[String] = Set.empty): String = {
+    val supersLine =
+      if (supersedes.isEmpty) Nil
+      else Seq(s"$SupersedesHeader${supersedes.toSeq.sorted.mkString(",")}")
     (s"$ManifestHeader${entries.size}" +:
-      entries.map { case (rel, len) => s"$rel\t$len" } :+
+      (supersLine ++ entries.map { case (rel, len) => s"$rel\t$len" }) :+
       ManifestTrailer).mkString("\n")
+  }
 
   /** Parse a manifest; None means torn/invalid (publish crashed on a
     * non-atomic store) and the caller must discard and republish. Only
     * the self-terminating header+trailer format is valid — any other
     * content is treated as torn, so a replay restages under a fresh
     * generation rather than trusting a file of unknown provenance. */
-  private[ocsf] def readManifest(fs: FileSystem, p: Path): Option[Seq[(String, Long)]] = {
+  private[ocsf] def readManifest(fs: FileSystem, p: Path): Option[Seq[(String, Long)]] =
+    readManifestFull(fs, p).map(_.entries)
+
+  private[ocsf] def readManifestFull(fs: FileSystem, p: Path): Option[ManifestData] = {
     val lines = readLines(fs, p)
     lines.headOption match {
       case Some(h) if h.startsWith(ManifestHeader) &&
           lines.last == ManifestTrailer =>
         val expected = h.stripPrefix(ManifestHeader).toIntOption
-        val parsed = lines.tail.dropRight(1).map { l =>
+        val (supersedes, body) = lines.tail.dropRight(1) match {
+          case s +: rest if s.startsWith(SupersedesHeader) =>
+            (s.stripPrefix(SupersedesHeader).split(',')
+              .iterator.filter(_.nonEmpty).toSet, rest)
+          case rest => (Set.empty[String], rest)
+        }
+        val parsed = body.map { l =>
           l.split('\t') match {
             case Array(rel, len) => len.toLongOption.map(rel -> _)
             case _ => None
           }
         }
         if (expected.contains(parsed.size) && parsed.forall(_.isDefined))
-          Some(parsed.flatten)
+          Some(ManifestData(parsed.flatten, supersedes))
         else None
       case _ => None // torn, zero-byte, or unknown format: never trusted
     }

