@@ -10,10 +10,14 @@ object OcsfEtlDemo {
   def main(args: Array[String]): Unit = {
     val Array(landing, outDir) = args
     val spark = GraftSession.get()
-    val classified = FdrSource.load(spark, landing)
+    // route-clustered cache: the 13 route writes rescan this, and
+    // clustering lets each rescan prune to its own columnar batches
+    val classified = OcsfSink.routeClustered(
+      FdrSource.load(spark, landing).drop("raw")).cache()
     println(s"[demo] classified events: ${classified.count()}")
     classified.groupBy("route").count().show(20, truncate = false)
     OcsfSink.fanOut(classified, outDir, "us-east-1", "123456789012")
+    classified.unpersist()
     println(s"[demo] wrote OCSF tables under $outDir")
     // consumption surface: SQL over the normalized lake
     val views = graft.ocsf.OcsfTables.registerAll(spark, outDir)

@@ -265,4 +265,34 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == Map("2023-11-14 22:13:00" -> 2L, "2023-11-14 22:14:00" -> 1L), rows.toString)
   }
+
+  test("StreamMetrics captures per-batch health rows for a named query") {
+    val landing = Files.createTempDirectory("stream-metrics")
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"m1","cid":"c","id":"e1","timestamp":"1700000000000","event_platform":"Lin","DomainName":"a.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"m2","cid":"c","id":"e2","timestamp":"1700000001000","event_platform":"Lin","DomainName":"b.example.com"}"""))
+    val listener = new StreamMetrics(capacity = 16,
+      queryName = Some("metrics_probe")).attach(spark)
+    try {
+      val q = EventStream.readClassified(spark, landing.toString)
+        .writeStream
+        .format("memory")
+        .queryName("metrics_probe")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // listener events are delivered asynchronously after the query ends
+      var tries = 0
+      while (listener.metrics(spark).isEmpty && tries < 50) {
+        Thread.sleep(200); tries += 1
+      }
+      val m = listener.metrics(spark)
+        .select("queryName", "numInputRows", "triggerMs")
+        .collect()
+      assert(m.nonEmpty, "no batch metrics captured")
+      assert(m.forall(_.getString(0) == "metrics_probe"))
+      assert(m.map(_.getLong(1)).sum == 2, "input rows must total the landed lines")
+      assert(m.exists(_.getLong(2) >= 0), "trigger duration must be recorded")
+    } finally listener.detach(spark)
+  }
 }
