@@ -88,11 +88,19 @@ object OcsfSink {
       .withColumn("region", lit(region))
       .withColumn("accountId", lit(accountId))
       .withColumn("eventDay", date_format(col("time"), "yyyyMMdd"))
-    if (filesPerDay0 == 1) partitioned.repartition(
+    // time-sorted within each writer task: parquet row-group min/max
+    // stats on `time` then let ANY engine (this one, Athena/Trino over
+    // the same prefix) skip row groups on the time-range predicates
+    // that dominate security-lake queries — free at write (the sort is
+    // task-local over one day-partition's slice), paid back on every
+    // read. Layout and file count are unchanged.
+    (if (filesPerDay0 == 1) partitioned.repartition(
       col("region"), col("accountId"), col("eventDay"))
     else partitioned.repartition(
       col("region"), col("accountId"), col("eventDay"),
-      pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay0)))
+      pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay0))))
+      .sortWithinPartitions(col("region"), col("accountId"),
+        col("eventDay"), col("time"))
   }
 
   /** Route-clustered layout for the fan-out cache: repartitions the

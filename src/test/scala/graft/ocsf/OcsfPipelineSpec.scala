@@ -212,6 +212,29 @@ class OcsfPipelineSpec extends SparkSpec {
     assert(back.count() == 1)
   }
 
+  test("A22: rows land time-sorted within each file (row-group pruning stats)") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("ocsf-sorted")
+    // deliberately out of order within one day
+    val times = Seq("2023-11-14 18:00:00", "2023-11-14 06:00:00",
+      "2023-11-14 12:00:00", "2023-11-14 01:00:00")
+    val df = times.zipWithIndex.toDF("t", "i")
+      .select(struct(concat(lit("u"), col("i")).as("uid")).as("metadata"),
+        to_timestamp(col("t")).as("time"))
+    OcsfSink.write(df, outDir.toString, "DNS Activity", "us-east-1",
+      "123456789012", filesPerDay = 1)
+    val day = outDir.resolve("dns_activity")
+      .resolve("region=us-east-1").resolve("accountId=123456789012")
+      .resolve("eventDay=20231114")
+    val files = Files.list(day).toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length == 1)
+    // parquet preserves row order within a file: ascending time means
+    // tight per-row-group min/max stats for time-range skipping
+    val back = spark.read.parquet(files.head)
+      .select(col("time").cast("string")).collect().map(_.getString(0)).toSeq
+    assert(back == back.sorted, s"rows must be time-ascending, got $back")
+  }
+
   test("A22: filesPerDay auto-derives from plan size, 1 for tiny inputs") {
     val df = Normalizers.processActivity(
       classified.filter(col("route") === "Process Activity"))
