@@ -91,6 +91,32 @@ object OcsfTables {
     }
   }
 
+  /** Per-route result of [[compactAll]]: batch pairs folded by the
+    * data rewrite and by the control-file merge. */
+  final case class Compacted(dataPairs: Int, controlPairs: Int)
+
+  /** Lake-wide maintenance entry point: for every route table with a
+    * commit log, rewrite small per-batch data files into `filesPerDay`
+    * files per day ([[IdempotentSink.compactDataFiles]]) and fold any
+    * remaining control pairs ([[IdempotentSink.compactCommits]] — the
+    * data pass already leaves one pair when it runs, so the control
+    * pass only fires when the data was already at target layout).
+    * OFFLINE, single operator — the same contract as the per-table
+    * calls. Returns per-table counts for the routes that had a log. */
+  def compactAll(spark: SparkSession, baseDir: String,
+                 filesPerDay: Int = 1): Map[String, Compacted] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    OcsfMappings.routes.flatMap { route =>
+      val dir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
+      val fs = dir.getFileSystem(hadoopConf)
+      if (IdempotentSink.hasCommitLog(fs, dir)) {
+        val data = IdempotentSink.compactDataFiles(spark, dir, filesPerDay)
+        val control = IdempotentSink.compactCommits(fs, dir)
+        Some(OcsfSink.tableName(route) -> Compacted(data, control))
+      } else None
+    }.toMap
+  }
+
   /** Recursive object listing — one LIST call family on S3, no
     * per-directory round trips. */
   private def hasAnyParquet(fs: FileSystem, dir: Path): Boolean = {

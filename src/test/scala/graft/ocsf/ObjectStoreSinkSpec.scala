@@ -262,6 +262,29 @@ class ObjectStoreSinkSpec extends SparkSpec {
     assert(visibleParquet(base).size == 2)
   }
 
+  test("compactAll sweeps every committed route table, reads identical") {
+    val base = mkBase()
+    val routes = Seq("DNS Activity", "Process Activity")
+    routes.foreach { r =>
+      (0 until 2).foreach { b =>
+        IdempotentSink.writeBatch(
+          df(s"$r-$b-a" -> "2023-11-14", s"$r-$b-b" -> "2023-11-15"),
+          base, r, region, acct, batchId = b.toLong)
+      }
+    }
+    def uids(r: String): Seq[String] =
+      OcsfTables.load(spark, base, r)
+        .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    val before = routes.map(r => r -> uids(r)).toMap
+    val report = OcsfTables.compactAll(spark, base)
+    assert(report.keySet == Set("dns_activity", "process_activity"), report)
+    assert(report.values.forall(_.dataPairs == 2), report)
+    routes.foreach(r => assert(uids(r) == before(r)))
+    // idempotent: a second sweep has nothing to do
+    assert(OcsfTables.compactAll(spark, base).values
+      .forall(c => c.dataPairs == 0 && c.controlPairs == 0))
+  }
+
   test("torn manifest publish is detected, discarded and republished") {
     val base = mkBase()
     val batch = df("m1" -> "2023-11-14", "m2" -> "2023-11-15")
