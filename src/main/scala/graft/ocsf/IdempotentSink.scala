@@ -287,46 +287,8 @@ object IdempotentSink {
     * exactly once on any store — uncommitted batches, staging dirs,
     * torn-rename residue and straggler leftovers are simply never
     * named. One directory listing + one small read per batch. */
-  def committedFiles(fs: FileSystem, tableDir: Path): Seq[Path] = {
-    val cb = new Path(tableDir, "_committed_batches")
-    if (!fs.exists(cb)) return Seq.empty
-    val entries = fs.listStatus(cb).map(_.getPath)
-    val manifests = entries.filter(_.getName.endsWith(".manifest"))
-      .map(_.getName.stripSuffix(".manifest")).toSet
-    val done = entries.filter(_.getName.endsWith(".committed"))
-      .map(_.getName.stripSuffix(".committed")).toSet
-    // a marker without its manifest means committed data has silently
-    // left the read contract (e.g. a compaction that deleted originals
-    // before publishing the merged pair) — fail loudly, never narrow
-    // the contract. compactCommits deletes markers BEFORE manifests so
-    // its crash windows never produce this state.
-    val orphanMarkers = done -- manifests
-    if (orphanMarkers.nonEmpty)
-      throw new IllegalStateException(
-        s"committed marker(s) without manifest under $cb: " +
-          s"${orphanMarkers.toSeq.sorted.mkString(", ")} — committed data " +
-          "would be invisible to readers; restore the manifest(s)")
-    val committed = entries.toSeq
-      .filter(p => p.getName.endsWith(".manifest") &&
-        done.contains(p.getName.stripSuffix(".manifest")))
-      .sortBy(_.getName)
-      .map { m =>
-        m.getName.stripSuffix(".manifest") ->
-          readManifestFull(fs, m).getOrElse(throw new IllegalStateException(
-            s"committed manifest unreadable: $m"))
-      }
-    // a pair named in ANY committed manifest's supersedes set is dead:
-    // its rows were rewritten into the superseding manifest's files.
-    // The union includes dead manifests' own supersedes sets, so an
-    // interrupted cleanup chain (A superseded {1,2}, B superseded {A})
-    // keeps 1 and 2 excluded even while their pairs still linger.
-    val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
-    committed
-      .filterNot { case (n, _) => superseded.contains(n) }
-      .flatMap(_._2.entries)
-      .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
-      .distinct
-  }
+  def committedFiles(fs: FileSystem, tableDir: Path): Seq[Path] =
+    readContract(fs, tableDir)._1
 
   /** Final data-file paths named by ANY parseable manifest — committed
     * or still in flight. The superset [[OcsfTables.load]] checks a
@@ -335,16 +297,83 @@ object IdempotentSink {
     * through this sink and would be silently invisible to readers-by-
     * manifest. (An UNCOMMITTED manifest's files are a legitimate
     * transient — a mid-promote batch — and must not trip the guard.) */
-  def manifestedFiles(fs: FileSystem, tableDir: Path): Set[Path] = {
+  def manifestedFiles(fs: FileSystem, tableDir: Path): Set[Path] =
+    readContract(fs, tableDir)._2
+
+  /** One listing + one parse per manifest feeding BOTH contract views:
+    * `_1` the committed read contract ([[committedFiles]] semantics),
+    * `_2` every final path any parseable manifest names (the
+    * [[manifestedFiles]] stray-guard superset) — so a reader pays the
+    * control-file LIST/GET tax once, not per view.
+    *
+    * The orphan-marker check (a `.committed` whose manifest is gone =
+    * committed data silently out of contract) retries on ONE fresh
+    * listing before failing: on a paginated store LIST a concurrent
+    * in-band compaction can delete a pair's marker and manifest
+    * between a reader's pages, making the pair look orphaned when the
+    * directory never actually held that state. */
+  def readContract(fs: FileSystem, tableDir: Path): (Seq[Path], Set[Path]) = {
     val cb = new Path(tableDir, "_committed_batches")
-    if (!fs.exists(cb)) return Set.empty
-    fs.listStatus(cb).map(_.getPath).toSeq
-      .filter(_.getName.endsWith(".manifest"))
-      .flatMap(m => readManifest(fs, m).getOrElse(Seq.empty))
-      .map { case (rel, _) =>
-        fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
+    def attempt(): Either[Set[String], (Seq[Path], Set[Path])] = {
+      if (!fs.exists(cb)) return Right((Seq.empty, Set.empty))
+      val entries = fs.listStatus(cb).map(_.getPath)
+      val done = entries.filter(_.getName.endsWith(".committed"))
+        .map(_.getName.stripSuffix(".committed")).toSet
+      val parsed = entries.toSeq
+        .filter(_.getName.endsWith(".manifest"))
+        .sortBy(_.getName)
+        .map(m => (m.getName.stripSuffix(".manifest"), readManifestFull(fs, m)))
+      val orphan = done -- parsed.map(_._1).toSet
+      if (orphan.nonEmpty) return Left(orphan)
+      val named = parsed
+        .flatMap(_._2.map(_.entries).getOrElse(Seq.empty))
+        .map { case (rel, _) =>
+          fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
+        }.toSet
+      val committed = parsed.collect { case (n, md) if done.contains(n) =>
+        n -> md.getOrElse(throw new IllegalStateException(
+          s"committed manifest unreadable: $cb/$n.manifest"))
       }
-      .toSet
+      // a pair named in ANY committed manifest's supersedes set is
+      // dead: its rows were rewritten into the superseding manifest's
+      // files. The union includes dead manifests' own supersedes sets,
+      // so an interrupted cleanup chain (A superseded {1,2}, B
+      // superseded {A}) keeps 1 and 2 excluded while they linger.
+      val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
+      Right((committed
+        .filterNot { case (n, _) => superseded.contains(n) }
+        .flatMap(_._2.entries)
+        .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
+        .distinct, named))
+    }
+    attempt() match {
+      case Right(r) => r
+      case Left(_) => attempt() match { // one reread: racing a compaction?
+        case Right(r) => r
+        case Left(orphan) => throw new IllegalStateException(
+          s"committed marker(s) without manifest under $cb: " +
+            s"${orphan.toSeq.sorted.mkString(", ")} — committed data " +
+            "would be invisible to readers; restore the manifest(s)")
+      }
+    }
+  }
+
+  /** Delete one superseded pair — its data files FIRST (skipping any
+    * path the live read contract still names: a control-only merge
+    * re-owns its inputs' files without rewriting them), then marker,
+    * then manifest, so no crash cut strands a file no manifest names
+    * or produces the marker-without-manifest state readers reject. */
+  private def settlePair(fs: FileSystem, tableDir: Path, n: String,
+                         protectedFiles: Set[Path]): Unit = {
+    val cb = new Path(tableDir, "_committed_batches")
+    readManifestFull(fs, new Path(cb, s"$n.manifest")).foreach(_.entries
+      .foreach { case (rel, _) =>
+        val p = new Path(tableDir, finalRelPath(rel))
+        if (!protectedFiles.contains(fs.makeQualified(p)))
+          fs.delete(p, false)
+      })
+    fs.delete(new Path(cb, s"$n.committed"), false)
+    fs.delete(new Path(cb, s"$n.manifest"), false)
   }
 
   /** Merge the control files of every COMMITTED batch into ONE
@@ -394,22 +423,20 @@ object IdempotentSink {
         s"committed manifest unreadable during compaction: $mp"))
     }
     // superseded ghosts are never merged — their rows live in the
-    // superseding manifest's files. Ghosts of a committed CONTROL
-    // merge (compact-*) are pure dead control files (the merger
-    // re-owns the same data files), so deleting their pairs RESUMES a
-    // crashed step 3/4 cleanup here. Data-compaction ghosts
-    // (superseded by compactdata-*) may still own old data files and
-    // are left for compactDataFiles' settle, which deletes files
-    // before control pairs; their exclusions are carried forward so
-    // they stay dead if this merge outlives their superseder.
+    // superseding manifest's files. Their presence is an interrupted
+    // cleanup (a crashed compactCommits step 3/4 or compactDataFiles
+    // step 6); RESUME it here via the protected-aware settle: a ghost
+    // of a control merge shares all its files with the merger (all
+    // protected → only control files deleted), a data-compaction
+    // ghost's old files are outside the live contract and are removed
+    // files-first, so no cut point ever strands a file that trips the
+    // stray-append guard. Exclusions are carried forward so ghosts a
+    // crash leaves behind stay dead under the merged manifest.
     val ghostExclusions = full.iterator.flatMap(_._2.supersedes).toSet
-    full.iterator.filter(_._1.startsWith("compact-"))
-      .flatMap(_._2.supersedes)
+    val protectedFiles = readContract(fs, tableDir)._1.map(fs.makeQualified).toSet
+    ghostExclusions
       .filter(n => manifests.contains(n) || done.contains(n))
-      .foreach { n =>
-        fs.delete(new Path(cb, s"$n.committed"), false)
-        fs.delete(new Path(cb, s"$n.manifest"), false)
-      }
+      .foreach(settlePair(fs, tableDir, _, protectedFiles))
     val live = full.filterNot { case (n, _) => ghostExclusions.contains(n) }
     if (live.size < 2) return 0
     val merged = live
@@ -484,31 +511,18 @@ object IdempotentSink {
       (es.filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSet,
         es.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSet)
     }
-    // files the CURRENT read contract names must survive every settle
-    // delete: a control-only merge (compactCommits) re-owns its inputs'
-    // files without rewriting them, so a superseded pair's manifest can
-    // name files that are live under the superseding manifest
+    // 1. settle interrupted predecessors (protected-aware: settlePair
+    // never deletes a file the live read contract names)
     val protectedFiles = committedFiles(fs, tableDir)
       .map(fs.makeQualified).toSet
-    def deletePair(n: String): Unit = {
-      readManifestFull(fs, new Path(cb, s"$n.manifest")).foreach(_.entries
-        .foreach { case (rel, _) =>
-          val p = new Path(tableDir, finalRelPath(rel))
-          if (!protectedFiles.contains(fs.makeQualified(p)))
-            fs.delete(p, false)
-        })
-      fs.delete(new Path(cb, s"$n.committed"), false)
-      fs.delete(new Path(cb, s"$n.manifest"), false)
-    }
-
-    // 1. settle interrupted predecessors
     val (manifests0, done0) = listPairs()
     val committed0 = done0.toSeq.sorted.flatMap(n =>
       readManifestFull(fs, new Path(cb, s"$n.manifest")).map(n -> _))
     committed0.iterator.flatMap(_._2.supersedes).toSet
       .filter(n => manifests0.contains(n) || done0.contains(n))
-      .foreach(deletePair)
-    (manifests0 -- done0).filter(_.startsWith("compactdata-")).foreach(deletePair)
+      .foreach(settlePair(fs, tableDir, _, protectedFiles))
+    (manifests0 -- done0).filter(_.startsWith("compactdata-"))
+      .foreach(settlePair(fs, tableDir, _, protectedFiles))
     val staging = new Path(tableDir, "_staging")
     if (fs.exists(staging))
       fs.listStatus(staging).map(_.getPath)
@@ -575,18 +589,13 @@ object IdempotentSink {
     writeAtomic(fs, new Path(cb, s"compactdata-$k.committed"), "")
     fs.delete(stagingRoot, true)
 
-    // 6. cleanup: old files first, then markers, then manifests
+    // 6. cleanup: the live contract is now exactly the new files —
+    // settle every input pair against it (old files first, then
+    // markers, then manifests)
     val keep = entries.map { case (rel, _) =>
       fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
     }.toSet
-    inputs.foreach { case (n, md) =>
-      md.entries.foreach { case (rel, _) =>
-        val p = new Path(tableDir, finalRelPath(rel))
-        if (!keep.contains(fs.makeQualified(p))) fs.delete(p, false)
-      }
-      fs.delete(new Path(cb, s"$n.committed"), false)
-      fs.delete(new Path(cb, s"$n.manifest"), false)
-    }
+    inputs.foreach { case (n, _) => settlePair(fs, tableDir, n, keep) }
     inputs.size
   }
 

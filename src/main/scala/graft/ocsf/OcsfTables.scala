@@ -31,17 +31,24 @@ object OcsfTables {
     val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (IdempotentSink.hasCommitLog(fs, tableDir)) {
-      val files = IdempotentSink.committedFiles(fs, tableDir)
-      require(files.nonEmpty,
-        s"$tableDir has a batch-commit log but no committed data files")
       // mixed-table guard: a data file at a final path that NO manifest
       // (committed or in-flight) names was plain-appended outside the
       // commit log — it would be silently invisible to this reader, so
-      // fail loudly instead of narrowing the result. One extra LIST;
-      // mid-promote files are covered by their (uncommitted) manifest
-      // and never trip this.
-      val named = IdempotentSink.manifestedFiles(fs, tableDir)
-      val strays = finalDataFiles(fs, tableDir).filterNot(named.contains)
+      // fail loudly instead of narrowing the result. ORDER MATTERS
+      // under a live writer: list data files FIRST, manifests second,
+      // so a batch promoted between the two passes is covered by the
+      // (earlier-published) manifest the second pass reads — the
+      // reverse order would flag it as a stray. readContract feeds both
+      // the guard superset and the committed file list from ONE
+      // manifest parse, so the reader pays the control-file GET tax
+      // once per load, not per view.
+      val dataFiles = finalDataFiles(fs, tableDir)
+      val (files, named) = IdempotentSink.readContract(fs, tableDir)
+      require(files.nonEmpty,
+        s"$tableDir has a batch-commit log but no committed data files")
+      // re-check existence on candidates only (normally zero): a file a
+      // concurrent cleanup deleted between the two passes is not a stray
+      val strays = dataFiles.filterNot(named.contains).filter(fs.exists)
       require(strays.isEmpty,
         s"$tableDir mixes plain appends with committed batches (out of " +
           s"contract): ${strays.size} data file(s) at final paths are not " +

@@ -474,10 +474,34 @@ object Dedup {
     // numBits ≈ -items·ln(fpp)/ln(2)² — the standard Bloom sizing
     val numBits = math.max(64L,
       math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = benchGrams.select(col("gram")).distinct()
-      .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedGrams}L, ${numBits}L)")
-        .as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // Spark's BloomFilterAggregate silently CLAMPS items/bits to the
+    // runtime-join-filter session caps (4M items / 64M bits by
+    // default) — above ~7M grams the sketch would quietly degrade to
+    // fpp→1 while reporting as if sized. Raise the caps for this
+    // build, restore after; the sketch itself stays a bounded driver
+    // collect (numBits/8 bytes).
+    val spark = benchGrams.sparkSession
+    def raised(key: String, needed: Long): Option[String] = {
+      val old = spark.conf.get(key)
+      if (old.toLong < needed) { spark.conf.set(key, needed.toString); Some(old) }
+      else None
+    }
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) =
+      (raised(itemsKey, expectedGrams), raised(bitsKey, numBits))
+    // no distinct(): Bloom insertion is idempotent, so duplicates cost
+    // nothing while a pre-dedup would shuffle every benchmark gram
+    // just to drop repeats — partial sketches merge map-side instead
+    val bloomBytes =
+      try benchGrams.select(col("gram"))
+        .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedGrams}L, ${numBits}L)")
+          .as("bf"))
+        .head().getAs[Array[Byte]](0)
+      finally {
+        oldItems.foreach(spark.conf.set(itemsKey, _))
+        oldBits.foreach(spark.conf.set(bitsKey, _))
+      }
     shingles(docs, textCol, idCol, n)
       .filter(call_function("graft_bloom_contains",
         lit(bloomBytes), xxhash64(col("gram"))))
@@ -503,23 +527,44 @@ object Dedup {
     * `collect_set`, leaving one exchange (the groupBy on the id).
     *
     * `maxGrams > 0` additionally caps each doc at its `maxGrams`
-    * SMALLEST hashes — a bottom-k (KMV) sketch, sound because both
-    * sides keep the same "smallest hash" prefix of any shared gram
-    * set. Pairs where either side hit the cap get an ESTIMATED Jaccard
-    * (error ~1/√maxGrams); set the cap above the corpus's per-doc gram
-    * P99 so estimation only touches outlier documents, and keep 0
-    * (uncapped) when the downstream is an oracle-checked exact gate. */
+    * SMALLEST hashes — a bottom-k (KMV) sketch. The capped Jaccard is
+    * the PROPER KMV estimator: take the k smallest hashes of the
+    * UNION (computable from the two bottom-k arrays, since the union's
+    * bottom-k is the bottom-k of their concatenation) and count how
+    * many of them lie in both sketches — membership is exact inside
+    * that window, because a hash among the union's k smallest that
+    * belongs to a set is necessarily among that set's own k smallest.
+    * Error ~1/√maxGrams regardless of the two docs' relative sizes.
+    * (The naive `|A_k∩B_k| / |A_k∪B_k|` is NOT that estimator: for a
+    * short doc contained in a long one it counts B-only hashes far
+    * beyond A's sketch horizon and underestimates J by up to ~2×.)
+    * Set the cap above the corpus's per-doc gram P99 so estimation
+    * only touches outlier documents, and keep 0 (uncapped) when the
+    * downstream is an oracle-checked exact gate. */
   def exactJaccardForPairs(docs: DataFrame, textCol: String, idCol: String,
                            pairs: DataFrame, n: Int = 3,
                            maxGrams: Int = 0): DataFrame = {
     val sets = hashedGramSets(docs, textCol, idCol, n, maxGrams)
-    pairs.select(col("id_a"), col("id_b"))
+    val joined = pairs.select(col("id_a"), col("id_b"))
       .join(sets.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val jac =
+      if (maxGrams > 0)
+        joined
+          // union's bottom-k window; project to an attribute so the
+          // intersect below doesn't recompute the sort (the
+          // per-element re-evaluation trap documented on shingles)
+          .withColumn("uk",
+            slice(array_sort(array_union(col("ga"), col("gb"))), 1, maxGrams))
+          .withColumn("jaccard", round(
+            size(array_intersect(col("uk"),
+              array_intersect(col("ga"), col("gb")))).cast("double") /
+              size(col("uk")), 4))
+      else
+        joined.withColumn("jaccard", round(
+          size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))), 4))
+    jac.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** The per-doc gram relation [[exactJaccardForPairs]] joins through:

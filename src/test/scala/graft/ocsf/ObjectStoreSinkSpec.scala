@@ -244,6 +244,36 @@ class ObjectStoreSinkSpec extends SparkSpec {
     assert(visibleParquet(base).size == 2)
   }
 
+  test("in-band control merge settles a crashed data compaction's ghosts, files included") {
+    val base = mkBase()
+    (0 until 2).foreach { b =>
+      IdempotentSink.writeBatch(
+        df(s"g$b-a" -> "2023-11-14", s"g$b-b" -> "2023-11-15"),
+        base, route, region, acct, batchId = b.toLong)
+    }
+    val (fs, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    // crash the data compaction right after its marker lands: pairs
+    // 0,1 and their old data files linger as superseded ghosts
+    NonAtomicRenameFs.arm(1)(p =>
+      if (p.getName == "compactdata-0.committed") NonAtomicRenameFs.CrashAfterCopy
+      else NonAtomicRenameFs.Pass)
+    try intercept[IOException] {
+      IdempotentSink.compactDataFiles(spark, tableDir)
+    } finally NonAtomicRenameFs.disarm()
+    // the stream moves on: another batch lands on the wrecked table
+    IdempotentSink.writeBatch(df("g2-a" -> "2023-11-14", "g2-b" -> "2023-11-15"),
+      base, route, region, acct, batchId = 2L)
+    // the in-band control merge (EventStream's compactEvery hook) must
+    // settle the ghosts' DATA FILES too, not just their control pairs —
+    // deleting only the pairs would orphan the old files and trip the
+    // stray-append guard on every later load
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 2) // compactdata-0 + batch 2
+    assert(committedUids(base) == (before ++ Seq("g2-a", "g2-b")).sorted)
+    assert(visibleParquet(base).size == 4,
+      "ghost batches' old files must be settled away") // 2 compacted + batch 2's 2
+  }
+
   test("control-file merge then data compaction: single pair, many files, still compacts") {
     val base = mkBase()
     (0 until 3).foreach { b =>

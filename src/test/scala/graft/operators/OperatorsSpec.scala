@@ -273,6 +273,22 @@ class OperatorsSpec extends SparkSpec {
       maxGrams = 2000).head().getDouble(2)
     // bottom-k sketch error ~1/sqrt(k) ≈ 0.022 at k=2000
     assert(math.abs(est - j) < 0.06, s"KMV estimate $est vs exact $j")
+
+    // asymmetric containment — the case a naive |A_k∩B_k|/|A_k∪B_k|
+    // quotient underestimates ~2× (B-only hashes far beyond A's sketch
+    // horizon inflate the denominator): the union-bottom-k estimator
+    // must stay inside the same ~1/sqrt(k) band
+    val contained = Seq(
+      (1L, text(0, 10000)),   // ~10k grams, all inside doc 2
+      (2L, text(0, 100000))   // ~100k grams
+    ).toDF("doc_id", "text")
+    val jc = Dedup.exactJaccardForPairs(contained, "text", "doc_id", pair)
+      .head().getDouble(2)
+    assert(math.abs(jc - 0.1) < 0.001, s"containment exact $jc")
+    val jcEst = Dedup.exactJaccardForPairs(contained, "text", "doc_id", pair,
+      maxGrams = 2000).head().getDouble(2)
+    assert(math.abs(jcEst - jc) < 0.03,
+      s"KMV containment estimate $jcEst vs exact $jc (naive quotient gives ~${jc / 2})")
   }
 
   test("C12b: curateFull with minhash-candidates-then-verify equals the exact path") {
