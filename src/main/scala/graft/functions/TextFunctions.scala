@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization. */
+  /** Single-space tokenization — the ENGINE-IDENTICAL contract every
+    * DuckDB oracle mirrors as `string_split(text, ' ')`. Deliberately
+    * NOT `\s+`: tabs/newlines/runs of spaces stay inside tokens, so
+    * raw text should be whitespace-normalized upstream (the curation
+    * pipeline's fingerprint step collapses spaces the same way). */
   def tokens(text: Column): Column = split(text, " ")
 
   // NOTE: n-gram generation lives in graft.operators.Dedup.shingles
@@ -53,9 +57,13 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
-  /** Alphabetic-character fraction of the text. */
+  /** Alphabetic-character fraction of the text, case-insensitive;
+    * 0.0 for an empty document (the `greatest` guard keeps the
+    * division non-null without ANSI-mode concerns — mirrored verbatim
+    * in every quality oracle). */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
+      greatest(length(text), lit(1))
 
   /** Composite quality score in [0, 1]: length saturation (50 tokens)
     * × alphabetic ratio. The shared definition behind q_doc_quality

@@ -155,11 +155,18 @@ object Multimodal {
   }
 
   /** Frame sampling for video-like payloads: keep every `stride`-th
-    * frame index. Pure column arithmetic — the decode of the selected
-    * frames happens later in [[featurize]]. */
-  def sampleFrameIndexes(df: DataFrame, stride: Int): DataFrame =
+    * frame index; a zero-frame row samples nothing. Pure column
+    * arithmetic — the decode of the selected frames happens later in
+    * [[featurize]]. (The n_frames guard matters: `sequence(0, -1)`
+    * counts DOWN in Spark, so an unguarded zero-frame row would
+    * report phantom frame 0 as sampled.) */
+  def sampleFrameIndexes(df: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     df.withColumn("sampled_frames",
-      filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+      when(col("n_frames") > 0,
+        filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+        .otherwise(expr("CAST(array() AS array<bigint>)")))
+  }
 
   /** "Resize" plumbing: records the target dims in metadata; the pixel
     * work lives in the decoder stub. */

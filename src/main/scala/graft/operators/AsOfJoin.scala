@@ -33,7 +33,10 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            valueCols: Seq[(String, String)]): DataFrame = {
     val l = left.withColumn("__is_left", lit(true))
-    val r = right.withColumn("__is_left", lit(false))
+    // a null-ts right row can never be "most recent at ts" — and ASC
+    // ordering sorts nulls FIRST, so left unfiltered it would match
+    // every left row that precedes all real right rows
+    val r = right.filter(col(ts).isNotNull).withColumn("__is_left", lit(false))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows first at equal ts so a tie matches (ts >= semantics)
     val w = Window.partitionBy(key)

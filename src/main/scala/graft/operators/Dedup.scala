@@ -14,6 +14,9 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Guards [[contaminationHitsBloom]]'s session-conf set/restore. */
+  private val bloomConfLock = new Object
+
   /** C1 — exact dedup: one survivor (min id) per distinct content hash.
     * Grouping on md5(text) rather than the text itself keeps shuffle
     * rows small at scale; md5 collisions are negligible at 2^64 docs. */
@@ -131,7 +134,9 @@ object Dedup {
     * them daily is the cost this operator exists to avoid. The join is
     * bucket-local on (band, bh) exactly like the batch path; buckets
     * whose combined size exceeds `maxBucket` are dropped (account via
-    * the same dropped-bucket stance if the cap is live). */
+    * the same dropped-bucket stance if the cap is live). Ids must be
+    * LONG-typed (the empty-bucket coalesce is typed array<bigint> to
+    * line up with a persisted index's schema). */
   def incrementalMinhashPairs(corpusBuckets: DataFrame, docs: DataFrame,
                               textCol: String, idCol: String,
                               numHashes: Int = 32, bands: Int = 8,
@@ -150,6 +155,10 @@ object Dedup {
         struct(least(a, b).as("a"), greatest(a, b).as("b")))))
     newOld
       .select(explode(concat(pairsWithin(col("new_ids")), crossPairs)).as("p"))
+      // a re-run delta overlapping the index puts the same id on both
+      // sides; the degenerate (x, x) pair would delete the doc as its
+      // own near-duplicate downstream
+      .filter(col("p.a") =!= col("p.b"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
@@ -488,12 +497,15 @@ object Dedup {
     }
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) =
-      (raised(itemsKey, expectedGrams), raised(bitsKey, numBits))
-    // no distinct(): Bloom insertion is idempotent, so duplicates cost
-    // nothing while a pre-dedup would shuffle every benchmark gram
-    // just to drop repeats — partial sketches merge map-side instead
-    val bloomBytes =
+    // serialize the set→build→restore on a JVM-wide lock: two
+    // concurrent builders would otherwise race the shared session
+    // confs (one's restore clamping the other's still-running build)
+    val bloomBytes = bloomConfLock.synchronized {
+      val (oldItems, oldBits) =
+        (raised(itemsKey, expectedGrams), raised(bitsKey, numBits))
+      // no distinct(): Bloom insertion is idempotent, so duplicates
+      // cost nothing while a pre-dedup would shuffle every benchmark
+      // gram just to drop repeats — partial sketches merge map-side
       try benchGrams.select(col("gram"))
         .agg(expr(s"graft_bloom_agg(xxhash64(gram), ${expectedGrams}L, ${numBits}L)")
           .as("bf"))
@@ -502,6 +514,7 @@ object Dedup {
         oldItems.foreach(spark.conf.set(itemsKey, _))
         oldBits.foreach(spark.conf.set(bitsKey, _))
       }
+    }
     shingles(docs, textCol, idCol, n)
       .filter(call_function("graft_bloom_contains",
         lit(bloomBytes), xxhash64(col("gram"))))
@@ -545,9 +558,17 @@ object Dedup {
                            pairs: DataFrame, n: Int = 3,
                            maxGrams: Int = 0): DataFrame = {
     val sets = hashedGramSets(docs, textCol, idCol, n, maxGrams)
+    // LEFT joins + empty-set coalesce: a doc with fewer than n tokens
+    // has no gram row, and an inner join would silently DROP its
+    // candidate pairs — neither confirmed nor rejected. Scoring against
+    // the empty set yields 0.0 (grams cannot confirm the pair), which
+    // keeps the candidates-then-verify accounting total.
+    val empty = expr("CAST(array() AS array<bigint>)")
     val joined = pairs.select(col("id_a"), col("id_b"))
-      .join(sets.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .join(sets.select(col(idCol).as("id_a"), col("grams").as("ga")), Seq("id_a"), "left")
+      .join(sets.select(col(idCol).as("id_b"), col("grams").as("gb")), Seq("id_b"), "left")
+      .withColumn("ga", coalesce(col("ga"), empty))
+      .withColumn("gb", coalesce(col("gb"), empty))
     val jac =
       if (maxGrams > 0)
         joined
@@ -556,14 +577,17 @@ object Dedup {
           // per-element re-evaluation trap documented on shingles)
           .withColumn("uk",
             slice(array_sort(array_union(col("ga"), col("gb"))), 1, maxGrams))
-          .withColumn("jaccard", round(
-            size(array_intersect(col("uk"),
-              array_intersect(col("ga"), col("gb")))).cast("double") /
-              size(col("uk")), 4))
+          .withColumn("jaccard", when(size(col("uk")) === 0, lit(0.0))
+            .otherwise(round(
+              size(array_intersect(col("uk"),
+                array_intersect(col("ga"), col("gb")))).cast("double") /
+                size(col("uk")), 4)))
       else
-        joined.withColumn("jaccard", round(
-          size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(array_union(col("ga"), col("gb"))), 4))
+        joined.withColumn("jaccard",
+          when(size(array_union(col("ga"), col("gb"))) === 0, lit(0.0))
+            .otherwise(round(
+              size(array_intersect(col("ga"), col("gb"))).cast("double") /
+                size(array_union(col("ga"), col("gb"))), 4)))
     jac.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -43,7 +43,13 @@ object Ivf {
     def topK(queryId: Long, k: Int, nprobe: Int): DataFrame = {
       val query = assigned.filter(col(idCol) === queryId)
         .select(col("v").as("qv")).limit(1)
-      val qv = query.collect().head.getSeq[Double](0).toArray
+      val qRows = query.collect()
+      if (qRows.isEmpty)
+        // unknown query id: empty result with the contract schema, like
+        // bruteForceTopK (vs a bare NoSuchElementException on .head)
+        return assigned.select(col(idCol),
+          lit(0.0).cast("double").as("cosine")).limit(0)
+      val qv = qRows.head.getSeq[Double](0).toArray
       def cosineLocal(c: Array[Double]): Double = {
         val dot = c.zip(qv).map { case (a, b) => a * b }.sum
         val d = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)

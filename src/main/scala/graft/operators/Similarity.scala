@@ -59,6 +59,14 @@ object Similarity {
       .toDF("tbl", "bit", "w")
     val base = emb
       .select(col(idCol), toDoubles(col(vecCol)).as("v"))
+      // fail fast on a dim mismatch: zip_with against a shorter/longer
+      // hyperplane null-pads, every dot goes null, and all vectors
+      // land in bucket 0 of every table — a silent all-pairs blow-up.
+      // The assert lives in a filter so Catalyst cannot prune it; it
+      // costs one codegen'd comparison per row and no extra job.
+      .filter(assert_true(size(col("v")) === lit(dim),
+        lit(s"lshCosinePairs: embedding length != dim=$dim — pass the " +
+          "actual vector dimension")).isNull)
       .withColumn("nrm", l2Norm(col("v")))
     val sigs = base
       .join(broadcast(planesDf))

@@ -553,8 +553,8 @@ object DocQueries {
         |         FROM reach GROUP BY src),
         |scored AS (SELECT c.component, d.doc_id,
         |             round(least(1.0, len(string_split(d.text, ' ')) / 50.0) *
-        |                   (length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 /
-        |                    length(d.text)), 4) AS quality
+        |                   (length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) * 1.0 /
+        |                    greatest(length(d.text), 1)), 4) AS quality
         |           FROM comp c JOIN documents d USING (doc_id)),
         |ranked AS (SELECT component, doc_id, quality,
         |             row_number() OVER (PARTITION BY component
@@ -640,8 +640,8 @@ object DocQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  round(avg(least(1.0, len(string_split(text, ' ')) / 50.0) *
-        |            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
-        |             length(text))), 4) AS mean_quality
+        |            (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
+        |             greatest(length(text), 1))), 4) AS mean_quality
         |FROM documents
         |GROUP BY source, lang""".stripMargin,
     "q_doc_sample" ->
@@ -708,14 +708,14 @@ object DocQueries {
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
-        |        length(text), 4) AS alpha_ratio,
+        |  round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
+        |        greatest(length(text), 1), 4) AS alpha_ratio,
         |  round(len(list_filter(string_split(text, ' '),
         |            x -> x IN ('the','a','of','and','to'))) * 1.0 /
         |        len(string_split(text, ' ')), 4) AS stop_ratio,
         |  round(least(1.0, len(string_split(text, ' ')) / 50.0) *
-        |        (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
-        |         length(text)), 4) AS quality
+        |        (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
+        |         greatest(length(text), 1)), 4) AS quality
         |FROM documents""".stripMargin,
     "q_doc_tokens" ->
       """SELECT doc_id,
@@ -750,8 +750,8 @@ object DocQueries {
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    round(least(1.0, len(string_split(text, ' ')) / 50.0) *
-        |          (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 /
-        |           length(text)), 4) AS quality
+        |          (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
+        |           greatest(length(text), 1)), 4) AS quality
         |  FROM kept)
         |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin,
     "q_doc_pipeline" ->
@@ -760,8 +760,8 @@ object DocQueries {
         |  SELECT d.doc_id,
         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
         |    round(least(1.0, len(string_split(d.text, ' ')) / 50.0) *
-        |          (length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 /
-        |           length(d.text)), 4) AS quality
+        |          (length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) * 1.0 /
+        |           greatest(length(d.text), 1)), 4) AS quality
         |  FROM documents d
         |  WHERE d.doc_id IN (SELECT doc_id FROM survivors))
         |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin

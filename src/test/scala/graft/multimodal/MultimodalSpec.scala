@@ -30,6 +30,16 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("media_id") === 3L)
       .select("sampled_frames").head().getSeq[Long](0)
     assert(sampled == Seq(0L, 3L, 6L, 9L))
+    // a zero-frame row samples NOTHING (sequence(0, -1) counts down in
+    // Spark — unguarded it reported phantom frame 0)
+    import spark.implicits._
+    val zero = sampleFrameIndexes(
+      Seq((9L, 0L)).toDF("media_id", "n_frames"), stride = 3)
+      .select("sampled_frames").head().getSeq[Long](0)
+    assert(zero.isEmpty, s"zero-frame row sampled $zero")
+    intercept[IllegalArgumentException] {
+      sampleFrameIndexes(media.toDF(), stride = 0)
+    }
   }
 
   test("resize target metadata rides along the plan") {

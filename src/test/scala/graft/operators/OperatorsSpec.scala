@@ -162,6 +162,61 @@ class OperatorsSpec extends SparkSpec {
     assert(batch.subsetOf(inc ++ corpusPairs), s"batch=$batch inc=$inc corpus=$corpusPairs")
   }
 
+  test("C2e: a re-run delta overlapping the index emits no degenerate self-pairs") {
+    // doc 1 is in the corpus index AND re-arrives in the delta (retry
+    // after partial failure): the (1,1) pair would downstream delete
+    // the doc as its own near-duplicate
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val idx = Dedup.minhashBandBuckets(corpus, "text", "doc_id")
+    val rerun = Dedup.incrementalMinhashPairs(idx,
+        docs.filter(col("doc_id") <= 2), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rerun.forall { case (a, b) => a != b }, s"self-pair emitted: ${rerun.toSeq}")
+  }
+
+  test("C4e: verify scores short-doc candidate pairs as 0.0 instead of dropping them") {
+    // doc 2 has fewer than n=3 tokens → zero shingles; SimHash (token
+    // based) can still propose the pair, and verify must ANSWER it
+    val shorty = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.exactJaccardForPairs(shorty, "text", "doc_id", pair).collect()
+    assert(out.length == 1, "candidate pair vanished from the verify output")
+    assert(out.head.getDouble(2) == 0.0, out.head.toString)
+    // capped path answers too
+    val capped = Dedup.exactJaccardForPairs(shorty, "text", "doc_id", pair,
+      maxGrams = 10).collect()
+    assert(capped.length == 1 && capped.head.getDouble(2) == 0.0)
+  }
+
+  test("C8: quality is case-insensitive and 0.0 (not null) on empty docs") {
+    import graft.functions.TextFunctions
+    val qs = Seq((1L, "HELLO WORLD"), (2L, ""), (3L, "hello world"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(qs(2L) == 0.0, s"empty doc must score 0.0, got ${qs(2L)}")
+    // uppercase letters count as alphabetic: same text, same score
+    assert(qs(1L) == qs(3L), s"case must not change quality: $qs")
+  }
+
+  test("C6: ANN guards — unknown IVF query id is empty, LSH dim mismatch fails fast") {
+    val vecs = (0L until 60L)
+      .map(i => (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = Ivf.fit(vecs, "vec_id", "embedding", numCentroids = 4, iters = 2)
+    assert(index.topK(queryId = 999999L, k = 5, nprobe = 2).isEmpty,
+      "unknown query id must return empty, not crash")
+    // wrong dim: every dot would go null and all vectors would share
+    // bucket 0 — an all-pairs blow-up. Must fail loudly instead.
+    val e = intercept[Exception] {
+      Similarity.lshCosinePairs(spark, vecs, "vec_id", "embedding",
+        dim = 4).count()
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("dim"),
+      e.toString)
+  }
+
   test("C19: contamination screening flags exactly the overlapping docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon tail words here"), // contains the bench 5-gram
@@ -422,6 +477,17 @@ class OperatorsSpec extends SparkSpec {
     val none = AsOfJoin.asOf(Seq((2L, 10L, "e")).toDF("k", "ts", "id"), r,
       "k", "ts", Seq("v" -> "r_v")).head()
     assert(none.isNullAt(none.fieldIndex("r_v")))
+  }
+
+  test("B24c: a null-ts right row never matches (ASOF ignores null keys)") {
+    val l = Seq((1L, 50L, "early")).toDF("k", "ts", "id")
+    // the null-ts row sorts FIRST under asc ordering — unfiltered it
+    // would become "the most recent right row" for every early left row
+    val r = Seq((1L, Some(100L), "real"), (1L, None, "phantom"))
+      .toDF("k", "ts", "v")
+    val row = AsOfJoin.asOf(l, r, "k", "ts", Seq("v" -> "r_v")).head()
+    assert(row.isNullAt(row.fieldIndex("r_v")),
+      s"null-ts right row must not match: $row")
   }
 
   test("B25: range join matches boundaries inclusively, once per pair, no NL join") {
