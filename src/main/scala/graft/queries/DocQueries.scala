@@ -486,6 +486,17 @@ object DocQueries {
     "q_doc_fingerprint"   -> (qDocFingerprint _)
   )
 
+  /** DuckDB-side mirrors of `TextFunctions.alphaRatio`/`qualityScore` —
+    * ONE definition interpolated into every quality oracle, so a tweak
+    * to the quality formula cannot silently miss a copy and break
+    * Spark/DuckDB parity (exactly the drift the round-9 lower()/
+    * zero-guard fix had to patch in six places). */
+  private def alphaSql(c: String): String =
+    s"(length(regexp_replace(lower($c), '[^a-z]', '', 'g')) * 1.0 / " +
+      s"greatest(length($c), 1))"
+  private def qualitySql(c: String): String =
+    s"(least(1.0, len(string_split($c, ' ')) / 50.0) * ${alphaSql(c)})"
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_pack" ->
       """WITH t AS (SELECT doc_id,
@@ -529,7 +540,7 @@ object DocQueries {
         |  END AS rep_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_doc_keep_best" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         |        FROM toks WHERE len(t) >= 3),
         |grams AS (SELECT DISTINCT doc_id,
@@ -552,9 +563,7 @@ object DocQueries {
         |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
         |         FROM reach GROUP BY src),
         |scored AS (SELECT c.component, d.doc_id,
-        |             round(least(1.0, len(string_split(d.text, ' ')) / 50.0) *
-        |                   (length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) * 1.0 /
-        |                    greatest(length(d.text), 1)), 4) AS quality
+        |             round(${qualitySql("d.text")}, 4) AS quality
         |           FROM comp c JOIN documents d USING (doc_id)),
         |ranked AS (SELECT component, doc_id, quality,
         |             row_number() OVER (PARTITION BY component
@@ -636,12 +645,10 @@ object DocQueries {
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
         |FROM reach GROUP BY src""".stripMargin,
     "q_doc_source_mix" ->
-      """SELECT source, lang,
+      s"""SELECT source, lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  round(avg(least(1.0, len(string_split(text, ' ')) / 50.0) *
-        |            (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
-        |             greatest(length(text), 1))), 4) AS mean_quality
+        |  round(avg(${qualitySql("text")}), 4) AS mean_quality
         |FROM documents
         |GROUP BY source, lang""".stripMargin,
     "q_doc_sample" ->
@@ -705,17 +712,14 @@ object DocQueries {
         |  CAST(en_hits AS INT) AS en_hits
         |FROM h""".stripMargin,
     "q_doc_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
-        |        greatest(length(text), 1), 4) AS alpha_ratio,
+        |  round(${alphaSql("text")}, 4) AS alpha_ratio,
         |  round(len(list_filter(string_split(text, ' '),
         |            x -> x IN ('the','a','of','and','to'))) * 1.0 /
         |        len(string_split(text, ' ')), 4) AS stop_ratio,
-        |  round(least(1.0, len(string_split(text, ' ')) / 50.0) *
-        |        (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
-        |         greatest(length(text), 1)), 4) AS quality
+        |  round(${qualitySql("text")}, 4) AS quality
         |FROM documents""".stripMargin,
     "q_doc_tokens" ->
       """SELECT doc_id,
@@ -727,7 +731,7 @@ object DocQueries {
         |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
     "q_doc_pipeline_full" ->
-      """WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      s"""WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |sdocs AS (SELECT d.* FROM documents d
         |          WHERE d.doc_id IN (SELECT doc_id FROM survivors)),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
@@ -749,19 +753,15 @@ object DocQueries {
         |scored AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    round(least(1.0, len(string_split(text, ' ')) / 50.0) *
-        |          (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 /
-        |           greatest(length(text), 1)), 4) AS quality
+        |    round(${qualitySql("text")}, 4) AS quality
         |  FROM kept)
         |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin,
     "q_doc_pipeline" ->
-      """WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      s"""WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |scored AS (
         |  SELECT d.doc_id,
         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |    round(least(1.0, len(string_split(d.text, ' ')) / 50.0) *
-        |          (length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) * 1.0 /
-        |           greatest(length(d.text), 1)), 4) AS quality
+        |    round(${qualitySql("d.text")}, 4) AS quality
         |  FROM documents d
         |  WHERE d.doc_id IN (SELECT doc_id FROM survivors))
         |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin

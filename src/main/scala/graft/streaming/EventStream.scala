@@ -130,10 +130,12 @@ object EventStream {
       .option("checkpointLocation", s"$checkpointDir/_fanout")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // route-cluster the batch cache so each route's rescan prunes
-        // to its own columnar batches (OcsfSink.routeClustered) — the
-        // 13 filters below otherwise decompress the whole batch each
-        val clustered = OcsfSink.routeClustered(batch)
+        // drop the raw line (no normalizer reads it; it duplicates
+        // every byte of `fields`) and route-cluster the batch cache so
+        // each route's rescan prunes to its own columnar batches
+        // (OcsfSink.routeClustered) — the 13 filters below otherwise
+        // decompress the whole batch each time
+        val clustered = OcsfSink.routeClustered(batch.drop("raw"))
         clustered.persist()
         try OcsfSink.withFanOutPool(routes.size, "graft-stream-fanout") { implicit ec =>
           val jobs = routes.map { route =>

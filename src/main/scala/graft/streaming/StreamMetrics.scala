@@ -36,6 +36,9 @@ final class StreamMetrics(capacity: Int = 1024,
   import StreamMetrics.BatchMetric
 
   private val ring = new ConcurrentLinkedDeque[BatchMetric]()
+  // Deque.size is O(n); the listener bus delivers events single-
+  // threaded, so a plain counter makes eviction O(1)
+  private val ringSize = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -56,7 +59,9 @@ final class StreamMetrics(capacity: Int = 1024,
         addBatchMs = dur("addBatch"),
         stateRows = p.stateOperators.map(_.numRowsTotal).sum,
         watermark = Option(p.eventTime.get("watermark")).getOrElse("")))
-      while (ring.size > capacity) ring.pollFirst()
+      ringSize.incrementAndGet()
+      while (ringSize.get > capacity && ring.pollFirst() != null)
+        ringSize.decrementAndGet()
     }
   }
 
