@@ -287,8 +287,11 @@ object Dedup {
       .filter(col("doc1") < col("doc2"))
       .groupBy("doc1", "doc2", "n1", "n2")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      // round4, not round(x,4): jaccard is a ratio of small ints, the
+      // class whose .xxxx5 ties Spark's BigDecimal rounding and
+      // DuckDB's scaled rounding land on opposite sides of
+      .withColumn("jaccard", TextFunctions.round4(
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
@@ -578,16 +581,16 @@ object Dedup {
           .withColumn("uk",
             slice(array_sort(array_union(col("ga"), col("gb"))), 1, maxGrams))
           .withColumn("jaccard", when(size(col("uk")) === 0, lit(0.0))
-            .otherwise(round(
+            .otherwise(TextFunctions.round4(
               size(array_intersect(col("uk"),
                 array_intersect(col("ga"), col("gb")))).cast("double") /
-                size(col("uk")), 4)))
+                size(col("uk")))))
       else
         joined.withColumn("jaccard",
           when(size(array_union(col("ga"), col("gb"))) === 0, lit(0.0))
-            .otherwise(round(
+            .otherwise(TextFunctions.round4(
               size(array_intersect(col("ga"), col("gb"))).cast("double") /
-                size(array_union(col("ga"), col("gb"))), 4)))
+                size(array_union(col("ga"), col("gb"))))))
     jac.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -79,7 +79,10 @@ object DocQueries {
     * fit runs OUTSIDE the lock; a racing duplicate fit loses and is
     * unpersisted. */
   def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.IvfIndex = {
-    val key = s"${System.identityHashCode(s.sparkContext)}|$dir"
+    // applicationId is unique per SparkContext; an identity hash is
+    // not (it can be reused after a stopped context is collected,
+    // serving an index bound to a dead context)
+    val key = s"${s.sparkContext.applicationId}|$dir"
     val cached = ivfIndexes.synchronized(Option(ivfIndexes.get(key)))
     cached.getOrElse {
       val fresh = graft.operators.Ivf.fit(emb(s, dir), "vec_id", "embedding",
@@ -347,8 +350,9 @@ object DocQueries {
   def qDocKeepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
-    val comp = Dedup.connectedComponents(d, "doc_id",
-      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5))
+    // the SAME clustering as C16 — reuse it so a config tweak cannot
+    // silently desynchronize the two oracles' components
+    val comp = qDocDupComponents(s, dir)
     val w = Window.partitionBy("component")
       .orderBy(col("quality").desc, col("doc_id").asc)
     d.join(comp, "doc_id")
@@ -398,12 +402,20 @@ object DocQueries {
     * grams. The benchmark side broadcasts; see
     * [[graft.operators.Dedup.contaminationHits]]. */
   def qDocContamination(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val bench = Dedup.shingles(d.filter(col("doc_id") < 10),
-      "text", "doc_id", n = 5).select(col("gram"))
-    Dedup.contaminationHits(d.filter(col("doc_id") >= 10),
-        "text", "doc_id", bench, n = 5)
+    val (corpus, bench) = contaminationSplit(s, dir)
+    Dedup.contaminationHits(corpus, "text", "doc_id", bench, n = 5)
       .select(col("doc_id"), col("n_hits"))
+  }
+
+  /** The shared bench/corpus split behind BOTH contamination queries —
+    * one definition, so the spec-pinned bloom-superset-of-exact
+    * relationship cannot break by the two drifting apart. Docs 0-9
+    * stand in for the eval suite; the rest are the corpus. */
+  private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    (d.filter(col("doc_id") >= 10),
+      Dedup.shingles(d.filter(col("doc_id") < 10),
+        "text", "doc_id", n = 5).select(col("gram")))
   }
 
   // --------------------------------------------------------------- C19b
@@ -414,11 +426,9 @@ object DocQueries {
     * docs' grams); OperatorsSpec pins the superset-of-exact guarantee
     * and the bounded over-flagging. */
   def qDocContaminationBloom(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val bench = Dedup.shingles(d.filter(col("doc_id") < 10),
-      "text", "doc_id", n = 5).select(col("gram"))
-    Dedup.contaminationHitsBloom(d.filter(col("doc_id") >= 10),
-        "text", "doc_id", bench, n = 5, expectedGrams = 100000L)
+    val (corpus, bench) = contaminationSplit(s, dir)
+    Dedup.contaminationHitsBloom(corpus, "text", "doc_id", bench,
+        n = 5, expectedGrams = 100000L)
       .select(col("doc_id"), col("n_hits"))
   }
 

@@ -256,8 +256,13 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 4))
-      .withColumn("cum_dist", round(cume_dist().over(w), 4))
+      // round4, not round(x,4): rank ratios (rank-1)/(n-1) are exactly
+      // the ratio-of-small-ints class whose .xxxx5 ties Spark and
+      // DuckDB round to opposite sides (see TextFunctions.round4)
+      .withColumn("pct_rank",
+        graft.functions.TextFunctions.round4(percent_rank().over(w)))
+      .withColumn("cum_dist",
+        graft.functions.TextFunctions.round4(cume_dist().over(w)))
       .filter(col("quartile") === 1 && col("pct_rank") <= 0.01)
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(col("o_totalprice"), 4).as("totalprice"),
