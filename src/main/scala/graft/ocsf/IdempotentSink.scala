@@ -106,6 +106,14 @@ object IdempotentSink {
     * in-flight batches, not its whole history. */
   private val generations = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** Process-wide generation sequence: every attempt — across ALL
+    * (table, batch) keys and across evict/recreate cycles — draws a
+    * UNIQUE generation. A per-key counter restarted at 1 after
+    * eviction could hand a post-evict replay the same gen a
+    * first-attempt straggler still holds, letting the straggler pass
+    * the fence; a globally unique gen can never collide. */
+  private val genSeq = new AtomicLong(0L)
+
   /** Control-step lock per (qualified table dir, batchId). Evicted on
     * commit together with [[generations]]. */
   private val controlLocks = new ConcurrentHashMap[String, Object]()
@@ -154,11 +162,20 @@ object IdempotentSink {
   }
 
   /** Registers a new attempt generation, superseding any in-flight
-    * attempt for the same (table, batch). Package-private so the spec
-    * can model a timed-out attempt racing its replay. */
+    * attempt for the same (table, batch). The generation is drawn from
+    * the process-wide [[genSeq]], so it is unique across evictions —
+    * a recreated entry can never equal a straggler's old gen.
+    * Package-private so the spec can model a timed-out attempt racing
+    * its replay. */
   private[ocsf] def beginAttempt(fs: FileSystem, tableDir: Path,
-                                 batchId: Long): Long =
-    genCounter(attemptKey(fs, tableDir, batchId)).incrementAndGet()
+                                 batchId: Long): Long = {
+    val g = genSeq.incrementAndGet()
+    // max-accumulate, not set: two racing beginAttempts must leave the
+    // NEWEST gen current whichever order their writes land
+    genCounter(attemptKey(fs, tableDir, batchId))
+      .accumulateAndGet(g, (a, b) => math.max(a, b))
+    g
+  }
 
   /** Fences a stale attempt at a control step. A MISSING generation
     * entry means the batch committed and was evicted while this
@@ -307,11 +324,12 @@ object IdempotentSink {
     * control-file LIST/GET tax once, not per view.
     *
     * The orphan-marker check (a `.committed` whose manifest is gone =
-    * committed data silently out of contract) retries on ONE fresh
-    * listing before failing: on a paginated store LIST a concurrent
-    * in-band compaction can delete a pair's marker and manifest
-    * between a reader's pages, making the pair look orphaned when the
-    * directory never actually held that state. */
+    * committed data silently out of contract) and manifest OPENS both
+    * retry on ONE fresh listing before failing: a concurrent in-band
+    * compaction can delete a pair's marker and manifest between a
+    * reader's (paginated) LIST and its GETs, making a pair look
+    * orphaned — or its manifest open throw FileNotFoundException —
+    * when the directory never actually held that state. */
   def readContract(fs: FileSystem, tableDir: Path): (Seq[Path], Set[Path]) = {
     val cb = new Path(tableDir, "_committed_batches")
     def attempt(): Either[Set[String], (Seq[Path], Set[Path])] = {
@@ -319,10 +337,15 @@ object IdempotentSink {
       val entries = fs.listStatus(cb).map(_.getPath)
       val done = entries.filter(_.getName.endsWith(".committed"))
         .map(_.getName.stripSuffix(".committed")).toSet
-      val parsed = entries.toSeq
-        .filter(_.getName.endsWith(".manifest"))
-        .sortBy(_.getName)
-        .map(m => (m.getName.stripSuffix(".manifest"), readManifestFull(fs, m)))
+      val parsed =
+        try entries.toSeq
+          .filter(_.getName.endsWith(".manifest"))
+          .sortBy(_.getName)
+          .map(m => (m.getName.stripSuffix(".manifest"), readManifestFull(fs, m)))
+        catch { case _: java.io.FileNotFoundException =>
+          // listed, then deleted by a concurrent compaction: reread
+          return Left(Set("<manifest vanished mid-read>"))
+        }
       val orphan = done -- parsed.map(_._1).toSet
       if (orphan.nonEmpty) return Left(orphan)
       val named = parsed
@@ -397,8 +420,20 @@ object IdempotentSink {
     *  unmarked `compact-*` manifests are swept, never reused (the next
     *  attempt takes a fresh `k`).
     *
+    * `maxBatchId` bounds WHICH batch pairs may merge: only pairs whose
+    * name parses as a batch id <= maxBatchId (compact-* and
+    * compactdata-* pairs always may — they hold only previously-folded
+    * batches).
+    * This is what makes the STREAMING in-band call safe: the streaming
+    * checkpoint commits batch N only after foreachBatch(N) returns, so
+    * folding N's own pair inside the batch would let a crash-before-
+    * checkpoint replay find no pair, restage, and DUPLICATE N's rows
+    * beside the merged manifest's. Pass `batchId - 1` from inside a
+    * batch; the offline default folds everything.
+    *
     * Returns the number of batch pairs merged (0 = nothing to do). */
-  def compactCommits(fs: FileSystem, tableDir: Path): Int = {
+  def compactCommits(fs: FileSystem, tableDir: Path,
+                     maxBatchId: Long = Long.MaxValue): Int = {
     val cb = new Path(tableDir, "_committed_batches")
     if (!fs.exists(cb)) return 0
     val entries = fs.listStatus(cb).map(_.getPath)
@@ -437,7 +472,12 @@ object IdempotentSink {
     ghostExclusions
       .filter(n => manifests.contains(n) || done.contains(n))
       .foreach(settlePair(fs, tableDir, _, protectedFiles))
-    val live = full.filterNot { case (n, _) => ghostExclusions.contains(n) }
+    val live = full.filterNot { case (n, _) =>
+      ghostExclusions.contains(n) ||
+        // a batch newer than maxBatchId is untouchable: its streaming
+        // checkpoint may not have committed yet (see scaladoc)
+        n.toLongOption.exists(_ > maxBatchId)
+    }
     if (live.size < 2) return 0
     val merged = live
       .flatMap(_._2.entries)
@@ -447,8 +487,15 @@ object IdempotentSink {
     val k = (manifests ++ done).flatMap(n =>
       if (n.startsWith("compact-")) n.stripPrefix("compact-").toIntOption
       else None).maxOption.getOrElse(-1) + 1
+    // carry forward only exclusions whose pairs STILL exist after the
+    // settle above (the resurrectable ones) — carrying every
+    // historical name would grow the supersedes header without bound
+    // across repeated compactions (same rule as compactDataFiles)
+    val carried = ghostExclusions.filter(n =>
+      fs.exists(new Path(cb, s"$n.manifest")) ||
+        fs.exists(new Path(cb, s"$n.committed")))
     writeAtomic(fs, new Path(cb, s"compact-$k.manifest"),
-      manifestBody(merged, live.map(_._1).toSet ++ ghostExclusions))
+      manifestBody(merged, live.map(_._1).toSet ++ carried))
     writeAtomic(fs, new Path(cb, s"compact-$k.committed"), "")
     live.foreach { case (n, _) =>
       fs.delete(new Path(cb, s"$n.committed"), false)

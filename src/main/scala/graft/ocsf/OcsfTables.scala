@@ -27,36 +27,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OcsfTables {
 
-  def load(spark: SparkSession, baseDir: String, route: String): DataFrame = {
+  /** `verifyAppends` arms the mixed-table stray guard (below). It is a
+    * MISCONFIGURATION detector, not a runtime invariant, and it costs
+    * a recursive listing of every data file in the table — fine at
+    * test scale and on fresh tables, an O(10⁵–10⁶ objects) LIST tax on
+    * a months-old streaming table. At scale pass false here and run
+    * the guard from a maintenance job instead. */
+  def load(spark: SparkSession, baseDir: String, route: String,
+           verifyAppends: Boolean = true): DataFrame = {
     val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (IdempotentSink.hasCommitLog(fs, tableDir)) {
+    if (IdempotentSink.hasCommitLog(fs, tableDir))
+      loadCommitted(spark, fs, tableDir,
+        IdempotentSink.readContract(fs, tableDir), verifyAppends)
+    else spark.read.parquet(tableDir.toString)
+  }
+
+  private def loadCommitted(spark: SparkSession, fs: FileSystem,
+                            tableDir: Path,
+                            contract: (Seq[Path], Set[Path]),
+                            verifyAppends: Boolean): DataFrame = {
+    val (files, named) = contract
+    require(files.nonEmpty,
+      s"$tableDir has a batch-commit log but no committed data files")
+    if (verifyAppends) {
       // mixed-table guard: a data file at a final path that NO manifest
       // (committed or in-flight) names was plain-appended outside the
       // commit log — it would be silently invisible to this reader, so
       // fail loudly instead of narrowing the result. ORDER MATTERS
-      // under a live writer: list data files FIRST, manifests second,
-      // so a batch promoted between the two passes is covered by the
-      // (earlier-published) manifest the second pass reads — the
-      // reverse order would flag it as a stray. readContract feeds both
-      // the guard superset and the committed file list from ONE
-      // manifest parse, so the reader pays the control-file GET tax
-      // once per load, not per view.
-      val dataFiles = finalDataFiles(fs, tableDir)
-      val (files, named) = IdempotentSink.readContract(fs, tableDir)
-      require(files.nonEmpty,
-        s"$tableDir has a batch-commit log but no committed data files")
-      // re-check existence on candidates only (normally zero): a file a
-      // concurrent cleanup deleted between the two passes is not a stray
-      val strays = dataFiles.filterNot(named.contains).filter(fs.exists)
+      // under a live writer: the data listing must happen while (or
+      // before) the manifests cover it, so a batch promoted after the
+      // contract snapshot is re-checked against a FRESH contract
+      // rather than flagged.
+      val strays0 = finalDataFiles(fs, tableDir).filterNot(named.contains)
+      val strays =
+        if (strays0.isEmpty) strays0
+        else { // racing a live writer? re-snapshot the contract once
+          val fresh = IdempotentSink.readContract(fs, tableDir)._2
+          strays0.filterNot(fresh.contains).filter(fs.exists)
+        }
       require(strays.isEmpty,
         s"$tableDir mixes plain appends with committed batches (out of " +
           s"contract): ${strays.size} data file(s) at final paths are not " +
           s"named by any batch manifest and would be invisible to the " +
           s"manifest reader; first: ${strays.headOption.getOrElse("")}")
-      spark.read.option("basePath", tableDir.toString)
-        .parquet(files.map(_.toString): _*)
-    } else spark.read.parquet(tableDir.toString)
+    }
+    spark.read.option("basePath", tableDir.toString)
+      .parquet(files.map(_.toString): _*)
   }
 
   /** Qualified data files at FINAL paths — everything outside the
@@ -81,18 +98,23 @@ object OcsfTables {
     *
     * Probing goes through the Hadoop FileSystem API so the same call
     * works against `s3a://` / `hdfs://` lakes, not just the local FS. */
-  def registerAll(spark: SparkSession, baseDir: String): Seq[String] = {
+  def registerAll(spark: SparkSession, baseDir: String,
+                  verifyAppends: Boolean = true): Seq[String] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     OcsfMappings.routes.flatMap { route =>
       val name = OcsfSink.tableName(route)
       val dir = new Path(s"$baseDir/$name")
       val fs = dir.getFileSystem(hadoopConf)
-      val hasData =
-        if (IdempotentSink.hasCommitLog(fs, dir))
-          IdempotentSink.committedFiles(fs, dir).nonEmpty
-        else fs.exists(dir) && hasAnyParquet(fs, dir)
-      if (hasData) {
-        load(spark, baseDir, route).createOrReplaceTempView(s"ocsf_$name")
+      // one contract parse per table: the probe and the load share it
+      if (IdempotentSink.hasCommitLog(fs, dir)) {
+        val contract = IdempotentSink.readContract(fs, dir)
+        if (contract._1.nonEmpty) {
+          loadCommitted(spark, fs, dir, contract, verifyAppends)
+            .createOrReplaceTempView(s"ocsf_$name")
+          Some(s"ocsf_$name")
+        } else None
+      } else if (fs.exists(dir) && hasAnyParquet(fs, dir)) {
+        spark.read.parquet(dir.toString).createOrReplaceTempView(s"ocsf_$name")
         Some(s"ocsf_$name")
       } else None
     }

@@ -156,7 +156,14 @@ object EventStream {
             routes.foreach { route =>
               val table = new org.apache.hadoop.fs.Path(
                 s"$baseDir/${OcsfSink.tableName(route)}")
-              try IdempotentSink.compactCommits(table.getFileSystem(conf), table)
+              // maxBatchId = batchId - 1: THIS batch's pair must not
+              // fold until the streaming checkpoint commits it — a
+              // crash between an eager fold and the checkpoint would
+              // replay the batch against an empty commit log and land
+              // its rows twice (once via the merged manifest, once
+              // restaged)
+              try IdempotentSink.compactCommits(table.getFileSystem(conf),
+                table, maxBatchId = batchId - 1)
               catch { case e: Exception => // deferred cleanup, never a batch failure
                 System.err.println(
                   s"[graft] compactCommits($route) failed at batch $batchId: ${e.getMessage}")

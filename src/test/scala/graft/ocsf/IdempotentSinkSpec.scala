@@ -288,6 +288,45 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(IdempotentSink.compactCommits(fs, tableDir) == 0)
   }
 
+  test("in-band compaction never folds a batch newer than maxBatchId") {
+    val base = Files.createTempDirectory("idem-maxbatch")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (0L until 3L).foreach { b =>
+      IdempotentSink.writeBatch(df(s"m$b" -> "2023-11-14"), base.toString,
+        "DNS Activity", region, acct, batchId = b)
+    }
+    // the streaming call site compacts DURING batch 2, whose checkpoint
+    // has not committed: its pair must survive untouched or a crash
+    // would replay the batch against an empty log and double its rows
+    assert(IdempotentSink.compactCommits(fs, tableDir, maxBatchId = 1L) == 2)
+    val cb = base.resolve("dns_activity/_committed_batches")
+    val names = Files.list(cb).iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).toSeq.sorted
+    assert(names == Seq("2.committed", "2.manifest",
+      "compact-0.committed", "compact-0.manifest"), names.toString)
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity")
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("m0", "m1", "m2"))
+    // offline (no active writer) the remaining pair folds in
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 2)
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 3)
+  }
+
+  test("attempt generations are globally unique, never reused after eviction") {
+    val base = Files.createTempDirectory("idem-gen")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // a per-key counter restarted at 1 after commit-time eviction
+    // would hand a replay the same gen a first-attempt straggler
+    // still holds; the process-wide sequence makes every gen unique
+    val g1 = IdempotentSink.beginAttempt(fs, tableDir, 7L)
+    IdempotentSink.writeBatch(df("g1" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 7L) // commits + evicts
+    val g2 = IdempotentSink.beginAttempt(fs, tableDir, 7L)
+    assert(g2 > g1, s"recreated generation $g2 must exceed pre-evict $g1")
+  }
+
   test("load rejects a plain-appended stray file on a batch-committed table") {
     val base = Files.createTempDirectory("idem-mixed")
     IdempotentSink.writeBatch(df("e1" -> "2023-11-14"), base.toString,

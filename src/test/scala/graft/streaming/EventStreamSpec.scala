@@ -115,7 +115,10 @@ class EventStreamSpec extends SparkSpec {
     def dns(id: String, host: String) =
       s"""{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a-$id","cid":"c1","id":"$id","timestamp":"1700000000000","event_platform":"Lin","DomainName":"$host.example.com"}"""
     // three separate drains → batchIds 0, 1, 2; compactEvery=2 fires
-    // after batch 2 commits and folds all three pairs into one
+    // inside batch 2 and folds the CHECKPOINTED batches 0 and 1 —
+    // batch 2's own pair must survive (its streaming checkpoint has
+    // not committed at compaction time; folding it would let a
+    // crash-before-checkpoint replay double its rows)
     (0 until 3).foreach { b =>
       writeGz(landing, s"obj-$b.gz", Seq(dns(s"e$b", s"h$b")))
       val q = EventStream.start(spark, landing.toString, out.toString,
@@ -127,8 +130,9 @@ class EventStreamSpec extends SparkSpec {
     val control = Files.list(cb).iterator()
     val names = Iterator.continually(control).takeWhile(_.hasNext)
       .map(_.next().getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
-    assert(names == Seq("compact-0.committed", "compact-0.manifest"),
-      s"expected one compacted pair, got $names")
+    assert(names == Seq("2.committed", "2.manifest",
+      "compact-0.committed", "compact-0.manifest"),
+      s"expected batches 0-1 folded and the in-flight batch 2 untouched, got $names")
     val rows = graft.ocsf.OcsfTables.load(spark, out.toString, "DNS Activity")
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
     assert(rows == Seq("e0", "e1", "e2"))
