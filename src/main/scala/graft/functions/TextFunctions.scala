@@ -71,6 +71,33 @@ object TextFunctions {
   def qualityScore(text: Column): Column =
     least(lit(1.0), size(tokens(text)) / lit(50.0)) * alphaRatio(text)
 
+  // ------------------------------------------------------------ C22: PII
+  /** Redaction patterns, ordered. The order is part of the contract:
+    * emails go first (their local parts may contain digit runs), IPv4
+    * before phones/ids (its octets would otherwise be eaten as digit
+    * runs), and the bare long-digit-run catch-all (account numbers,
+    * SSN-like ids, credit cards) last. Each pattern stays inside the
+    * regex subset Java's engine and RE2 (the DuckDB oracle) agree on:
+    * no lookaround, no backreferences. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b(\d{1,3}\.){3}\d{1,3}\b""" -> "<IP>",
+    """\+\d{7,15}""" -> "<PHONE>",
+    """\d{9,}""" -> "<ID>")
+
+  /** PII redaction — the scrub pass a training-data pipeline runs
+    * before text ever reaches a tokenizer: emails, IPv4 addresses,
+    * international phone numbers and long digit runs are replaced
+    * with typed placeholder tokens. A fold over [[piiPatterns]] of
+    * builtin `regexp_replace` (codegen'd, map-only — a redaction scan
+    * over 100 TB is exactly one pass with zero shuffles), and
+    * idempotent: placeholders contain no redactable substrings, so
+    * `redactPii(redactPii(x)) == redactPii(x)`. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** 4-decimal rounding that matches DuckDB's semantics for oracle
     * comparison: DuckDB rounds the SCALED double (`round(x·10⁴)/10⁴`),
     * Spark's `round(x, 4)` rounds the unscaled value through

@@ -188,6 +188,44 @@ object DocQueries {
       col("doc_id"),
       TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
 
+  // ---------------------------------------------------------------- C22
+  /** PII redaction over the corpus. The synthetic `documents` text
+    * carries no PII, so the query plants deterministic PII-shaped
+    * strings derived from `doc_id` (email / IPv4 / phone / account
+    * number, each on its own residue class so per-doc counts VARY)
+    * and the oracle plants the identical strings in SQL — the
+    * hash-match then genuinely exercises every redaction pattern
+    * rather than fingerprinting a no-op. Placeholder-token counts are
+    * taken on the redacted text, so count parity cannot drift from
+    * replace parity. Map-only end to end: zero exchanges at any scale
+    * (pinned by PlanSpec). */
+  def qDocRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example"))).otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel +1555"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" acct "),
+            (lit(4000000000000000L) + col("doc_id")).cast("string")))
+          .otherwise("")).as("text"))
+    planted
+      .withColumn("redacted", TextFunctions.redactPii(col("text")))
+      .select(col("doc_id"),
+        regexp_count(col("redacted"), lit("<EMAIL>")).cast("bigint").as("n_emails"),
+        regexp_count(col("redacted"), lit("<IP>")).cast("bigint").as("n_ips"),
+        regexp_count(col("redacted"), lit("<PHONE>")).cast("bigint").as("n_phones"),
+        regexp_count(col("redacted"), lit("<ID>")).cast("bigint").as("n_ids"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
   // ---------------------------------------------------------------- C13
   /** TF-IDF relevance scoring: top-3 terms per document by
     * tf × ln(N/df) — the standard training-data relevance/keyword
@@ -493,7 +531,8 @@ object DocQueries {
     "q_doc_pipeline"      -> (qDocPipeline _),
     "q_doc_pipeline_full" -> (qDocPipelineFull _),
     "q_doc_pipeline_scale" -> (qDocPipelineScale _),
-    "q_doc_fingerprint"   -> (qDocFingerprint _)
+    "q_doc_fingerprint"   -> (qDocFingerprint _),
+    "q_doc_redact"        -> (qDocRedact _)
   )
 
   /** DuckDB-side mirrors of `TextFunctions.alphaRatio`/`qualityScore` —
@@ -740,6 +779,38 @@ object DocQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_doc_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text ||
+        |      CASE WHEN doc_id % 3 <> 0
+        |           THEN ' contact user' || doc_id || '@mail.example' ELSE '' END ||
+        |      CASE WHEN doc_id % 2 = 0
+        |           THEN ' ip 10.' || (doc_id % 256) || '.0.1' ELSE '' END ||
+        |      CASE WHEN doc_id % 5 = 0
+        |           THEN ' tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           ELSE '' END ||
+        |      CASE WHEN doc_id % 7 = 0
+        |           THEN ' acct ' || (4000000000000000 + doc_id) ELSE '' END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |        '\+\d{7,15}', '<PHONE>', 'g'),
+        |      '\d{9,}', '<ID>', 'g') AS redacted
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(redacted, '<IP>')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(redacted, '<PHONE>')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(redacted, '<ID>')) AS BIGINT) AS n_ids,
+        |  md5(redacted) AS redacted_md5
+        |FROM red""".stripMargin,
     "q_doc_pipeline_full" ->
       s"""WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |sdocs AS (SELECT d.* FROM documents d

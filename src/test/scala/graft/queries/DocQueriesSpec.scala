@@ -19,4 +19,46 @@ class DocQueriesSpec extends SparkSpec {
     assert(cuts("web") == "5ece")
     assert(cuts("books") == "zzzz") // 3333*65536/1000 > 65536 → keep all
   }
+
+  test("C22: redactPii scrubs emails, IPs, phones and long digit runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq(
+      "mail alice.smith+spam@corp.example.com now",
+      "from 192.168.001.7 to 10.0.0.255",
+      "call +14155550123 today",
+      "acct 4000123412341234 ref 123456789",
+      "clean text with no pii at all 12345678") // 8 digits: below threshold
+      .toDF("text")
+      .select(graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "from <IP> to <IP>")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "acct <ID> ref <ID>")
+    assert(out(4) == "clean text with no pii at all 12345678")
+  }
+
+  test("C22: redaction order — an IP is one <IP>, not digit-run shrapnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // an email whose local part holds a 10-digit run, then an IP whose
+    // octets would match \d{1,3} pieces: earlier patterns must win
+    val out = Seq("id 1234567890@x.example and 255.255.255.255 end")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+      .head().getString(0)
+    assert(out == "id <EMAIL> and <IP> end")
+  }
+
+  test("C22: redactPii is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val once = Seq("a@b.example 1.2.3.4 +12345678 987654321 tail")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+    val twice = once
+      .select(graft.functions.TextFunctions.redactPii(col("r")).as("r"))
+    assert(once.head().getString(0) == twice.head().getString(0))
+  }
 }

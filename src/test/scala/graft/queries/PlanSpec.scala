@@ -107,6 +107,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("C22: PII redaction is map-only — zero exchanges, one codegen span") {
+    val p = plan("q_doc_redact")
+    assert(!p.contains("Exchange"), p)
+    // the `*(1)` prefix marks the single WholeStageCodegen span
+    assert(p.contains("*(1) Project"), p)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
