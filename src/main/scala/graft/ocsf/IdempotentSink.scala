@@ -381,6 +381,125 @@ object IdempotentSink {
     }
   }
 
+  /** Live COMMITTED pairs — (pair name, parsed manifest) for every
+    * committed batch or compaction pair that no other committed
+    * manifest supersedes. The per-pair view behind the time-travel /
+    * incremental readers ([[filesAsOf]], [[filesSince]]); the same
+    * orphan-marker check and one-reread-on-race as [[readContract]],
+    * which stays separate because it additionally needs UNcommitted
+    * manifests for the stray-append superset. */
+  private[ocsf] def liveCommittedPairs(
+      fs: FileSystem, tableDir: Path): Seq[(String, ManifestData)] = {
+    val cb = new Path(tableDir, "_committed_batches")
+    def attempt(): Either[Set[String], Seq[(String, ManifestData)]] = {
+      if (!fs.exists(cb)) return Right(Seq.empty)
+      val entries = fs.listStatus(cb).map(_.getPath)
+      val done = entries.filter(_.getName.endsWith(".committed"))
+        .map(_.getName.stripSuffix(".committed")).toSet
+      val parsed =
+        try entries.toSeq
+          .filter(_.getName.endsWith(".manifest"))
+          .map(_.getName.stripSuffix(".manifest"))
+          .filter(done.contains)
+          .sorted
+          .map(n => (n, readManifestFull(fs, new Path(cb, s"$n.manifest"))))
+        catch { case _: java.io.FileNotFoundException =>
+          return Left(Set("<manifest vanished mid-read>"))
+        }
+      val orphan = done -- parsed.map(_._1).toSet
+      if (orphan.nonEmpty) return Left(orphan)
+      val committed = parsed.map { case (n, md) =>
+        n -> md.getOrElse(throw new IllegalStateException(
+          s"committed manifest unreadable: $cb/$n.manifest"))
+      }
+      val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
+      Right(committed.filterNot { case (n, _) => superseded.contains(n) })
+    }
+    attempt() match {
+      case Right(r) => r
+      case Left(_) => attempt() match { // one reread: racing a compaction?
+        case Right(r) => r
+        case Left(orphan) => throw new IllegalStateException(
+          s"committed marker(s) without manifest under $cb: " +
+            s"${orphan.toSeq.sorted.mkString(", ")} — committed data " +
+            "would be invisible to readers; restore the manifest(s)")
+      }
+    }
+  }
+
+  /** Splits live committed pairs into (compaction pairs, per-batch
+    * pairs keyed by numeric batch id). */
+  private def splitPairs(live: Seq[(String, ManifestData)])
+      : (Seq[(String, ManifestData)], Seq[(Long, ManifestData)]) = {
+    val (batches, folded) = live.partition(_._1.toLongOption.isDefined)
+    (folded, batches.map { case (n, md) => n.toLong -> md })
+  }
+
+  /** The oldest batch id at which per-batch history is still intact, or
+    * None when a compaction exists whose coverage cannot be bounded.
+    *
+    * Invariant this rests on: streaming batch ids are monotonic and
+    * every compaction folds ALL live pairs up to its `maxBatchId`
+    * bound, so the folded set is always a PREFIX of history — every
+    * folded batch id is strictly below every live per-batch id. The
+    * floor is therefore `minLiveBatchId - 1` (conservative: the true
+    * fold horizon may be lower), falling back to the largest numeric
+    * id visible in the compaction pairs' own `#supersedes` headers
+    * when no per-batch pair survives at all. */
+  private def horizonFloor(folded: Seq[(String, ManifestData)],
+                           batches: Seq[(Long, ManifestData)]): Option[Long] =
+    batches.map(_._1).minOption.map(_ - 1).orElse(
+      folded.flatMap(_._2.supersedes.flatMap(_.toLongOption)).maxOption)
+
+  private def requireAboveHorizon(folded: Seq[(String, ManifestData)],
+                                  batches: Seq[(Long, ManifestData)],
+                                  requested: Long, what: String,
+                                  tableDir: Path): Unit =
+    if (folded.nonEmpty) {
+      val floor = horizonFloor(folded, batches).getOrElse(
+        throw new IllegalStateException(
+          s"$what=$requested unavailable under $tableDir: compaction has " +
+            "folded the entire per-batch history and its coverage cannot " +
+            "be bounded from the surviving headers"))
+      require(requested >= floor,
+        s"$what=$requested is below the compaction horizon ($floor) under " +
+          s"$tableDir: compaction folded those batches' manifests, so " +
+          "per-batch granularity is gone (run compaction less often, or " +
+          "checkpoint consumers faster, to keep more history)")
+    }
+
+  /** Snapshot read contract AS OF a batch: the final data-file paths of
+    * every committed batch with id <= `asOfBatch`. Compaction trades
+    * history for control-file count — below its horizon only the
+    * folded (latest) view exists, and this THROWS rather than serving
+    * a wrong snapshot. Metadata-only: same one-LIST + one-GET-per-pair
+    * cost as [[committedFiles]]. */
+  def filesAsOf(fs: FileSystem, tableDir: Path, asOfBatch: Long): Seq[Path] = {
+    val (folded, batches) = splitPairs(liveCommittedPairs(fs, tableDir))
+    requireAboveHorizon(folded, batches, asOfBatch, "asOfBatch", tableDir)
+    (folded.map(_._2) ++ batches.collect {
+      case (id, md) if id <= asOfBatch => md
+    }).flatMap(_.entries)
+      .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
+      .distinct
+  }
+
+  /** Incremental (CDC-style) read contract: the final data-file paths
+    * of committed batches with id > `afterBatch` — what a downstream
+    * consumer that already processed through `afterBatch` still needs.
+    * Append-only lake, so changes are pure inserts. THROWS when
+    * compaction has folded any batch beyond `afterBatch` (the consumer
+    * lags the compaction cadence — its unread rows no longer exist at
+    * per-batch granularity). */
+  def filesSince(fs: FileSystem, tableDir: Path, afterBatch: Long): Seq[Path] = {
+    val (folded, batches) = splitPairs(liveCommittedPairs(fs, tableDir))
+    requireAboveHorizon(folded, batches, afterBatch, "afterBatch", tableDir)
+    batches.collect { case (id, md) if id > afterBatch => md }
+      .flatMap(_.entries)
+      .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
+      .distinct
+  }
+
   /** Delete one superseded pair — its data files FIRST (skipping any
     * path the live read contract still names: a control-only merge
     * re-owns its inputs' files without rewriting them), then marker,

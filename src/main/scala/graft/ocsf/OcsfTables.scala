@@ -76,6 +76,65 @@ object OcsfTables {
       .parquet(files.map(_.toString): _*)
   }
 
+  /** Time travel: the table AS OF `asOfBatch` — exactly the rows the
+    * batches with id <= `asOfBatch` committed. Backed by the commit
+    * log alone (the manifests ARE the snapshot metadata — no extra
+    * bookkeeping to maintain), so it costs the same control-file
+    * LIST/GET as [[load]]. History granularity is bounded by
+    * compaction: [[IdempotentSink.compactCommits]] /
+    * [[IdempotentSink.compactDataFiles]] fold per-batch manifests, and
+    * a request below the fold horizon THROWS instead of serving a
+    * wrong snapshot — the same contract as Delta time travel vs
+    * VACUUM. Partition pruning survives via `basePath`. */
+  def loadAsOf(spark: SparkSession, baseDir: String, route: String,
+               asOfBatch: Long): DataFrame = {
+    val (fs, tableDir) = tableFs(spark, baseDir, route)
+    require(IdempotentSink.hasCommitLog(fs, tableDir),
+      s"$tableDir has no batch-commit log — time travel reads need a " +
+        "table written through IdempotentSink")
+    dfFor(spark, fs, tableDir,
+      IdempotentSink.filesAsOf(fs, tableDir, asOfBatch))
+  }
+
+  /** Incremental consumption: only the rows committed AFTER
+    * `afterBatch` — the delta a downstream consumer checkpointed at
+    * `afterBatch` still needs. The lake is append-only, so the change
+    * set is pure inserts and a consumer loop is just
+    * `changesSince(last)` + checkpoint-the-new-max-batch. THROWS when
+    * compaction already folded an unread batch (consumer checkpoints
+    * must outpace the compaction cadence; size `compactCommits`'
+    * `maxBatchId` / scheduling accordingly). */
+  def changesSince(spark: SparkSession, baseDir: String, route: String,
+                   afterBatch: Long): DataFrame = {
+    val (fs, tableDir) = tableFs(spark, baseDir, route)
+    require(IdempotentSink.hasCommitLog(fs, tableDir),
+      s"$tableDir has no batch-commit log — incremental reads need a " +
+        "table written through IdempotentSink")
+    dfFor(spark, fs, tableDir,
+      IdempotentSink.filesSince(fs, tableDir, afterBatch))
+  }
+
+  private def tableFs(spark: SparkSession, baseDir: String,
+                      route: String): (FileSystem, Path) = {
+    val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
+    (tableDir.getFileSystem(spark.sessionState.newHadoopConf()), tableDir)
+  }
+
+  /** An explicit file-list read; an EMPTY selection (e.g. no changes
+    * since the consumer's checkpoint) still returns the table's true
+    * schema by planning the full contract with a LIMIT 0 — metadata
+    * only, nothing is read. */
+  private def dfFor(spark: SparkSession, fs: FileSystem, tableDir: Path,
+                    files: Seq[Path]): DataFrame =
+    if (files.nonEmpty)
+      spark.read.option("basePath", tableDir.toString)
+        .parquet(files.map(_.toString): _*)
+    else {
+      val all = IdempotentSink.committedFiles(fs, tableDir)
+      spark.read.option("basePath", tableDir.toString)
+        .parquet(all.map(_.toString): _*).limit(0)
+    }
+
   /** Qualified data files at FINAL paths — everything outside the
     * underscore-hidden control/staging dirs. */
   private def finalDataFiles(fs: FileSystem, tableDir: Path): Seq[Path] = {
