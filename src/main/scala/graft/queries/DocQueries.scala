@@ -226,6 +226,42 @@ object DocQueries {
         md5(col("redacted")).as("redacted_md5"))
   }
 
+  // ---------------------------------------------------------------- C23
+  /** Corpus-LM quality scoring — the KenLM/CCNet-style perplexity
+    * filter: a token-bigram language model is built from the corpus
+    * itself (one aggregation), and each document scores as the average
+    * natural-log probability of its bigrams under that model
+    * (perplexity = exp(−avg_logp); low avg_logp ⇒ the document's word
+    * sequences are atypical for the corpus — gibberish, boilerplate,
+    * wrong-language — the standard third quality axis next to the
+    * heuristic score (C8) and repetition ratio (C21)).
+    *
+    * Scale shape: the model is never materialized driver-side — a
+    * count-over-gram window computes c(bigram) on the SAME exchange
+    * the per-doc aggregation then consumes, so the whole query is two
+    * shuffles (gram, doc) regardless of corpus size; the 1-row bigram
+    * total broadcasts. Every doc bigram is in the model by
+    * construction (it came from the corpus), so no smoothing term is
+    * needed. Sub-2-token documents have no bigrams and score 0.0 via
+    * the left join, keeping the relation total. */
+  def qDocLmScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val grams = Dedup.shingles(d, "text", "doc_id", n = 2, dedupGrams = false)
+    val withC = grams.withColumn("c",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    val scored = withC.crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        TextFunctions.round4(
+          avg(log(col("c").cast("double") / col("n_total")))).as("avg_logp"))
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
+  }
+
   // ---------------------------------------------------------------- C13
   /** TF-IDF relevance scoring: top-3 terms per document by
     * tf × ln(N/df) — the standard training-data relevance/keyword
@@ -532,7 +568,8 @@ object DocQueries {
     "q_doc_pipeline_full" -> (qDocPipelineFull _),
     "q_doc_pipeline_scale" -> (qDocPipelineScale _),
     "q_doc_fingerprint"   -> (qDocFingerprint _),
-    "q_doc_redact"        -> (qDocRedact _)
+    "q_doc_redact"        -> (qDocRedact _),
+    "q_doc_lm_score"      -> (qDocLmScore _)
   )
 
   /** DuckDB-side mirrors of `TextFunctions.alphaRatio`/`qualityScore` —
@@ -779,6 +816,22 @@ object DocQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_doc_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM idx),
+        |model AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+        |tot AS (SELECT count(*) AS n_total FROM grams),
+        |sc AS (SELECT g.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         round(avg(ln(m.c * 1.0 / tot.n_total)), 4) AS avg_logp
+        |       FROM grams g JOIN model m USING (gram) CROSS JOIN tot
+        |       GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(sc.avg_logp, 0.0) AS avg_logp
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "q_doc_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,

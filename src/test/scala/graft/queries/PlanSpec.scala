@@ -114,6 +114,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("C23: LM scoring windows by gram (never unpartitioned) with partial agg") {
+    val p = plan("q_doc_lm_score")
+    // the corpus-sized window must partition by the gram key
+    assert(p.contains("windowspecdefinition(gram"), p)
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
