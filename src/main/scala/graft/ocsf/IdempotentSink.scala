@@ -331,67 +331,33 @@ object IdempotentSink {
     * orphaned — or its manifest open throw FileNotFoundException —
     * when the directory never actually held that state. */
   def readContract(fs: FileSystem, tableDir: Path): (Seq[Path], Set[Path]) = {
-    val cb = new Path(tableDir, "_committed_batches")
-    def attempt(): Either[Set[String], (Seq[Path], Set[Path])] = {
-      if (!fs.exists(cb)) return Right((Seq.empty, Set.empty))
-      val entries = fs.listStatus(cb).map(_.getPath)
-      val done = entries.filter(_.getName.endsWith(".committed"))
-        .map(_.getName.stripSuffix(".committed")).toSet
-      val parsed =
-        try entries.toSeq
-          .filter(_.getName.endsWith(".manifest"))
-          .sortBy(_.getName)
-          .map(m => (m.getName.stripSuffix(".manifest"), readManifestFull(fs, m)))
-        catch { case _: java.io.FileNotFoundException =>
-          // listed, then deleted by a concurrent compaction: reread
-          return Left(Set("<manifest vanished mid-read>"))
-        }
-      val orphan = done -- parsed.map(_._1).toSet
-      if (orphan.nonEmpty) return Left(orphan)
-      val named = parsed
-        .flatMap(_._2.map(_.entries).getOrElse(Seq.empty))
-        .map { case (rel, _) =>
-          fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
-        }.toSet
-      val committed = parsed.collect { case (n, md) if done.contains(n) =>
-        n -> md.getOrElse(throw new IllegalStateException(
-          s"committed manifest unreadable: $cb/$n.manifest"))
-      }
-      // a pair named in ANY committed manifest's supersedes set is
-      // dead: its rows were rewritten into the superseding manifest's
-      // files. The union includes dead manifests' own supersedes sets,
-      // so an interrupted cleanup chain (A superseded {1,2}, B
-      // superseded {A}) keeps 1 and 2 excluded while they linger.
-      val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
-      Right((committed
-        .filterNot { case (n, _) => superseded.contains(n) }
-        .flatMap(_._2.entries)
-        .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
-        .distinct, named))
-    }
-    attempt() match {
-      case Right(r) => r
-      case Left(_) => attempt() match { // one reread: racing a compaction?
-        case Right(r) => r
-        case Left(orphan) => throw new IllegalStateException(
-          s"committed marker(s) without manifest under $cb: " +
-            s"${orphan.toSeq.sorted.mkString(", ")} — committed data " +
-            "would be invisible to readers; restore the manifest(s)")
-      }
-    }
+    val parsed = scanPairs(fs, tableDir)
+    val named = parsed
+      .flatMap(_._3.map(_.entries).getOrElse(Seq.empty))
+      .map { case (rel, _) =>
+        fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
+      }.toSet
+    (committedLive(tableDir, parsed)
+      .flatMap(_._2.entries)
+      .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
+      .distinct, named)
   }
 
-  /** Live COMMITTED pairs — (pair name, parsed manifest) for every
-    * committed batch or compaction pair that no other committed
-    * manifest supersedes. The per-pair view behind the time-travel /
-    * incremental readers ([[filesAsOf]], [[filesSince]]); the same
-    * orphan-marker check and one-reread-on-race as [[readContract]],
-    * which stays separate because it additionally needs UNcommitted
-    * manifests for the stray-append superset. */
-  private[ocsf] def liveCommittedPairs(
-      fs: FileSystem, tableDir: Path): Seq[(String, ManifestData)] = {
+  /** One listing + parse of the whole control directory — the shared
+    * core under [[readContract]] and [[liveCommittedPairs]]: every
+    * manifest as (pair name, has a committed marker?, parsed content),
+    * with the orphan-marker check and ONE reread when a concurrent
+    * compaction races the listing (a pair's marker and manifest can be
+    * deleted between a paginated LIST and its GETs, making the pair
+    * look orphaned — or its manifest open throw — when the directory
+    * never actually held that state). */
+  private def scanPairs(fs: FileSystem, tableDir: Path)
+      : Seq[(String, Boolean, Option[ManifestData])] = {
     val cb = new Path(tableDir, "_committed_batches")
-    def attempt(): Either[Set[String], Seq[(String, ManifestData)]] = {
+    // Left(Some(names)) = committed markers without manifests;
+    // Left(None) = a manifest vanished between LIST and GET (race)
+    def attempt(): Either[Option[Set[String]],
+                          Seq[(String, Boolean, Option[ManifestData])]] = {
       if (!fs.exists(cb)) return Right(Seq.empty)
       val entries = fs.listStatus(cb).map(_.getPath)
       val done = entries.filter(_.getName.endsWith(".committed"))
@@ -399,33 +365,56 @@ object IdempotentSink {
       val parsed =
         try entries.toSeq
           .filter(_.getName.endsWith(".manifest"))
-          .map(_.getName.stripSuffix(".manifest"))
-          .filter(done.contains)
-          .sorted
-          .map(n => (n, readManifestFull(fs, new Path(cb, s"$n.manifest"))))
-        catch { case _: java.io.FileNotFoundException =>
-          return Left(Set("<manifest vanished mid-read>"))
-        }
+          .sortBy(_.getName)
+          .map { m =>
+            val n = m.getName.stripSuffix(".manifest")
+            (n, done.contains(n), readManifestFull(fs, m))
+          }
+        catch { case _: java.io.FileNotFoundException => return Left(None) }
       val orphan = done -- parsed.map(_._1).toSet
-      if (orphan.nonEmpty) return Left(orphan)
-      val committed = parsed.map { case (n, md) =>
-        n -> md.getOrElse(throw new IllegalStateException(
-          s"committed manifest unreadable: $cb/$n.manifest"))
-      }
-      val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
-      Right(committed.filterNot { case (n, _) => superseded.contains(n) })
+      if (orphan.nonEmpty) return Left(Some(orphan))
+      Right(parsed)
     }
     attempt() match {
       case Right(r) => r
       case Left(_) => attempt() match { // one reread: racing a compaction?
         case Right(r) => r
-        case Left(orphan) => throw new IllegalStateException(
+        case Left(Some(orphan)) => throw new IllegalStateException(
           s"committed marker(s) without manifest under $cb: " +
             s"${orphan.toSeq.sorted.mkString(", ")} — committed data " +
             "would be invisible to readers; restore the manifest(s)")
+        case Left(None) => throw new IllegalStateException(
+          s"manifests under $cb kept vanishing between listing and read — " +
+            "a compaction is racing this reader; re-run against a quiet table")
       }
     }
   }
+
+  /** The live committed pairs of a [[scanPairs]] result: committed
+    * manifests that no other committed manifest supersedes. A pair
+    * named in ANY committed manifest's supersedes set is dead — its
+    * rows live in the superseding manifest's files; the union includes
+    * dead manifests' own supersedes sets, so an interrupted cleanup
+    * chain (A superseded {1,2}, B superseded {A}) keeps 1 and 2
+    * excluded while they linger. */
+  private def committedLive(tableDir: Path,
+                            parsed: Seq[(String, Boolean, Option[ManifestData])])
+      : Seq[(String, ManifestData)] = {
+    val committed = parsed.collect { case (n, true, md) =>
+      n -> md.getOrElse(throw new IllegalStateException(
+        s"committed manifest unreadable: $tableDir/_committed_batches/$n.manifest"))
+    }
+    val superseded = committed.iterator.flatMap(_._2.supersedes).toSet
+    committed.filterNot { case (n, _) => superseded.contains(n) }
+  }
+
+  /** Live COMMITTED pairs — (pair name, parsed manifest) for every
+    * committed batch or compaction pair that no other committed
+    * manifest supersedes. The per-pair view behind the time-travel /
+    * incremental readers ([[filesAsOf]], [[filesSince]]). */
+  private[ocsf] def liveCommittedPairs(
+      fs: FileSystem, tableDir: Path): Seq[(String, ManifestData)] =
+    committedLive(tableDir, scanPairs(fs, tableDir))
 
   /** Splits live committed pairs into (compaction pairs, per-batch
     * pairs keyed by numeric batch id). */
@@ -443,13 +432,16 @@ object IdempotentSink {
     * bound, so the folded set is always a PREFIX of history — every
     * folded batch id is strictly below every live per-batch id. The
     * floor is therefore `minLiveBatchId - 1` (conservative: the true
-    * fold horizon may be lower), falling back to the largest numeric
-    * id visible in the compaction pairs' own `#supersedes` headers
-    * when no per-batch pair survives at all. */
+    * fold horizon may be lower), falling back to the compaction pairs'
+    * own coverage — the `#maxbatch` header every fold writes (carried
+    * transitively across chained folds), or the largest numeric id in
+    * their `#supersedes` headers — when no per-batch pair survives at
+    * all. */
   private def horizonFloor(folded: Seq[(String, ManifestData)],
                            batches: Seq[(Long, ManifestData)]): Option[Long] =
     batches.map(_._1).minOption.map(_ - 1).orElse(
-      folded.flatMap(_._2.supersedes.flatMap(_.toLongOption)).maxOption)
+      folded.flatMap(p =>
+        p._2.maxBatch ++ p._2.supersedes.flatMap(_.toLongOption)).maxOption)
 
   private def requireAboveHorizon(folded: Seq[(String, ManifestData)],
                                   batches: Seq[(Long, ManifestData)],
@@ -613,8 +605,14 @@ object IdempotentSink {
     val carried = ghostExclusions.filter(n =>
       fs.exists(new Path(cb, s"$n.manifest")) ||
         fs.exists(new Path(cb, s"$n.committed")))
+    // coverage carry: the largest batch id this fold (transitively)
+    // holds — from the folded batch-pair names, or from an earlier
+    // fold's own #maxbatch when an input is itself a compaction pair
+    val maxBatch = live.flatMap { case (n, md) =>
+      n.toLongOption ++ md.maxBatch
+    }.maxOption
     writeAtomic(fs, new Path(cb, s"compact-$k.manifest"),
-      manifestBody(merged, live.map(_._1).toSet ++ carried))
+      manifestBody(merged, live.map(_._1).toSet ++ carried, maxBatch))
     writeAtomic(fs, new Path(cb, s"compact-$k.committed"), "")
     live.foreach { case (n, _) =>
       fs.delete(new Path(cb, s"$n.committed"), false)
@@ -747,8 +745,13 @@ object IdempotentSink {
     // pair but crashed before its ghosts, the ghosts must stay dead
     // under THIS manifest or they would resurrect naming deleted files.
     val entries = listRelative(fs, stagingRoot)
+    // same coverage carry as compactCommits: keeps the time-travel
+    // horizon boundable when this fold's inputs are compaction pairs
+    val maxBatch = inputs.flatMap { case (n, md) =>
+      n.toLongOption ++ md.maxBatch
+    }.maxOption
     writeAtomic(fs, new Path(cb, s"compactdata-$k.manifest"),
-      manifestBody(entries, inputs.map(_._1).toSet ++ deadExclusions))
+      manifestBody(entries, inputs.map(_._1).toSet ++ deadExclusions, maxBatch))
     entries.foreach { case (rel, len) =>
       promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toLong)
     }
@@ -783,30 +786,42 @@ object IdempotentSink {
   private val ManifestHeader = "#graft-manifest files="
   private val ManifestTrailer = "#end"
   private val SupersedesHeader = "#supersedes "
+  private val MaxBatchHeader = "#maxbatch "
 
-  /** Parsed manifest: the staged data files (with lengths) plus the
-    * control-pair base names this manifest REPLACES. A committed
-    * manifest whose name appears in another committed manifest's
-    * `supersedes` set is dead — its entries are excluded from the read
-    * contract, which is what makes a data-rewriting compaction's
-    * marker publish an atomic swap for readers-by-manifest. */
+  /** Parsed manifest: the staged data files (with lengths), the
+    * control-pair base names this manifest REPLACES, and — on
+    * compaction manifests — the largest batch id the pair covers. A
+    * committed manifest whose name appears in another committed
+    * manifest's `supersedes` set is dead — its entries are excluded
+    * from the read contract, which is what makes a data-rewriting
+    * compaction's marker publish an atomic swap for readers-by-
+    * manifest. `maxBatch` keeps the time-travel horizon boundable
+    * across CHAINED compactions: a second-generation fold's supersedes
+    * set names only earlier compaction pairs (no numeric batch ids),
+    * so without the explicit carry the folded coverage would be
+    * unknowable and [[filesAsOf]]/[[filesSince]] would have to refuse
+    * every request. */
   private[ocsf] final case class ManifestData(entries: Seq[(String, Long)],
-                                              supersedes: Set[String])
+                                              supersedes: Set[String],
+                                              maxBatch: Option[Long] = None)
 
-  /** Manifest body: a count header, an optional `#supersedes` line, one
-    * `path<TAB>length` line per staged data file, and a `#end` trailer.
-    * The trailer makes the format SELF-TERMINATING: a prefix cut
-    * anywhere — including inside the last entry's length digits, where
-    * the count still matches and every line still parses — is
-    * detectably torn, because `#end` is the final bytes written and
-    * survives no truncation. */
+  /** Manifest body: a count header, an optional `#supersedes` line, an
+    * optional `#maxbatch` line, one `path<TAB>length` line per staged
+    * data file, and a `#end` trailer. The trailer makes the format
+    * SELF-TERMINATING: a prefix cut anywhere — including inside the
+    * last entry's length digits, where the count still matches and
+    * every line still parses — is detectably torn, because `#end` is
+    * the final bytes written and survives no truncation. */
   private def manifestBody(entries: Seq[(String, Long)],
-                           supersedes: Set[String] = Set.empty): String = {
+                           supersedes: Set[String] = Set.empty,
+                           maxBatch: Option[Long] = None): String = {
     val supersLine =
       if (supersedes.isEmpty) Nil
       else Seq(s"$SupersedesHeader${supersedes.toSeq.sorted.mkString(",")}")
+    val maxLine = maxBatch.map(m => s"$MaxBatchHeader$m").toSeq
     (s"$ManifestHeader${entries.size}" +:
-      (supersLine ++ entries.map { case (rel, len) => s"$rel\t$len" }) :+
+      (supersLine ++ maxLine ++
+        entries.map { case (rel, len) => s"$rel\t$len" }) :+
       ManifestTrailer).mkString("\n")
   }
 
@@ -824,11 +839,16 @@ object IdempotentSink {
       case Some(h) if h.startsWith(ManifestHeader) &&
           lines.last == ManifestTrailer =>
         val expected = h.stripPrefix(ManifestHeader).toIntOption
-        val (supersedes, body) = lines.tail.dropRight(1) match {
+        val (supersedes, afterSupers) = lines.tail.dropRight(1) match {
           case s +: rest if s.startsWith(SupersedesHeader) =>
             (s.stripPrefix(SupersedesHeader).split(',')
               .iterator.filter(_.nonEmpty).toSet, rest)
           case rest => (Set.empty[String], rest)
+        }
+        val (maxBatch, body) = afterSupers match {
+          case m +: rest if m.startsWith(MaxBatchHeader) =>
+            (m.stripPrefix(MaxBatchHeader).toLongOption, rest)
+          case rest => (None, rest)
         }
         val parsed = body.map { l =>
           l.split('\t') match {
@@ -837,7 +857,7 @@ object IdempotentSink {
           }
         }
         if (expected.contains(parsed.size) && parsed.forall(_.isDefined))
-          Some(ManifestData(parsed.flatten, supersedes))
+          Some(ManifestData(parsed.flatten, supersedes, maxBatch))
         else None
       case _ => None // torn, zero-byte, or unknown format: never trusted
     }

@@ -35,8 +35,7 @@ object OcsfTables {
     * the guard from a maintenance job instead. */
   def load(spark: SparkSession, baseDir: String, route: String,
            verifyAppends: Boolean = true): DataFrame = {
-    val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
-    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, tableDir) = tableFs(spark, baseDir, route)
     if (IdempotentSink.hasCommitLog(fs, tableDir))
       loadCommitted(spark, fs, tableDir,
         IdempotentSink.readContract(fs, tableDir), verifyAppends)
@@ -123,7 +122,10 @@ object OcsfTables {
   /** An explicit file-list read; an EMPTY selection (e.g. no changes
     * since the consumer's checkpoint) still returns the table's true
     * schema by planning the full contract with a LIMIT 0 — metadata
-    * only, nothing is read. */
+    * only, nothing is read. A table whose committed batches hold zero
+    * data files (a stream that has only seen empty batches) has no
+    * schema to serve, so that raises the same clear error as [[load]]
+    * rather than Spark's opaque cannot-infer-schema failure. */
   private def dfFor(spark: SparkSession, fs: FileSystem, tableDir: Path,
                     files: Seq[Path]): DataFrame =
     if (files.nonEmpty)
@@ -131,6 +133,8 @@ object OcsfTables {
         .parquet(files.map(_.toString): _*)
     else {
       val all = IdempotentSink.committedFiles(fs, tableDir)
+      require(all.nonEmpty,
+        s"$tableDir has a batch-commit log but no committed data files")
       spark.read.option("basePath", tableDir.toString)
         .parquet(all.map(_.toString): _*).limit(0)
     }

@@ -236,26 +236,34 @@ object DocQueries {
     * wrong-language — the standard third quality axis next to the
     * heuristic score (C8) and repetition ratio (C21)).
     *
-    * Scale shape: the model is never materialized driver-side — a
-    * count-over-gram window computes c(bigram) on the SAME exchange
-    * the per-doc aggregation then consumes, so the whole query is two
-    * shuffles (gram, doc) regardless of corpus size; the 1-row bigram
-    * total broadcasts. Every doc bigram is in the model by
-    * construction (it came from the corpus), so no smoothing term is
+    * Scale shape: the model is never materialized driver-side, and no
+    * stage concentrates a hot bigram into one task. The occurrence
+    * stream first folds to per-(doc, gram) counts `k` (partial-agg'd,
+    * at most one row per gram per doc however hot the gram is), the
+    * model c(gram) aggregates from THOSE rows (partial-agg'd again, so
+    * a stop-word pair like "of the" combines map-side instead of
+    * buffering corpus-wide in one window partition), and the scoring
+    * join on gram is an ordinary equi-join AQE's skew-split can carve
+    * up — a windowed c-over-gram would pin every occurrence of the
+    * hottest bigram to a single unsplittable task. N derives from the
+    * model (1-row broadcast), not a second corpus scan. Every doc
+    * bigram is in the model by construction, so no smoothing term is
     * needed. Sub-2-token documents have no bigrams and score 0.0 via
     * the left join, keeping the relation total. */
   def qDocLmScore(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val grams = Dedup.shingles(d, "text", "doc_id", n = 2, dedupGrams = false)
-    val withC = grams.withColumn("c",
-      count(lit(1)).over(Window.partitionBy(col("gram"))))
-    val total = grams.agg(count(lit(1)).as("n_total"))
-    val scored = withC.crossJoin(broadcast(total))
+    val docGram = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("k"))
+    val model = docGram.groupBy(col("gram")).agg(sum(col("k")).as("c"))
+    val total = model.agg(sum(col("c")).as("n_total"))
+    val scored = docGram.join(model, "gram")
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+      .agg(sum(col("k")).cast("bigint").as("n_bigrams"),
         TextFunctions.round4(
-          avg(log(col("c").cast("double") / col("n_total")))).as("avg_logp"))
+          sum(col("k") * log(col("c").cast("double") / col("n_total"))) /
+            sum(col("k"))).as("avg_logp"))
     d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -821,12 +829,15 @@ object DocQueries {
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
         |        FROM toks WHERE len(t) >= 2),
         |grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM idx),
-        |model AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
-        |tot AS (SELECT count(*) AS n_total FROM grams),
+        |doc_gram AS (SELECT doc_id, gram, count(*) AS k
+        |             FROM grams GROUP BY doc_id, gram),
+        |model AS (SELECT gram, sum(k) AS c FROM doc_gram GROUP BY gram),
+        |tot AS (SELECT sum(c) AS n_total FROM model),
         |sc AS (SELECT g.doc_id,
-        |         CAST(count(*) AS BIGINT) AS n_bigrams,
-        |         round(avg(ln(m.c * 1.0 / tot.n_total)), 4) AS avg_logp
-        |       FROM grams g JOIN model m USING (gram) CROSS JOIN tot
+        |         CAST(sum(g.k) AS BIGINT) AS n_bigrams,
+        |         round(sum(g.k * ln(m.c * 1.0 / tot.n_total)) / sum(g.k), 4)
+        |           AS avg_logp
+        |       FROM doc_gram g JOIN model m USING (gram) CROSS JOIN tot
         |       GROUP BY g.doc_id)
         |SELECT d.doc_id,
         |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,

@@ -110,6 +110,40 @@ class TimeTravelSpec extends SparkSpec {
     assert(uids(OcsfTables.load(spark, base, route)) == Seq("a", "b", "c", "d", "e"))
   }
 
+  test("chained compactions keep the horizon boundable (#maxbatch carry)") {
+    val base = mkBase()
+    write3(base)
+    val tableDir = new Path(s"$base/${OcsfSink.tableName(route)}")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the README's own maintenance sequence: control fold, then a data
+    // rewrite whose only input is the control fold — its supersedes set
+    // names no numeric batch id, so coverage must ride the #maxbatch
+    // header or every later read would refuse
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 3)
+    assert(IdempotentSink.compactDataFiles(spark, tableDir, filesPerDay = 1) == 1)
+    assert(uids(OcsfTables.loadAsOf(spark, base, route, 2L)) == Seq("a", "b", "c"))
+    assert(OcsfTables.changesSince(spark, base, route, 2L).count() == 0)
+    intercept[IllegalArgumentException] { // below the horizon still refuses
+      OcsfTables.loadAsOf(spark, base, route, 1L)
+    }
+    // and a batch landing after the chain is individually addressable
+    IdempotentSink.writeBatch(df("d" -> "2023-11-16"), base, route, region, acct, 3L)
+    assert(uids(OcsfTables.changesSince(spark, base, route, 2L)) == Seq("d"))
+  }
+
+  test("a log whose committed batches hold no data files raises the clear error") {
+    val base = mkBase()
+    // an empty micro-batch: commits a files=0 manifest + marker
+    IdempotentSink.writeBatch(df(), base, route, region, acct, 0L)
+    val tableDir = new Path(s"$base/${OcsfSink.tableName(route)}")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(IdempotentSink.hasCommitLog(fs, tableDir))
+    val e = intercept[IllegalArgumentException] {
+      OcsfTables.changesSince(spark, base, route, 0L).count()
+    }
+    assert(e.getMessage.contains("no committed data files"), e.getMessage)
+  }
+
   test("data compaction (file rewrite) keeps the same horizon contract") {
     val base = mkBase()
     write3(base)

@@ -114,11 +114,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
   }
 
-  test("C23: LM scoring windows by gram (never unpartitioned) with partial agg") {
+  test("C23: LM scoring is all partial-agg'd joins — no window, no skew cliff") {
     val p = plan("q_doc_lm_score")
-    // the corpus-sized window must partition by the gram key
-    assert(p.contains("windowspecdefinition(gram"), p)
-    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+    // a c-over-gram Window would pin every occurrence of the hottest
+    // bigram to one unsplittable task; the aggregate+join shape keeps
+    // map-side combine everywhere and stays AQE-skew-splittable
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
