@@ -47,6 +47,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
+    // SQL surface for the C22 scrub: expands to the same ordered chain
+    // of builtin (codegen'd) RegExpReplace nodes as
+    // TextFunctions.redactPii, so `SELECT graft_redact_pii(text)` and
+    // the DataFrame form plan identically.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_redact_pii"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "graft_redact_pii"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_redact_pii", "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.TextFunctions.piiPatterns.foldLeft(children(0)) {
+          case (e, (pat, repl)) =>
+            org.apache.spark.sql.catalyst.expressions.RegExpReplace(e,
+              org.apache.spark.sql.catalyst.expressions.Literal(pat),
+              org.apache.spark.sql.catalyst.expressions.Literal(repl))
+        }
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(

@@ -51,6 +51,21 @@ class DocQueriesSpec extends SparkSpec {
     assert(out == "id <EMAIL> and <IP> end")
   }
 
+  test("C22: graft_redact_pii SQL function matches the DataFrame form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("a@b.example then 1.2.3.4 then +12345678 then 987654321",
+      "nothing to redact here")
+    texts.toDF("text").createOrReplaceTempView("redact_in")
+    val viaSql = spark.sql("SELECT graft_redact_pii(text) AS r FROM redact_in")
+      .collect().map(_.getString(0)).toSeq
+    val viaDf = texts.toDF("text")
+      .select(graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaDf)
+    assert(viaSql.head == "<EMAIL> then <IP> then <PHONE> then <ID>")
+  }
+
   test("C22: redactPii is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
