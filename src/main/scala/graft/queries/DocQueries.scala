@@ -463,6 +463,34 @@ object DocQueries {
       .orderBy(col("df").desc, col("term").asc)
       .limit(20)
 
+  // ---------------------------------------------------------------- C24
+  /** Heavy-hitter vocabulary — the sketch-then-verify variant of
+    * [[qDocVocab]] for corpora where a full term aggregation is the
+    * bottleneck: Spark's `stat.freqItems` (a Misra–Gries-family
+    * bounded-memory sketch, merged map-side, ≤ 1/support candidates)
+    * proposes frequent terms, then ONE filtered aggregation computes
+    * their exact occurrence counts and ranks the top 20. The sketch is
+    * superset-sound for every term above the support threshold, so
+    * with support well below the 20th term's true frequency the final
+    * top-k is EXACT — which is why this query can carry a plain SQL
+    * oracle despite the sketch in the middle. The only driver-side
+    * materialization is the candidate array (≤ 1/support strings,
+    * bounded by construction); the exact pass scans with an `isin`
+    * pre-filter, so non-candidate terms never shuffle at all.
+    * Ranking is (count desc, term asc) — discrete and
+    * engine-independent. */
+  def qDocHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val terms = docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val cands = terms.stat.freqItems(Seq("term"), support = 0.001)
+      .head.getSeq[String](0)
+    terms.filter(col("term").isin(cands: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- C2e
   /** Incremental near-dup screening: the "daily delta" (doc_id ≥ 250)
     * against the persisted band-bucket index of the existing corpus
@@ -577,7 +605,8 @@ object DocQueries {
     "q_doc_pipeline_scale" -> (qDocPipelineScale _),
     "q_doc_fingerprint"   -> (qDocFingerprint _),
     "q_doc_redact"        -> (qDocRedact _),
-    "q_doc_lm_score"      -> (qDocLmScore _)
+    "q_doc_lm_score"      -> (qDocLmScore _),
+    "q_doc_heavy_hitters" -> (qDocHeavyHitters _)
   )
 
   /** DuckDB-side mirrors of `TextFunctions.alphaRatio`/`qualityScore` —
@@ -824,6 +853,12 @@ object DocQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_doc_heavy_hitters" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term
+        |ORDER BY occurrences DESC, term
+        |LIMIT 20""".stripMargin,
     "q_doc_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i

@@ -20,6 +20,25 @@ class DocQueriesSpec extends SparkSpec {
     assert(cuts("books") == "zzzz") // 3333*65536/1000 > 65536 → keep all
   }
 
+  test("C24: freqItems sketch is superset-sound above support; verified top-k is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(i: Int) = f"t$i%02d"
+    // skewed term stream: t(i) occurs i times, 1275 tokens total
+    val terms = (1 to 50).flatMap(i => Seq.fill(i)(t(i))).toDF("term")
+    val cands = terms.stat.freqItems(Seq("term"), support = 0.01)
+      .head.getSeq[String](0)
+    // Misra–Gries soundness: every term with frequency > support·N
+    // (13 > 12.75) must appear among the candidates
+    (13 to 50).map(t).foreach(x => assert(cands.contains(x), x))
+    // exact verify over candidates reproduces the brute-force top-20
+    val top = terms.filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(20).collect().map(_.getString(0)).toSeq
+    assert(top == (50 to 31 by -1).map(t))
+  }
+
   test("C22: redactPii scrubs emails, IPs, phones and long digit runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
