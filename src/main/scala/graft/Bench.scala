@@ -23,6 +23,9 @@ object Bench {
     // probe, as production serving would.
     try graft.queries.DocQueries.ivfIndex(spark, sfDir).assigned.count()
     catch { case _: Throwable => () }
+    // same split for the PQ index: codebook fit + encode are offline
+    try graft.queries.DocQueries.pqIndex(spark, sfDir)._2.count()
+    catch { case _: Throwable => () }
     // Four passes per query: the first pays one-time costs (codegen
     // compile, JIT, broadcast build) and is reported as cold_*; the
     // MEDIAN of the next three is the steady-state number. A single

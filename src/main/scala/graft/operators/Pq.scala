@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product-quantization ANN (SURVEY.md §2 C25) — the MEMORY-bound scale
+  * path beside IVF's IO-bound one: each (L2-normalized) vector is split
+  * into `m` subvectors and every subvector is replaced by the id of its
+  * nearest codeword in a per-subspace codebook, so a 64-dim float
+  * embedding (256 B) serves from an `m`-byte-ish code row (m=8, k≤256
+  * → 32× smaller). A 100 TB embedding corpus becomes a few TB of
+  * codes — often the difference between "fits in cluster memory" and
+  * "scans object storage per query".
+  *
+  * Serving is ADC (asymmetric distance computation), the standard PQ
+  * trade (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search"): the query stays exact, each corpus vector is approximated
+  * by its codewords, and `dot(q, x) ≈ Σ_j lut[j][code_j]` where the
+  * `m·k` lookup table is built driver-side from ONE query in
+  * microseconds and shipped as a literal — the scan does `m` array
+  * lookups + adds per row inside codegen, no vector math at all.
+  * Because corpus vectors are normalized before encoding, the
+  * approximate dot IS approximate cosine. `rerank > 0` adds the
+  * standard second stage: exact cosine over the top `rerank` ADC
+  * candidates only — the 100 TB pattern where full vectors live on
+  * disk and are fetched for a few hundred rows per query.
+  *
+  * Build cost is explicit and bounded: `fit` runs `m` independent
+  * sub-space k-means (reusing [[Ivf.fitCentroids]] — broadcast-join
+  * assignment, k-independent plans), and `encode` is one
+  * crossJoin-against-broadcast-codebook pass whose `m·k`-way expansion
+  * collapses map-side (partial `min_by`), so the shuffle carries one
+  * row per (vector, subspace), never the expansion.
+  */
+object Pq {
+
+  /** Driver-side codebooks: `codebooks(j)(c)` = codeword `c` of
+    * subspace `j` (`m × k × dim/m` doubles — KBs, trivially
+    * broadcastable). */
+  final case class PqModel(codebooks: Seq[Seq[Array[Double]]], dim: Int) {
+    def m: Int = codebooks.size
+    def k: Int = codebooks.head.size
+    def sub: Int = dim / m
+
+    /** Flat ADC lookup table for one normalized query: entry
+      * `j*k + c` = dot(query subvector j, codeword c of book j). */
+    def flatLut(q: Array[Double]): Array[Double] = {
+      val out = new Array[Double](m * k)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          val cw = codebooks(j)(c)
+          var s = 0.0
+          var t = 0
+          while (t < sub) { s += q(j * sub + t) * cw(t); t += 1 }
+          out(j * k + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** L2-normalization with the norm projected to an attribute FIRST — a
+    * norm captured inside the transform lambda would re-evaluate once
+    * per element (the quadratic trap documented on `shingles`). Zero
+    * vectors pass through unchanged. */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), toDoubles(col(vecCol)).as("__raw"))
+      .withColumn("__n", l2Norm(col("__raw")))
+      .select(col(idCol),
+        when(col("__n") > 0.0, transform(col("__raw"), x => x / col("__n")))
+          .otherwise(col("__raw")).as("v"))
+
+  /** Train the per-subspace codebooks: `m` independent k-means fits
+    * over the corpus's normalized subvectors. Deterministic (seeded,
+    * hash-ordered init) like the IVF coarse quantizer. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+          codewords: Int = 256, iters: Int = 3, seed: Long = 42L): PqModel = {
+    val base = normalized(emb, idCol, vecCol)
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val books = (0 until m).map { j =>
+      val subVecs = base.select(col(idCol), slice(col("v"), j * sub + 1, sub).as("sv"))
+      Ivf.fitCentroids(subVecs, idCol, "sv", codewords, iters, seed + j)
+    }
+    PqModel(books, dim)
+  }
+
+  /** Encode the corpus: `(idCol, codes array<int>)`, `codes(j)` = the
+    * nearest codeword (squared-L2, ties to the lowest id) of subvector
+    * `j`. One broadcast crossJoin whose expansion collapses map-side —
+    * the shuffles carry one row per (vector, subspace) and then one
+    * per vector. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             model: PqModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = (for {
+      j <- 0 until model.m
+      (cw, ci) <- model.codebooks(j).zipWithIndex
+    } yield (j, ci, cw.toSeq)).toDF("__sub", "__ci", "__cw")
+    normalized(emb, idCol, vecCol)
+      .crossJoin(broadcast(cdf))
+      .withColumn("__sv",
+        slice(col("v"), col("__sub") * model.sub + 1, lit(model.sub)))
+      .withColumn("__d2",
+        aggregate(zip_with(col("__sv"), col("__cw"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z))
+      .groupBy(col(idCol), col("__sub"))
+      .agg(min_by(col("__ci"), struct(col("__d2"), col("__ci"))).as("__code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code")))).as("__sc"))
+      .select(col(idCol),
+        transform(col("__sc"), s => s.getField("__code")).as("codes"))
+  }
+
+  /** ADC top-k: approximate cosine from the code rows alone (`m`
+    * literal-array lookups per row, codegen'd — the full vectors are
+    * never read), then, with `rerank > 0`, exact cosine over just the
+    * top `rerank` candidates. Driver work is one 1-row query lookup
+    * plus the `m·k`-double LUT. */
+  def topK(emb: DataFrame, idCol: String, vecCol: String, codes: DataFrame,
+           model: PqModel, queryId: Long, k: Int, rerank: Int = 0): DataFrame = {
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(toDoubles(col(vecCol)).as("q")).limit(1).collect()
+    if (qRows.isEmpty)
+      return emb.select(col(idCol), lit(0.0).cast("double").as("cosine")).limit(0)
+    val qRaw = qRows.head.getSeq[Double](0).toArray
+    val qNorm = {
+      val n = math.sqrt(qRaw.map(x => x * x).sum)
+      if (n > 0.0) qRaw.map(_ / n) else qRaw
+    }
+    val lut = typedLit(model.flatLut(qNorm).toSeq)
+    val kk = model.k
+    val scored = codes.filter(col(idCol) =!= queryId)
+      .withColumn("__adc",
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+          (c, j) => element_at(lut, (j * kk + c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x))
+    if (rerank <= 0)
+      scored.orderBy(col("__adc").desc, col(idCol))
+        .select(col(idCol), round(col("__adc"), 4).as("cosine"))
+        .limit(k)
+    else
+      scored.orderBy(col("__adc").desc, col(idCol)).limit(rerank)
+        .select(col(idCol))
+        .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol),
+          round(cosineNative(toDoubles(col(vecCol)), typedLit(qRaw.toSeq)), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+  }
+}

@@ -106,6 +106,44 @@ object DocQueries {
   def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfIndex(s, dir).topK(queryId = 0L, k = 20, nprobe = 4)
 
+  // ---------------------------------------------------------------- C25
+  /** Product-quantization ANN: codes-only ADC scan + exact re-rank of
+    * the top 100. Same build/serve split and bounded cache as the IVF
+    * index; rows-only (codebooks are k-means-family dependent). */
+  private val pqIndexes = new java.util.LinkedHashMap[
+    String, (graft.operators.Pq.PqModel, DataFrame)]()
+
+  def pqIndex(s: SparkSession, dir: String): (graft.operators.Pq.PqModel, DataFrame) = {
+    val key = s"${s.sparkContext.applicationId}|$dir"
+    val cached = pqIndexes.synchronized(Option(pqIndexes.get(key)))
+    cached.getOrElse {
+      val model = graft.operators.Pq.fit(emb(s, dir), "vec_id", "embedding",
+        m = 8, codewords = 16, iters = 2)
+      val codes = graft.operators.Pq.encode(emb(s, dir), "vec_id", "embedding", model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fresh = (model, codes)
+      pqIndexes.synchronized {
+        val raced = pqIndexes.get(key)
+        if (raced != null) { scala.util.Try(codes.unpersist()); raced }
+        else {
+          if (pqIndexes.size >= IvfCacheMax) {
+            val eldest = pqIndexes.keySet.iterator.next()
+            Option(pqIndexes.remove(eldest))
+              .foreach(i => scala.util.Try(i._2.unpersist()))
+          }
+          pqIndexes.put(key, fresh)
+          fresh
+        }
+      }
+    }
+  }
+
+  def qEmbPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (model, codes) = pqIndex(s, dir)
+    graft.operators.Pq.topK(emb(s, dir), "vec_id", "embedding", codes, model,
+      queryId = 0L, k = 20, rerank = 100)
+  }
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -597,6 +635,7 @@ object DocQueries {
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
+    "q_emb_pq_topk"       -> (qEmbPqTopk _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),

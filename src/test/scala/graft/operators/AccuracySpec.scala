@@ -29,6 +29,36 @@ class AccuracySpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("C25: PQ ADC recall@20 improves with re-rank; codes are m ints per vector") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 8, codewords = 16, iters = 2)
+    val codes = Pq.encode(emb, "vec_id", "embedding", model)
+    // the compression contract: one code per subspace, every code a
+    // valid codebook index
+    val rows = codes.collect()
+    assert(rows.forall(_.getSeq[Int](1).size == 8))
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    def recall(rerank: Int): Double = {
+      val got = Pq.topK(emb, "vec_id", "embedding", codes, model, 0L, 20, rerank)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size / 20.0
+    }
+    val adcOnly = recall(0)
+    val reranked = recall(100)
+    info(f"recall@20: adc-only=$adcOnly%.2f reranked(100)=$reranked%.2f")
+    assert(adcOnly >= 0.35, s"ADC-only recall@20 degraded to $adcOnly")
+    assert(reranked >= 0.65, s"reranked recall@20 degraded to $reranked")
+    assert(reranked >= adcOnly,
+      s"re-rank must not lose recall: $reranked < $adcOnly")
+    // exact re-rank over the full corpus must reproduce brute force
+    val full = Pq.topK(emb, "vec_id", "embedding", codes, model, 0L, 20,
+      rerank = rows.length)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact, "full re-rank must equal brute force")
+  }
+
   test("B23b: approx_percentile tracks the exact percentiles per group") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.groupBy("l_returnflag")
