@@ -41,15 +41,10 @@ object Ivf {
       * nprobe centroid scan — no k-means, no corpus pass outside the
       * probed cells. */
     def topK(queryId: Long, k: Int, nprobe: Int): DataFrame = {
+      val qv = Ann.queryVector(assigned, idCol, col("v"), queryId)
+        .getOrElse { return Ann.emptyTopK(assigned, idCol) }
       val query = assigned.filter(col(idCol) === queryId)
         .select(col("v").as("qv")).limit(1)
-      val qRows = query.collect()
-      if (qRows.isEmpty)
-        // unknown query id: empty result with the contract schema, like
-        // bruteForceTopK (vs a bare NoSuchElementException on .head)
-        return assigned.select(col(idCol),
-          lit(0.0).cast("double").as("cosine")).limit(0)
-      val qv = qRows.head.getSeq[Double](0).toArray
       def cosineLocal(c: Array[Double]): Double = {
         val dot = c.zip(qv).map { case (a, b) => a * b }.sum
         val d = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
@@ -110,16 +105,23 @@ object Ivf {
   }
 
   /** Centroids after `iters` Lloyd iterations, as driver-side arrays.
-    * Initialization is a deterministic hash-ordered sample. */
+    * Initialization is a deterministic hash-ordered sample. `metric`
+    * picks the assignment score — `"cosine"` (the IVF cells, where the
+    * serve path also scores by cosine) or `"l2"` (squared euclidean —
+    * what [[Pq]] needs: its subvectors are slices of normalized
+    * vectors, NOT themselves normalized, and its ADC serve incurs
+    * L2/dot distortion, so fitting under cosine would train for a
+    * different partition than encode uses). */
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int = 5, seed: Long = 42L): Seq[Array[Double]] = {
+                   k: Int, iters: Int = 5, seed: Long = 42L,
+                   metric: String = "cosine"): Seq[Array[Double]] = {
     val base = emb.select(col(idCol).as("id"), toDoubles(col(vecCol)).as("v"))
     var centroids: Seq[Array[Double]] = base
       .orderBy(xxhash64(col("id"), lit(seed)))
       .limit(k)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 0 until iters) {
-      val assigned = withAssignment(base, "id", "v", centroids)
+      val assigned = withAssignment(base, "id", "v", centroids, metric)
       val updated = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
@@ -144,17 +146,28 @@ object Ivf {
     * collapsed map-side by partial aggregation — the shuffle carries
     * one row per vector, not k. */
   private def withAssignment(df: DataFrame, idCol: String, vCol: String,
-                             centroids: Seq[Array[Double]]): DataFrame = {
+                             centroids: Seq[Array[Double]],
+                             metric: String = "cosine"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cdf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("__cid", "__centroid")
+    // both metrics expressed as an argMAX score so the same max_by
+    // tie-break (lowest centroid id) applies: cosine as-is, l2 as the
+    // negated squared distance
+    val score = metric match {
+      case "cosine" => cosineNative(col(vCol), col("__centroid"))
+      case "l2" => -aggregate(zip_with(col(vCol), col("__centroid"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (expected cosine or l2)")
+    }
     df.crossJoin(broadcast(cdf))
       .groupBy(col(idCol))
       .agg(
         max_by(col("__cid"), struct(
-          cosineNative(col(vCol), col("__centroid")).as("sim"),
+          score.as("sim"),
           (-col("__cid")).as("tie"))).cast("int").as("centroid_id"),
         first(col(vCol)).as(vCol))
       .select(col(idCol), col(vCol), col("centroid_id"))

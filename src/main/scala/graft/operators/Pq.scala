@@ -76,19 +76,51 @@ object Pq {
           .otherwise(col("__raw")).as("v"))
 
   /** Train the per-subspace codebooks: `m` independent k-means fits
-    * over the corpus's normalized subvectors. Deterministic (seeded,
-    * hash-ordered init) like the IVF coarse quantizer. */
+    * over the corpus's normalized subvectors, under the SAME squared-L2
+    * metric [[encode]] quantizes with (a cosine fit would train for a
+    * different partition than the encoder uses — subvectors are slices
+    * of normalized vectors, not themselves normalized). Deterministic
+    * (seeded, hash-ordered init) like the IVF coarse quantizer.
+    *
+    * Production note: this normalizes the corpus once per sub-fit;
+    * [[build]] is the fit+encode path that shares ONE persisted
+    * normalized scan across all of them. */
   def fit(emb: DataFrame, idCol: String, vecCol: String, m: Int = 8,
-          codewords: Int = 256, iters: Int = 3, seed: Long = 42L): PqModel = {
-    val base = normalized(emb, idCol, vecCol)
-    val dim = base.select(size(col("v"))).head.getInt(0)
+          codewords: Int = 256, iters: Int = 3, seed: Long = 42L): PqModel =
+    fitBase(normalized(emb, idCol, vecCol), idCol, m, codewords, iters, seed)
+
+  private def fitBase(base: DataFrame, idCol: String, m: Int,
+                      codewords: Int, iters: Int, seed: Long): PqModel = {
+    val dimRow = base.select(size(col("v"))).limit(1).collect()
+    require(dimRow.nonEmpty, "cannot fit a PQ codebook on an empty corpus")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val books = (0 until m).map { j =>
       val subVecs = base.select(col(idCol), slice(col("v"), j * sub + 1, sub).as("sv"))
-      Ivf.fitCentroids(subVecs, idCol, "sv", codewords, iters, seed + j)
+      Ivf.fitCentroids(subVecs, idCol, "sv", codewords, iters, seed + j,
+        metric = "l2")
     }
     PqModel(books, dim)
+  }
+
+  /** Fit + encode sharing ONE persisted normalized corpus scan — the
+    * build path a production index job runs: the `m` sub-fits and the
+    * encode all read the cached base instead of re-normalizing the
+    * corpus `m·iters` times. Returns the model and the MATERIALIZED
+    * persisted code relation (the caller owns its unpersist). */
+  def build(emb: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+            codewords: Int = 256, iters: Int = 3, seed: Long = 42L)
+      : (PqModel, DataFrame) = {
+    val base = normalized(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = fitBase(base, idCol, m, codewords, iters, seed)
+      val codes = encodeBase(base, idCol, model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count() // materialize while the base is still cached
+      (model, codes)
+    } finally { base.unpersist(); () }
   }
 
   /** Encode the corpus: `(idCol, codes array<int>)`, `codes(j)` = the
@@ -97,14 +129,18 @@ object Pq {
     * the shuffles carry one row per (vector, subspace) and then one
     * per vector. */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
-             model: PqModel): DataFrame = {
-    val spark = emb.sparkSession
+             model: PqModel): DataFrame =
+    encodeBase(normalized(emb, idCol, vecCol), idCol, model)
+
+  private def encodeBase(base: DataFrame, idCol: String,
+                         model: PqModel): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
     val cdf = (for {
       j <- 0 until model.m
       (cw, ci) <- model.codebooks(j).zipWithIndex
     } yield (j, ci, cw.toSeq)).toDF("__sub", "__ci", "__cw")
-    normalized(emb, idCol, vecCol)
+    base
       .crossJoin(broadcast(cdf))
       .withColumn("__sv",
         slice(col("v"), col("__sub") * model.sub + 1, lit(model.sub)))
@@ -126,11 +162,8 @@ object Pq {
     * plus the `m·k`-double LUT. */
   def topK(emb: DataFrame, idCol: String, vecCol: String, codes: DataFrame,
            model: PqModel, queryId: Long, k: Int, rerank: Int = 0): DataFrame = {
-    val qRows = emb.filter(col(idCol) === queryId)
-      .select(toDoubles(col(vecCol)).as("q")).limit(1).collect()
-    if (qRows.isEmpty)
-      return emb.select(col(idCol), lit(0.0).cast("double").as("cosine")).limit(0)
-    val qRaw = qRows.head.getSeq[Double](0).toArray
+    val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+      .getOrElse { return Ann.emptyTopK(emb, idCol) }
     val qNorm = {
       val n = math.sqrt(qRaw.map(x => x * x).sum)
       if (n > 0.0) qRaw.map(_ / n) else qRaw

@@ -59,49 +59,52 @@ object DocQueries {
       bits = 6, tables = 6, dim = 64, threshold = 0.4)
 
   // ---------------------------------------------------------------- C6b
-  /** IVF coarse-quantizer ANN: probe 4 of 16 k-means cells. The index
-    * build (k-means fit + assignment) is the offline step — fitted once
-    * per (session, dir) and cached, as a production IVF system persists
-    * its centroid table; the query path is probe-only. */
-  private val ivfIndexes =
-    new java.util.LinkedHashMap[String, graft.operators.Ivf.IvfIndex]()
-  private val IvfCacheMax = 8
-
-  /** Offline IVF index build (idempotent per session+dir). Bench calls
-    * this in warm-up, mirroring the build/serve split. Bounded LRU-by-
-    * insertion: past [[IvfCacheMax]] entries only the OLDEST index is
-    * unpersisted and dropped (insertion order tracked by the
-    * LinkedHashMap, reads/writes under its lock), so a long-lived
-    * multi-tenant session never pins stale `assigned` caches and an
-    * index another session is actively probing is not flushed
-    * wholesale (a production system would persist the index with
-    * [[graft.operators.Ivf]]'s bucketed writer instead). The k-means
-    * fit runs OUTSIDE the lock; a racing duplicate fit loses and is
-    * unpersisted. */
-  def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.IvfIndex = {
-    // applicationId is unique per SparkContext; an identity hash is
-    // not (it can be reused after a stopped context is collected,
-    // serving an index bound to a dead context)
-    val key = s"${s.sparkContext.applicationId}|$dir"
-    val cached = ivfIndexes.synchronized(Option(ivfIndexes.get(key)))
-    cached.getOrElse {
-      val fresh = graft.operators.Ivf.fit(emb(s, dir), "vec_id", "embedding",
-        numCentroids = 16, iters = 3)
-      ivfIndexes.synchronized {
-        val raced = ivfIndexes.get(key)
-        if (raced != null) { scala.util.Try(fresh.unpersist()); raced }
-        else {
-          if (ivfIndexes.size >= IvfCacheMax) {
-            val eldest = ivfIndexes.keySet.iterator.next()
-            Option(ivfIndexes.remove(eldest))
-              .foreach(i => scala.util.Try(i.unpersist()))
+  /** Bounded insertion-order index cache keyed by (applicationId, dir) —
+    * ONE copy of the concurrency-sensitive dance shared by every index
+    * family (IVF, PQ): the fit runs OUTSIDE the lock (a racing
+    * duplicate loses and is unpersisted); past `max` entries only the
+    * OLDEST is unpersisted and dropped, so a long-lived multi-tenant
+    * session never pins stale caches and an index another session is
+    * actively probing is not flushed wholesale (a production system
+    * would persist the index — e.g. [[graft.operators.Ivf]]'s bucketed
+    * writer — instead). applicationId is unique per SparkContext; an
+    * identity hash is not (it can be reused after a stopped context is
+    * collected, serving an index bound to a dead context). */
+  private final class IndexCache[T](max: Int)(unpersist: T => Unit) {
+    private val entries = new java.util.LinkedHashMap[String, T]()
+    def get(s: SparkSession, dir: String)(fit: => T): T = {
+      val key = s"${s.sparkContext.applicationId}|$dir"
+      val cached = entries.synchronized(Option(entries.get(key)))
+      cached.getOrElse {
+        val fresh = fit
+        entries.synchronized {
+          val raced = entries.get(key)
+          if (raced != null) { scala.util.Try(unpersist(fresh)); raced }
+          else {
+            if (entries.size >= max) {
+              val eldest = entries.keySet.iterator.next()
+              Option(entries.remove(eldest))
+                .foreach(e => scala.util.Try(unpersist(e)))
+            }
+            entries.put(key, fresh)
+            fresh
           }
-          ivfIndexes.put(key, fresh)
-          fresh
         }
       }
     }
   }
+
+  private val ivfIndexes =
+    new IndexCache[graft.operators.Ivf.IvfIndex](max = 8)(_.unpersist())
+
+  /** IVF coarse-quantizer ANN: probe 4 of 16 k-means cells. The index
+    * build (k-means fit + assignment) is the offline step — fitted once
+    * per (session, dir) and cached, as a production IVF system persists
+    * its centroid table; the query path is probe-only. Bench calls this
+    * in warm-up, mirroring the build/serve split. */
+  def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.IvfIndex =
+    ivfIndexes.get(s, dir)(graft.operators.Ivf.fit(emb(s, dir),
+      "vec_id", "embedding", numCentroids = 16, iters = 3))
 
   def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfIndex(s, dir).topK(queryId = 0L, k = 20, nprobe = 4)
@@ -110,33 +113,13 @@ object DocQueries {
   /** Product-quantization ANN: codes-only ADC scan + exact re-rank of
     * the top 100. Same build/serve split and bounded cache as the IVF
     * index; rows-only (codebooks are k-means-family dependent). */
-  private val pqIndexes = new java.util.LinkedHashMap[
-    String, (graft.operators.Pq.PqModel, DataFrame)]()
+  private val pqIndexes =
+    new IndexCache[(graft.operators.Pq.PqModel, DataFrame)](max = 8)(
+      p => { p._2.unpersist(); () })
 
-  def pqIndex(s: SparkSession, dir: String): (graft.operators.Pq.PqModel, DataFrame) = {
-    val key = s"${s.sparkContext.applicationId}|$dir"
-    val cached = pqIndexes.synchronized(Option(pqIndexes.get(key)))
-    cached.getOrElse {
-      val model = graft.operators.Pq.fit(emb(s, dir), "vec_id", "embedding",
-        m = 8, codewords = 16, iters = 2)
-      val codes = graft.operators.Pq.encode(emb(s, dir), "vec_id", "embedding", model)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val fresh = (model, codes)
-      pqIndexes.synchronized {
-        val raced = pqIndexes.get(key)
-        if (raced != null) { scala.util.Try(codes.unpersist()); raced }
-        else {
-          if (pqIndexes.size >= IvfCacheMax) {
-            val eldest = pqIndexes.keySet.iterator.next()
-            Option(pqIndexes.remove(eldest))
-              .foreach(i => scala.util.Try(i._2.unpersist()))
-          }
-          pqIndexes.put(key, fresh)
-          fresh
-        }
-      }
-    }
-  }
+  def pqIndex(s: SparkSession, dir: String): (graft.operators.Pq.PqModel, DataFrame) =
+    pqIndexes.get(s, dir)(graft.operators.Pq.build(emb(s, dir),
+      "vec_id", "embedding", m = 8, codewords = 16, iters = 2))
 
   def qEmbPqTopk(s: SparkSession, dir: String): DataFrame = {
     val (model, codes) = pqIndex(s, dir)
@@ -518,15 +501,33 @@ object DocQueries {
     * Ranking is (count desc, term asc) — discrete and
     * engine-independent. */
   def qDocHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val terms = docs(s, dir)
-      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
-    val cands = terms.stat.freqItems(Seq("term"), support = 0.001)
-      .head.getSeq[String](0)
-    terms.filter(col("term").isin(cands: _*))
+    import s.implicits._
+    val support = 0.001
+    val d = docs(s, dir)
+    val terms = d.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val cands = terms.stat.freqItems(Seq("term"), support)
+      .head().getSeq[String](0)
+    val top = terms.filter(col("term").isin(cands: _*))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("term").asc)
       .limit(20)
+      .collect()
+    // ENFORCE the exactness claim instead of assuming it: the sketch
+    // only guarantees candidates for terms with share > support, so a
+    // 20th term at or below that bar could have been evicted
+    // (partition-order dependent) and the result would silently,
+    // nondeterministically diverge from the oracle. One map-only pass
+    // prices the guard; failing loudly tells the caller to lower
+    // `support` for this corpus's tail.
+    val nTotal = d.select(sum(size(TextFunctions.tokens(col("text")))))
+      .head().getLong(0)
+    require(top.length == 20 && top.map(_.getLong(1)).min > support * nTotal,
+      s"heavy-hitter exactness not guaranteed at support=$support: the " +
+        s"20th term's frequency does not clear support×N=" +
+        s"${(support * nTotal).toLong} — lower the support threshold")
+    top.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("term", "occurrences")
   }
 
   // ---------------------------------------------------------------- C2e

@@ -47,9 +47,11 @@ class AccuracySpec extends SparkSpec {
     }
     val adcOnly = recall(0)
     val reranked = recall(100)
+    // measured 0.50 / 0.95 with the L2-fit codebooks (the cosine-fit
+    // ones measured 0.40 / 0.85 — the train/serve metric must match)
     info(f"recall@20: adc-only=$adcOnly%.2f reranked(100)=$reranked%.2f")
-    assert(adcOnly >= 0.35, s"ADC-only recall@20 degraded to $adcOnly")
-    assert(reranked >= 0.65, s"reranked recall@20 degraded to $reranked")
+    assert(adcOnly >= 0.40, s"ADC-only recall@20 degraded to $adcOnly")
+    assert(reranked >= 0.80, s"reranked recall@20 degraded to $reranked")
     assert(reranked >= adcOnly,
       s"re-rank must not lose recall: $reranked < $adcOnly")
     // exact re-rank over the full corpus must reproduce brute force
