@@ -23,8 +23,10 @@ object Bench {
     // probe, as production serving would.
     try graft.queries.DocQueries.ivfIndex(spark, sfDir).assigned.count()
     catch { case _: Throwable => () }
-    // same split for the PQ index: codebook fit + encode are offline
+    // same split for the PQ and IVF-PQ indexes: fit + encode are offline
     try graft.queries.DocQueries.pqIndex(spark, sfDir)._2.count()
+    catch { case _: Throwable => () }
+    try graft.queries.DocQueries.ivfPqIndex(spark, sfDir).codes.count()
     catch { case _: Throwable => () }
     // Four passes per query: the first pays one-time costs (codegen
     // compile, JIT, broadcast build) and is reported as cold_*; the

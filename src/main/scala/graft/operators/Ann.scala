@@ -21,4 +21,14 @@ private[operators] object Ann {
     * unknown query id (vs a bare NoSuchElementException). */
   def emptyTopK(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol), lit(0.0).cast("double").as("cosine")).limit(0)
+
+  /** Driver-side cosine for centroid probing (k×nprobe tiny arrays —
+    * never data-sized). */
+  def localCosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
 }

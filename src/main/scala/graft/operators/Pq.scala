@@ -164,17 +164,27 @@ object Pq {
            model: PqModel, queryId: Long, k: Int, rerank: Int = 0): DataFrame = {
     val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
       .getOrElse { return Ann.emptyTopK(emb, idCol) }
+    serve(emb, idCol, vecCol, codes.filter(col(idCol) =!= queryId),
+      model, qRaw, k, rerank)
+  }
+
+  /** The shared ADC serve tail (score candidate code rows, optionally
+    * exact-re-rank): [[topK]] feeds it the whole corpus, [[IvfPqIndex]]
+    * only the probed cells. */
+  private[operators] def serve(emb: DataFrame, idCol: String, vecCol: String,
+                               candidates: DataFrame, model: PqModel,
+                               qRaw: Array[Double], k: Int,
+                               rerank: Int): DataFrame = {
     val qNorm = {
       val n = math.sqrt(qRaw.map(x => x * x).sum)
       if (n > 0.0) qRaw.map(_ / n) else qRaw
     }
     val lut = typedLit(model.flatLut(qNorm).toSeq)
     val kk = model.k
-    val scored = codes.filter(col(idCol) =!= queryId)
-      .withColumn("__adc",
-        aggregate(zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
-          (c, j) => element_at(lut, (j * kk + c + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x))
+    val scored = candidates.withColumn("__adc",
+      aggregate(zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+        (c, j) => element_at(lut, (j * kk + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
     if (rerank <= 0)
       scored.orderBy(col("__adc").desc, col(idCol))
         .select(col(idCol), round(col("__adc"), 4).as("cosine"))
@@ -188,5 +198,53 @@ object Pq {
             .as("cosine"))
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
+  }
+
+  /** The full IVF-PQ composition: IVF cells prune the IO (probes read
+    * only `nprobe` of the cells), PQ codes shrink what a probe reads
+    * (m ints per vector). The code relation carries `centroid_id`, so
+    * a bucketed/partitioned layout by cell — [[Ivf.IvfIndex
+    * .writeBucketed]]'s pattern — prunes whole file groups AND each
+    * opened file is ~32× smaller than its vectors. */
+  final case class IvfPqIndex(centroids: Seq[Array[Double]], model: PqModel,
+                              codes: DataFrame, idCol: String) {
+
+    /** Probe `nprobe` cells, ADC-score just their code rows, exact
+      * re-rank the top `rerank`. Driver work: one query fetch, a
+      * k×nprobe centroid scan, one LUT. */
+    def topK(emb: DataFrame, vecCol: String, queryId: Long, k: Int,
+             nprobe: Int, rerank: Int = 0): DataFrame = {
+      val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+        .getOrElse { return Ann.emptyTopK(emb, idCol) }
+      val probeCells = centroids.zipWithIndex
+        .sortBy { case (c, i) => (-Ann.localCosine(c, qRaw), i) }
+        .take(nprobe).map(_._2)
+      serve(emb, idCol, vecCol,
+        codes.filter(col("centroid_id").isin(probeCells.map(x => x: Any): _*))
+          .filter(col(idCol) =!= queryId),
+        model, qRaw, k, rerank)
+    }
+
+    def unpersist(): Unit = { codes.unpersist(); () }
+  }
+
+  /** Build the composed index: IVF cells from the raw vectors (same
+    * cosine cells as [[Ivf.fit]]), PQ codebooks/codes from the
+    * normalized ones, joined once so each code row knows its cell.
+    * Everything transient is unpersisted before returning; the caller
+    * owns the returned code relation's cache. */
+  def buildIvf(emb: DataFrame, idCol: String, vecCol: String,
+               numCells: Int = 16, m: Int = 8, codewords: Int = 256,
+               iters: Int = 3, seed: Long = 42L): IvfPqIndex = {
+    val ivf = Ivf.fit(emb, idCol, vecCol, numCells, iters, seed)
+    try {
+      val (model, codes) = build(emb, idCol, vecCol, m, codewords, iters, seed)
+      val cellCodes = codes
+        .join(ivf.assigned.select(col(idCol), col("centroid_id")), Seq(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cellCodes.count() // materialize before dropping the inputs' caches
+      codes.unpersist()
+      IvfPqIndex(ivf.centroids, model, cellCodes, idCol)
+    } finally ivf.unpersist()
   }
 }

@@ -127,6 +127,20 @@ object DocQueries {
       queryId = 0L, k = 20, rerank = 100)
   }
 
+  // ---------------------------------------------------------------- C25b
+  /** The composed IVF-PQ index: cells prune which code rows a probe
+    * reads, codes shrink what it reads. Rows-only like its halves. */
+  private val ivfPqIndexes =
+    new IndexCache[graft.operators.Pq.IvfPqIndex](max = 8)(_.unpersist())
+
+  def ivfPqIndex(s: SparkSession, dir: String): graft.operators.Pq.IvfPqIndex =
+    ivfPqIndexes.get(s, dir)(graft.operators.Pq.buildIvf(emb(s, dir),
+      "vec_id", "embedding", numCells = 16, m = 8, codewords = 16, iters = 2))
+
+  def qEmbIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    ivfPqIndex(s, dir).topK(emb(s, dir), "embedding", queryId = 0L, k = 20,
+      nprobe = 4, rerank = 100)
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -637,6 +651,7 @@ object DocQueries {
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
+    "q_emb_ivfpq_topk"    -> (qEmbIvfPqTopk _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),

