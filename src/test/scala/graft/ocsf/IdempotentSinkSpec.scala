@@ -31,6 +31,38 @@ class IdempotentSinkSpec extends SparkSpec {
     spark.read.parquet(s"$base/dns_activity")
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
 
+  test("self-termination property: EVERY strict prefix of a manifest parses as torn") {
+    val base = Files.createTempDirectory("idem-tear")
+    // a real batch manifest and a real compaction manifest (supersedes
+    // + maxbatch headers) — the two shapes a torn publish can leave
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"),
+      base.toString, "DNS Activity", region, acct, batchId = 0L)
+    IdempotentSink.writeBatch(df("e3" -> "2023-11-14"),
+      base.toString, "DNS Activity", region, acct, batchId = 1L)
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cb = base.resolve("dns_activity/_committed_batches")
+    val batchManifest = Files.readAllBytes(cb.resolve("0.manifest"))
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 2)
+    val compactManifest = Files.readAllBytes(cb.resolve("compact-0.manifest"))
+    val probe = Files.createTempDirectory("idem-tear-probe")
+    for (bytes <- Seq(batchManifest, compactManifest)) {
+      val p = new org.apache.hadoop.fs.Path(s"$probe/m.manifest")
+      // the full content must parse...
+      Files.write(Paths.get(s"$probe/m.manifest"), bytes)
+      assert(IdempotentSink.readManifest(fs, p).isDefined, "full manifest must parse")
+      // ...and EVERY strict byte-prefix must be rejected as torn — the
+      // property the #end trailer buys on a non-atomic store, including
+      // cuts inside the last entry's length digits where the line count
+      // still matches and every line still parses
+      for (cut <- 0 until bytes.length) {
+        Files.write(Paths.get(s"$probe/m.manifest"), bytes.take(cut))
+        assert(IdempotentSink.readManifest(fs, p).isEmpty,
+          s"prefix of length $cut parsed as a valid manifest")
+      }
+    }
+  }
+
   test("writeBatch skips a fully committed (route, batch) on replay") {
     val base = Files.createTempDirectory("idem-skip")
     IdempotentSink.writeBatch(df("e1" -> "2023-11-14", "e2" -> "2023-11-15"), base.toString, "DNS Activity",
