@@ -141,6 +141,34 @@ object DocQueries {
     ivfPqIndex(s, dir).topK(emb(s, dir), "embedding", queryId = 0L, k = 20,
       nprobe = 4, rerank = 100)
 
+  // ---------------------------------------------------------------- C26
+  /** Semantic dedup ([[graft.operators.SemDedup]]) with a DuckDB
+    * oracle. The synthetic embeddings are near-isotropic (max pairwise
+    * cosine 0.55 at sf0.1), so — the [[qDocRedact]] stance — the query
+    * PLANTS deterministic near-duplicates both engines derive
+    * identically: scaled copies (×1.5, ×2.5; scaling preserves cosine,
+    * and ×2^-k-multiples round identically under IEEE in both engines)
+    * and a negated control (×−1.5, cosine −1 — lands in the
+    * complementary sign block and must NOT pair). Planted cosines sit
+    * at ≈1.0 vs τ=0.7 vs 0.55 background — no threshold-boundary
+    * float risk in either direction. The hash-match then pins
+    * blocking, the pair join, the threshold, the keeper-min and the
+    * neighbor count; AccuracySpec covers graded similarities. */
+  def qEmbSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    def planted(factor: Double, offset: Long, mod: Int): DataFrame =
+      base.filter(col("vec_id") % mod === 0)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * factor).cast("float"))
+            .as("embedding"))
+    val aug = base
+      .unionByName(planted(1.5, 1000000L, 20))
+      .unionByName(planted(2.5, 2000000L, 40))
+      .unionByName(planted(-1.5, 3000000L, 30))
+    graft.operators.SemDedup.duplicates(aug, "vec_id", "embedding",
+      bits = 4, threshold = 0.7)
+  }
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -652,6 +680,7 @@ object DocQueries {
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
     "q_emb_ivfpq_topk"    -> (qEmbIvfPqTopk _),
+    "q_emb_semdedup"      -> (qEmbSemdedup _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),
@@ -859,6 +888,33 @@ object DocQueries {
         |JOIN counts ca ON ca.doc_id = doc1
         |JOIN counts cb ON cb.doc_id = doc2
         |WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin,
+    "q_emb_semdedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 1000000,
+        |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+        |  FROM base WHERE vec_id % 20 = 0
+        |  UNION ALL SELECT vec_id + 2000000,
+        |    list_transform(embedding, x -> CAST(x * 2.5 AS FLOAT))
+        |  FROM base WHERE vec_id % 40 = 0
+        |  UNION ALL SELECT vec_id + 3000000,
+        |    list_transform(embedding, x -> CAST(x * -1.5 AS FLOAT))
+        |  FROM base WHERE vec_id % 30 = 0),
+        |blk AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+        |   CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+        |   CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS block
+        |  FROM aug),
+        |pairs AS (SELECT b.vec_id AS dup_id, a.vec_id AS keeper_cand,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM blk a JOIN blk b ON a.block = b.block AND a.vec_id < b.vec_id)
+        |SELECT dup_id, min(keeper_cand) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS n_neighbors,
+        |       round(max(c), 4) AS max_cosine
+        |FROM pairs WHERE c >= 0.7 GROUP BY dup_id""".stripMargin,
     "q_emb_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 0)

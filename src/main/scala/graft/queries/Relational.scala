@@ -311,6 +311,36 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
            round(sum("value"), 4).as("total_value"))
 
+  // ---------------------------------------------------------------- B28
+  /** Time-series densification (gap fill): each event type's hourly
+    * grid is generated with `sequence()` from its own min/max hour and
+    * left-joined back to the observed hourly aggregates, so silent
+    * gaps become explicit zero rows — the shape every
+    * alerting/rate-monitoring consumer needs (a missing hour must read
+    * as 0 events, not as an absent row). Scale: the grid side is
+    * exploded from a per-type 1-row aggregate (types × hours rows,
+    * bounded by calendar time, not data volume), so AQE broadcasts it
+    * against the hourly aggregate; the only data-sized work is the
+    * same partial-agg'd groupBy B17 runs. */
+  def qEventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+    val grid = ev
+      .groupBy("event_type")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+           date_trunc("hour", max("ts")).as("h1"))
+      .select(col("event_type"),
+              explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+                .as("bucket_ts"))
+    grid.join(hourly, Seq("event_type", "bucket_ts"), "left")
+      .select(col("event_type"),
+              date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
   // ---------------------------------------------------------------- B4c
   /** Correlated EXISTS subquery through the SQL front-end: Catalyst
     * decorrelates it into the same LeftSemi join the DataFrame API
@@ -544,6 +574,7 @@ object Relational {
     "q19_complex_pred"    -> (q19ComplexPred _),
     "q_events_json"       -> (qEventsJson _),
     "q_events_timebucket" -> (qEventsTimebucket _),
+    "q_events_gapfill"    -> (qEventsGapfill _),
     "q_events_sessions"   -> (qEventsSessions _),
     "q_events_pivot"      -> (qEventsPivot _),
     "q20_strings"         -> (q20Strings _),
@@ -777,6 +808,23 @@ object Relational {
         |       round(sum(value), 4) AS total_value
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "q_events_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         round(sum(value), 4) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM events GROUP BY event_type)
+        |SELECT g.event_type,
+        |       strftime(g.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       COALESCE(h.n_events, 0) AS n_events,
+        |       COALESCE(h.total_value, 0.0) AS total_value
+        |FROM grid g LEFT JOIN hourly h USING (event_type, bucket_ts)""".stripMargin,
     "q_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id,
