@@ -169,6 +169,32 @@ object DocQueries {
       bits = 4, threshold = 0.7)
   }
 
+  // ---------------------------------------------------------------- C27
+  /** DSIR importance weighting ([[graft.operators.Dsir]]): target =
+    * the `en` subset, raw = the whole corpus. High log_weight ⇒ the
+    * doc's hashed token distribution looks target-like; resample with
+    * the C14 md5 sampler proportionally to the weight. */
+  def qDocDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dsir.scoreDocs(d, "text", "doc_id",
+      graft.operators.Dsir.bucketLogRatios(d, "text", col("lang") === "en"))
+  }
+
+  // ---------------------------------------------------------------- C28
+  /** Deterministic size-balanced sharding ([[graft.operators.Shard]]):
+    * 16 training shards dealt round-robin over a size-descending
+    * two-level rank; reported per shard. The oracle derives the SAME
+    * rank with one flat global-window `row_number` — the hash-match
+    * proves the scale-safe two-level decomposition equals the global
+    * sort. Integer-only output: exact, no float rounding anywhere. */
+  def qDocShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    graft.operators.Shard.assign(d, "doc_id", "n_tokens", numShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+  }
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -681,6 +707,8 @@ object DocQueries {
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
     "q_emb_ivfpq_topk"    -> (qEmbIvfPqTopk _),
     "q_emb_semdedup"      -> (qEmbSemdedup _),
+    "q_doc_dsir"          -> (qDocDsir _),
+    "q_doc_shards"        -> (qDocShards _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),
@@ -888,6 +916,41 @@ object DocQueries {
         |JOIN counts ca ON ca.doc_id = doc1
         |JOIN counts cb ON cb.doc_id = doc2
         |WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin,
+    "q_doc_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket FROM toks),
+        |counts AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw,
+        |         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
+        |  FROM tb GROUP BY bucket),
+        |totals AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM counts),
+        |lam AS (
+        |  SELECT bucket,
+        |         ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + 256 AS DOUBLE)) -
+        |         ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 256 AS DOUBLE)) AS lambda
+        |  FROM counts, totals),
+        |doc_counts AS (
+        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM tb GROUP BY doc_id, bucket)
+        |SELECT doc_id, round(sum(c * lambda), 4) + 0.0 AS log_weight
+        |FROM doc_counts JOIN lam USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
+    "q_doc_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT n_tokens,
+        |         row_number() OVER (ORDER BY bucket, n_tokens DESC, doc_id) AS rnk
+        |  FROM d)
+        |SELECT CAST((rnk - 1) % 16 AS INT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM r GROUP BY 1""".stripMargin,
     "q_emb_semdedup" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |aug AS (
