@@ -195,6 +195,15 @@ object DocQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
   }
 
+  // ---------------------------------------------------------------- C29
+  /** RAG chunking ([[graft.operators.Chunk]]): 128-token windows at
+    * stride 96 (32-token overlap). Chunk identity travels as an md5 —
+    * bounded row width, engine-reproducible, joinable back to text by
+    * (doc_id, start_tok). */
+  def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk.tokenWindows(docs(s, dir), "text", "doc_id",
+      window = 128, stride = 96)
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -709,6 +718,7 @@ object DocQueries {
     "q_emb_semdedup"      -> (qEmbSemdedup _),
     "q_doc_dsir"          -> (qDocDsir _),
     "q_doc_shards"        -> (qDocShards _),
+    "q_doc_chunks"        -> (qDocChunks _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),
@@ -916,6 +926,20 @@ object DocQueries {
         |JOIN counts ca ON ca.doc_id = doc1
         |JOIN counts cb ON cb.doc_id = doc2
         |WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |starts AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, len(toks) - 1, 96)) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(start_tok / 96 AS INT) AS chunk_id,
+        |       CAST(start_tok AS INT) AS start_tok,
+        |       CAST(len(list_slice(toks, start_tok + 1, start_tok + 128)) AS BIGINT)
+        |         AS n_tok,
+        |       md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 128),
+        |                           ' ')) AS chunk_md5
+        |FROM starts""".stripMargin,
     "q_doc_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok

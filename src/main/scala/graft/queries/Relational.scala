@@ -341,6 +341,39 @@ object Relational {
               coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  // ---------------------------------------------------------------- B29
+  /** Event-rate anomaly detection over the DENSIFIED hourly series —
+    * the security-ops composition B28 exists for: a silent hour is a
+    * zero row, so an outage scores as a large negative z instead of
+    * vanishing from the stats. Per-type mean/stddev come from one
+    * partial-agg'd groupBy and broadcast back onto the grid (never a
+    * per-type window over the corpus); flagged rows are |z| ≥ 2 with
+    * z rounded 4 (the repo's hashable float precision). */
+  def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = ev
+      .groupBy("event_type")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+           date_trunc("hour", max("ts")).as("h1"))
+      .select(col("event_type"),
+              explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+                .as("bucket_ts"))
+    val filled = grid.join(hourly, Seq("event_type", "bucket_ts"), "left")
+      .select(col("event_type"), col("bucket_ts"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val stats = filled.groupBy("event_type")
+      .agg(avg("n_events").as("mu"), stddev_samp("n_events").as("sigma"))
+    filled.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("n_events") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("event_type"),
+              date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+              col("n_events"), col("z"))
+  }
+
   // ---------------------------------------------------------------- B4c
   /** Correlated EXISTS subquery through the SQL front-end: Catalyst
     * decorrelates it into the same LeftSemi join the DataFrame API
@@ -575,6 +608,7 @@ object Relational {
     "q_events_json"       -> (qEventsJson _),
     "q_events_timebucket" -> (qEventsTimebucket _),
     "q_events_gapfill"    -> (qEventsGapfill _),
+    "q_events_anomaly"    -> (qEventsAnomaly _),
     "q_events_sessions"   -> (qEventsSessions _),
     "q_events_pivot"      -> (qEventsPivot _),
     "q20_strings"         -> (q20Strings _),
@@ -825,6 +859,30 @@ object Relational {
         |       COALESCE(h.n_events, 0) AS n_events,
         |       COALESCE(h.total_value, 0.0) AS total_value
         |FROM grid g LEFT JOIN hourly h USING (event_type, bucket_ts)""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM events GROUP BY event_type),
+        |filled AS (
+        |  SELECT g.event_type, g.bucket_ts,
+        |         COALESCE(h.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN hourly h USING (event_type, bucket_ts)),
+        |stats AS (
+        |  SELECT event_type, avg(n_events) AS mu,
+        |         stddev_samp(n_events) AS sigma
+        |  FROM filled GROUP BY event_type)
+        |SELECT f.event_type,
+        |       strftime(f.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       f.n_events, round((f.n_events - s.mu) / s.sigma, 4) AS z
+        |FROM filled f JOIN stats s USING (event_type)
+        |WHERE abs(round((f.n_events - s.mu) / s.sigma, 4)) >= 2.0""".stripMargin,
     "q_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id,

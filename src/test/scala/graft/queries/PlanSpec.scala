@@ -124,6 +124,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("C26: semdedup's pair join shuffles on the block key, never all-pairs") {
+    val p = plan("q_emb_semdedup")
+    // both self-join sides hash-partition on `block` — the bounded
+    // shuffle key; the global no-CartesianProduct test already covers
+    // the all-pairs failure mode, this pins the key itself
+    assert(p.contains("hashpartitioning(block"), p)
+    assert(p.contains("graft_cosine"), p) // fused codegen'd probe, not the HOF
+  }
+
+  test("C27: DSIR joins the 256-row model by broadcast, totals by 1-row BNLJ") {
+    val p = plan("q_doc_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop is the 1-row totals broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p) // token counts combine map-side
+  }
+
+  test("C28: sharding's corpus-sized window partitions by bucket, not globally") {
+    val p = plan("q_doc_shards")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("_bucket")), p)
+    assert(p.contains("BroadcastHashJoin"), p) // 16-row offsets broadcast back
+  }
+
+  test("C29: chunking is map-only — zero exchanges at any corpus size") {
+    val p = plan("q_doc_chunks")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
