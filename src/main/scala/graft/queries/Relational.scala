@@ -341,6 +341,28 @@ object Relational {
               coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  // ---------------------------------------------------------------- B30
+  /** Window FRAME aggregates — trailing 7-row moving average and a
+    * running total per user over daily activity (the rates/trends
+    * shape B8's rank/lag family doesn't cover). Scale: partitioned by
+    * `user_id` (high cardinality — parallel at any size); sums of ≤7
+    * small ints are exact in double, so the avg is
+    * accumulation-order-proof across engines. */
+  def qEventsMoving(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    val cum = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.select(col("user_id"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_events"),
+      round(avg("n_events").over(trail), 4).as("avg7"),
+      sum("n_events").over(cum).as("cum_events"))
+  }
+
   // ---------------------------------------------------------------- B29
   /** Event-rate anomaly detection over the DENSIFIED hourly series —
     * the security-ops composition B28 exists for: a silent hour is a
@@ -609,6 +631,7 @@ object Relational {
     "q_events_timebucket" -> (qEventsTimebucket _),
     "q_events_gapfill"    -> (qEventsGapfill _),
     "q_events_anomaly"    -> (qEventsAnomaly _),
+    "q_events_moving"     -> (qEventsMoving _),
     "q_events_sessions"   -> (qEventsSessions _),
     "q_events_pivot"      -> (qEventsPivot _),
     "q20_strings"         -> (q20Strings _),
@@ -859,6 +882,18 @@ object Relational {
         |       COALESCE(h.n_events, 0) AS n_events,
         |       COALESCE(h.total_value, 0.0) AS total_value
         |FROM grid g LEFT JOIN hourly h USING (event_type, bucket_ts)""".stripMargin,
+    "q_events_moving" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+        |       round(avg(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7,
+        |       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_events
+        |FROM daily""".stripMargin,
     "q_events_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
