@@ -214,4 +214,22 @@ object EventStream {
       .withWatermark("event_time", "5 minutes")
       .groupBy(window(col("event_time"), "1 minute"), col("route"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Stream-static scoring — the lambda-architecture bridge: a model
+    * relation built BATCH-side (per-route mean/σ rates from the
+    * historical lake, e.g. the q_events_anomaly stats) joins onto the
+    * live windowed counts so each arriving window carries its z-score
+    * the moment it closes. The static side broadcasts (Spark re-reads
+    * it per micro-batch, so a nightly model refresh is picked up
+    * without restarting the query); routes the model has never seen
+    * score null rather than dropping — an unknown route is the MOST
+    * alert-worthy case (left join, never inner). Map-only on top of
+    * [[windowedCounts]]'s state — no extra streaming state. */
+  def scoredAgainstBaseline(classified: DataFrame, baseline: DataFrame): DataFrame =
+    windowedCounts(classified)
+      .join(broadcast(baseline), Seq("route"), "left")
+      .withColumn("z",
+        when(col("sigma") > 0.0,
+          round((col("n_events") - col("mu")) / col("sigma"), 4)))
+      .withColumn("anomalous", col("z").isNull || abs(col("z")) >= 2.0)
 }

@@ -270,6 +270,40 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Map("2023-11-14 22:13:00" -> 2L, "2023-11-14 22:14:00" -> 1L), rows.toString)
   }
 
+  test("stream-static scoring flags spikes and unknown routes against a batch baseline") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("stream-score")
+    // minute 1: four DnsRequests (z = (4-1)/1 = 3 → anomalous);
+    // minute 2: one (z = 0 → calm); plus one ProcessRollup2 whose
+    // route the baseline has never seen → null z, flagged
+    writeGz(landing, "obj-1.gz", Seq(
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w1","cid":"c","id":"e1","timestamp":"1699999985000","event_platform":"Lin","DomainName":"a.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w2","cid":"c","id":"e2","timestamp":"1699999995000","event_platform":"Lin","DomainName":"b.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w3","cid":"c","id":"e3","timestamp":"1700000005000","event_platform":"Lin","DomainName":"c.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w4","cid":"c","id":"e4","timestamp":"1700000015000","event_platform":"Lin","DomainName":"d.example.com"}""",
+      """{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"w5","cid":"c","id":"e5","timestamp":"1700000045000","event_platform":"Lin","DomainName":"e.example.com"}""",
+      """{"event_simpleName":"ProcessRollup2","name":"ProcessRollup2V1","aid":"w6","cid":"c","id":"e6","timestamp":"1700000075000","event_platform":"Lin","CommandLine":"ls"}"""))
+    val baseline = Seq(("DNS Activity", 1.0, 1.0)).toDF("route", "mu", "sigma")
+    val scored = EventStream.scoredAgainstBaseline(
+      EventStream.readClassified(spark, landing.toString), baseline)
+    val q = scored.writeStream
+      .format("memory").queryName("scored_windows")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("scored_windows")
+      .select(col("window.start").cast("string"), col("route"),
+        col("z"), col("anomalous"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .toMap
+    assert(rows(("2023-11-14 22:13:00", "DNS Activity")) == (Some(3.0), true))
+    assert(rows(("2023-11-14 22:14:00", "DNS Activity")) == (Some(0.0), false))
+    // unknown route: null z, still surfaced and flagged
+    assert(rows(("2023-11-14 22:14:00", "Process Activity")) == (None, true))
+  }
+
   test("StreamMetrics captures per-batch health rows for a named query") {
     val landing = Files.createTempDirectory("stream-metrics")
     writeGz(landing, "obj-1.gz", Seq(
