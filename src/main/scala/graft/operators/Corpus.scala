@@ -68,7 +68,13 @@ object Corpus {
                  minQuality: Double,
                  pairs: DataFrame => DataFrame): DataFrame = {
     val survivors = Dedup.exactDedup(docs, textCol, idCol).select(idCol)
-    val exact = docs.join(survivors, Seq(idCol), "left_semi")
+    // materialize the deduped corpus once: the pair source reads it
+    // (twice, in the candidates-then-verify composition), the anti-join
+    // reads it, and the quality gate reads it — without a cut Catalyst
+    // re-plans the scan + md5-groupBy + semi-join per consumer. The
+    // same persist-the-deduped-snapshot step a 100 TB pipeline runs
+    // (there, a reliable checkpoint/table instead of executor blocks).
+    val exact = docs.join(survivors, Seq(idCol), "left_semi").localCheckpoint()
     scoreAndGate(removeNearDups(exact, idCol, pairs(exact)),
       textCol, idCol, minQuality)
   }
