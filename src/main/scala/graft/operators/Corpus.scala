@@ -79,6 +79,33 @@ object Corpus {
       textCol, idCol, minQuality)
   }
 
+  /** Leak-free split (C30): rows where `valPred` holds become the
+    * validation side (never dropped); train rows near-duplicating ANY
+    * val row — `pairs` is a (doc1, doc2) similar-pair relation with
+    * doc1 < doc2, exact or candidates-then-verify — are dropped, so
+    * held-out metrics can't be inflated by near-dup leakage. Output:
+    * (idCol, split). The leaky-id relation is two semi-join-sized
+    * probes of `pairs` against the val ids (broadcastable — val is
+    * the small split by construction). */
+  def splitLeakfree(docs: DataFrame, idCol: String, valPred: Column,
+                    pairs: DataFrame): DataFrame = {
+    val withSplit = docs.withColumn("split",
+      when(valPred, "val").otherwise("train"))
+    val valIds = withSplit.filter(col("split") === "val").select(col(idCol))
+    val leaky = pairs
+      .join(valIds.withColumnRenamed(idCol, "doc1"), Seq("doc1"))
+      .select(col("doc2").as(idCol))
+      .unionByName(pairs
+        .join(valIds.withColumnRenamed(idCol, "doc2"), Seq("doc2"))
+        .select(col("doc1").as(idCol)))
+      .distinct()
+    withSplit.filter(col("split") === "train")
+      .join(leaky, Seq(idCol), "left_anti")
+      .select(col(idCol), col("split"))
+      .unionByName(withSplit.filter(col("split") === "val")
+        .select(col(idCol), col("split")))
+  }
+
   private def scoreAndGate(docs: DataFrame, textCol: String, idCol: String,
                            minQuality: Double): DataFrame =
     docs.select(col(idCol),

@@ -204,6 +204,25 @@ object DocQueries {
     graft.operators.Chunk.tokenWindows(docs(s, dir), "text", "doc_id",
       window = 128, stride = 96)
 
+  // ---------------------------------------------------------------- C30
+  /** Leak-free train/validation split: a deterministic md5 split
+    * (12.5% val — C14's reproducible-sampling stance) PLUS
+    * decontamination of the train side against the val side — any
+    * train doc near-duplicating a val doc (Jaccard ≥ 0.5, C4's exact
+    * posting-list pairs here so the oracle can check it) is dropped,
+    * because eval leakage through near-dups is exactly what inflates
+    * held-out metrics. Val is never dropped; only train pays. At
+    * 100 TB swap the pair source for the incremental composition: a
+    * persisted [[Dedup.minhashBandBuckets]] index of VAL (the small
+    * side) screened by [[Dedup.incrementalMinhashPairs]] over train —
+    * cross-split candidates only, never corpus×corpus. */
+  def qDocSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Corpus.splitLeakfree(d, "doc_id",
+      substring(md5(col("doc_id").cast("string")), 1, 4) < "2000",
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5))
+  }
+
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
@@ -719,6 +738,7 @@ object DocQueries {
     "q_doc_dsir"          -> (qDocDsir _),
     "q_doc_shards"        -> (qDocShards _),
     "q_doc_chunks"        -> (qDocChunks _),
+    "q_doc_split_leakfree" -> (qDocSplitLeakfree _),
     "q_doc_langid"        -> (qDocLangid _),
     "q_doc_quality"       -> (qDocQuality _),
     "q_doc_tokens"        -> (qDocTokens _),
@@ -926,6 +946,36 @@ object DocQueries {
         |JOIN counts ca ON ca.doc_id = doc1
         |JOIN counts cb ON cb.doc_id = doc2
         |WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin,
+    "q_doc_split_leakfree" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sim AS (SELECT doc1, doc2 FROM pairs
+        |        JOIN counts ca ON ca.doc_id = doc1
+        |        JOIN counts cb ON cb.doc_id = doc2
+        |        WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5),
+        |split AS (SELECT doc_id,
+        |            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+        |                 THEN 'val' ELSE 'train' END AS split
+        |          FROM documents),
+        |leaky AS (
+        |  SELECT s.doc2 AS doc_id FROM sim s
+        |    JOIN split v ON v.doc_id = s.doc1 AND v.split = 'val'
+        |  UNION
+        |  SELECT s.doc1 AS doc_id FROM sim s
+        |    JOIN split v ON v.doc_id = s.doc2 AND v.split = 'val')
+        |SELECT doc_id, split FROM split WHERE split = 'val'
+        |UNION ALL
+        |SELECT t.doc_id, t.split FROM split t
+        |WHERE t.split = 'train'
+        |  AND t.doc_id NOT IN (SELECT doc_id FROM leaky)""".stripMargin,
     "q_doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Behavior edges of the doc-query surface that the SQL oracles can't
@@ -37,6 +38,25 @@ class DocQueriesSpec extends SparkSpec {
       .orderBy(col("occurrences").desc, col("term").asc)
       .limit(20).collect().map(_.getString(0)).toSeq
     assert(top == (50 to 31 by -1).map(t))
+  }
+
+  test("C30: leak-free split drops only train docs that near-dup a val doc") {
+    import spark.implicits._
+    import graft.operators.{Corpus, Dedup}
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (6L, base),                                  // val (md5 prefix < 2000)
+      (1L, base),                                  // train exact dup of val -> drop
+      (2L, base.replace("dog", "cat")),            // train near-dup of val -> drop
+      (3L, "completely different content about engines at massive scale"),
+      (19L, "another validation document with its own unique words here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.splitLeakfree(docs, "doc_id",
+      substring(md5(col("doc_id").cast("string")), 1, 4) < "2000",
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(6L -> "val", 19L -> "val", 3L -> "train"),
+      s"expected val kept, leaky train dropped: $out")
   }
 
   test("C22: redactPii scrubs emails, IPs, phones and long digit runs") {
