@@ -171,6 +171,36 @@ object Codec {
     out
   }
 
+  /** Perceptual average hash (aHash): the image downsamples to an 8×8
+    * luminance grid and each cell contributes one bit — 1 when its
+    * luma exceeds the grid mean. Brightness shifts, re-encodes, and
+    * resizes of the same picture preserve most above/below-mean
+    * comparisons, so perceptual duplicates land within a small hamming
+    * distance while different pictures disagree on ~32 bits. All
+    * integer luminance (no float mean): deterministic across JVMs.
+    * Bit k = cell (k % 8, k / 8), LSB first. */
+  def aHash(img: Image): Long = {
+    val small = resize(img, 8, 8)
+    val lum = new Array[Int](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      val x = i % 8; val y = i / 8
+      lum(i) = (299 * small.r(x, y) + 587 * small.g(x, y) +
+        114 * small.b(x, y)) / 1000
+      total += lum(i)
+      i += 1
+    }
+    // compare 64*luma > total, avoiding a fractional mean
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * lum(i) > total) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   // ------------------------------------------------------------- audio
 
   /** Decoded PCM audio, downmixed to mono 16-bit. */

@@ -112,6 +112,33 @@ object Multimodal {
     })
   }
 
+  /** (media_id, format, ahash, decoded) — [[Codec.aHash]] per image
+    * row. Undecodable payloads emit `decoded = false` (ahash 0)
+    * rather than vanishing — filter them into a quarantine count, the
+    * same stance as every other lossy edge. Feed the decoded rows to
+    * [[graft.operators.Dedup.hammingPairs]] for perceptual image
+    * near-dup detection (C31): brightness shifts and re-encodes of
+    * the same picture land within a few bits; different pictures
+    * disagree on ~half. */
+  final case class MediaHash(media_id: Long, format: String,
+                             ahash: Long, decoded: Boolean)
+
+  def imageHashes(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val img = try {
+        r.format match {
+          case "ppm" => Codec.decodePpm(r.data)
+          case "jpeg" | "jpg" | "png" | "bmp" | "gif" =>
+            Codec.decodeImageIO(r.data)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      img.map(i => MediaHash(r.media_id, r.format, Codec.aHash(i), decoded = true))
+        .getOrElse(MediaHash(r.media_id, r.format, 0L, decoded = false))
+    })
+  }
+
   /** Deterministic text→image rendering: the seed bytes are cycled
     * into a P6 raster. Real encoder — the decode side is the same
     * [[Codec.decodePpm]] path production media takes, which is what

@@ -211,9 +211,20 @@ object Dedup {
     * is Jaccard, use [[minhashCandidatePairs]] +
     * [[exactJaccardForPairs]]; use this for signature-space dedup. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame =
+    hammingPairs(simhash(docs, textCol, idCol), idCol, "simhash",
+      maxDist, maxBucket)
+
+  /** GENERIC pigeonhole hamming-pair join over any (id, 64-bit
+    * signature) relation — simhash text signatures, image average
+    * hashes ([[graft.multimodal.Multimodal.imageHashes]]), any
+    * fingerprint that measures similarity in bit flips. Same
+    * guarantees as [[simhashPairs]]: exact in signature space,
+    * band-bucket shuffle keys, never all-pairs. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val hamming = bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh")))
-    simhashBuckets(docs, textCol, idCol, maxDist)
+    hammingBuckets(sigs, idCol, sigCol, maxDist)
       .filter(size(col("xs")).between(2, maxBucket))
       .withColumn("xs", array_sort(col("xs"))) // plain attribute for pairsWithin
       .select(explode(pairsWithin(col("xs"))).as("p"))
@@ -223,9 +234,9 @@ object Dedup {
       .distinct()
   }
 
-  /** The pigeonhole-band bucket relation behind [[simhashPairs]]:
+  /** The pigeonhole-band bucket relation behind [[hammingPairs]]:
     * (band, bh, xs) with xs = [{id, sh}]. */
-  private def simhashBuckets(docs: DataFrame, textCol: String, idCol: String,
+  private def hammingBuckets(sigs: DataFrame, idCol: String, sigCol: String,
                              maxDist: Int): DataFrame = {
     require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
       "maxDist+1 must divide 64 (e.g. 0, 1, 3, 7, 15)")
@@ -234,19 +245,25 @@ object Dedup {
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bh"))
+        shiftright(col(sigCol), b * width).bitwiseAND(mask).as("bh"))
     }
-    simhash(docs, textCol, idCol)
-      .select(col(idCol), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
+    sigs
+      .select(col(idCol), col(sigCol), explode(array(bandKeys: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("xs"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(sigCol).as("sh"))).as("xs"))
   }
 
   /** Dropped-bucket accounting for [[simhashPairs]]'s `maxBucket` cap —
     * see [[minhashDroppedBuckets]]. */
   def simhashDroppedBuckets(docs: DataFrame, textCol: String, idCol: String,
                             maxDist: Int = 3, maxBucket: Int = 4096): DataFrame =
-    simhashBuckets(docs, textCol, idCol, maxDist)
+    hammingDroppedBuckets(simhash(docs, textCol, idCol), idCol, "simhash",
+      maxDist, maxBucket)
+
+  /** Dropped-bucket accounting for [[hammingPairs]]'s `maxBucket`. */
+  def hammingDroppedBuckets(sigs: DataFrame, idCol: String, sigCol: String,
+                            maxDist: Int = 3, maxBucket: Int = 4096): DataFrame =
+    hammingBuckets(sigs, idCol, sigCol, maxDist)
       .select(col("band"), col("bh"), size(col("xs")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 

@@ -709,9 +709,38 @@ object DocQueries {
           f => format_string("%.4f", f.cast("double")))).as("feature_sig"))
   }
 
+  // ---------------------------------------------------------------- C31
+  /** Perceptual image near-dup detection: [[Codec.aHash]] per rendered
+    * image, generic pigeonhole [[Dedup.hammingPairs]] on the 64-bit
+    * hashes (never all-pairs). The corpus images are the documents
+    * rendered deterministically to PPM (the q_mm_features stance);
+    * every `doc_id % 10 == 0` additionally plants a BRIGHTNESS-SHIFTED
+    * copy (+16 clamped on every byte — a perceptual duplicate, not a
+    * byte duplicate: its md5 differs, its aHash barely does). Rows-only
+    * by design (no DuckDB image decode); MultimodalSpec pins hash
+    * invariances and the planted-pair recall. */
+  def qMmImageDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => MM}
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val bright = seed.map(b => math.min(255, (b & 0xff) + 16).toByte)
+        val orig = MM.MediaRow(id, MM.renderPpm(seed, 16, 16), "ppm", 16, 16, 1)
+        if (id % 10 == 0)
+          Seq(orig, MM.MediaRow(id + 1000000,
+            MM.renderPpm(bright, 16, 16), "ppm", 16, 16, 1))
+        else Seq(orig)
+      }
+    val hashes = MM.imageHashes(media).toDF().filter(col("decoded"))
+    Dedup.hammingPairs(hashes, "media_id", "ahash", maxDist = 3)
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features"       -> (qMmFeatures _),
+    "q_mm_image_dups"     -> (qMmImageDups _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_contamination" -> (qDocContamination _),

@@ -25,6 +25,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).feature.toSeq == again(2).feature.toSeq)
   }
 
+  test("C31: aHash is brightness/resize-robust, discriminates pictures") {
+    // a smooth gradient: perceptual transforms keep the above/below-
+    // mean pattern; a different picture flips ~half the bits
+    def gradient(w: Int, h: Int): Codec.Image = Codec.Image(w, h,
+      Array.tabulate(3 * w * h) { i =>
+        val p = i / 3; (((p % w) * 255) / w).toByte
+      })
+    def shifted(img: Codec.Image, d: Int): Codec.Image = img.copy(
+      pixels = img.pixels.map(b => math.min(255, (b & 0xff) + d).toByte))
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Codec.aHash(gradient(64, 64))
+    assert(dist(base, Codec.aHash(shifted(gradient(64, 64), 16))) <= 3,
+      "brightness shift must stay within hamming 3")
+    assert(dist(base, Codec.aHash(gradient(32, 32))) <= 3,
+      "resize of the same picture must stay within hamming 3")
+    val other = Codec.Image(64, 64, Array.tabulate(3 * 64 * 64) { i =>
+      val p = i / 3; ((((p / 64) % 2) ^ ((p % 64) % 2)) * 255).toByte
+    }) // checkerboard
+    assert(dist(base, Codec.aHash(other)) >= 16,
+      "different pictures must disagree substantially")
+  }
+
+  test("C31: imageHashes + hammingPairs find the perceptual dup, not the stranger") {
+    val w = 16; val h = 16
+    def grad(d: Int) = Multimodal.renderPpm(
+      Array.tabulate(3 * w * h)(i => math.min(255, ((i / 3) % w) * 16 + d).toByte), w, h)
+    val rows = Seq(
+      MediaRow(1L, grad(0), "ppm", w, h, 1),
+      MediaRow(2L, grad(8), "ppm", w, h, 1),          // brightness-shifted dup
+      MediaRow(3L, Multimodal.renderPpm("completely different pixels".getBytes, w, h), "ppm", w, h, 1),
+      MediaRow(4L, Array[Byte](1, 2, 3), "ppm", w, h, 1) // undecodable
+    ).toDS()
+    val hashes = Multimodal.imageHashes(rows).toDF()
+    assert(hashes.filter(!col("decoded")).select("media_id")
+      .as[Long].collect().toSeq == Seq(4L), "undecodable row accounted, not dropped")
+    val pairs = graft.operators.Dedup
+      .hammingPairs(hashes.filter(col("decoded")), "media_id", "ahash", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the planted dup pair: $pairs")
+  }
+
   test("frame sampling keeps every Nth frame index") {
     val sampled = sampleFrameIndexes(media.toDF(), stride = 3)
       .filter(col("media_id") === 3L)
