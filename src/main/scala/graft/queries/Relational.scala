@@ -341,6 +341,33 @@ object Relational {
               coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  // ---------------------------------------------------------------- B31
+  /** Markov transition matrix over per-user event sequences — the
+    * process-chain / behavior-baseline shape security analytics runs
+    * on event streams: which event type follows which, with the
+    * conditional transition probability. One lag window partitioned by
+    * `user_id` (high cardinality, ordered by (ts, event_id) so ties
+    * can't flip the sequence between engines), then a 25-row matrix
+    * aggregate; the per-source share window runs over that tiny
+    * relation only. `round4` (scaled rounding) because p is a ratio of
+    * small ints — the .xxxx5-tie class where `round(x, 4)` and
+    * DuckDB's rounding land on opposite sides. */
+  def qEventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq_ = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val matrix = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("type_from", lag("event_type", 1).over(seq_))
+      .filter(col("type_from").isNotNull)
+      .groupBy(col("type_from"), col("event_type").as("type_to"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val perFrom = Window.partitionBy("type_from")
+    matrix.withColumn("p",
+      graft.functions.TextFunctions.round4(
+        col("n_transitions").cast("double") /
+          sum("n_transitions").over(perFrom)))
+  }
+
   // ---------------------------------------------------------------- B30
   /** Window FRAME aggregates — trailing 7-row moving average and a
     * running total per user over daily activity (the rates/trends
@@ -632,6 +659,7 @@ object Relational {
     "q_events_gapfill"    -> (qEventsGapfill _),
     "q_events_anomaly"    -> (qEventsAnomaly _),
     "q_events_moving"     -> (qEventsMoving _),
+    "q_events_transitions" -> (qEventsTransitions _),
     "q_events_sessions"   -> (qEventsSessions _),
     "q_events_pivot"      -> (qEventsPivot _),
     "q20_strings"         -> (q20Strings _),
@@ -894,6 +922,21 @@ object Relational {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_events
         |FROM daily""".stripMargin,
+    "q_events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS type_from
+        |  FROM events),
+        |matrix AS (
+        |  SELECT type_from, event_type AS type_to,
+        |         CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM seq WHERE type_from IS NOT NULL GROUP BY 1, 2)
+        |SELECT type_from, type_to, n_transitions,
+        |       round(n_transitions * 10000.0 /
+        |             sum(n_transitions) OVER (PARTITION BY type_from))
+        |         / 10000.0 AS p
+        |FROM matrix""".stripMargin,
     "q_events_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
