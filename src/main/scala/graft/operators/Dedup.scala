@@ -625,4 +625,49 @@ object Dedup {
       slice(col("grams"), 1, maxGrams))
     else hashed
   }
+
+  /** C32 — repeated-SPAN detection: the span-level complement to
+    * doc-level near-dup removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). Doc-level dedup
+    * keeps one copy of a duplicated PAGE; it cannot see the license
+    * header, nav boilerplate or quoted passage repeated verbatim
+    * inside otherwise-distinct documents — the spans LMs memorize
+    * first. Per document: its count of distinct `span`-token windows,
+    * how many of those windows also occur in ≥ `minDocs` documents
+    * (itself included), and the resulting duplicated-span fraction —
+    * the per-doc removal/penalty signal. Short docs (< `span` tokens)
+    * report zero spans, fraction 0.0 — surfaced, never dropped.
+    *
+    * Scale shape: spans travel as md5 hashes from the map side on
+    * (32 B/span regardless of span length — a 50-token window never
+    * rides the shuffle as a ~300 B string), so both shuffles key on
+    * high-cardinality hashes. Doc frequency is counted on the DISTINCT
+    * (id, hash) relation — a span looping 1 000× inside one doc counts
+    * once. The shared-span flag joins back on the hash (never
+    * broadcast: at 100 TB the hot-span set is itself huge), a plain
+    * shuffle join AQE can skew-split when one boilerplate span hits
+    * 10⁶ docs; the md5 collision rate is negligible at 2^64 spans.
+    * Left joins preserve every document through to the report. */
+  def spanDuplication(docs: DataFrame, textCol: String, idCol: String,
+                      span: Int = 32, minDocs: Int = 2): DataFrame = {
+    val spans = shingles(docs, textCol, idCol, n = span, dedupGrams = false)
+      .select(col(idCol), md5(col("gram")).as("span_hash"))
+      .distinct()
+    val shared = spans.groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash"), lit(1L).as("is_shared"))
+    val perDoc = spans.join(shared, Seq("span_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(coalesce(col("is_shared"), lit(0L))).as("n_shared_spans"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(TextFunctions.round4(
+            col("n_shared_spans").cast("double") / col("n_spans")))
+          .as("dup_span_fraction"))
+  }
 }

@@ -652,6 +652,16 @@ object DocQueries {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  // ---------------------------------------------------------------- C32
+  /** Repeated-span report: per document, distinct 8-token windows,
+    * how many of them recur in ≥2 documents, and the duplicated-span
+    * fraction — the span-level dedup signal doc-level near-dup removal
+    * cannot see (see [[graft.operators.Dedup.spanDuplication]]).
+    * span=8 at test scale so the planted near-dup pairs actually share
+    * windows; production runs use the 32-50-token default. */
+  def qDocSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDuplication(docs(s, dir), "text", "doc_id", span = 8)
+
   /** The shared bench/corpus split behind BOTH contamination queries —
     * one definition, so the spec-pinned bloom-superset-of-exact
     * relationship cannot break by the two drifting apart. Docs 0-9
@@ -745,6 +755,7 @@ object DocQueries {
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_contamination" -> (qDocContamination _),
     "q_doc_contamination_bloom" -> (qDocContaminationBloom _),
+    "q_doc_span_dedup"    -> (qDocSpanDedup _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
@@ -880,6 +891,25 @@ object DocQueries {
         |FROM grams g JOIN bench USING (gram)
         |WHERE g.doc_id >= 10
         |GROUP BY g.doc_id""".stripMargin,
+    "q_doc_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM toks WHERE len(t) >= 8),
+        |spans AS (SELECT DISTINCT doc_id,
+        |            md5(array_to_string(t[i:i+7], ' ')) AS h
+        |          FROM idx),
+        |hot AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+        |per AS (SELECT s.doc_id, count(*) AS n_spans,
+        |          sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        |        FROM spans s LEFT JOIN hot ON s.h = hot.h
+        |        GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared_spans,
+        |       CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+        |            ELSE round(per.n_shared * 10000.0 / per.n_spans) / 10000.0
+        |       END AS dup_span_fraction
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "q_doc_mix_sample" ->
       """WITH t AS (SELECT doc_id, source,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

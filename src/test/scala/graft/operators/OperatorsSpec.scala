@@ -217,6 +217,28 @@ class OperatorsSpec extends SparkSpec {
       e.toString)
   }
 
+  test("C32: span duplication counts shared windows once, keeps short docs") {
+    val corpus = Seq(
+      (1L, "one two three four five six"),        // 3 spans, shares 1 with doc 2
+      (2L, "zzz one two three four qqq"),         // 3 spans, shares 1 with doc 1
+      (3L, "alpha beta gamma delta epsilon"),     // 2 spans, none shared
+      (4L, "tiny doc"),                           // < span tokens: 0 spans
+      (5L, "rep rep rep rep rep rep rep")         // one DISTINCT span looping 4x
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDuplication(corpus, "text", "doc_id", span = 4)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((3L, 1L, 0.3333)), rows(1L).toString)
+    assert(rows(2L) == ((3L, 1L, 0.3333)), rows(2L).toString)
+    assert(rows(3L) == ((2L, 0L, 0.0)), rows(3L).toString)
+    // short doc is REPORTED with zero spans, never dropped
+    assert(rows(4L) == ((0L, 0L, 0.0)), rows(4L).toString)
+    // a span repeating inside ONE doc is not "shared": df counts docs
+    assert(rows(5L) == ((1L, 0L, 0.0)), rows(5L).toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("C19: contamination screening flags exactly the overlapping docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon tail words here"), // contains the bench 5-gram
