@@ -92,4 +92,49 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** C33 — HARD-NEGATIVE mining for contrastive/retrieval training:
+    * per query vector, the `k` most-similar corpus items that are NOT
+    * near-duplicates (cosine below `dupThreshold`) and not the query
+    * itself — similar enough to be informative negatives, distinct
+    * enough not to be false negatives (the standard mining recipe
+    * behind dense-retriever and embedding-model training sets).
+    *
+    * Scale shape: the query side is a training batch — tiny — so the
+    * brute-force default BROADCASTS the queries and scores the corpus
+    * in one map-only codegen'd pass (same stance as
+    * [[bruteForceTopK]]); only (query_id, cand_id, cosine) survivors
+    * reach the per-query ranking window, whose partition key is the
+    * query id. At corpus scales where even one scoring scan is too
+    * much, pass `candidates` — (query_id, cand_id) pairs from an ANN
+    * probe ([[graft.queries.DocQueries.ivfIndex]]'s `Ivf.topK`, LSH
+    * buckets) — and only those pairs are scored: the window then sees
+    * at most |candidates| rows, bounded by the probe's nprobe·cell
+    * budget per query. Ranking orders by the ROUNDED cosine (ties
+    * broken by candidate id) so rank is reproducible across engines —
+    * the same contract as the top-k query. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, k: Int = 3,
+                    dupThreshold: Double = 0.95,
+                    candidates: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubles(col(vecCol)).as("qv"))
+    val corpus = emb.select(col(idCol).as("cand_id"),
+      toDoubles(col(vecCol)).as("v"))
+    val paired = candidates match {
+      case None => corpus.join(broadcast(q))
+      case Some(c) => c.select(col("query_id"), col("cand_id"))
+        .join(corpus, "cand_id").join(broadcast(q), "query_id")
+    }
+    val scored = paired
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineNative(col("v"), col("qv")), 4).as("cosine"))
+      .filter(col("cosine") < dupThreshold)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

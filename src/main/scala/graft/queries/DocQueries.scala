@@ -53,6 +53,18 @@ object DocQueries {
   def qEmbCosineTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)
 
+  // ---------------------------------------------------------------- C33
+  /** Hard negatives for the "training batch" vec_id < 8: per query,
+    * top-3 most-similar corpus vectors below the near-dup cut. The
+    * planted scaled-copy dups score ≈1.0 and the background ≈0.55, so
+    * the 0.95 threshold sits in the gap — no boundary-float risk (the
+    * SemDedup oracle stance). */
+  def qEmbHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.hardNegatives(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), k = 3, dupThreshold = 0.95)
+  }
+
   // ---------------------------------------------------------------- C6
   def qEmbLshAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(s, emb(s, dir), "vec_id", "embedding",
@@ -770,6 +782,7 @@ object DocQueries {
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
+    "q_emb_hard_negatives" -> (qEmbHardNegatives _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
@@ -1120,6 +1133,22 @@ object DocQueries {
         |WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id
         |LIMIT 20""".stripMargin,
+    "q_emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+        |           AS cosine
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, cand_id) AS rk
+        |  FROM scored WHERE cosine < 0.95)
+        |SELECT query_id, cand_id, cosine, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
     "q_doc_langid" ->
       """WITH h AS (
         |  SELECT doc_id,

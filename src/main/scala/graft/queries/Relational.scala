@@ -352,6 +352,28 @@ object Relational {
     * relation only. `round4` (scaled rounding) because p is a ratio of
     * small ints — the .xxxx5-tie class where `round(x, 4)` and
     * DuckDB's rounding land on opposite sides. */
+  // ---------------------------------------------------------------- B32
+  /** Top event-path trigrams — the multi-step extension of the B31
+    * transition matrix: the 20 most frequent 3-event sequences across
+    * all per-user timelines (process-chain / attack-path mining). One
+    * window shuffle on the high-cardinality `user_id` (two `lead`s
+    * share the single sort), then a partial-agg'd count over ≤|types|³
+    * keys into a TakeOrderedAndProject; the full (n_paths, steps)
+    * ordering makes the top-20 cut tie-proof across engines. */
+  def qEventsPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq_ = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("step2", lead("event_type", 1).over(seq_))
+      .withColumn("step3", lead("event_type", 2).over(seq_))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
   def qEventsTransitions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seq_ = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -660,6 +682,7 @@ object Relational {
     "q_events_anomaly"    -> (qEventsAnomaly _),
     "q_events_moving"     -> (qEventsMoving _),
     "q_events_transitions" -> (qEventsTransitions _),
+    "q_events_paths"      -> (qEventsPaths _),
     "q_events_sessions"   -> (qEventsSessions _),
     "q_events_pivot"      -> (qEventsPivot _),
     "q20_strings"         -> (q20Strings _),
@@ -937,6 +960,19 @@ object Relational {
         |             sum(n_transitions) OVER (PARTITION BY type_from))
         |         / 10000.0 AS p
         |FROM matrix""".stripMargin,
+    "q_events_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |         lead(event_type, 1) OVER w AS step2,
+        |         lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM seq
+        |WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
     "q_events_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,

@@ -217,6 +217,33 @@ class OperatorsSpec extends SparkSpec {
       e.toString)
   }
 
+  test("C33: hard negatives exclude near-dups and the query itself; candidate path agrees") {
+    // query 0 = (1,0); 1 = scaled copy (cosine 1.0, a near-dup);
+    // 2-4 = mid-similarity background; 5 = orthogonal
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(5.0f, 0.0f)),       // exact-direction dup: excluded
+      (2L, Seq(0.9f, 0.5f)),
+      (3L, Seq(0.7f, 0.7f)),
+      (4L, Seq(0.3f, 0.9f)),
+      (5L, Seq(0.0f, 1.0f))        // orthogonal: rank last
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0L), k = 3, dupThreshold = 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toList.sortBy(_._2)
+    // dup (1) and self (0) never appear; top-3 by cosine are 2, 3, 4
+    assert(out == List((2L, 1L), (3L, 2L), (4L, 3L)), out.toString)
+    // ANN-candidate path scores only the supplied pairs but ranks the
+    // same when the candidate set covers the brute-force survivors
+    val cands = Seq((0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (0L, 1L))
+      .toDF("query_id", "cand_id")
+    val viaCands = Similarity.hardNegatives(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0L), k = 3, dupThreshold = 0.95,
+        candidates = Some(cands))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toList.sortBy(_._2)
+    assert(viaCands == out, viaCands.toString)
+  }
+
   test("C32: span duplication counts shared windows once, keeps short docs") {
     val corpus = Seq(
       (1L, "one two three four five six"),        // 3 spans, shares 1 with doc 2
