@@ -86,8 +86,8 @@ object EtlBench {
     // same shape as the timed run (raw dropped, route-clustered,
     // explicit filesPerDay) so the warm-up JITs exactly the plans the
     // measurement executes
-    val warm = OcsfSink.routeClustered(
-      FdrSource.load(spark, wl.toString).drop("raw")).cache()
+    val warm = OcsfSink.cacheForFanOut(OcsfSink.routeClustered(
+      FdrSource.load(spark, wl.toString).drop("raw")))
     warm.count()
     OcsfSink.fanOutTimed(warm, wo.toString, "us-east-1", "123456789012",
       filesPerDay = filesPerDay)
@@ -99,9 +99,10 @@ object EtlBench {
     // array from the `fields` map) — the raw string duplicates every
     // byte of `fields` and would double the rescan cost. Route-cluster
     // the cache so each route's rescan decompresses only its own
-    // batches (see OcsfSink.routeClustered).
-    val classified = OcsfSink.routeClustered(
-      FdrSource.load(spark, landing.toString).drop("raw")).cache()
+    // batches (see OcsfSink.routeClustered); serialized storage
+    // (cacheForFanOut) keeps an oversized corpus off the heap cliff.
+    val classified = OcsfSink.cacheForFanOut(OcsfSink.routeClustered(
+      FdrSource.load(spark, landing.toString).drop("raw")))
     val nClassified = classified.count()
     val t1 = System.nanoTime()
     val routeSec = OcsfSink.fanOutTimed(classified, out.toString,

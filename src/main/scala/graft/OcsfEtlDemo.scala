@@ -12,8 +12,8 @@ object OcsfEtlDemo {
     val spark = GraftSession.get()
     // route-clustered cache: the 13 route writes rescan this, and
     // clustering lets each rescan prune to its own columnar batches
-    val classified = OcsfSink.routeClustered(
-      FdrSource.load(spark, landing).drop("raw")).cache()
+    val classified = OcsfSink.cacheForFanOut(OcsfSink.routeClustered(
+      FdrSource.load(spark, landing).drop("raw")))
     println(s"[demo] classified events: ${classified.count()}")
     classified.groupBy("route").count().show(20, truncate = false)
     OcsfSink.fanOut(classified, outDir, "us-east-1", "123456789012")

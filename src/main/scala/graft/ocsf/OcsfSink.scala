@@ -130,6 +130,21 @@ object OcsfSink {
       col("route"), salt)
   }
 
+  /** Heap-proof persist for the fan-out cache: MEMORY_AND_DISK_SER,
+    * never the `.cache()` default (MEMORY_AND_DISK, deserialized).
+    * The 13 concurrent route writes rescan this relation while their
+    * own shuffle/encode work competes for the same unified memory; a
+    * batch whose deserialized columnar cache outgrows the storage pool
+    * used to fall off a cliff (BASELINE.md: 163.5k ev/s at 24 g heap vs
+    * 51.3k at the default 8 g on 4M events — eviction + GC thrash, 3.2×
+    * over linear). Serialized batches are both smaller on heap and
+    * cheap to evict to local disk, so an oversized micro-batch degrades
+    * linearly (disk-read per rescan) instead of thrashing. The
+    * streaming path sizes batches with `maxFilesPerTrigger`, but the
+    * cache must stay safe when a backfill batch blows past the cap. */
+  def cacheForFanOut(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** A23 — 13-way fan-out: normalize every route off the same
     * classified scan and write each to its own table. The 13 writes
     * are independent Spark jobs and run CONCURRENTLY — sequential

@@ -16,9 +16,11 @@ import graft.functions.TextFunctions
   * stride sequence is arithmetic (`0, stride, 2·stride, …`), never a
   * per-token explode — a book-length doc emits ~n/stride rows, not n.
   *
-  * Every doc emits ≥1 chunk (an empty text tokenizes to one ""
-  * token), so a downstream embedding join can never silently lose a
-  * document. */
+  * Every doc emits ≥1 chunk — an empty text tokenizes to one ""
+  * token, and a NULL text is coalesced to "" first (otherwise
+  * `tokens(null)` is null and `posexplode` would silently drop the
+  * whole document) — so a downstream embedding join can never
+  * silently lose a document. */
 object Chunk {
 
   /** (idCol, chunk_id, start_tok, n_tok, chunk_md5): `chunk_id` is the
@@ -31,7 +33,8 @@ object Chunk {
     require(window > 0 && stride > 0 && stride <= window,
       "need 0 < stride <= window (a stride beyond the window skips tokens)")
     docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("_toks"))
       .select(col(idCol), col("_toks"),
         posexplode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
           .as(Seq("chunk_id", "start_tok")))

@@ -68,13 +68,18 @@ object Corpus {
                  minQuality: Double,
                  pairs: DataFrame => DataFrame): DataFrame = {
     val survivors = Dedup.exactDedup(docs, textCol, idCol).select(idCol)
-    // materialize the deduped corpus once: the pair source reads it
-    // (twice, in the candidates-then-verify composition), the anti-join
-    // reads it, and the quality gate reads it — without a cut Catalyst
-    // re-plans the scan + md5-groupBy + semi-join per consumer. The
-    // same persist-the-deduped-snapshot step a 100 TB pipeline runs
-    // (there, a reliable checkpoint/table instead of executor blocks).
-    val exact = docs.join(survivors, Seq(idCol), "left_semi").localCheckpoint()
+    // Cache the deduped corpus once: the pair source reads it (twice,
+    // in the candidates-then-verify composition), the anti-join reads
+    // it, and the quality gate reads it — without a cut Catalyst
+    // re-plans the scan + md5-groupBy + semi-join per consumer.
+    // persist (lazy, serialized, disk-spilling) rather than
+    // localCheckpoint: construction stays a pure builder (no eager
+    // job), lineage stays recoverable on executor loss, and the blocks
+    // are released by the ContextCleaner once the returned plan is
+    // unreferenced. The same persist-the-deduped-snapshot step a
+    // 100 TB pipeline runs (there, a reliable checkpoint/table).
+    val exact = docs.join(survivors, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     scoreAndGate(removeNearDups(exact, idCol, pairs(exact)),
       textCol, idCol, minQuality)
   }

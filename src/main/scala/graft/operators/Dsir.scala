@@ -41,7 +41,7 @@ object Dsir {
                       isTarget: Column): DataFrame = {
     val tb = docs
       .select(isTarget.as("is_tgt"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        explode(TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("tok"))
       .select(col("is_tgt"), bucket(col("tok")).as("bucket"))
     val counts = tb.groupBy("bucket")
       .agg(count(lit(1)).as("c_raw"),
@@ -55,20 +55,24 @@ object Dsir {
              (col("n_raw") + 256).cast("double"))).as("lambda"))
   }
 
-  /** Per-doc importance log-weight: Σ bucket-count · λ, rounded 4
-    * (the repo's hashable float precision). Every doc scores — even an
-    * empty text tokenizes to one "" token, so no doc silently drops
-    * out of the resampling pool. The `+ 0.0` normalizes IEEE negative
-    * zero: a tiny negative sum rounds to −0.0 in DuckDB but +0.0 here,
-    * and the driver's hash compares formatted strings — both sides
-    * carry the same normalization. */
+  /** Per-doc importance log-weight: Σ bucket-count · λ, rounded 4 via
+    * [[TextFunctions.round4]] (scaled-double rounding, the repo's
+    * hashable float precision — plain `round(x, 4)` diverges from the
+    * DuckDB oracle on .xxxx5 scaled-tie values). Every doc scores —
+    * even an empty text tokenizes to one "" token, so no doc silently
+    * drops out of the resampling pool; null text is coalesced to ""
+    * for the same reason. The `+ 0.0` normalizes IEEE negative zero:
+    * a tiny negative sum rounds to −0.0 in DuckDB but +0.0 here, and
+    * the driver's hash compares formatted strings — both sides carry
+    * the same normalization. */
   def scoreDocs(docs: DataFrame, textCol: String, idCol: String,
                 ratios: DataFrame): DataFrame =
-    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("tok"))
       .select(col(idCol), bucket(col("tok")).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg((round(sum(col("c") * col("lambda")), 4) + lit(0.0))
+      .agg((TextFunctions.round4(sum(col("c") * col("lambda"))) + lit(0.0))
         .as("log_weight"))
 }

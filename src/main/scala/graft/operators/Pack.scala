@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   * Scale design: the naive formulation is ONE ordered window over the
   * whole corpus — a single-partition cumsum, the textbook 100 TB
   * scale-killer. Here the prefix sum is two-level: documents bucket by
-  * contiguous id range, each bucket cumsums locally under a
+  * id QUANTILE (cut points from `percentile_approx`, so clustered or
+  * sparse 64-bit ids still spread across ~all buckets — equal-width
+  * range cuts would collapse two distant id clusters into one bucket
+  * and its local cumsum back into the single-partition window this
+  * operator exists to avoid), each bucket cumsums locally under a
   * bucket-partitioned window (parallel across `numBuckets`), bucket
   * totals (numBuckets rows, KB-sized) cumsum on the only
   * single-partition window and broadcast back as per-bucket base
   * offsets. Equivalent to the global window for any bucketing that
-  * preserves id order across buckets; PackSpec pins the equivalence
-  * and PlanSpec pins that the full-corpus window partitions by bucket.
+  * preserves id order across buckets — quantile cuts do (bucket(id) =
+  * #cuts ≤ id is monotone in id), regardless of sketch accuracy, so
+  * the approximation can only skew bucket SIZES, never offsets.
+  * PackSpec pins the equivalence (incl. two-distant-clusters ids) and
+  * PlanSpec pins that the full-corpus window partitions by bucket.
   */
 object Pack {
 
@@ -32,18 +39,40 @@ object Pack {
                   budget: Long, numBuckets: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numBuckets > 0, "numBuckets must be positive")
-    // id range for contiguous bucketing — one tiny two-value aggregate;
-    // ids need not be dense, buckets only need to preserve order
-    val range = docs.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).head()
-    if (range.isNullAt(0))
-      return docs.select(col(idCol), col(weightCol),
-        lit(0L).as("start_offset"), lit(0L).as("shard"),
-        lit(false).as("spans_boundary")).limit(0)
-    val (minId, maxId) = (range.getLong(0), range.getLong(1))
-    val width = ((maxId - minId) / numBuckets) + 1
-    val b = docs.withColumn("_bucket",
-      expr(s"(cast($idCol as bigint) - ${minId}L) div ${width}L"))
+    // quantile cut points for order-preserving bucketing — one aggregate
+    // over the corpus producing ≤ numBuckets-1 longs (bounded driver
+    // row); ids need not be dense or uniform
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val cuts: Seq[Long] =
+      if (probs.isEmpty) Seq.empty // numBuckets == 1: everything in bucket 0
+      else {
+        val cutsRow = docs.agg(
+          percentile_approx(col(idCol).cast("long"),
+            typedLit(probs), lit(10000)).as("_cuts")).head()
+        if (cutsRow.isNullAt(0)) // empty input
+          return docs.select(col(idCol), col(weightCol),
+            lit(0L).as("start_offset"), lit(0L).as("shard"),
+            lit(false).as("spans_boundary")).limit(0)
+        cutsRow.getSeq[Long](0)
+      }
+    // bucket = number of cut points ≤ id: monotone in id, so bucket
+    // order == id order across buckets; duplicate cuts (few distinct
+    // ids) just leave some buckets empty. Assigned by a balanced
+    // binary-search CASE tree over the cuts — log₂(numBuckets)
+    // comparisons per row, plain scalar expressions (a higher-order
+    // `filter` lambda capturing the id column does not survive
+    // optimizer alias inlining through the aggregate boundary), fully
+    // codegen'd, map-only.
+    val idL = col(idCol).cast("long")
+    def search(loBucket: Int, hiBucket: Int): Column =
+      if (loBucket == hiBucket) lit(loBucket.toLong)
+      else {
+        val mid = (loBucket + hiBucket + 1) / 2
+        // bucket ≥ mid iff cuts(mid-1) ≤ id
+        when(idL >= cuts(mid - 1), search(mid, hiBucket))
+          .otherwise(search(loBucket, mid - 1))
+      }
+    val b = docs.withColumn("_bucket", search(0, cuts.length))
     val wLocal = Window.partitionBy("_bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the single-partition window runs over numBuckets rows only

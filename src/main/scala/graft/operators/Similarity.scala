@@ -124,7 +124,10 @@ object Similarity {
       toDoubles(col(vecCol)).as("v"))
     val paired = candidates match {
       case None => corpus.join(broadcast(q))
-      case Some(c) => c.select(col("query_id"), col("cand_id"))
+      // ANN probes can emit the same (query, candidate) pair from several
+      // cells/tables — dedup before scoring, or row_number ranks the same
+      // candidate twice and the top-k displaces genuine negatives.
+      case Some(c) => c.select(col("query_id"), col("cand_id")).distinct()
         .join(corpus, "cand_id").join(broadcast(q), "query_id")
     }
     val scored = paired

@@ -1050,7 +1050,8 @@ object DocQueries {
         |  AND t.doc_id NOT IN (SELECT doc_id FROM leaky)""".stripMargin,
     "q_doc_chunks" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        |  FROM documents),
         |starts AS (
         |  SELECT doc_id, toks,
         |         unnest(generate_series(0, len(toks) - 1, 96)) AS start_tok
@@ -1064,7 +1065,7 @@ object DocQueries {
         |FROM starts""".stripMargin,
     "q_doc_dsir" ->
       """WITH toks AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  SELECT doc_id, lang, unnest(string_split(coalesce(text, ''), ' ')) AS tok
         |  FROM documents),
         |tb AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket FROM toks),
         |counts AS (

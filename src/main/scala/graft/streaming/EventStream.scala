@@ -135,8 +135,11 @@ object EventStream {
         // each route's rescan prunes to its own columnar batches
         // (OcsfSink.routeClustered) — the 13 filters below otherwise
         // decompress the whole batch each time
-        val clustered = OcsfSink.routeClustered(batch.drop("raw"))
-        clustered.persist()
+        // serialized + disk-spilling (cacheForFanOut): a backfill batch
+        // that blows past maxFilesPerTrigger degrades linearly instead
+        // of thrashing the storage pool
+        val clustered = OcsfSink.cacheForFanOut(
+          OcsfSink.routeClustered(batch.drop("raw")))
         try OcsfSink.withFanOutPool(routes.size, "graft-stream-fanout") { implicit ec =>
           val jobs = routes.map { route =>
             route -> Future(IdempotentSink.writeBatch(
@@ -230,6 +233,12 @@ object EventStream {
       .join(broadcast(baseline), Seq("route"), "left")
       .withColumn("z",
         when(col("sigma") > 0.0,
-          round((col("n_events") - col("mu")) / col("sigma"), 4)))
-      .withColumn("anomalous", col("z").isNull || abs(col("z")) >= 2.0)
+          round((col("n_events") - col("mu")) / col("sigma"), 4))
+          // A zero-variance KNOWN route is normal when the count hits the
+          // historical constant exactly; any other count is off-model.
+          // Without this a sigma=0 route would alert on every window, even
+          // at n_events == mu, indistinguishable from the unknown-route case.
+          .when(col("sigma") <= 0.0 && col("n_events") === col("mu"), lit(0.0)))
+      .withColumn("anomalous", col("mu").isNull || col("z").isNull ||
+        abs(col("z")) >= 2.0)
 }
