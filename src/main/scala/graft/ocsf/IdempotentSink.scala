@@ -81,15 +81,31 @@ import org.apache.spark.sql.DataFrame
   * fully promoted, length-verified batch on any store, and manifest
   * validity is self-checked via the count header + `#end` trailer.
   *
-  * The attempt lock is per-JVM: concurrent drivers writing the same
-  * table are out of contract (Structured Streaming's checkpoint lease
-  * already forbids them). Control files are one pair per batch:
-  * O(batches) small objects per table. At streaming cadence over
-  * months, run [[compactCommits]] offline to merge them into one pair —
-  * the read contract only requires that the set of (manifest,
-  * committed) pairs names every live data file exactly once, and
-  * [[committedFiles]] dedups on final paths, so the compaction's
-  * publish-then-delete windows are reader-safe at every crash point.
+  * CONCURRENCY CONTRACT — one writer per (table, WRITER NAMESPACE),
+  * not one writer per table. The stream owns the default namespace
+  * (pair names are bare batch ids; Structured Streaming's checkpoint
+  * lease forbids a second query on the same checkpoint). A backfill
+  * running BESIDE the live stream passes a `writerId`: its control
+  * pairs land as `w-<writerId>-<batchId>`, its staging dirs are
+  * namespace-unique, and the two writers never share a control file,
+  * a staging path, or an in-process lock key — so neither can skip,
+  * overwrite, or silently drop the other's rows. Readers by manifest
+  * see the union. The attempt lock is per-JVM and per-namespace:
+  * TWO drivers in the SAME namespace are still out of contract (they
+  * would race the manifest publish and one side's rows could be
+  * silently dropped) — give every concurrent job its own writerId.
+  *
+  * Control files are one pair per batch: O(batches) small objects per
+  * table. At streaming cadence over months, run [[compactCommits]] to
+  * merge them into one pair — the read contract only requires that
+  * the set of (manifest, committed) pairs names every live data file
+  * exactly once, and [[committedFiles]] dedups on final paths, so the
+  * compaction's publish-then-delete windows are reader-safe at every
+  * crash point. Foreign-writer (`w-*`) pairs are NEVER folded by
+  * default — a replay of that writer checks its own pair name, and
+  * folding it away would make the replay restage and duplicate rows;
+  * pass `foldWriters` once a backfill is retired (will never re-run)
+  * to merge its pairs into the compacted history.
   */
 object IdempotentSink {
 
@@ -142,22 +158,56 @@ object IdempotentSink {
     generations.keySet.asScala.toSet ++ controlLocks.keySet.asScala.toSet
   }
 
+  /** Control-pair base name for a (writer, batch): the stream (empty
+    * writerId) owns bare batch ids; any other writer is namespaced as
+    * `w-<writerId>-<batchId>`. `writerId` must not contain `-` (it
+    * delimits the batch id) and must stay clear of the reserved
+    * `compact`/`compactdata` prefixes by construction of the `w-`
+    * namespace. */
+  private[ocsf] def pairName(writerId: String, batchId: Long): String = {
+    require(writerId.matches("[A-Za-z0-9_.]*"),
+      s"writerId must match [A-Za-z0-9_.]* (got '$writerId')")
+    if (writerId.isEmpty) batchId.toString else s"w-$writerId-$batchId"
+  }
+
+  /** The writerId of a namespaced pair name, None for stream batches
+    * and compaction pairs. */
+  private[ocsf] def writerIdOf(pair: String): Option[String] =
+    if (!pair.startsWith("w-")) None
+    else {
+      val rest = pair.stripPrefix("w-")
+      val i = rest.lastIndexOf('-')
+      if (i > 0) Some(rest.substring(0, i)) else None
+    }
+
   private[ocsf] def attemptKey(fs: FileSystem, tableDir: Path, batchId: Long): String =
-    s"${fs.makeQualified(tableDir)}#$batchId"
+    attemptKey(fs, tableDir, pairName("", batchId))
+
+  private[ocsf] def attemptKey(fs: FileSystem, tableDir: Path, pair: String): String =
+    s"${fs.makeQualified(tableDir)}#$pair"
 
   /** Idempotently land one route's slice of a micro-batch. Safe to
-    * call again for the same (route, batchId) after a crash OR timeout
-    * at ANY point — the replay either skips (already committed),
-    * resumes the promote, or restages under a fresh generation while
-    * the superseded attempt is fenced off at its next control step. */
+    * call again for the same (route, writerId, batchId) after a crash
+    * OR timeout at ANY point — the replay either skips (already
+    * committed), resumes the promote, or restages under a fresh
+    * generation while the superseded attempt is fenced off at its next
+    * control step.
+    *
+    * `writerId` namespaces this writer's commit log (see the
+    * concurrency contract above): a backfill job writing beside the
+    * live stream passes its own id (e.g. `"backfill20260813"`) and the
+    * two writers share nothing — control pairs, staging dirs and locks
+    * are all namespace-unique. The default empty id is the stream's
+    * namespace. */
   def writeBatch(df: DataFrame, baseDir: String, route: String,
                  region: String, accountId: String, batchId: Long,
-                 filesPerDay: Int = 0): Unit = {
+                 filesPerDay: Int = 0, writerId: String = ""): Unit = {
     val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
     val fs = tableDir.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
-    val gen = beginAttempt(fs, tableDir, batchId)
-    runAttempt(df, fs, tableDir, route, region, accountId, batchId,
+    val pair = pairName(writerId, batchId)
+    val gen = beginAttempt(fs, tableDir, pair)
+    runAttempt(df, fs, tableDir, route, region, accountId, pair,
       filesPerDay, gen)
   }
 
@@ -168,11 +218,15 @@ object IdempotentSink {
     * Package-private so the spec can model a timed-out attempt racing
     * its replay. */
   private[ocsf] def beginAttempt(fs: FileSystem, tableDir: Path,
-                                 batchId: Long): Long = {
+                                 batchId: Long): Long =
+    beginAttempt(fs, tableDir, pairName("", batchId))
+
+  private[ocsf] def beginAttempt(fs: FileSystem, tableDir: Path,
+                                 pair: String): Long = {
     val g = genSeq.incrementAndGet()
     // max-accumulate, not set: two racing beginAttempts must leave the
     // NEWEST gen current whichever order their writes land
-    genCounter(attemptKey(fs, tableDir, batchId))
+    genCounter(attemptKey(fs, tableDir, pair))
       .accumulateAndGet(g, (a, b) => math.max(a, b))
     g
   }
@@ -184,30 +238,37 @@ object IdempotentSink {
     * exactly the timeout-race case eviction targets), and drop the
     * lock entry the straggler's own `lockFor` just recreated. */
   private[ocsf] def checkCurrent(key: String, gen: Long, route: String,
-                                 batchId: Long): Unit = {
+                                 pair: String): Unit = {
     val counter = generations.get(key)
     if (counter == null) {
       controlLocks.remove(key)
       throw new SupersededAttemptException(
-        s"attempt g$gen for route=$route batch=$batchId raced the commit " +
+        s"attempt g$gen for route=$route batch=$pair raced the commit " +
           "of a newer replay (bookkeeping already evicted); aborting")
     }
     if (counter.get() != gen)
       throw new SupersededAttemptException(
-        s"attempt g$gen for route=$route batch=$batchId was superseded " +
+        s"attempt g$gen for route=$route batch=$pair was superseded " +
           "by a newer replay of the same batch; aborting without publishing")
   }
+
+  private[ocsf] def runAttempt(df: DataFrame, fs: FileSystem, tableDir: Path,
+                               route: String, region: String,
+                               accountId: String, batchId: Long,
+                               filesPerDay: Int, gen: Long): Unit =
+    runAttempt(df, fs, tableDir, route, region, accountId,
+      pairName("", batchId), filesPerDay, gen)
 
   /** The body of one attempt at a fixed generation. Package-private
     * for the superseded-attempt spec. */
   private[ocsf] def runAttempt(df: DataFrame, fs: FileSystem, tableDir: Path,
                                route: String, region: String,
-                               accountId: String, batchId: Long,
+                               accountId: String, pair: String,
                                filesPerDay: Int, gen: Long): Unit = {
-    val key = attemptKey(fs, tableDir, batchId)
-    val committed = new Path(tableDir, s"_committed_batches/$batchId.committed")
-    val manifest = new Path(tableDir, s"_committed_batches/$batchId.manifest")
-    val batchStaging = new Path(tableDir, s"_staging/batch_$batchId")
+    val key = attemptKey(fs, tableDir, pair)
+    val committed = new Path(tableDir, s"_committed_batches/$pair.committed")
+    val manifest = new Path(tableDir, s"_committed_batches/$pair.manifest")
+    val batchStaging = new Path(tableDir, s"_staging/batch_$pair")
     def currentManifest(): Option[Seq[(String, Long)]] =
       if (fs.exists(manifest)) readManifest(fs, manifest) else None
     if (fs.exists(committed)) {
@@ -226,7 +287,7 @@ object IdempotentSink {
       val entries = listRelative(fs, genDir)
         .map { case (rel, len) => (s"g$gen/$rel", len) }
       lockFor(key).synchronized {
-        checkCurrent(key, gen, route, batchId)
+        checkCurrent(key, gen, route, pair)
         if (currentManifest().isEmpty) {
           // a torn manifest from a crashed non-atomic publish blocks
           // the write-once rename: discard it before republishing
@@ -236,14 +297,14 @@ object IdempotentSink {
       }
     }
     lockFor(key).synchronized {
-      checkCurrent(key, gen, route, batchId)
+      checkCurrent(key, gen, route, pair)
       if (fs.exists(committed)) {
         fs.delete(batchStaging, true); evict(key); return
       }
       val entries = currentManifest().getOrElse(throw new IllegalStateException(
-        s"manifest unreadable after publish: $manifest (route=$route batch=$batchId)"))
+        s"manifest unreadable after publish: $manifest (route=$route batch=$pair)"))
       entries.foreach { case (rel, len) =>
-        promoteOne(fs, batchStaging, tableDir, rel, len, route, batchId)
+        promoteOne(fs, batchStaging, tableDir, rel, len, route, pair)
       }
       writeAtomic(fs, committed, "")
       fs.delete(batchStaging, true)
@@ -264,7 +325,7 @@ object IdempotentSink {
     * the evidence and wedging every replay on "staged file lost". */
   private def promoteOne(fs: FileSystem, batchStaging: Path, tableDir: Path,
                          rel: String, len: Long, route: String,
-                         batchId: Long): Unit = {
+                         batch: String): Unit = {
     val src = new Path(batchStaging, rel)
     // drop the g<gen>/ attempt component: files land at the same
     // table-relative path whichever generation staged them
@@ -274,7 +335,7 @@ object IdempotentSink {
     if (dstComplete) return
     if (!fs.exists(src))
       throw new IllegalStateException(
-        s"staged file lost before promote: $rel (route=$route batch=$batchId)" +
+        s"staged file lost before promote: $rel (route=$route batch=$batch)" +
           (if (fs.exists(dst)) s"; incomplete destination $dst PRESERVED for inspection"
            else ""))
     if (fs.exists(dst)) fs.delete(dst, false) // torn copy residue
@@ -283,7 +344,7 @@ object IdempotentSink {
     if (!dstComplete)
       throw new IllegalStateException(
         s"promote failed or landed incomplete: $src -> $dst " +
-          s"(route=$route batch=$batchId)")
+          s"(route=$route batch=$batch)")
     ()
   }
 
@@ -417,11 +478,17 @@ object IdempotentSink {
     committedLive(tableDir, scanPairs(fs, tableDir))
 
   /** Splits live committed pairs into (compaction pairs, per-batch
-    * pairs keyed by numeric batch id). */
+    * pairs keyed by numeric STREAM batch id, foreign-writer `w-*`
+    * pairs). Writer pairs are off the stream's batch axis: their batch
+    * ids count a different writer's progress, so they must neither
+    * masquerade as compaction folds (which would wrongly engage the
+    * time-travel horizon check) nor be ordered against stream ids. */
   private def splitPairs(live: Seq[(String, ManifestData)])
-      : (Seq[(String, ManifestData)], Seq[(Long, ManifestData)]) = {
-    val (batches, folded) = live.partition(_._1.toLongOption.isDefined)
-    (folded, batches.map { case (n, md) => n.toLong -> md })
+      : (Seq[(String, ManifestData)], Seq[(Long, ManifestData)],
+         Seq[(String, ManifestData)]) = {
+    val (writerPairs, rest) = live.partition(_._1.startsWith("w-"))
+    val (batches, folded) = rest.partition(_._1.toLongOption.isDefined)
+    (folded, batches.map { case (n, md) => n.toLong -> md }, writerPairs)
   }
 
   /** The oldest batch id at which per-batch history is still intact, or
@@ -467,9 +534,13 @@ object IdempotentSink {
     * a wrong snapshot. Metadata-only: same one-LIST + one-GET-per-pair
     * cost as [[committedFiles]]. */
   def filesAsOf(fs: FileSystem, tableDir: Path, asOfBatch: Long): Seq[Path] = {
-    val (folded, batches) = splitPairs(liveCommittedPairs(fs, tableDir))
+    val (folded, batches, writers) = splitPairs(liveCommittedPairs(fs, tableDir))
     requireAboveHorizon(folded, batches, asOfBatch, "asOfBatch", tableDir)
-    (folded.map(_._2) ++ batches.collect {
+    // writer pairs (backfills) are off the stream batch axis: their
+    // rows are base state, included at every snapshot — a backfill
+    // loads HISTORY, so excluding it from asOf reads would make old
+    // snapshots silently lose rows that were always logically there
+    (folded.map(_._2) ++ writers.map(_._2) ++ batches.collect {
       case (id, md) if id <= asOfBatch => md
     }).flatMap(_.entries)
       .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
@@ -484,13 +555,28 @@ object IdempotentSink {
     * lags the compaction cadence — its unread rows no longer exist at
     * per-batch granularity). */
   def filesSince(fs: FileSystem, tableDir: Path, afterBatch: Long): Seq[Path] = {
-    val (folded, batches) = splitPairs(liveCommittedPairs(fs, tableDir))
+    val (folded, batches, _) = splitPairs(liveCommittedPairs(fs, tableDir))
     requireAboveHorizon(folded, batches, afterBatch, "afterBatch", tableDir)
+    // foreign-writer (backfill) pairs are NOT emitted here: the cursor
+    // is a STREAM batch id and cannot order another writer's pairs.
+    // A CDC consumer detects backfills via [[writerPairNames]] and
+    // re-syncs (or reads them once by name) — silent interleaving
+    // would hand it the same backfill on every poll.
     batches.collect { case (id, md) if id > afterBatch => md }
       .flatMap(_.entries)
       .map { case (rel, _) => new Path(tableDir, finalRelPath(rel)) }
       .distinct
   }
+
+  /** The live committed foreign-writer (`w-<writerId>-<batchId>`)
+    * pairs of a table — the backfills a stream-axis CDC consumer
+    * ([[filesSince]]) does not see. Poll it beside `filesSince`: a
+    * name appearing here is a completed backfill batch to ingest once
+    * (its files come from the pair's manifest via
+    * [[committedFiles]]-style reads); names are stable until an
+    * operator retires them via `compactCommits(foldWriters = ...)`. */
+  def writerPairNames(fs: FileSystem, tableDir: Path): Seq[String] =
+    splitPairs(liveCommittedPairs(fs, tableDir))._3.map(_._1).sorted
 
   /** Delete one superseded pair — its data files FIRST (skipping any
     * path the live read contract still names: a control-only merge
@@ -542,9 +628,19 @@ object IdempotentSink {
     * beside the merged manifest's. Pass `batchId - 1` from inside a
     * batch; the offline default folds everything.
     *
+    * Foreign-writer (`w-<writerId>-<n>`) pairs are folded ONLY for
+    * writerIds listed in `foldWriters` — for everyone else they are
+    * untouchable for the same replay reason as maxBatchId: that
+    * writer's crash replay looks for its OWN pair name, and folding it
+    * away would make the replay restage and duplicate its rows. List a
+    * writer only once it is RETIRED (its job finished and will never
+    * re-run); this is the merge step that absorbs a completed backfill
+    * into the compacted history.
+    *
     * Returns the number of batch pairs merged (0 = nothing to do). */
   def compactCommits(fs: FileSystem, tableDir: Path,
-                     maxBatchId: Long = Long.MaxValue): Int = {
+                     maxBatchId: Long = Long.MaxValue,
+                     foldWriters: Set[String] = Set.empty): Int = {
     val cb = new Path(tableDir, "_committed_batches")
     if (!fs.exists(cb)) return 0
     val entries = fs.listStatus(cb).map(_.getPath)
@@ -587,7 +683,10 @@ object IdempotentSink {
       ghostExclusions.contains(n) ||
         // a batch newer than maxBatchId is untouchable: its streaming
         // checkpoint may not have committed yet (see scaladoc)
-        n.toLongOption.exists(_ > maxBatchId)
+        n.toLongOption.exists(_ > maxBatchId) ||
+        // a foreign writer's pair is untouchable unless that writer is
+        // explicitly retired: its replay checks this pair's existence
+        (n.startsWith("w-") && !writerIdOf(n).exists(foldWriters.contains))
     }
     if (live.size < 2) return 0
     val merged = live
@@ -693,10 +792,16 @@ object IdempotentSink {
         .filter(_.getName.startsWith("compactdata_"))
         .foreach(p => fs.delete(p, true))
 
-    // 2. stage the rewrite of all live committed pairs
+    // 2. stage the rewrite of all live committed pairs — EXCEPT
+    // foreign-writer (w-*) pairs: their owner's replay checks the pair
+    // by name (rewriting + superseding it would duplicate rows on
+    // replay), and leaving them as inputs while reading ALL committed
+    // files would double their rows into the new files. Retire a
+    // backfill via compactCommits(foldWriters) first; its rows then
+    // live in a compact-* pair this rewrite CAN fold.
     val (inputs, deadExclusions) = {
       val (m, d) = listPairs()
-      val full = d.toSeq.sorted.map(n =>
+      val full = d.toSeq.sorted.filterNot(_.startsWith("w-")).map(n =>
         n -> readManifestFull(fs, new Path(cb, s"$n.manifest")).getOrElse(
           throw new IllegalStateException(
             s"committed manifest unreadable during data compaction: $n" +
@@ -717,7 +822,12 @@ object IdempotentSink {
     if (inputs.isEmpty ||
         inputs.map(_._2.entries.size).sum <= partDirs.size * filesPerDay)
       return 0
-    val files = committedFiles(fs, tableDir).map(_.toString)
+    // read exactly the INPUT pairs' files (not all committedFiles):
+    // live w-* pairs' rows must not be copied into the rewrite while
+    // their own pairs keep naming them
+    val files = inputs.flatMap(_._2.entries.map { case (rel, _) =>
+      new Path(tableDir, finalRelPath(rel)).toString
+    }).distinct
     val k = listPairs() match { case (m, d) => (m ++ d).flatMap(n =>
       if (n.startsWith("compactdata-")) n.stripPrefix("compactdata-").toIntOption
       else None).maxOption.getOrElse(-1) + 1 }
@@ -753,7 +863,7 @@ object IdempotentSink {
     writeAtomic(fs, new Path(cb, s"compactdata-$k.manifest"),
       manifestBody(entries, inputs.map(_._1).toSet ++ deadExclusions, maxBatch))
     entries.foreach { case (rel, len) =>
-      promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toLong)
+      promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toString)
     }
     writeAtomic(fs, new Path(cb, s"compactdata-$k.committed"), "")
     fs.delete(stagingRoot, true)

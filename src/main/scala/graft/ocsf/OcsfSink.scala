@@ -194,16 +194,26 @@ object OcsfSink {
     * (e.g. the ingest day or the input manifest hash), so re-running a
     * batch job that died mid-fan-out skips the routes that already
     * committed instead of re-appending them. Same two-phase commit as
-    * the streaming path. */
+    * the streaming path.
+    *
+    * `writerId` namespaces this job's commit log so it can run BESIDE
+    * a live streaming query on the same tables (the stream owns the
+    * default empty namespace): a backfill passes a stable unique id —
+    * e.g. `"backfill20260813"` — and its control pairs land as
+    * `w-<writerId>-<runId>`, disjoint from the stream's. See
+    * [[IdempotentSink]]'s concurrency contract; retire the finished
+    * backfill into compacted history with
+    * `compactCommits(foldWriters = Set(writerId))`. */
   def fanOutIdempotent(classified: DataFrame, baseDir: String,
                        region: String, accountId: String,
-                       runId: Long): Unit = {
+                       runId: Long, writerId: String = ""): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val routed = Normalizers.normalizeAll(classified).toSeq
     withFanOutPool(routed.size, "graft-fanout-idem") { implicit ec =>
       val jobs = routed.map { case (route, df) =>
-        Future(IdempotentSink.writeBatch(df, baseDir, route, region, accountId, runId))
+        Future(IdempotentSink.writeBatch(df, baseDir, route, region,
+          accountId, runId, writerId = writerId))
       }
       Await.result(Future.sequence(jobs), Duration.Inf)
     }

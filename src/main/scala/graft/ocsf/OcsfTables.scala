@@ -183,6 +183,47 @@ object OcsfTables {
     }
   }
 
+  /** Registers every sink route as a PERSISTENT catalog table —
+    * `CREATE TABLE IF NOT EXISTS <database>.<table> … USING parquet
+    * PARTITIONED BY (region, accountId, eventDay) LOCATION …` from the
+    * frozen DDL contract ([[SchemaDump.schemas]]) — then recovers
+    * partitions. This is the reference's Glue/Athena surface
+    * (/root/reference/README.md:48, the
+    * `query_open_pipeline_for_fdr_*_schema` Glue tables): after one
+    * call, ANY SQL client on the shared metastore resolves the lake by
+    * name, with directory-partition pruning on
+    * region/accountId/eventDay.
+    *
+    * Idempotent: re-running keeps existing tables and re-recovers
+    * partitions, so a scheduled re-register after each ingest day picks
+    * up new `eventDay=` directories. Partition column types are
+    * DECLARED (all STRING), never inferred — an accountId with a
+    * leading zero round-trips exactly.
+    *
+    * Catalog readers scan the LOCATION directly and so get the weaker
+    * directory-scan guarantee on commit-log tables (staged state is
+    * invisible, but a mid-promote batch may be partially visible —
+    * same as Athena over the reference's prefix); exactly-once readers
+    * use [[load]]/[[registerAll]], which go through the manifests. */
+  def registerCatalog(spark: SparkSession, baseDir: String,
+                      database: String = "ocsf"): Seq[String] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    val ddls = SchemaDump.schemas(spark)
+    OcsfMappings.routes.map { route =>
+      val name = OcsfSink.tableName(route)
+      val fq = s"`$database`.`$name`"
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $fq (${ddls(name)},
+           |  region STRING, accountId STRING, eventDay STRING)
+           |USING parquet
+           |PARTITIONED BY (region, accountId, eventDay)
+           |LOCATION '$baseDir/$name'""".stripMargin)
+      // discover partition dirs the writers added since the last call
+      spark.sql(s"MSCK REPAIR TABLE $fq")
+      s"$database.$name"
+    }
+  }
+
   /** Per-route result of [[compactAll]]: batch pairs folded by the
     * data rewrite and by the control-file merge. */
   final case class Compacted(dataPairs: Int, controlPairs: Int)

@@ -245,7 +245,7 @@ class IdempotentSinkSpec extends SparkSpec {
     // zeroed counter that leaks forever
     IdempotentSink.lockFor(key)
     intercept[IdempotentSink.SupersededAttemptException] {
-      IdempotentSink.checkCurrent(key, gen1, "DNS Activity", 4L)
+      IdempotentSink.checkCurrent(key, gen1, "DNS Activity", "4")
     }
     assert(!IdempotentSink.bookkeepingKeys.contains(key),
       "fencing a post-eviction straggler must not re-leak (table, batch) entries")
@@ -411,5 +411,80 @@ class IdempotentSinkSpec extends SparkSpec {
       region, acct, batchId = 9L)
     assert(tableUids(base) == Seq("e1", "e2"))
     assert(!Files.exists(base.resolve("dns_activity/_staging/batch_9")))
+  }
+
+  test("a backfill writer lands interleaved with the stream; replays of either never duplicate") {
+    val base = Files.createTempDirectory("idem-writers")
+    // interleaved: stream batch 0, backfill batch 0, stream batch 1 —
+    // the backfill-beside-the-live-stream shape. Same batch id 0 on
+    // both writers: the namespace, not the id, must keep them apart.
+    IdempotentSink.writeBatch(df("s0" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L)
+    IdempotentSink.writeBatch(df("b0" -> "2023-11-10"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L, writerId = "bf1")
+    IdempotentSink.writeBatch(df("s1" -> "2023-11-15"), base.toString,
+      "DNS Activity", region, acct, batchId = 1L)
+    assert(tableUids(base) == Seq("b0", "s0", "s1"))
+    val cb = base.resolve("dns_activity/_committed_batches")
+    assert(Files.exists(cb.resolve("w-bf1-0.committed")))
+    // replay BOTH writers' batches: each checks its own pair, zero dups
+    IdempotentSink.writeBatch(df("s0" -> "2023-11-14"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L)
+    IdempotentSink.writeBatch(df("b0" -> "2023-11-10"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L, writerId = "bf1")
+    assert(tableUids(base) == Seq("b0", "s0", "s1"))
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 3)
+  }
+
+  test("compaction leaves foreign-writer pairs alone until foldWriters retires them") {
+    val base = Files.createTempDirectory("idem-writers-fold")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (0L until 2L).foreach { b =>
+      IdempotentSink.writeBatch(df(s"s$b" -> "2023-11-14"), base.toString,
+        "DNS Activity", region, acct, batchId = b)
+    }
+    IdempotentSink.writeBatch(df("b0" -> "2023-11-10"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L, writerId = "bf1")
+    val cb = base.resolve("dns_activity/_committed_batches")
+    // default compaction folds ONLY the stream pairs: the backfill may
+    // still replay and must find its own marker, not a folded ghost
+    assert(IdempotentSink.compactCommits(fs, tableDir) == 2)
+    assert(Files.exists(cb.resolve("w-bf1-0.committed")))
+    IdempotentSink.writeBatch(df("b0" -> "2023-11-10"), base.toString,
+      "DNS Activity", region, acct, batchId = 0L, writerId = "bf1") // replay: no-op
+    assert(tableUids(base) == Seq("b0", "s0", "s1"))
+    assert(IdempotentSink.writerPairNames(fs, tableDir) == Seq("w-bf1-0"))
+    // the backfill is RETIRED: foldWriters merges its pair in (the
+    // compact-0 pair + the w- pair = 2 inputs) and the read is unchanged
+    assert(IdempotentSink.compactCommits(fs, tableDir,
+      foldWriters = Set("bf1")) == 2)
+    assert(!Files.exists(cb.resolve("w-bf1-0.committed")))
+    assert(IdempotentSink.writerPairNames(fs, tableDir).isEmpty)
+    assert(tableUids(base) == Seq("b0", "s0", "s1"))
+  }
+
+  test("time travel: backfill rows are base state for asOf, invisible to the stream-axis CDC") {
+    val base = Files.createTempDirectory("idem-writers-tt")
+    val tableDir = new org.apache.hadoop.fs.Path(s"$base/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (0L until 2L).foreach { b =>
+      IdempotentSink.writeBatch(df(s"s$b" -> "2023-11-14"), base.toString,
+        "DNS Activity", region, acct, batchId = b)
+    }
+    IdempotentSink.writeBatch(df("b0" -> "2023-11-10"), base.toString,
+      "DNS Activity", region, acct, batchId = 5L, writerId = "bf1")
+    def uids(paths: Seq[org.apache.hadoop.fs.Path]): Seq[String] =
+      if (paths.isEmpty) Seq.empty
+      else spark.read.parquet(paths.map(_.toString): _*)
+        .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    // asOf stream batch 0: the backfilled history is part of the base
+    // state at every snapshot (a backfill loads the PAST)
+    assert(uids(IdempotentSink.filesAsOf(fs, tableDir, 0L)) == Seq("b0", "s0"))
+    assert(uids(IdempotentSink.filesAsOf(fs, tableDir, 1L)) == Seq("b0", "s0", "s1"))
+    // CDC on the stream axis never emits the foreign writer's pairs —
+    // consumers detect them via writerPairNames and re-sync
+    assert(uids(IdempotentSink.filesSince(fs, tableDir, 0L)) == Seq("s1"))
+    assert(IdempotentSink.writerPairNames(fs, tableDir) == Seq("w-bf1-5"))
   }
 }
