@@ -33,19 +33,30 @@ object OcsfTables {
     * test scale and on fresh tables, an O(10⁵–10⁶ objects) LIST tax on
     * a months-old streaming table. At scale pass false here and run
     * the guard from a maintenance job instead. */
+  /** `mergeSchemas` crosses an ADDITIVE schema-evolution boundary
+    * ([[SchemaEvolution]]): batches written before a column was added
+    * serve null for it. It costs a footer read per file (Spark's
+    * parquet schema merge), so at scale prefer an explicit
+    * `spark.read.schema(evolvedSchema)` over the same file list — this
+    * flag is the zero-setup path for occasional readers. */
   def load(spark: SparkSession, baseDir: String, route: String,
-           verifyAppends: Boolean = true): DataFrame = {
+           verifyAppends: Boolean = true,
+           mergeSchemas: Boolean = false): DataFrame = {
     val (fs, tableDir) = tableFs(spark, baseDir, route)
     if (IdempotentSink.hasCommitLog(fs, tableDir))
       loadCommitted(spark, fs, tableDir,
-        IdempotentSink.readContract(fs, tableDir), verifyAppends)
+        IdempotentSink.readContract(fs, tableDir), verifyAppends,
+        mergeSchemas)
+    else if (mergeSchemas)
+      spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
     else spark.read.parquet(tableDir.toString)
   }
 
   private def loadCommitted(spark: SparkSession, fs: FileSystem,
                             tableDir: Path,
                             contract: (Seq[Path], Set[Path]),
-                            verifyAppends: Boolean): DataFrame = {
+                            verifyAppends: Boolean,
+                            mergeSchemas: Boolean = false): DataFrame = {
     val (files, named) = contract
     require(files.nonEmpty,
       s"$tableDir has a batch-commit log but no committed data files")
@@ -71,7 +82,8 @@ object OcsfTables {
           s"named by any batch manifest and would be invisible to the " +
           s"manifest reader; first: ${strays.headOption.getOrElse("")}")
     }
-    spark.read.option("basePath", tableDir.toString)
+    val reader = spark.read.option("basePath", tableDir.toString)
+    (if (mergeSchemas) reader.option("mergeSchema", "true") else reader)
       .parquet(files.map(_.toString): _*)
   }
 
@@ -200,6 +212,14 @@ object OcsfTables {
     * DECLARED (all STRING), never inferred — an accountId with a
     * leading zero round-trips exactly.
     *
+    * Schema evolution: when the frozen DDL gained columns since the
+    * table was registered, the additive delta becomes
+    * `ALTER TABLE … ADD COLUMNS` (the catalog-side half of
+    * [[SchemaEvolution]] — the reference's redeploy-the-Glue-schema
+    * step); catalog readers then see nulls on pre-evolution
+    * partitions. A NON-additive drift (drop/rename/retype) throws
+    * instead of silently serving a schema history can't satisfy.
+    *
     * Catalog readers scan the LOCATION directly and so get the weaker
     * directory-scan guarantee on commit-log tables (staged state is
     * invisible, but a mid-promote batch may be partially visible —
@@ -209,15 +229,30 @@ object OcsfTables {
                       database: String = "ocsf"): Seq[String] = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     val ddls = SchemaDump.schemas(spark)
+    val partCols = Seq("region", "accountId", "eventDay")
+    val hadoopConf = spark.sessionState.newHadoopConf()
     OcsfMappings.routes.map { route =>
       val name = OcsfSink.tableName(route)
       val fq = s"`$database`.`$name`"
+      // a registered location must exist (partition recovery lists it);
+      // routes that have not ingested yet get an empty dir
+      val loc = new Path(s"$baseDir/$name")
+      loc.getFileSystem(hadoopConf).mkdirs(loc)
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $fq (${ddls(name)},
            |  region STRING, accountId STRING, eventDay STRING)
            |USING parquet
            |PARTITIONED BY (region, accountId, eventDay)
            |LOCATION '$baseDir/$name'""".stripMargin)
+      // additive evolution: append any columns the frozen DDL gained
+      // since the table was registered; reject anything non-additive
+      val catalogData = org.apache.spark.sql.types.StructType(
+        spark.table(fq).schema.filterNot(f => partCols.contains(f.name)))
+      val expected = org.apache.spark.sql.types.StructType.fromDDL(ddls(name))
+      val added = SchemaEvolution.requireAdditive(catalogData, expected, fq)
+      if (added.nonEmpty)
+        spark.sql(s"ALTER TABLE $fq ADD COLUMNS " +
+          s"(${org.apache.spark.sql.types.StructType(added).toDDL})")
       // discover partition dirs the writers added since the last call
       spark.sql(s"MSCK REPAIR TABLE $fq")
       s"$database.$name"

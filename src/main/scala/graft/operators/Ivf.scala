@@ -79,8 +79,58 @@ object Ivf {
         .write.mode("overwrite").parquet(s"$path/_centroids")
     }
 
+    /** Incremental index append — the daily-delta path: assign the new
+      * vectors to the EXISTING centroids (one broadcast-join pass over
+      * the delta only; no k-means, no touch of the base corpus) and
+      * serve the union. Returns a NEW index sharing this one's
+      * centroids; the caller owns both caches (unpersist the old index
+      * when its plans are retired). Probes over the merged index prune
+      * cells exactly as before — the append changes cell CONTENTS,
+      * never the cell geometry, which is what keeps it cheap.
+      *
+      * The frozen quantizer is the accuracy trade: recall degrades only
+      * as far as the delta's distribution drifts from the fitted one.
+      * Gauge it with [[meanAssignedCosine]] — when the delta's
+      * assignment quality drops materially below the base corpus's,
+      * schedule a refit ([[Ivf.fit]]); AccuracySpec pins recall within
+      * ε of a full refit for an in-distribution 20% append. */
+    def append(newVectors: DataFrame, vecCol: String): IvfIndex = {
+      val delta = Ivf.assignCells(newVectors, idCol, vecCol, centroids)
+      val merged = assigned.select(col(idCol), col("v"), col("centroid_id"))
+        .unionByName(delta)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(centroids, merged, idCol)
+    }
+
+    /** Quantizer-staleness gauge over any assigned relation (defaults
+      * to this index's corpus): mean cosine of each vector to its
+      * assigned centroid. Compare the delta's value (pass
+      * `Ivf.assignCells(delta, …)`) against the base corpus's — a
+      * materially lower delta mean says the frozen centroids no longer
+      * describe the incoming data and a refit is due. One broadcast
+      * join + one avg; no k-means. */
+    def meanAssignedCosine(of: DataFrame = assigned): Double = {
+      val spark = of.sparkSession
+      import spark.implicits._
+      val cdf = centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("__cid", "__centroid")
+      of.join(broadcast(cdf), col("centroid_id") === col("__cid"))
+        .agg(avg(cosineNative(col("v"), col("__centroid"))))
+        .head().getDouble(0)
+    }
+
     def unpersist(): Unit = { assigned.unpersist(); () }
   }
+
+  /** Assign vectors to a FROZEN centroid set — (idCol, v, centroid_id)
+    * with `v` as double array. The shared primitive behind [[fit]]'s
+    * one-time assignment and [[IvfIndex.append]]'s delta pass. */
+  private[operators] def assignCells(emb: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     centroids: Seq[Array[Double]]): DataFrame =
+    withAssignment(
+      emb.select(col(idCol), toDoubles(col(vecCol)).as("v")), idCol, "v",
+      centroids)
 
   /** Restores a bucketed index written by [[IvfIndex.writeBucketed]].
     * The corpus read keeps `centroid_id` as a directory-partition

@@ -225,6 +225,23 @@ object Pq {
         model, qRaw, k, rerank)
     }
 
+    /** Incremental append — encode ONLY the delta with the frozen
+      * codebooks and assign it to the frozen cells (two delta-sized
+      * passes, no k-means, no re-encode of the base corpus), then
+      * serve the union. Same contract as [[Ivf.IvfIndex.append]]: the
+      * returned index shares this one's model/centroids, the caller
+      * owns both caches, and accuracy holds while the delta stays
+      * in-distribution (gauge with the IVF-side drift check and refit
+      * via [[buildIvf]] when it drops). */
+    def append(newEmb: DataFrame, vecCol: String): IvfPqIndex = {
+      val deltaCodes = encode(newEmb, idCol, vecCol, model)
+        .join(Ivf.assignCells(newEmb, idCol, vecCol, centroids)
+          .select(col(idCol), col("centroid_id")), Seq(idCol))
+      val merged = codes.unionByName(deltaCodes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IvfPqIndex(centroids, model, merged, idCol)
+    }
+
     def unpersist(): Unit = { codes.unpersist(); () }
   }
 

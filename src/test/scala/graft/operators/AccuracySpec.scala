@@ -29,6 +29,69 @@ class AccuracySpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("C6c: incremental IVF append serves recall within eps of a full refit") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // 80/20 split by id hash: fit on the base, append the delta — the
+    // daily-delta shape (delta drawn from the same distribution)
+    val isDelta = pmod(xxhash64(col("vec_id")), lit(5)) === 0
+    val base = emb.filter(!isDelta)
+    val delta = emb.filter(isDelta)
+    val appended = Ivf.fit(base, "vec_id", "embedding", numCentroids = 16,
+      iters = 3).append(delta, "embedding")
+    val refit = Ivf.fit(emb, "vec_id", "embedding", numCentroids = 16, iters = 3)
+    assert(appended.assigned.count() == emb.count(),
+      "append must serve the full corpus")
+    // average over several queries: single-query recall at 16 cells is
+    // dominated by which side of a cell boundary that one query lands on
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = queries.map(q => q ->
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+        .collect().map(_.getLong(0)).toSet).toMap
+    def recall(ix: Ivf.IvfIndex, np: Int): Double =
+      queries.map { q =>
+        val got = ix.topK(q, 20, np).collect().map(_.getLong(0)).toSet
+        (exact(q) & got).size / 20.0
+      }.sum / queries.size
+    val (ra, rr) = (recall(appended, 8), recall(refit, 8))
+    info(f"mean recall@20 nprobe=8 over ${queries.size} queries: " +
+      f"appended=$ra%.2f refit=$rr%.2f")
+    assert(ra >= rr - 0.15,
+      f"appended-index recall $ra%.2f fell more than eps below refit $rr%.2f")
+    // full probe stays exact — the append lost no vectors
+    assert(recall(appended, 16) == 1.0)
+    // drift gauge: an in-distribution delta assigns about as well as
+    // the base corpus under the frozen centroids
+    val baseQ = appended.meanAssignedCosine(
+      Ivf.assignCells(base, "vec_id", "embedding", appended.centroids))
+    val deltaQ = appended.meanAssignedCosine(
+      Ivf.assignCells(delta, "vec_id", "embedding", appended.centroids))
+    info(f"mean assigned cosine: base=$baseQ%.3f delta=$deltaQ%.3f")
+    // relative band: these synthetic embeddings sit far from their
+    // centroids (mean cosine ~0.35), so the gauge is judged as a ratio —
+    // an out-of-distribution delta would land near 0 or negative
+    assert(deltaQ >= baseQ * 0.5,
+      f"in-distribution delta drifted: $deltaQ%.3f vs base $baseQ%.3f")
+    appended.unpersist(); refit.unpersist()
+  }
+
+  test("C25c: IVF-PQ append matches the refit index on the same probes") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isDelta = pmod(xxhash64(col("vec_id")), lit(5)) === 0
+    val appended = Pq.buildIvf(emb.filter(!isDelta), "vec_id", "embedding",
+      numCells = 16, m = 8).append(emb.filter(isDelta), "embedding")
+    assert(appended.codes.count() == emb.count(),
+      "append must encode and serve the full corpus")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val got = appended.topK(emb, "embedding", 0L, 20, nprobe = 16,
+      rerank = emb.count().toInt).collect().map(_.getLong(0)).toSet
+    // full probe + full re-rank over the appended index is exact, like
+    // the refit index (C25b): appending loses no vectors and encodes
+    // the delta with the frozen codebooks
+    assert((exact & got).size == 20, s"appended IVF-PQ lost recall: $got")
+    appended.unpersist()
+  }
+
   test("C25: PQ ADC recall@20 improves with re-rank; codes are m ints per vector") {
     val emb = Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
