@@ -24,6 +24,31 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Exact money sum. The price/discount columns are exactly-2-decimal
+    * values, so the decimal(18,2) cast is lossless and the widened
+    * decimal sum is EXACT and summation-order-independent; the final
+    * double cast is one deterministic IEEE rounding, identical in every
+    * engine. A double sum is not: at sf≥1 its order-dependent error
+    * passes the 1e-4 hash precision (measured at sf0.1×10 on a ~5e10
+    * sum), and at sf100 a ~1e12 double cannot even represent 4 decimal
+    * places (ulp 2.4e-4). Used for every money aggregate. */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact `sum(price * (1 - discount))`: the scale-4 decimal product is
+    * exact, so the whole aggregate is — see [[moneySum]]. */
+  private def discPriceSum(price: org.apache.spark.sql.Column,
+                           disc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(price.cast("decimal(18,2)") *
+        (lit(BigDecimal(1)).cast("decimal(18,2)") - disc.cast("decimal(18,2)")))
+      .cast("double")
+
+  /** Exact `sum(price * discount)` (TPC-H Q6 revenue shape) — see
+    * [[moneySum]]. */
+  private def discRevenueSum(price: org.apache.spark.sql.Column,
+                             disc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(price.cast("decimal(18,2)") * disc.cast("decimal(18,2)")).cast("double")
+
   // ---------------------------------------------------------------- B1
   /** Selective scan+filter+project; filter + projection push into the
     * parquet scan (TPC-H Q6 shape). */
@@ -33,19 +58,24 @@ object Relational {
               col("l_shipdate") < lit("1997-01-01") &&
               col("l_discount").between(0.03, 0.07) &&
               col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+      .agg(discRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
            count(lit(1)).as("n_rows"))
 
   // ---------------------------------------------------------------- B2
   /** Grouped aggregation with multiple measures (TPC-H Q1 shape); relies
-    * on partial (map-side) aggregation before the shuffle. */
+    * on partial (map-side) aggregation before the shuffle.
+    *
+    * Money sums go through [[moneySum]]/[[discPriceSum]] (exact
+    * decimal); the quantity/discount aggregates stay double: quantities
+    * are small integers (exactly representable, order-independent) and
+    * the avg magnitudes keep error ~1e-12. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 4).as("sum_qty"),
-           round(sum("l_extendedprice"), 4).as("sum_base_price"),
-           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+           moneySum(col("l_extendedprice")).as("sum_base_price"),
+           discPriceSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
            round(avg("l_quantity"), 4).as("avg_qty"),
            round(avg("l_discount"), 4).as("avg_disc"),
            count(lit(1)).as("count_order"))
@@ -60,7 +90,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(discPriceSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .select(col("l_orderkey"),
               date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
               col("o_orderpriority").as("orderpriority"),
@@ -84,7 +114,7 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(discPriceSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
   }
 
   // ---------------------------------------------------------------- B4
@@ -139,7 +169,7 @@ object Relational {
     val avgQty = li.agg(avg("l_quantity").as("global_avg_qty"))
     li.join(broadcast(avgQty))
       .filter(col("l_quantity") < col("global_avg_qty") * 0.5)
-      .agg(round(sum("l_extendedprice"), 4).as("total_price"),
+      .agg(moneySum(col("l_extendedprice")).as("total_price"),
            count(lit(1)).as("n_rows"))
   }
 
@@ -182,7 +212,7 @@ object Relational {
   def q9Topk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 4).as("total_spend"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
       .orderBy(col("total_spend").desc, col("o_custkey"))
       .limit(10)
 
@@ -192,7 +222,7 @@ object Relational {
     t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),
-           round(sum("o_totalprice"), 4).as("total_spend"))
+           moneySum(col("o_totalprice")).as("total_spend"))
       .filter(col("n_orders") >= 15)
 
   // ---------------------------------------------------------------- B12
@@ -220,7 +250,11 @@ object Relational {
   def q14CaseAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 4).as("fulfilled_price"),
+      // exact decimal money sum — see q1Agg
+      .agg(sum(when(col("o_orderstatus") === "F",
+               col("o_totalprice").cast("decimal(18,2)"))
+             .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)")))
+             .cast("double").as("fulfilled_price"),
            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_count"),
            count(lit(1)).as("n_orders"))
 
@@ -283,7 +317,7 @@ object Relational {
           col("l_quantity").between(10, 20)) ||
         (col("p_name").like("%widget%") && col("p_type").isin("PROMO", "ECONOMY") &&
           col("l_quantity") >= 25))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      .agg(discPriceSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
            count(lit(1)).as("n_rows"))
   }
 
@@ -718,7 +752,7 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
     "q6_selective_filter" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -728,8 +762,9 @@ object Relational {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
-        |       round(sum(l_extendedprice), 4) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(avg(l_discount), 4) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
@@ -740,7 +775,7 @@ object Relational {
       """SELECT l_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |       o_orderpriority AS orderpriority,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -750,7 +785,7 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
     "q5_multijoin" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -786,7 +821,7 @@ object Relational {
         |      GROUP BY c_custkey)
         |GROUP BY c_count""".stripMargin,
     "q17_avg_subquery" ->
-      """SELECT round(sum(l_extendedprice), 4) AS total_price,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |WHERE l_quantity < (SELECT avg(l_quantity) FROM lineitem) * 0.5""".stripMargin,
@@ -808,14 +843,14 @@ object Relational {
         |       CAST(count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS n_status_prio
         |FROM orders""".stripMargin,
     "q9_topk" ->
-      """SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY total_spend DESC, o_custkey
         |LIMIT 10""".stripMargin,
     "q10_having" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-        |       round(sum(o_totalprice), 4) AS total_spend
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders
         |GROUP BY o_custkey
         |HAVING count(*) >= 15""".stripMargin,
@@ -833,7 +868,9 @@ object Relational {
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q14_case_agg" ->
       """SELECT o_orderpriority,
-        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS fulfilled_price,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fulfilled_price,
         |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders
@@ -895,7 +932,7 @@ object Relational {
         |       quartile, pct_rank, cum_dist
         |FROM w WHERE quartile = 1 AND pct_rank <= 0.01""".stripMargin,
     "q19_complex_pred" ->
-      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
