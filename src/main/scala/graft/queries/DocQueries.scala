@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{ClusterSample, Dedup, Similarity}
 
 /** LLM-data-pipeline extensions (SURVEY.md §2 C1–C10) over the
   * `documents` and `embeddings` tables.
@@ -52,6 +52,15 @@ object DocQueries {
   // ---------------------------------------------------------------- C5
   def qEmbCosineTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)
+
+  // ---------------------------------------------------------------- C35
+  /** Cluster-balanced sample: ≤8 docs per k-means cell over the
+    * embedding space — the topic-diversity mixing draw. Rows-only
+    * (k-means cells are engine-specific); ClusterSampleSpec pins the
+    * quota, determinism, and frozen-centroid append contracts. */
+  def qEmbClusterSample(s: SparkSession, dir: String): DataFrame =
+    ClusterSample.sample(emb(s, dir), "vec_id", "embedding",
+      k = 16, perCell = 8)
 
   // ---------------------------------------------------------------- C33
   /** Hard negatives for the "training batch" vec_id < 8: per query,
@@ -782,6 +791,7 @@ object DocQueries {
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
+    "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_hard_negatives" -> (qEmbHardNegatives _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),

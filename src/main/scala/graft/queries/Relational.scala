@@ -680,8 +680,25 @@ object Relational {
            countDistinct("c_custkey").as("n_customers"))
   }
 
+  // ---------------------------------------------------------------- C34
+  /** Z-order digest: Morton z-values over (l_partkey, l_suppkey),
+    * aggregated per high-bit bucket — exercises the full quantize +
+    * bit-interleave pipeline bit-for-bit against the DuckDB oracle
+    * (the identical formula, emitted by [[graft.operators.Zorder
+    * .quantizeSql]]/[[graft.operators.Zorder.zValueSql]]). The layout
+    * write itself — range shuffle on z, narrow per-file min-max stats
+    * on every layout column — is pinned by ZorderSpec. */
+  def qLiZorder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Zorder.withZValue(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), "zval", 16)
+      .groupBy(shiftright(col("zval"), 22).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+           min("zval").as("min_z"), max("zval").as("max_z"))
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_li_zorder"         -> (qLiZorder _),
     "q23_range"           -> (qRangeJoin _),
     "q22_asof"            -> (qAsofJoin _),
     "q21_percentile"      -> (qPercentile _),
@@ -726,6 +743,19 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_li_zorder" -> {
+      val q0 = graft.operators.Zorder.quantizeSql("l_partkey", "lo0", "hi0", 16)
+      val q1 = graft.operators.Zorder.quantizeSql("l_suppkey", "lo1", "hi1", 16)
+      val z = graft.operators.Zorder.zValueSql(Seq("q0", "q1"), 16)
+      s"""WITH b AS (SELECT min(l_partkey) AS lo0, max(l_partkey) AS hi0,
+         |                  min(l_suppkey) AS lo1, max(l_suppkey) AS hi1
+         |           FROM lineitem),
+         |q AS (SELECT $q0 AS q0, $q1 AS q1 FROM lineitem, b),
+         |z AS (SELECT $z AS zval FROM q)
+         |SELECT zval >> 22 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |       min(zval) AS min_z, max(zval) AS max_z
+         |FROM z GROUP BY zbucket""".stripMargin
+    },
     "q23_range" ->
       """SELECT s.s_nationkey,
         |  CAST(count(*) AS BIGINT) AS n_matches,
