@@ -760,9 +760,15 @@ object IdempotentSink {
     *     marker-without-manifest state committedFiles rejects). A
     *     crash anywhere re-runs as step 1.
     *
+    * `zorderCols` additionally re-lays each day partition along the
+    * Morton curve of those columns ([[graft.operators.Zorder]]) —
+    * narrow per-file min-max stats on every layout column, the
+    * OPTIMIZE-ZORDER maintenance op for the lake's read side.
+    *
     * Returns the number of input pairs compacted (0 = nothing to do). */
   def compactDataFiles(spark: org.apache.spark.sql.SparkSession,
-                       tableDir: Path, filesPerDay: Int = 1): Int = {
+                       tableDir: Path, filesPerDay: Int = 1,
+                       zorderCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -819,8 +825,14 @@ object IdempotentSink {
     val partDirs = inputs.flatMap(_._2.entries.map { case (rel, _) =>
       finalRelPath(rel).split('/').dropRight(1).mkString("/")
     }).toSet
+    // With zorderCols set and MULTIPLE live pairs, always rewrite: the
+    // point is the re-layout, not just the file-count fold. The
+    // single-pair steady state (one compactdata-* pair at the target
+    // count — this rewrite's own output) still no-ops, keeping the
+    // maintenance loop idempotent.
     if (inputs.isEmpty ||
-        inputs.map(_._2.entries.size).sum <= partDirs.size * filesPerDay)
+        ((zorderCols.isEmpty || inputs.size <= 1) &&
+          inputs.map(_._2.entries.size).sum <= partDirs.size * filesPerDay))
       return 0
     // read exactly the INPUT pairs' files (not all committedFiles):
     // live w-* pairs' rows must not be copied into the rewrite while
@@ -841,7 +853,30 @@ object IdempotentSink {
       val rows = spark.read.option("basePath", tableDir.toString)
         .parquet(files: _*)
       val repart =
-        if (filesPerDay == 1)
+        if (zorderCols.nonEmpty) {
+          // Z-order the rewrite (operators.Zorder, C34): cluster each
+          // day's rows along the Morton curve of the given top-level
+          // numeric/timestamp non-null columns, so per-file min-max
+          // stats narrow on EVERY one of them and predicates on any
+          // skip files. The file split is the TOP z bits — a z-RANGE
+          // cut, not a hash salt, so clustering survives across files;
+          // a day whose rows span a narrow z-slice yields fewer than
+          // filesPerDay files (larger but still sorted), never
+          // interleaved ones.
+          val bits = math.min(16, 63 / zorderCols.size)
+          val withZ = graft.operators.Zorder
+            .withZValue(rows, zorderCols, "__z", bits)
+          // EXPLICIT partition count: an implicit repartition would let
+          // AQE coalesce the write back into day-spanning files,
+          // undoing the layout
+          val numParts = math.max(1, partDirs.size * filesPerDay)
+          withZ
+            .repartitionByRange(numParts, col("region"), col("accountId"),
+              col("eventDay"), col("__z"))
+            .sortWithinPartitions(col("region"), col("accountId"),
+              col("eventDay"), col("__z"))
+            .drop("__z")
+        } else if (filesPerDay == 1)
           rows.repartition(col("region"), col("accountId"), col("eventDay"))
         else rows.repartition(col("region"), col("accountId"), col("eventDay"),
           pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay)))

@@ -272,13 +272,15 @@ object OcsfTables {
     * OFFLINE, single operator — the same contract as the per-table
     * calls. Returns per-table counts for the routes that had a log. */
   def compactAll(spark: SparkSession, baseDir: String,
-                 filesPerDay: Int = 1): Map[String, Compacted] = {
+                 filesPerDay: Int = 1,
+                 zorderCols: Seq[String] = Nil): Map[String, Compacted] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     OcsfMappings.routes.flatMap { route =>
       val dir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")
       val fs = dir.getFileSystem(hadoopConf)
       if (IdempotentSink.hasCommitLog(fs, dir)) {
-        val data = IdempotentSink.compactDataFiles(spark, dir, filesPerDay)
+        val data = IdempotentSink.compactDataFiles(spark, dir, filesPerDay,
+          zorderCols)
         val control = IdempotentSink.compactCommits(fs, dir)
         Some(OcsfSink.tableName(route) -> Compacted(data, control))
       } else None

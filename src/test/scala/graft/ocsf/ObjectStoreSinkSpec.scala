@@ -194,6 +194,59 @@ class ObjectStoreSinkSpec extends SparkSpec {
     assert(committedUids(base) == before)
   }
 
+  test("z-order compaction clusters day files on BOTH layout columns, rows exact") {
+    val base = mkBase()
+    import spark.implicits._
+    // 3 batches, one day, each batch spanning the full time x severity
+    // plane — so every PRE-compaction file's min-max stats cover ~the
+    // whole range of both columns and nothing could be skipped
+    def batchDf(b: Int): DataFrame =
+      (0 until 64).map { i =>
+        (s"u$b-$i",
+          f"2023-11-14 ${i % 24}%02d:${(i * 7) % 60}%02d:00",
+          (i * 13 + b) % 100)
+      }.toDF("uid", "tstr", "severity")
+        .select(struct(col("uid")).as("metadata"),
+          to_timestamp(col("tstr")).as("time"), col("severity"))
+    (0 until 3).foreach(b =>
+      IdempotentSink.writeBatch(batchDf(b), base, route, region, acct,
+        batchId = b.toLong))
+    val (_, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    assert(IdempotentSink.compactDataFiles(spark, tableDir, filesPerDay = 4,
+      zorderCols = Seq("time", "severity")) == 3)
+    assert(committedUids(base) == before, "the row set must be unchanged")
+    // quadrant split (top z bit of each dim): every file's stats must
+    // cover at most ~half the global range on BOTH columns at once —
+    // the property a parquet reader prunes on
+    val files = visibleParquet(base)
+    assert(files.size >= 2 && files.size <= 4, s"files: $files")
+    val stats = files.map { p =>
+      val r = spark.read.parquet(p.toString)
+        .agg(min(col("time").cast("long")), max(col("time").cast("long")),
+          min("severity"), max("severity")).first()
+      (r.getLong(1) - r.getLong(0), r.getInt(3) - r.getInt(2))
+    }
+    val g = spark.read.parquet(files.map(_.toString): _*)
+      .agg(min(col("time").cast("long")), max(col("time").cast("long")),
+        min("severity"), max("severity")).first()
+    val (gt, gs) = (g.getLong(1) - g.getLong(0), g.getInt(3) - g.getInt(2))
+    stats.foreach { case (tw, sw) =>
+      // a curve slice may straddle one quadrant corner (one dim up to
+      // ~0.7 of global) but its stats BOX must stay far under the
+      // global box — unclustered pre-compaction files cover ~1.0 ×
+      // global on both dims at once
+      assert(tw <= gt * 8 / 10, s"time width $tw not narrowed: $stats")
+      assert(sw <= gs * 8 / 10, s"severity width $sw not narrowed: $stats")
+      assert(tw.toDouble / gt * sw / gs <= 0.4,
+        s"stats box ($tw x $sw) not clustered: $stats")
+    }
+    // steady state: one compactdata pair at the target count → no-op
+    assert(IdempotentSink.compactDataFiles(spark, tableDir, filesPerDay = 4,
+      zorderCols = Seq("time", "severity")) == 0)
+    assert(committedUids(base) == before)
+  }
+
   test("crash mid data-compaction promote: readers keep the originals, re-run completes") {
     val base = mkBase()
     (0 until 2).foreach { b =>
