@@ -125,6 +125,42 @@ object OcsfTables {
       IdempotentSink.filesSince(fs, tableDir, afterBatch))
   }
 
+  /** Build or refresh the file-skipping stats index for `route` on
+    * `cols` (see [[StatsIndex]]). Incremental: returns the number of
+    * newly indexed files. Run after ingest/compaction, like
+    * [[compactAll]]. */
+  def buildStats(spark: SparkSession, baseDir: String, route: String,
+                 cols: Seq[String]): Int = {
+    val (_, tableDir) = tableFs(spark, baseDir, route)
+    StatsIndex.build(spark, tableDir, cols)
+  }
+
+  /** [[load]] restricted to SQL predicate `cond`, opening only the
+    * committed files whose stats say the predicate could match
+    * ([[StatsIndex]] file skipping; files the index doesn't cover are
+    * always read). The exact predicate is re-applied to the surviving
+    * rows, so the result equals `load(...).filter(cond)` whether or
+    * not an index exists — the index only changes how many files are
+    * opened. The mixed-table stray guard is [[load]]'s
+    * misconfiguration detector, not repeated here (it would relist
+    * every data file and defeat the point of skipping). */
+  def loadWhere(spark: SparkSession, baseDir: String, route: String,
+                cond: String): DataFrame = {
+    val (fs, tableDir) = tableFs(spark, baseDir, route)
+    require(IdempotentSink.hasCommitLog(fs, tableDir),
+      s"$tableDir has no batch-commit log — stats-pruned reads need a " +
+        "table written through IdempotentSink")
+    dfFor(spark, fs, tableDir, prunedFiles(spark, fs, tableDir, cond))
+      .filter(cond)
+  }
+
+  /** The file list [[loadWhere]] would open — exposed for maintenance
+    * jobs and tests to observe skipping. */
+  def prunedFiles(spark: SparkSession, fs: FileSystem, tableDir: Path,
+                  cond: String): Seq[Path] =
+    StatsIndex.prune(spark, fs, tableDir,
+      IdempotentSink.readContract(fs, tableDir)._1, cond)
+
   private def tableFs(spark: SparkSession, baseDir: String,
                       route: String): (FileSystem, Path) = {
     val tableDir = new Path(s"$baseDir/${OcsfSink.tableName(route)}")

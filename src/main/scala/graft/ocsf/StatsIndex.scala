@@ -1,0 +1,262 @@
+package graft.ocsf
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, sum}
+
+/** File-skipping stats index for commit-log tables: per-data-file
+  * min/max/null-count on caller-chosen columns, consulted at read time
+  * to open only the files a predicate could match. The engine-side
+  * complement of the Z-order layout ([[graft.operators.Zorder]] makes
+  * per-file stats NARROW; this index makes the reader USE them before
+  * any file is opened). The reference leaves pruning to Athena's
+  * partition projection over `region/accountId/eventDay`
+  * (/root/reference/README.md:44-48), which only cuts on partition
+  * keys — this index prunes on DATA columns (event time, severity, id
+  * ranges) the way Delta/Iceberg file statistics do, which is what
+  * turns a 100 TB table scan with a narrow time filter into a few-file
+  * read: the planner never opens (or even HEADs) a file the predicate
+  * cannot match.
+  *
+  * Predicates arrive as ANSI SQL strings (the engine's native query
+  * surface) and are parsed with Spark's own parser, so the pruning
+  * derivation sees exactly the tree the filter will execute.
+  *
+  * Correctness is never at stake — pruning is strictly advisory:
+  *   - a file with no stats row is always KEPT (new batches since the
+  *     last [[build]], torn index part-files skipped via
+  *     `ignoreCorruptFiles`, or no index at all → full file list);
+  *   - a stats row whose file is no longer committed (compacted away)
+  *     matches nothing — stale rows self-clean at read time and cost
+  *     only index bytes until the next rebuild;
+  *   - the derived pruning condition is a RELAXATION of the caller's
+  *     predicate (interval arithmetic over min/max; any subtree it
+  *     cannot reason about contributes "keep"), and
+  *     [[OcsfTables.loadWhere]] re-applies the exact predicate to the
+  *     surviving rows anyway.
+  *
+  * Scale shape: [[build]] is incremental — it scans only committed
+  * files not yet indexed (one column-pruned distributed scan grouped
+  * by `input_file_name`) and APPENDS their rows; existing index rows
+  * are never rewritten, so the steady-state cost tracks the ingest
+  * delta, not the table size. The index is itself a parquet relation,
+  * read and filtered distributed; only per-file NAME strings reach the
+  * driver — the same O(files) contract the manifest reader already
+  * has. The swap-free append design means a crash anywhere leaves at
+  * worst a torn part-file, which readers skip: an index can lose
+  * acceleration, never rows.
+  */
+object StatsIndex {
+
+  private[ocsf] def indexDir(tableDir: Path): Path =
+    new Path(tableDir, "_stats/index")
+
+  /** Reserved index column names; stats columns are `min_<c>`,
+    * `max_<c>`, `nulls_<c>`. */
+  private val Reserved = Set("file", "cnt")
+
+  /** Build or incrementally refresh the index for `cols` (top-level
+    * data or partition columns of the table). If the existing index
+    * covers a DIFFERENT column set it is dropped and rebuilt — stats
+    * rows are only comparable under one schema. Returns the number of
+    * files newly scanned (0 = index already current). */
+  def build(spark: SparkSession, tableDir: Path, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "need at least one column to index")
+    require(cols.forall(c => !Reserved(c)), s"column names $Reserved are reserved")
+    require(cols.forall(c => !c.contains(".")),
+      "stats columns must be top-level (nested fields not supported)")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = IdempotentSink.committedFiles(fs, tableDir)
+    if (committed.isEmpty) return 0
+    val idxDir = indexDir(tableDir)
+    val existing: Set[String] = indexDf(spark, fs, tableDir) match {
+      case Some(df) if indexedCols(df).toSet == cols.toSet =>
+        df.select("file").collect().map(r => normalize(fs, r.getString(0))).toSet
+      case Some(_) => // column set changed: rebuild from scratch
+        fs.delete(idxDir, true)
+        Set.empty
+      case None => Set.empty
+    }
+    val newFiles = committed.filterNot(p => existing(normalize(fs, p)))
+    if (newFiles.isEmpty) return 0
+    val aggs = count(lit(1)).as("cnt") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    }
+    spark.read.option("basePath", tableDir.toString)
+      .parquet(newFiles.map(_.toString): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("append").parquet(idxDir.toString)
+    newFiles.size
+  }
+
+  /** The committed files a read with SQL predicate `cond` must open:
+    * every committed file EXCEPT those whose stats prove no row can
+    * match. Files without a stats row are kept. */
+  def prune(spark: SparkSession, fs: FileSystem, tableDir: Path,
+            committed: Seq[Path], cond: String): Seq[Path] =
+    indexDf(spark, fs, tableDir) match {
+      case None => committed
+      case Some(idx) =>
+        val indexed = indexedCols(idx).toSet
+        val parsed = spark.sessionState.sqlParser.parseExpression(cond)
+        pruningFor(parsed, indexed) match {
+          case None => committed // nothing prunable in cond
+          case Some(pruning) =>
+            val all = idx.select("file").collect()
+              .map(r => normalize(fs, r.getString(0))).toSet
+            val surviving = idx.filter(pruning).select("file").collect()
+              .map(r => normalize(fs, r.getString(0))).toSet
+            committed.filter { p =>
+              val n = normalize(fs, p)
+              !all(n) || surviving(n)
+            }
+        }
+    }
+
+  /** The index relation, or None when absent. Torn part-files from a
+    * crashed append are skipped, not fatal — their files simply read
+    * as unindexed. */
+  private def indexDf(spark: SparkSession, fs: FileSystem,
+                      tableDir: Path): Option[DataFrame] = {
+    val d = indexDir(tableDir)
+    if (!fs.exists(d)) None
+    else {
+      val df = spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(d.toString)
+      if (df.columns.contains("file")) Some(df) else None
+    }
+  }
+
+  private def indexedCols(idx: DataFrame): Seq[String] =
+    idx.columns.toSeq.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }
+
+  /** One canonical string per physical file: `input_file_name()` URIs
+    * (`file:///x` — empty authority) and manifest-derived Paths
+    * (`file:/x` — null authority) must compare equal, so rebuild the
+    * key from scheme/authority/path components, never `toString`. */
+  private def normalize(fs: FileSystem, p: Path): String = {
+    val u = fs.makeQualified(p).toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+  private def normalize(fs: FileSystem, s: String): String =
+    normalize(fs, new Path(new URI(s)))
+
+  // ---- predicate → file-level pruning condition -------------------
+
+  /** The weakest condition over `min_<c>`/`max_<c>`/`nulls_<c>` that
+    * is TRUE whenever any row of the file satisfies `e` (interval
+    * arithmetic), or None when nothing in `e` is prunable. AND keeps
+    * the prunable side when the other is opaque; OR must understand
+    * BOTH sides or give up (either branch alone could admit the row).
+    *
+    * min/max are null only for an all-null column chunk, and
+    * three-valued logic keeps the relaxation sound there: a comparison
+    * against a null bound yields null, which `filter` drops —
+    * correctly, since an all-null column matches no comparison (IS
+    * NULL is answered from `nulls_<c>` instead). Literal sides are
+    * rebuilt as Columns via their own SQL rendering, so types
+    * (timestamps, dates, decimals) survive the round trip exactly. */
+  private[ocsf] def pruningFor(e: Expression,
+                               indexed: Set[String]): Option[Column] = {
+    def c(ex: Expression): Column = expr(ex.sql)
+    def minC(n: String) = col(s"min_$n")
+    def maxC(n: String) = col(s"max_$n")
+    def attr(ex: Expression): Option[String] = ex match {
+      case a: UnresolvedAttribute
+        if a.nameParts.size == 1 && indexed(a.nameParts.head) =>
+        Some(a.nameParts.head)
+      case a: AttributeReference if indexed(a.name) => Some(a.name)
+      case _ => None
+    }
+    def isLit(ex: Expression): Boolean = ex.isInstanceOf[Literal]
+    def nonNullLit(ex: Expression): Boolean = ex match {
+      case Literal(v, _) => v != null
+      case _ => false
+    }
+    e match {
+      case And(l, r) => (pruningFor(l, indexed), pruningFor(r, indexed)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        for { a <- pruningFor(l, indexed); b <- pruningFor(r, indexed) }
+          yield a || b
+      // a > v ⇒ the file's max must exceed v (plus flipped forms)
+      case GreaterThan(a, v) if attr(a).isDefined && isLit(v) =>
+        Some(maxC(attr(a).get) > c(v))
+      case GreaterThan(v, a) if attr(a).isDefined && isLit(v) =>
+        Some(minC(attr(a).get) < c(v))
+      case GreaterThanOrEqual(a, v) if attr(a).isDefined && isLit(v) =>
+        Some(maxC(attr(a).get) >= c(v))
+      case GreaterThanOrEqual(v, a) if attr(a).isDefined && isLit(v) =>
+        Some(minC(attr(a).get) <= c(v))
+      case LessThan(a, v) if attr(a).isDefined && isLit(v) =>
+        Some(minC(attr(a).get) < c(v))
+      case LessThan(v, a) if attr(a).isDefined && isLit(v) =>
+        Some(maxC(attr(a).get) > c(v))
+      case LessThanOrEqual(a, v) if attr(a).isDefined && isLit(v) =>
+        Some(minC(attr(a).get) <= c(v))
+      case LessThanOrEqual(v, a) if attr(a).isDefined && isLit(v) =>
+        Some(maxC(attr(a).get) >= c(v))
+      case EqualTo(a, v) if attr(a).isDefined && isLit(v) =>
+        Some(minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
+      case EqualTo(v, a) if attr(a).isDefined && isLit(v) =>
+        Some(minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
+      case EqualNullSafe(a, Literal(null, _)) if attr(a).isDefined =>
+        Some(col(s"nulls_${attr(a).get}") > 0)
+      case EqualNullSafe(a, v) if attr(a).isDefined && nonNullLit(v) =>
+        Some(minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
+      case In(a, vs) if attr(a).isDefined && vs.nonEmpty && vs.forall(isLit) =>
+        Some(vs.map(v => minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
+          .reduce(_ || _))
+      case IsNull(a) if attr(a).isDefined =>
+        Some(col(s"nulls_${attr(a).get}") > 0)
+      case IsNotNull(a) if attr(a).isDefined =>
+        Some(minC(attr(a).get).isNotNull)
+      // col LIKE 'p%' (no other wildcards) is a prefix range scan:
+      // matches live in [p, nextPrefix(p))
+      case Like(a, Literal(pat, _), escape) if attr(a).isDefined &&
+          pat != null && escape == '\\' && likePrefix(pat.toString).isDefined =>
+        val p = likePrefix(pat.toString).get
+        val lower = maxC(attr(a).get) >= lit(p)
+        Some(nextPrefix(p) match {
+          case Some(np) => lower && minC(attr(a).get) < lit(np)
+          case None => lower
+        })
+      case StartsWith(a, Literal(v, _)) if attr(a).isDefined && v != null =>
+        val p = v.toString
+        val lower = maxC(attr(a).get) >= lit(p)
+        Some(nextPrefix(p) match {
+          case Some(np) => lower && minC(attr(a).get) < lit(np)
+          case None => lower
+        })
+      case _ => None
+    }
+  }
+
+  /** The literal prefix of a LIKE pattern of the shape `prefix%`
+    * (exactly one trailing `%`, no `_`, no escapes); None for any
+    * other pattern. */
+  private def likePrefix(pat: String): Option[String] =
+    if (pat.nonEmpty && pat.last == '%' && !pat.dropRight(1).exists(ch =>
+      ch == '%' || ch == '_' || ch == '\\'))
+      Some(pat.dropRight(1))
+    else None
+
+  /** Smallest string greater than every string with prefix `p`: bump
+    * the last non-￿ char and truncate. None when no such string
+    * exists (all-￿ prefix). */
+  private def nextPrefix(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != '￿')
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ocsf
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** File-skipping contract of [[StatsIndex]] / [[OcsfTables.loadWhere]]:
+  * pruning must never change results (rows equal the full-scan filter
+  * under every predicate shape, indexed or not), must actually skip
+  * files whose stats exclude the predicate, and must degrade to
+  * keep-everything for unindexed files (new batches, post-compaction
+  * rewrites) and opaque predicates. */
+class StatsIndexSpec extends SparkSpec {
+
+  private val region = "us-east-1"
+  private val acct = "123456789012"
+  private val route = "DNS Activity"
+
+  private def mkBase(): String =
+    "file:" + Files.createTempDirectory("statsidx")
+
+  /** Batch `b`: 64 rows, severity in [b*100, b*100+63], host prefixed
+    * `h<b>x` — per-batch-disjoint ranges on both columns so per-file
+    * stats can exclude whole batches. */
+  private def batchDf(b: Int): DataFrame = {
+    import spark.implicits._
+    (0 until 64).map { i =>
+      (s"u$b-$i", s"h${b}x$i", b * 100 + i)
+    }.toDF("uid", "host", "severity")
+      .select(struct(col("uid")).as("metadata"),
+        to_timestamp(lit("2023-11-14 12:00:00")).as("time"),
+        col("host"), col("severity"))
+  }
+
+  private def fsOf(base: String) = {
+    val dir = new Path(s"$base/dns_activity")
+    (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  private def writeBatches(base: String, n: Int): Unit =
+    (0 until n).foreach(b => IdempotentSink.writeBatch(batchDf(b), base,
+      route, region, acct, batchId = b.toLong, filesPerDay = 1))
+
+  /** loadWhere must equal the full-scan filter, row for row. */
+  private def assertExact(base: String, cond: String): Unit = {
+    val pruned = OcsfTables.loadWhere(spark, base, route, cond)
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    val full = OcsfTables.load(spark, base, route).filter(cond)
+      .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    assert(pruned == full, s"loadWhere($cond) diverged from full filter")
+  }
+
+  private def keptCount(base: String, cond: String): Int = {
+    val (fs, tableDir) = fsOf(base)
+    OcsfTables.prunedFiles(spark, fs, tableDir, cond).size
+  }
+
+  test("incremental build; range/IN/LIKE/OR predicates skip files, rows exact") {
+    val base = mkBase()
+    writeBatches(base, 3)
+    val (fs, tableDir) = fsOf(base)
+    val total = IdempotentSink.committedFiles(fs, tableDir).size
+    assert(total == 3)
+    assert(OcsfTables.buildStats(spark, base, route,
+      Seq("severity", "host")) == 3)
+    assert(OcsfTables.buildStats(spark, base, route,
+      Seq("severity", "host")) == 0, "second build must be a no-op")
+
+    // range: only batch 2's file can hold severity > 250
+    assert(keptCount(base, "severity > 250") == 1)
+    assertExact(base, "severity > 250")
+    // closed range nested inside one batch's span
+    assert(keptCount(base, "severity >= 90 AND severity < 140") == 1)
+    assertExact(base, "severity >= 90 AND severity < 140")
+    // IN: values land in batches 0 and 1
+    assert(keptCount(base, "severity IN (5, 105)") == 2)
+    assertExact(base, "severity IN (5, 105)")
+    // LIKE prefix on the string column
+    assert(keptCount(base, "host LIKE 'h1%'") == 1)
+    assertExact(base, "host LIKE 'h1%'")
+    // OR of two prunable sides
+    assert(keptCount(base, "severity < 50 OR severity > 250") == 2)
+    assertExact(base, "severity < 50 OR severity > 250")
+    // flipped operand order parses to the mirrored comparison
+    assert(keptCount(base, "250 < severity") == 1)
+    assertExact(base, "250 < severity")
+    // nothing matches anywhere: zero files opened, empty result with schema
+    assert(keptCount(base, "severity > 9000") == 0)
+    assert(OcsfTables.loadWhere(spark, base, route, "severity > 9000")
+      .count() == 0)
+  }
+
+  test("opaque predicates and opaque OR sides keep everything; AND keeps its prunable side") {
+    val base = mkBase()
+    writeBatches(base, 3)
+    assert(OcsfTables.buildStats(spark, base, route, Seq("severity")) == 3)
+    // whole predicate opaque → no pruning, still correct
+    assert(keptCount(base, "pmod(severity, 7) = 3") == 3)
+    assertExact(base, "pmod(severity, 7) = 3")
+    // OR with one opaque side cannot prune (the opaque side alone may match)
+    assert(keptCount(base, "severity > 250 OR pmod(severity, 7) = 3") == 3)
+    assertExact(base, "severity > 250 OR pmod(severity, 7) = 3")
+    // AND with one opaque side prunes on the understood side
+    assert(keptCount(base, "severity > 250 AND pmod(severity, 7) = 3") == 1)
+    assertExact(base, "severity > 250 AND pmod(severity, 7) = 3")
+    // unindexed column (host has no stats under this build) → opaque
+    assert(keptCount(base, "host LIKE 'h1%'") == 3)
+    assertExact(base, "host LIKE 'h1%'")
+  }
+
+  test("unindexed new batches are always read; compaction rewrites read as unindexed until rebuilt") {
+    val base = mkBase()
+    writeBatches(base, 2)
+    assert(OcsfTables.buildStats(spark, base, route, Seq("severity")) == 2)
+    // a batch landing AFTER the build has no stats row — must be kept
+    IdempotentSink.writeBatch(batchDf(9), base, route, region, acct,
+      batchId = 9L, filesPerDay = 1)
+    assert(keptCount(base, "severity > 800") == 1, "only the new file matches")
+    assert(keptCount(base, "severity < 50") == 2,
+      "batch 0 by stats, batch 9 as unindexed")
+    assertExact(base, "severity > 800")
+    // incremental refresh indexes exactly the delta
+    assert(OcsfTables.buildStats(spark, base, route, Seq("severity")) == 1)
+    assert(keptCount(base, "severity < 50") == 1)
+    // compaction replaces every file; stale stats rows must not hide
+    // the rewritten (unindexed) files. Z-ordering the rewrite on
+    // severity re-clusters the ranges the hash split would interleave,
+    // so a rebuilt index can prune again — the layout op and the stats
+    // index composing is the point of both.
+    val (fs, tableDir) = fsOf(base)
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = Seq("severity")) > 0)
+    val total = IdempotentSink.committedFiles(fs, tableDir).size
+    assert(total > 1, "compaction must keep multiple files for this test")
+    assert(keptCount(base, "severity > 800") == total,
+      "rewritten files are unindexed — all kept")
+    assertExact(base, "severity > 800")
+    val rescanned = OcsfTables.buildStats(spark, base, route, Seq("severity"))
+    assert(rescanned == total)
+    assert(keptCount(base, "severity > 800") < total, "pruning works again")
+    assertExact(base, "severity > 800")
+  }
+
+  test("null stats: comparisons prune all-null chunks, IS NULL finds them") {
+    val base = mkBase()
+    import spark.implicits._
+    val withNulls = (0 until 8).map(i => (s"n$i", s"nx$i"))
+      .toDF("uid", "host")
+      .select(struct(col("uid")).as("metadata"),
+        to_timestamp(lit("2023-11-14 12:00:00")).as("time"),
+        col("host"), lit(null).cast("int").as("severity"))
+    IdempotentSink.writeBatch(withNulls, base, route, region, acct,
+      batchId = 0L, filesPerDay = 1)
+    IdempotentSink.writeBatch(batchDf(1), base, route, region, acct,
+      batchId = 1L, filesPerDay = 1)
+    assert(OcsfTables.buildStats(spark, base, route, Seq("severity")) == 2)
+    // all-null file excluded from any comparison
+    assert(keptCount(base, "severity >= 0") == 1)
+    assertExact(base, "severity >= 0")
+    // IS NULL keeps only the file that has nulls
+    assert(keptCount(base, "severity IS NULL") == 1)
+    assertExact(base, "severity IS NULL")
+    assert(keptCount(base, "severity IS NOT NULL") == 1)
+    assertExact(base, "severity IS NOT NULL")
+    // changing the indexed column set forces a rebuild
+    assert(OcsfTables.buildStats(spark, base, route,
+      Seq("severity", "host")) == 2)
+  }
+}
