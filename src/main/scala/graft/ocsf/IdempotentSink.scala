@@ -774,29 +774,10 @@ object IdempotentSink {
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
     val cb = new Path(tableDir, "_committed_batches")
     if (!fs.exists(cb)) return 0
-
-    def listPairs(): (Set[String], Set[String]) = {
-      val es = fs.listStatus(cb).map(_.getPath.getName)
-      (es.filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSet,
-        es.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSet)
-    }
+    def listPairs(): (Set[String], Set[String]) = pairNames(fs, cb)
     // 1. settle interrupted predecessors (protected-aware: settlePair
     // never deletes a file the live read contract names)
-    val protectedFiles = committedFiles(fs, tableDir)
-      .map(fs.makeQualified).toSet
-    val (manifests0, done0) = listPairs()
-    val committed0 = done0.toSeq.sorted.flatMap(n =>
-      readManifestFull(fs, new Path(cb, s"$n.manifest")).map(n -> _))
-    committed0.iterator.flatMap(_._2.supersedes).toSet
-      .filter(n => manifests0.contains(n) || done0.contains(n))
-      .foreach(settlePair(fs, tableDir, _, protectedFiles))
-    (manifests0 -- done0).filter(_.startsWith("compactdata-"))
-      .foreach(settlePair(fs, tableDir, _, protectedFiles))
-    val staging = new Path(tableDir, "_staging")
-    if (fs.exists(staging))
-      fs.listStatus(staging).map(_.getPath)
-        .filter(_.getName.startsWith("compactdata_"))
-        .foreach(p => fs.delete(p, true))
+    settleRewrites(fs, tableDir, cb)
 
     // 2. stage the rewrite of all live committed pairs — EXCEPT
     // foreign-writer (w-*) pairs: their owner's replay checks the pair
@@ -805,20 +786,7 @@ object IdempotentSink {
     // files would double their rows into the new files. Retire a
     // backfill via compactCommits(foldWriters) first; its rows then
     // live in a compact-* pair this rewrite CAN fold.
-    val (inputs, deadExclusions) = {
-      val (m, d) = listPairs()
-      val full = d.toSeq.sorted.filterNot(_.startsWith("w-")).map(n =>
-        n -> readManifestFull(fs, new Path(cb, s"$n.manifest")).getOrElse(
-          throw new IllegalStateException(
-            s"committed manifest unreadable during data compaction: $n" +
-              (if (m.contains(n)) "" else " (manifest missing)"))))
-      val dead = full.iterator.flatMap(_._2.supersedes).toSet
-      // carry forward only exclusions whose pairs still exist — those
-      // are the resurrectable ones; carrying every historical name
-      // would grow the supersedes header without bound
-      (full.filterNot { case (n, _) => dead.contains(n) },
-        dead.filter(n => m.contains(n) || d.contains(n)))
-    }
+    val (inputs, deadExclusions) = liveNonWriterPairs(fs, cb)
     // already at the target layout? (filesPerDay files per partition
     // dir) — counts files, not pairs: a control-file merge leaves one
     // pair that can still name thousands of small objects
@@ -912,6 +880,196 @@ object IdempotentSink {
     inputs.foreach { case (n, _) => settlePair(fs, tableDir, n, keep) }
     inputs.size
   }
+
+  private def pairNames(fs: FileSystem, cb: Path): (Set[String], Set[String]) = {
+    val es = fs.listStatus(cb).map(_.getPath.getName)
+    (es.filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSet,
+      es.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSet)
+  }
+
+  /** Step-1 settle shared by the data-rewriting maintenance ops
+    * ([[compactDataFiles]], [[deleteWhere]]): finish any interrupted
+    * predecessor's supersedes chain, sweep unmarked `compactdata-*`
+    * manifests (protected-aware — never a file the live read contract
+    * names) and orphaned compactdata staging dirs. */
+  private def settleRewrites(fs: FileSystem, tableDir: Path, cb: Path): Unit = {
+    val protectedFiles = committedFiles(fs, tableDir)
+      .map(fs.makeQualified).toSet
+    val (manifests0, done0) = pairNames(fs, cb)
+    val committed0 = done0.toSeq.sorted.flatMap(n =>
+      readManifestFull(fs, new Path(cb, s"$n.manifest")).map(n -> _))
+    committed0.iterator.flatMap(_._2.supersedes).toSet
+      .filter(n => manifests0.contains(n) || done0.contains(n))
+      .foreach(settlePair(fs, tableDir, _, protectedFiles))
+    (manifests0 -- done0).filter(_.startsWith("compactdata-"))
+      .foreach(settlePair(fs, tableDir, _, protectedFiles))
+    val staging = new Path(tableDir, "_staging")
+    if (fs.exists(staging))
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("compactdata_"))
+        .foreach(p => fs.delete(p, true))
+  }
+
+  /** Live committed pairs eligible as rewrite inputs (foreign-writer
+    * `w-*` pairs excluded) plus the still-resurrectable dead exclusions
+    * the new manifest must carry forward. */
+  private def liveNonWriterPairs(fs: FileSystem, cb: Path)
+      : (Seq[(String, ManifestData)], Set[String]) = {
+    val (m, d) = pairNames(fs, cb)
+    val full = d.toSeq.sorted.filterNot(_.startsWith("w-")).map(n =>
+      n -> readManifestFull(fs, new Path(cb, s"$n.manifest")).getOrElse(
+        throw new IllegalStateException(
+          s"committed manifest unreadable during data rewrite: $n" +
+            (if (m.contains(n)) "" else " (manifest missing)"))))
+    val dead = full.iterator.flatMap(_._2.supersedes).toSet
+    // carry forward only exclusions whose pairs still exist — those
+    // are the resurrectable ones; carrying every historical name
+    // would grow the supersedes header without bound
+    (full.filterNot { case (n, _) => dead.contains(n) },
+      dead.filter(n => m.contains(n) || d.contains(n)))
+  }
+
+  /** Row-level delete: permanently remove every committed row matching
+    * SQL predicate `cond` — the erasure request (GDPR/DSAR takedown)
+    * the reference punts to "rewrite the S3 prefix by hand". Rewrites
+    * ONLY the files that contain matching rows; every untouched file
+    * is CARRIED by name into the superseding manifest (no copy), so
+    * the IO cost scales with the data actually touched, not the
+    * table — and [[StatsIndex]], when built, pre-prunes which files
+    * are even scanned for matches.
+    *
+    * Same offline single-operator contract and two-phase mechanism as
+    * [[compactDataFiles]] (the pair lands in the `compactdata-*`
+    * namespace so both ops share one settle/crash-recovery path):
+    * stage the kept rows of affected files, publish ONE manifest
+    * naming staged + carried files with `#supersedes` over EVERY live
+    * pair (a partial fold would break the horizon derivation's
+    * prefix invariant and leak post-snapshot rows into old snapshots),
+    * promote, mark — the marker is the atomic swap — then clean up. A
+    * crash anywhere re-runs safely; the re-run re-scans
+    * (already-deleted rows simply no longer match). Readers by
+    * manifest are exact at every point; a directory scanner may see
+    * kept rows doubled and deleted rows still present during the
+    * publish-to-cleanup window.
+    *
+    * Erasure semantics the caller must know:
+    *  - rows where `cond` is NULL are KEPT (three-valued logic, same
+    *    as `DELETE WHERE` in SQL);
+    *  - time travel ([[OcsfTables.loadAsOf]]) below the new horizon
+    *    THROWS afterwards — erased rows are not resurrectable, which
+    *    is the point of an erasure;
+    *  - live foreign-writer (`w-*`) pairs REFUSE the delete: their
+    *    owner's replay would restage the erased rows. Retire them
+    *    first via [[compactCommits]]`(foldWriters = ...)`.
+    *
+    * Returns the number of rows deleted. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+                  tableDir: Path, cond: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, not}
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cb = new Path(tableDir, "_committed_batches")
+    require(fs.exists(cb) && hasCommitLog(fs, tableDir),
+      s"$tableDir has no batch-commit log — deleteWhere needs a table " +
+        "written through IdempotentSink")
+    settleRewrites(fs, tableDir, cb)
+    val liveWriters = pairNames(fs, cb)._2.filter(_.startsWith("w-"))
+    require(liveWriters.isEmpty,
+      s"$tableDir has live foreign-writer pairs ${liveWriters.toSeq.sorted}" +
+        " — a delete over them would be undone by the writer's replay;" +
+        " retire them first via compactCommits(foldWriters = ...)")
+    val (inputs, deadExclusions) = liveNonWriterPairs(fs, cb)
+    if (inputs.isEmpty) return 0L
+
+    // which committed files hold matching rows? Stats-index pre-prune
+    // (advisory) bounds the scan; the scan itself reads only the
+    // predicate's columns
+    val allFinal = inputs.flatMap(_._2.entries.map { case (rel, _) =>
+      new Path(tableDir, finalRelPath(rel))
+    }).distinct
+    val candidates =
+      StatsIndex.prune(spark, fs, tableDir, allFinal, cond)
+    if (candidates.isEmpty) return 0L
+    val delCond = expr(cond)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferOld = spark.conf.get(inferKey, "true")
+    val matches =
+      try {
+        spark.conf.set(inferKey, "false")
+        spark.read.option("basePath", tableDir.toString)
+          .parquet(candidates.map(_.toString): _*)
+          .filter(delCond)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => normalizePath(fs, r.getString(0)) -> r.getLong(1))
+      } finally spark.conf.set(inferKey, inferOld)
+    val deleted = matches.map(_._2).sum
+    if (deleted == 0L) return 0L
+    val affectedFiles = matches.map(_._1).toSet
+
+    // EVERY live pair is superseded — not just the affected ones —
+    // because the commit log's horizon derivation rests on folds being
+    // prefix-closed over the batch axis ([[horizonFloor]]): folding
+    // batch 1 while batch 0 stays live would let loadAsOf(0) serve
+    // batch 1's surviving rows into a batch-0 snapshot. Folding
+    // everything keeps snapshots exact and gives the RIGHT erasure
+    // semantics: below-horizon history (which still contains the
+    // erased rows) refuses to serve rather than resurrecting them.
+    // Untouched files are carried BY NAME (no copy) — only files that
+    // actually contain matching rows are rewritten.
+    def finalOf(rel: String): String =
+      normalizePath(fs, new Path(tableDir, finalRelPath(rel)))
+    val carried = inputs.flatMap(_._2.entries.filterNot {
+      case (rel, _) => affectedFiles.contains(finalOf(rel))
+    })
+    val rewriteFiles = inputs.flatMap(_._2.entries.collect {
+      case (rel, _) if affectedFiles.contains(finalOf(rel)) =>
+        new Path(tableDir, finalRelPath(rel)).toString
+    }).distinct
+    val k = pairNames(fs, cb) match { case (m, d) => (m ++ d).flatMap(n =>
+      if (n.startsWith("compactdata-")) n.stripPrefix("compactdata-").toIntOption
+      else None).maxOption.getOrElse(-1) + 1 }
+    val stagingRoot = new Path(tableDir, s"_staging/compactdata_$k")
+    try {
+      spark.conf.set(inferKey, "false")
+      spark.read.option("basePath", tableDir.toString)
+        .parquet(rewriteFiles: _*)
+        .where(not(coalesce(delCond, lit(false))))
+        .repartition(col("region"), col("accountId"), col("eventDay"))
+        .sortWithinPartitions(col("region"), col("accountId"),
+          col("eventDay"), col("time"))
+        .write.mode("overwrite")
+        .partitionBy("region", "accountId", "eventDay")
+        .parquet(new Path(stagingRoot, "c").toString)
+    } finally spark.conf.set(inferKey, inferOld)
+
+    val staged = listRelative(fs, stagingRoot)
+    val maxBatch = inputs.flatMap { case (n, md) =>
+      n.toLongOption ++ md.maxBatch
+    }.maxOption
+    writeAtomic(fs, new Path(cb, s"compactdata-$k.manifest"),
+      manifestBody(staged ++ carried,
+        inputs.map(_._1).toSet ++ deadExclusions, maxBatch))
+    staged.foreach { case (rel, len) =>
+      promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toString)
+    }
+    writeAtomic(fs, new Path(cb, s"compactdata-$k.committed"), "")
+    fs.delete(stagingRoot, true)
+    val keep = (staged ++ carried).map { case (rel, _) =>
+      fs.makeQualified(new Path(tableDir, finalRelPath(rel)))
+    }.toSet
+    inputs.foreach { case (n, _) => settlePair(fs, tableDir, n, keep) }
+    deleted
+  }
+
+  /** Canonical per-file key: `input_file_name()` URIs (empty
+    * authority) and manifest-derived Paths (null authority) must
+    * compare equal — rebuilt from URI components, never `toString`. */
+  private def normalizePath(fs: FileSystem, p: Path): String = {
+    val u = fs.makeQualified(p).toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+  private def normalizePath(fs: FileSystem, s: String): String =
+    normalizePath(fs, new Path(new java.net.URI(s)))
 
   /** Data files under `root` with their lengths, as `/`-relative
     * paths, skipping Spark's `_SUCCESS`/hidden bookkeeping files. */

@@ -154,6 +154,17 @@ object OcsfTables {
       .filter(cond)
   }
 
+  /** Row-level erasure for `route`: permanently delete every row
+    * matching SQL predicate `cond` (see [[IdempotentSink.deleteWhere]]
+    * for the mechanism, crash contract, and erasure semantics — NULL
+    * rows kept, time travel below the new horizon throws, live
+    * backfill writers refuse). Returns rows deleted. */
+  def deleteWhere(spark: SparkSession, baseDir: String, route: String,
+                  cond: String): Long = {
+    val (_, tableDir) = tableFs(spark, baseDir, route)
+    IdempotentSink.deleteWhere(spark, tableDir, cond)
+  }
+
   /** The file list [[loadWhere]] would open — exposed for maintenance
     * jobs and tests to observe skipping. */
   def prunedFiles(spark: SparkSession, fs: FileSystem, tableDir: Path,
