@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Linear text-quality classifier trained IN Spark (SURVEY.md §2 C37):
+  * the fastText/CCNet-style learned quality filter LLM-corpus
+  * pipelines run after the heuristic gates — a logistic regression
+  * over hashed bag-of-tokens features, trained by batch gradient
+  * descent where every step is one Catalyst aggregation. No MLlib, no
+  * driver-side data: the driver only ever holds the weight vector
+  * (`dim` doubles).
+  *
+  * Scale shape (100 TB):
+  *  - features are a LONG-FORMAT relation `(id, i, v)` — hashed bucket
+  *    and L2-normalized term frequency — built map-side from one text
+  *    scan + one (id, bucket) partial-agg'd count; no dense vectors
+  *    ever materialize per row;
+  *  - each training step is: broadcast-join the `dim`-row weight
+  *    relation onto features, partial-agg margins per doc, join errors
+  *    back, partial-agg `dim` gradient cells, collect `dim` rows.
+  *    Shuffle keys are `id` (high-cardinality) and `i` (≤ `dim`);
+  *    nothing single-partition, nothing driver-side but the model;
+  *  - the standard corpus-scale stance is train-on-sample,
+  *    score-everything: fit on `docs.sample(...)` (quality labels are
+  *    weak anyway), then [[score]] is one map-side scan with the
+  *    broadcast model.
+  *
+  * The trained weights depend on float summation order and are NOT
+  * bit-reproducible across cluster layouts (documented, like every
+  * distributed SGD); [[score]] with FIXED weights is deterministic. */
+object Classifier {
+
+  /** Hashed bag-of-tokens features, long format: `(idCol, i, v)` with
+    * `i = xxhash64(token) mod dim` and `v` the doc's L2-normalized
+    * bucket count. Empty/null texts produce no rows (nothing to score
+    * a zero vector with — callers keep them via a left join). */
+  def featurize(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val tok = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("_t"))
+      .where(col("_t") =!= "")
+      .select(col("id"), pmod(xxhash64(col("_t")), lit(dim)).cast("int").as("i"))
+    val counts = tok.groupBy("id", "i").agg(count(lit(1)).cast("double").as("_c"))
+    val norms = counts.groupBy("id")
+      .agg(sqrt(sum(col("_c") * col("_c"))).as("_norm"))
+    counts.join(norms, "id")
+      .select(col("id"), col("i"), (col("_c") / col("_norm")).as("v"))
+  }
+
+  /** Batch-gradient-descent logistic regression over [[featurize]]d
+    * docs. `labeled` must carry `idCol` and an integer/double
+    * `labelCol` in {0, 1}. Returns the weight vector (index = hashed
+    * bucket). L2 regularization `l2` keeps unseen-bucket weights at
+    * zero mean; `iters` full passes (each pass = 2 shuffles, nothing
+    * resident but the cached feature relation). */
+  def train(spark: SparkSession, labeled: DataFrame, idCol: String,
+            textCol: String, labelCol: String, dim: Int = 1024,
+            iters: Int = 12, lr: Double = 2.0,
+            l2: Double = 1e-4): Array[Double] = {
+    import spark.implicits._
+    val feats = featurize(labeled, idCol, textCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = labeled.select(col(idCol).as("id"),
+      col(labelCol).cast("double").as("y"))
+    val n = labels.count().toDouble
+    require(n > 0, "no labeled rows")
+    val w = new Array[Double](dim)
+    try {
+      for (_ <- 0 until iters) {
+        val wDf = w.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+          .toDF("i", "w")
+        // margin per doc -> error per doc -> gradient per bucket:
+        // every stage partial-aggregates; only `dim` rows come back
+        val margins = feats.join(broadcast(wDf), "i")
+          .groupBy("id").agg(sum(col("v") * col("w")).as("m"))
+        val errs = labels.join(margins, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0) / (lit(1.0) + exp(-coalesce(col("m"), lit(0.0))))
+              - col("y")).as("e"))
+        val grad = feats.join(errs, "id")
+          .groupBy("i").agg(sum(col("v") * col("e")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val i = r.getInt(0)
+          w(i) -= lr * (r.getDouble(1) / n + l2 * w(i))
+        }
+      }
+    } finally { feats.unpersist(); () }
+    w
+  }
+
+  /** Probability-of-positive for every doc under fixed `weights`: one
+    * feature scan + a broadcast `dim`-row join + a per-doc partial
+    * agg. Docs with no features (empty text) score sigmoid(0) = 0.5
+    * via the left join. Deterministic for fixed weights modulo float
+    * summation order; round before hashing across engines. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: Array[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+      .toDF("i", "w")
+    val margins = featurize(docs, idCol, textCol, weights.length)
+      .join(broadcast(wDf), "i")
+      .groupBy("id").agg(sum(col("v") * col("w")).as("m"))
+    docs.select(col(idCol).as("id"), col("*"))
+      .drop(idCol)
+      .join(margins, Seq("id"), "left")
+      .withColumn("prob",
+        lit(1.0) / (lit(1.0) + exp(-coalesce(col("m"), lit(0.0)))))
+      .withColumnRenamed("id", idCol)
+      .drop("m")
+  }
+}

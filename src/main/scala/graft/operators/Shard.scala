@@ -53,4 +53,42 @@ object Shard {
         ((col("_base") + col("_r") - 1) % numShards).cast("int"))
       .drop("_bucket", "_r", "_base")
   }
+
+  /** Deterministic epoch shuffle (SURVEY.md §2 C36): a seeded,
+    * reproducible global permutation of the corpus — the ordering a
+    * training run consumes for one epoch. Never `rand()`: every
+    * retried task, re-run, and engine derives the same `position` for
+    * the same `(seed, id)`, so epoch N of a run is replayable
+    * bit-for-bit and changing the seed reshuffles. `position` is the
+    * global 0-based rank under `md5(seed:id)`; `shard` deals positions
+    * round-robin so a multi-reader loader takes every k-th document —
+    * each shard is itself an unbiased sample of the corpus.
+    *
+    * Scale shape: the same two-level rank as [[assign]] — a per-bucket
+    * `row_number` shuffled on the md5-prefix bucket (256 ways at the
+    * default `bucketHex=2`; the hash bucket is a PREFIX of the sort
+    * key, so bucket-major order IS global order) plus a broadcast
+    * offsets relation whose single-partition window covers only the
+    * bucket counts. No global sort, no single-partition window over
+    * data. */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   numShards: Int, bucketHex: Int = 2): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require(bucketHex >= 1 && bucketHex <= 4, "bucketHex in 1..4")
+    val d = docs.withColumn("_h",
+      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .withColumn("_bucket", substring(col("_h"), 1, bucketHex))
+    val wLocal = Window.partitionBy("_bucket")
+      .orderBy(col("_h"), col(idCol))
+    val wBucket = Window.orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("_bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(sum(col("_n")).over(wBucket), lit(0L)))
+      .select(col("_bucket"), col("_base"))
+    d.withColumn("_r", row_number().over(wLocal))
+      .join(broadcast(offsets), "_bucket")
+      .withColumn("position", col("_base") + col("_r") - 1)
+      .withColumn("shard", (col("position") % numShards).cast("int"))
+      .drop("_h", "_bucket", "_r", "_base")
+  }
 }

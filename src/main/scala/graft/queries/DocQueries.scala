@@ -216,6 +216,38 @@ object DocQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
   }
 
+  // ---------------------------------------------------------------- C36
+  /** Deterministic epoch shuffle ([[graft.operators.Shard.epochShuffle]]):
+    * the seeded global permutation a training run consumes. The oracle
+    * computes the same rank with one flat window over `md5(seed:id)` —
+    * the hash-match proves the two-level decomposition equals the
+    * global sort, same stance as [[qDocShards]]. */
+  def qDocEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Shard.epochShuffle(
+      docs(s, dir).select(col("doc_id")), "doc_id", seed = 7L,
+      numShards = 16)
+
+  // ---------------------------------------------------------------- C37
+  /** Learned quality filter ([[graft.operators.Classifier]]): logistic
+    * regression over hashed bag-of-tokens, trained IN Spark on weak
+    * labels from the C8 heuristic over a 20% deterministic sample
+    * (train-on-sample, score-everything — the corpus-scale stance),
+    * then every doc scored map-side with the broadcast model.
+    * Rows-only by design: distributed float summation makes the
+    * trained weights order-sensitive; the learning contract is pinned
+    * by ClassifierSpec instead (planted separable vocabularies →
+    * accuracy, empty-doc neutrality, fixed-weight determinism). */
+  def qDocQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val labeled = d.sample(withReplacement = false, 0.2, seed = 42L)
+      .withColumn("label",
+        (TextFunctions.qualityScore(col("text")) >= 0.5).cast("int"))
+    val w = graft.operators.Classifier.train(s, labeled, "doc_id", "text",
+      "label", dim = 512, iters = 6)
+    graft.operators.Classifier.score(d, "doc_id", "text", w)
+      .select(col("doc_id"), col("prob"))
+  }
+
   // ---------------------------------------------------------------- C29
   /** RAG chunking ([[graft.operators.Chunk]]): 128-token windows at
     * stride 96 (32-token overlap). Chunk identity travels as an md5 —
@@ -800,6 +832,8 @@ object DocQueries {
     "q_emb_semdedup"      -> (qEmbSemdedup _),
     "q_doc_dsir"          -> (qDocDsir _),
     "q_doc_shards"        -> (qDocShards _),
+    "q_doc_epoch_shuffle" -> (qDocEpochShuffle _),
+    "q_doc_quality_classifier" -> (qDocQualityClassifier _),
     "q_doc_chunks"        -> (qDocChunks _),
     "q_doc_split_leakfree" -> (qDocSplitLeakfree _),
     "q_doc_langid"        -> (qDocLangid _),
@@ -1108,6 +1142,16 @@ object DocQueries {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM r GROUP BY 1""".stripMargin,
+    "q_doc_epoch_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (
+        |           ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           - 1 AS position
+        |  FROM documents)
+        |SELECT doc_id, CAST(position AS BIGINT) AS position,
+        |       CAST(position % 16 AS INT) AS shard
+        |FROM r""".stripMargin,
     "q_emb_semdedup" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |aug AS (

@@ -27,7 +27,9 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnlyByDesign = Set(
       "q_approx_distinct", "q_approx_distinct_rollup", "q_approx_percentile",
       "q_doc_contamination_bloom", "q_doc_minhash_incremental",
-      "q_doc_minhash_pairs", "q_doc_pipeline_scale", "q_doc_simhash",
+      "q_doc_minhash_pairs", "q_doc_pipeline_scale",
+      "q_doc_quality_classifier", // distributed-GD weights are float-order-sensitive; ClassifierSpec pins learning
+      "q_doc_simhash",
       "q_doc_simhash_pairs", "q_emb_cluster_sample", "q_emb_ivf_topk",
       "q_emb_lsh_ann", "q_emb_pq_topk", "q_emb_ivfpq_topk",
       "q_mm_features",
