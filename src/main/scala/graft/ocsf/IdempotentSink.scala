@@ -793,13 +793,19 @@ object IdempotentSink {
     val partDirs = inputs.flatMap(_._2.entries.map { case (rel, _) =>
       finalRelPath(rel).split('/').dropRight(1).mkString("/")
     }).toSet
-    // With zorderCols set and MULTIPLE live pairs, always rewrite: the
-    // point is the re-layout, not just the file-count fold. The
-    // single-pair steady state (one compactdata-* pair at the target
-    // count — this rewrite's own output) still no-ops, keeping the
-    // maintenance loop idempotent.
+    // With zorderCols set, a file-count-satisfying state only no-ops
+    // when the surviving single pair RECORDS the same layout in its
+    // manifest (`#layout zorder:...` — written by this rewrite's own
+    // output): a hash-compacted, freshly written, or post-delete pair
+    // at the target count still holds interleaved rows and must be
+    // re-laid. This keeps the maintenance loop idempotent without ever
+    // treating "few files" as "clustered files".
+    val layoutStr =
+      if (zorderCols.isEmpty) None
+      else Some("zorder:" + zorderCols.mkString(","))
     if (inputs.isEmpty ||
-        ((zorderCols.isEmpty || inputs.size <= 1) &&
+        ((zorderCols.isEmpty ||
+            (inputs.size <= 1 && inputs.forall(_._2.layout == layoutStr))) &&
           inputs.map(_._2.entries.size).sum <= partDirs.size * filesPerDay))
       return 0
     // read exactly the INPUT pairs' files (not all committedFiles):
@@ -808,9 +814,7 @@ object IdempotentSink {
     val files = inputs.flatMap(_._2.entries.map { case (rel, _) =>
       new Path(tableDir, finalRelPath(rel)).toString
     }).distinct
-    val k = listPairs() match { case (m, d) => (m ++ d).flatMap(n =>
-      if (n.startsWith("compactdata-")) n.stripPrefix("compactdata-").toIntOption
-      else None).maxOption.getOrElse(-1) + 1 }
+    val k = nextRewriteK(fs, cb)
     val stagingRoot = new Path(tableDir, s"_staging/compactdata_$k")
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val inferOld = spark.conf.get(inferKey, "true")
@@ -864,7 +868,8 @@ object IdempotentSink {
       n.toLongOption ++ md.maxBatch
     }.maxOption
     writeAtomic(fs, new Path(cb, s"compactdata-$k.manifest"),
-      manifestBody(entries, inputs.map(_._1).toSet ++ deadExclusions, maxBatch))
+      manifestBody(entries, inputs.map(_._1).toSet ++ deadExclusions, maxBatch,
+        layoutStr))
     entries.foreach { case (rel, len) =>
       promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toString)
     }
@@ -886,6 +891,13 @@ object IdempotentSink {
     (es.filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSet,
       es.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSet)
   }
+
+  /** Fresh `compactdata-<k>` sequence number: one past the largest k
+    * any manifest or marker (committed or crashed) has ever used. */
+  private def nextRewriteK(fs: FileSystem, cb: Path): Int =
+    pairNames(fs, cb) match { case (m, d) => (m ++ d).flatMap(n =>
+      if (n.startsWith("compactdata-")) n.stripPrefix("compactdata-").toIntOption
+      else None).maxOption.getOrElse(-1) + 1 }
 
   /** Step-1 settle shared by the data-rewriting maintenance ops
     * ([[compactDataFiles]], [[deleteWhere]]): finish any interrupted
@@ -960,7 +972,11 @@ object IdempotentSink {
     *    is the point of an erasure;
     *  - live foreign-writer (`w-*`) pairs REFUSE the delete: their
     *    owner's replay would restage the erased rows. Retire them
-    *    first via [[compactCommits]]`(foldWriters = ...)`.
+    *    first via [[compactCommits]]`(foldWriters = ...)`;
+    *  - the rewrite of an affected day collapses toward one file and
+    *    records no layout, so a z-ordered day loses its clustering —
+    *    the next `compactDataFiles(zorderCols = ...)` sees the
+    *    missing `#layout` header and restores it.
     *
     * Returns the number of rows deleted. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession,
@@ -1025,9 +1041,7 @@ object IdempotentSink {
       case (rel, _) if affectedFiles.contains(finalOf(rel)) =>
         new Path(tableDir, finalRelPath(rel)).toString
     }).distinct
-    val k = pairNames(fs, cb) match { case (m, d) => (m ++ d).flatMap(n =>
-      if (n.startsWith("compactdata-")) n.stripPrefix("compactdata-").toIntOption
-      else None).maxOption.getOrElse(-1) + 1 }
+    val k = nextRewriteK(fs, cb)
     val stagingRoot = new Path(tableDir, s"_staging/compactdata_$k")
     try {
       spark.conf.set(inferKey, "false")
@@ -1063,12 +1077,14 @@ object IdempotentSink {
 
   /** Canonical per-file key: `input_file_name()` URIs (empty
     * authority) and manifest-derived Paths (null authority) must
-    * compare equal — rebuilt from URI components, never `toString`. */
-  private def normalizePath(fs: FileSystem, p: Path): String = {
+    * compare equal — rebuilt from URI components, never `toString`.
+    * Shared with [[StatsIndex]] so the two sides of the file-key
+    * contract can never drift. */
+  private[ocsf] def normalizePath(fs: FileSystem, p: Path): String = {
     val u = fs.makeQualified(p).toUri
     s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
   }
-  private def normalizePath(fs: FileSystem, s: String): String =
+  private[ocsf] def normalizePath(fs: FileSystem, s: String): String =
     normalizePath(fs, new Path(new java.net.URI(s)))
 
   /** Data files under `root` with their lengths, as `/`-relative
@@ -1090,6 +1106,7 @@ object IdempotentSink {
   private val ManifestTrailer = "#end"
   private val SupersedesHeader = "#supersedes "
   private val MaxBatchHeader = "#maxbatch "
+  private val LayoutHeader = "#layout "
 
   /** Parsed manifest: the staged data files (with lengths), the
     * control-pair base names this manifest REPLACES, and — on
@@ -1106,24 +1123,31 @@ object IdempotentSink {
     * every request. */
   private[ocsf] final case class ManifestData(entries: Seq[(String, Long)],
                                               supersedes: Set[String],
-                                              maxBatch: Option[Long] = None)
+                                              maxBatch: Option[Long] = None,
+                                              layout: Option[String] = None)
 
   /** Manifest body: a count header, an optional `#supersedes` line, an
-    * optional `#maxbatch` line, one `path<TAB>length` line per staged
-    * data file, and a `#end` trailer. The trailer makes the format
-    * SELF-TERMINATING: a prefix cut anywhere — including inside the
-    * last entry's length digits, where the count still matches and
-    * every line still parses — is detectably torn, because `#end` is
-    * the final bytes written and survives no truncation. */
+    * optional `#maxbatch` line, an optional `#layout` line (the
+    * physical clustering a data rewrite produced, e.g.
+    * `zorder:time,severity` — what lets the maintenance loop no-op
+    * ONLY when the requested layout is already in place), one
+    * `path<TAB>length` line per staged data file, and a `#end`
+    * trailer. The trailer makes the format SELF-TERMINATING: a prefix
+    * cut anywhere — including inside the last entry's length digits,
+    * where the count still matches and every line still parses — is
+    * detectably torn, because `#end` is the final bytes written and
+    * survives no truncation. */
   private def manifestBody(entries: Seq[(String, Long)],
                            supersedes: Set[String] = Set.empty,
-                           maxBatch: Option[Long] = None): String = {
+                           maxBatch: Option[Long] = None,
+                           layout: Option[String] = None): String = {
     val supersLine =
       if (supersedes.isEmpty) Nil
       else Seq(s"$SupersedesHeader${supersedes.toSeq.sorted.mkString(",")}")
     val maxLine = maxBatch.map(m => s"$MaxBatchHeader$m").toSeq
+    val layoutLine = layout.map(l => s"$LayoutHeader$l").toSeq
     (s"$ManifestHeader${entries.size}" +:
-      (supersLine ++ maxLine ++
+      (supersLine ++ maxLine ++ layoutLine ++
         entries.map { case (rel, len) => s"$rel\t$len" }) :+
       ManifestTrailer).mkString("\n")
   }
@@ -1148,9 +1172,14 @@ object IdempotentSink {
               .iterator.filter(_.nonEmpty).toSet, rest)
           case rest => (Set.empty[String], rest)
         }
-        val (maxBatch, body) = afterSupers match {
+        val (maxBatch, afterMax) = afterSupers match {
           case m +: rest if m.startsWith(MaxBatchHeader) =>
             (m.stripPrefix(MaxBatchHeader).toLongOption, rest)
+          case rest => (None, rest)
+        }
+        val (layout, body) = afterMax match {
+          case l +: rest if l.startsWith(LayoutHeader) =>
+            (Some(l.stripPrefix(LayoutHeader)), rest)
           case rest => (None, rest)
         }
         val parsed = body.map { l =>
@@ -1160,7 +1189,7 @@ object IdempotentSink {
           }
         }
         if (expected.contains(parsed.size) && parsed.forall(_.isDefined))
-          Some(ManifestData(parsed.flatten, supersedes, maxBatch))
+          Some(ManifestData(parsed.flatten, supersedes, maxBatch, layout))
         else None
       case _ => None // torn, zero-byte, or unknown format: never trusted
     }

@@ -1,12 +1,11 @@
 package graft.ocsf
 
-import java.net.URI
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, sum}
+import org.apache.spark.sql.types._
 
 /** File-skipping stats index for commit-log tables: per-data-file
   * min/max/null-count on caller-chosen columns, consulted at read time
@@ -87,7 +86,12 @@ object StatsIndex {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
     }
+    // mergeSchema: the delta may straddle an additive schema-evolution
+    // boundary (SchemaEvolution) — an indexed column added later must
+    // read as null from pre-evolution files, not lose the whole build
+    // to whichever file wins schema inference
     spark.read.option("basePath", tableDir.toString)
+      .option("mergeSchema", "true")
       .parquet(newFiles.map(_.toString): _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -103,9 +107,13 @@ object StatsIndex {
     indexDf(spark, fs, tableDir) match {
       case None => committed
       case Some(idx) =>
-        val indexed = indexedCols(idx).toSet
+        val statTypes: Map[String, DataType] =
+          idx.schema.fields.collect {
+            case f if f.name.startsWith("min_") =>
+              f.name.stripPrefix("min_") -> f.dataType
+          }.toMap
         val parsed = spark.sessionState.sqlParser.parseExpression(cond)
-        pruningFor(parsed, indexed) match {
+        pruningFor(parsed, statTypes) match {
           case None => committed // nothing prunable in cond
           case Some(pruning) =>
             val all = idx.select("file").collect()
@@ -138,16 +146,13 @@ object StatsIndex {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }
 
-  /** One canonical string per physical file: `input_file_name()` URIs
-    * (`file:///x` — empty authority) and manifest-derived Paths
-    * (`file:/x` — null authority) must compare equal, so rebuild the
-    * key from scheme/authority/path components, never `toString`. */
-  private def normalize(fs: FileSystem, p: Path): String = {
-    val u = fs.makeQualified(p).toUri
-    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-  }
+  /** One canonical string per physical file — delegated to
+    * [[IdempotentSink.normalizePath]] so the `input_file_name()`-vs-
+    * manifest-Path key rule lives in exactly one place. */
+  private def normalize(fs: FileSystem, p: Path): String =
+    IdempotentSink.normalizePath(fs, p)
   private def normalize(fs: FileSystem, s: String): String =
-    normalize(fs, new Path(new URI(s)))
+    IdempotentSink.normalizePath(fs, s)
 
   // ---- predicate → file-level pruning condition -------------------
 
@@ -163,79 +168,107 @@ object StatsIndex {
     * correctly, since an all-null column matches no comparison (IS
     * NULL is answered from `nulls_<c>` instead). Literal sides are
     * rebuilt as Columns via their own SQL rendering, so types
-    * (timestamps, dates, decimals) survive the round trip exactly. */
+    * (timestamps, dates, decimals) survive the round trip exactly.
+    *
+    * TYPE GUARD: a comparison only prunes when the stats column's
+    * stored type is order-compatible with the literal — i.e. when
+    * Spark's coercion casts (at most) the LITERAL side, or casts the
+    * column monotonically (numeric widening). A string column compared
+    * to a numeric literal makes Spark cast the COLUMN, and a file's
+    * string-ordered min/max says nothing about its numeric range —
+    * pruning there would silently drop matching rows, so such nodes
+    * contribute "keep" instead. */
   private[ocsf] def pruningFor(e: Expression,
-                               indexed: Set[String]): Option[Column] = {
+                               stats: Map[String, DataType]): Option[Column] = {
     def c(ex: Expression): Column = expr(ex.sql)
     def minC(n: String) = col(s"min_$n")
     def maxC(n: String) = col(s"max_$n")
-    def attr(ex: Expression): Option[String] = ex match {
+    def attrAny(ex: Expression): Option[String] = ex match {
       case a: UnresolvedAttribute
-        if a.nameParts.size == 1 && indexed(a.nameParts.head) =>
+        if a.nameParts.size == 1 && stats.contains(a.nameParts.head) =>
         Some(a.nameParts.head)
-      case a: AttributeReference if indexed(a.name) => Some(a.name)
+      case a: AttributeReference if stats.contains(a.name) => Some(a.name)
       case _ => None
     }
+    def orderCompatible(statT: DataType, litT: DataType): Boolean =
+      statT == litT || ((statT, litT) match {
+        case (_: NumericType, _: NumericType) => true
+        case (_: NumericType, _: StringType) => true // literal side cast
+        case (TimestampType | DateType,
+              TimestampType | DateType | _: StringType) => true
+        case _ => false
+      })
+    // attribute usable against this literal's type
+    def attr(ex: Expression, v: Expression): Option[String] = v match {
+      case l: Literal =>
+        attrAny(ex).filter(n => orderCompatible(stats(n), l.dataType))
+      case _ => None
+    }
+    // attribute in a type-free context (IS NULL etc.)
     def isLit(ex: Expression): Boolean = ex.isInstanceOf[Literal]
     def nonNullLit(ex: Expression): Boolean = ex match {
       case Literal(v, _) => v != null
       case _ => false
     }
+    def isStringStat(n: String): Boolean = stats(n).isInstanceOf[StringType]
     e match {
-      case And(l, r) => (pruningFor(l, indexed), pruningFor(r, indexed)) match {
+      case And(l, r) => (pruningFor(l, stats), pruningFor(r, stats)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b)
       }
       case Or(l, r) =>
-        for { a <- pruningFor(l, indexed); b <- pruningFor(r, indexed) }
+        for { a <- pruningFor(l, stats); b <- pruningFor(r, stats) }
           yield a || b
       // a > v ⇒ the file's max must exceed v (plus flipped forms)
-      case GreaterThan(a, v) if attr(a).isDefined && isLit(v) =>
-        Some(maxC(attr(a).get) > c(v))
-      case GreaterThan(v, a) if attr(a).isDefined && isLit(v) =>
-        Some(minC(attr(a).get) < c(v))
-      case GreaterThanOrEqual(a, v) if attr(a).isDefined && isLit(v) =>
-        Some(maxC(attr(a).get) >= c(v))
-      case GreaterThanOrEqual(v, a) if attr(a).isDefined && isLit(v) =>
-        Some(minC(attr(a).get) <= c(v))
-      case LessThan(a, v) if attr(a).isDefined && isLit(v) =>
-        Some(minC(attr(a).get) < c(v))
-      case LessThan(v, a) if attr(a).isDefined && isLit(v) =>
-        Some(maxC(attr(a).get) > c(v))
-      case LessThanOrEqual(a, v) if attr(a).isDefined && isLit(v) =>
-        Some(minC(attr(a).get) <= c(v))
-      case LessThanOrEqual(v, a) if attr(a).isDefined && isLit(v) =>
-        Some(maxC(attr(a).get) >= c(v))
-      case EqualTo(a, v) if attr(a).isDefined && isLit(v) =>
-        Some(minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
-      case EqualTo(v, a) if attr(a).isDefined && isLit(v) =>
-        Some(minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
-      case EqualNullSafe(a, Literal(null, _)) if attr(a).isDefined =>
-        Some(col(s"nulls_${attr(a).get}") > 0)
-      case EqualNullSafe(a, v) if attr(a).isDefined && nonNullLit(v) =>
-        Some(minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
-      case In(a, vs) if attr(a).isDefined && vs.nonEmpty && vs.forall(isLit) =>
-        Some(vs.map(v => minC(attr(a).get) <= c(v) && maxC(attr(a).get) >= c(v))
-          .reduce(_ || _))
-      case IsNull(a) if attr(a).isDefined =>
-        Some(col(s"nulls_${attr(a).get}") > 0)
-      case IsNotNull(a) if attr(a).isDefined =>
-        Some(minC(attr(a).get).isNotNull)
+      case GreaterThan(a, v) if attr(a, v).isDefined =>
+        Some(maxC(attr(a, v).get) > c(v))
+      case GreaterThan(v, a) if attr(a, v).isDefined =>
+        Some(minC(attr(a, v).get) < c(v))
+      case GreaterThanOrEqual(a, v) if attr(a, v).isDefined =>
+        Some(maxC(attr(a, v).get) >= c(v))
+      case GreaterThanOrEqual(v, a) if attr(a, v).isDefined =>
+        Some(minC(attr(a, v).get) <= c(v))
+      case LessThan(a, v) if attr(a, v).isDefined =>
+        Some(minC(attr(a, v).get) < c(v))
+      case LessThan(v, a) if attr(a, v).isDefined =>
+        Some(maxC(attr(a, v).get) > c(v))
+      case LessThanOrEqual(a, v) if attr(a, v).isDefined =>
+        Some(minC(attr(a, v).get) <= c(v))
+      case LessThanOrEqual(v, a) if attr(a, v).isDefined =>
+        Some(maxC(attr(a, v).get) >= c(v))
+      case EqualTo(a, v) if attr(a, v).isDefined =>
+        Some(minC(attr(a, v).get) <= c(v) && maxC(attr(a, v).get) >= c(v))
+      case EqualTo(v, a) if attr(a, v).isDefined =>
+        Some(minC(attr(a, v).get) <= c(v) && maxC(attr(a, v).get) >= c(v))
+      case EqualNullSafe(a, Literal(null, _)) if attrAny(a).isDefined =>
+        Some(col(s"nulls_${attrAny(a).get}") > 0)
+      case EqualNullSafe(a, v) if attr(a, v).isDefined && nonNullLit(v) =>
+        Some(minC(attr(a, v).get) <= c(v) && maxC(attr(a, v).get) >= c(v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(isLit) &&
+          vs.forall(v => attr(a, v).isDefined) =>
+        Some(vs.map(v => minC(attr(a, v).get) <= c(v) &&
+          maxC(attr(a, v).get) >= c(v)).reduce(_ || _))
+      case IsNull(a) if attrAny(a).isDefined =>
+        Some(col(s"nulls_${attrAny(a).get}") > 0)
+      case IsNotNull(a) if attrAny(a).isDefined =>
+        Some(minC(attrAny(a).get).isNotNull)
       // col LIKE 'p%' (no other wildcards) is a prefix range scan:
-      // matches live in [p, nextPrefix(p))
-      case Like(a, Literal(pat, _), escape) if attr(a).isDefined &&
+      // matches live in [p, nextPrefix(p)) — only meaningful when the
+      // stats really are string-ordered
+      case Like(a, Literal(pat, _), escape) if attrAny(a).exists(isStringStat) &&
           pat != null && escape == '\\' && likePrefix(pat.toString).isDefined =>
         val p = likePrefix(pat.toString).get
-        val lower = maxC(attr(a).get) >= lit(p)
+        val lower = maxC(attrAny(a).get) >= lit(p)
         Some(nextPrefix(p) match {
-          case Some(np) => lower && minC(attr(a).get) < lit(np)
+          case Some(np) => lower && minC(attrAny(a).get) < lit(np)
           case None => lower
         })
-      case StartsWith(a, Literal(v, _)) if attr(a).isDefined && v != null =>
+      case StartsWith(a, Literal(v, _)) if attrAny(a).exists(isStringStat) &&
+          v != null =>
         val p = v.toString
-        val lower = maxC(attr(a).get) >= lit(p)
+        val lower = maxC(attrAny(a).get) >= lit(p)
         Some(nextPrefix(p) match {
-          case Some(np) => lower && minC(attr(a).get) < lit(np)
+          case Some(np) => lower && minC(attrAny(a).get) < lit(np)
           case None => lower
         })
       case _ => None
@@ -252,11 +285,20 @@ object StatsIndex {
     else None
 
   /** Smallest string greater than every string with prefix `p`: bump
-    * the last non-￿ char and truncate. None when no such string
-    * exists (all-￿ prefix). */
+    * the last non-￿ char and truncate. A bump landing in the
+    * surrogate range would UTF-8-encode as the replacement char and
+    * produce a bound BELOW the prefix, so it skips to  (every
+    * valid code point above the surrogates sorts at or above it in
+    * UTF-8 byte order — a looser but sound bound). None when no such
+    * string exists (all-￿ prefix). */
   private def nextPrefix(p: String): Option[String] = {
     val i = p.lastIndexWhere(_ != '￿')
     if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    else {
+      val bumped = (p.charAt(i) + 1).toChar
+      val safe = if (bumped >= '\ud800' && bumped <= '\udfff') ''
+                 else bumped
+      Some(p.substring(0, i) + safe)
+    }
   }
 }

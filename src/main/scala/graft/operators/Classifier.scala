@@ -63,8 +63,12 @@ object Classifier {
     import spark.implicits._
     val feats = featurize(labeled, idCol, textCol, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted too: without it every iteration would re-run the full
+    // label lineage (source scan + label derivation) inside the errs
+    // join
     val labels = labeled.select(col(idCol).as("id"),
       col(labelCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = labels.count().toDouble
     require(n > 0, "no labeled rows")
     val w = new Array[Double](dim)
@@ -88,7 +92,7 @@ object Classifier {
           w(i) -= lr * (r.getDouble(1) / n + l2 * w(i))
         }
       }
-    } finally { feats.unpersist(); () }
+    } finally { feats.unpersist(); labels.unpersist(); () }
     w
   }
 
@@ -103,15 +107,16 @@ object Classifier {
     import spark.implicits._
     val wDf = weights.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
       .toDF("i", "w")
+    // collision-proof internal names: docs may itself carry an `id`
+    // column (or idCol may BE "id") — join on an expression against
+    // renamed margin columns instead of touching docs' schema
     val margins = featurize(docs, idCol, textCol, weights.length)
       .join(broadcast(wDf), "i")
-      .groupBy("id").agg(sum(col("v") * col("w")).as("m"))
-    docs.select(col(idCol).as("id"), col("*"))
-      .drop(idCol)
-      .join(margins, Seq("id"), "left")
+      .groupBy("id").agg(sum(col("v") * col("w")).as("__cls_m"))
+      .withColumnRenamed("id", "__cls_id")
+    docs.join(margins, docs(idCol) === margins("__cls_id"), "left")
       .withColumn("prob",
-        lit(1.0) / (lit(1.0) + exp(-coalesce(col("m"), lit(0.0)))))
-      .withColumnRenamed("id", idCol)
-      .drop("m")
+        lit(1.0) / (lit(1.0) + exp(-coalesce(col("__cls_m"), lit(0.0)))))
+      .drop("__cls_id", "__cls_m")
   }
 }

@@ -75,8 +75,13 @@ object Shard {
                    numShards: Int, bucketHex: Int = 2): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     require(bucketHex >= 1 && bucketHex <= 4, "bucketHex in 1..4")
+    // null ids coalesce to one sentinel hash key instead of silently
+    // vanishing through the null-keyed join (their relative order is
+    // undefined — they are indistinguishable rows — but every row
+    // keeps exactly one position and the permutation stays contiguous)
     val d = docs.withColumn("_h",
-      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      md5(concat(lit(seed.toString), lit(":"),
+        coalesce(col(idCol).cast("string"), lit("")))))
       .withColumn("_bucket", substring(col("_h"), 1, bucketHex))
     val wLocal = Window.partitionBy("_bucket")
       .orderBy(col("_h"), col(idCol))

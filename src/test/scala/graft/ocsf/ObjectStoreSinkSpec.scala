@@ -247,6 +247,37 @@ class ObjectStoreSinkSpec extends SparkSpec {
     assert(committedUids(base) == before)
   }
 
+  test("z-order request over a hash-compacted pair rewrites: layout is recorded, never inferred from file count") {
+    val base = mkBase()
+    import spark.implicits._
+    def batchDf(b: Int): DataFrame =
+      (0 until 64).map { i =>
+        (s"u$b-$i", f"2023-11-14 ${i % 24}%02d:00:00", (i * 13 + b) % 100)
+      }.toDF("uid", "tstr", "severity")
+        .select(struct(col("uid")).as("metadata"),
+          to_timestamp(col("tstr")).as("time"), col("severity"))
+    (0 until 3).foreach(b =>
+      IdempotentSink.writeBatch(batchDf(b), base, route, region, acct,
+        batchId = b.toLong))
+    val (_, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    // plain hash-split compaction first: rows interleave across files
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2) == 3)
+    // the single surviving pair is AT the target file count, but its
+    // manifest records no layout — a z-order request must still rewrite
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = Seq("time", "severity")) == 1)
+    assert(committedUids(base) == before)
+    // now the layout is recorded: same request no-ops
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = Seq("time", "severity")) == 0)
+    // a DIFFERENT layout request rewrites again
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = Seq("severity")) == 1)
+    assert(committedUids(base) == before)
+  }
+
   test("crash mid data-compaction promote: readers keep the originals, re-run completes") {
     val base = mkBase()
     (0 until 2).foreach { b =>

@@ -144,6 +144,38 @@ class StatsIndexSpec extends SparkSpec {
     assertExact(base, "severity > 800")
   }
 
+  test("type guard: column-coercing comparisons never prune (string stats vs numeric literal)") {
+    val base = mkBase()
+    import spark.implicits._
+    // digit-STRING column: string-ordered stats say nothing about the
+    // numeric range ("05" < "3" as strings but 5 > 3 as numbers)
+    def digitBatch(b: Int, vals: Seq[String]) = vals.zipWithIndex.map {
+      case (v, i) => (s"u$b-$i", v)
+    }.toDF("uid", "code")
+      .select(struct(col("uid")).as("metadata"),
+        to_timestamp(lit("2023-11-14 12:00:00")).as("time"), col("code"))
+    IdempotentSink.writeBatch(digitBatch(0, Seq("05", "3")), base, route,
+      region, acct, batchId = 0L, filesPerDay = 1)
+    IdempotentSink.writeBatch(digitBatch(1, Seq("7", "9")), base, route,
+      region, acct, batchId = 1L, filesPerDay = 1)
+    assert(OcsfTables.buildStats(spark, base, route, Seq("code")) == 2)
+    // numeric literal coerces the COLUMN: pruning must opt out (keep
+    // both files) and the result must still be exact — "05" matches 5
+    assert(keptCount(base, "code = 5") == 2)
+    assertExact(base, "code = 5")
+    assert(keptCount(base, "code >= 4") == 2)
+    assertExact(base, "code >= 4")
+    // string literal against string stats: pruning allowed and exact
+    assert(keptCount(base, "code = '7'") == 1)
+    assertExact(base, "code = '7'")
+    // LIKE over a NON-string column: opt out, stay exact
+    val base2 = mkBase()
+    writeBatches(base2, 2)
+    assert(OcsfTables.buildStats(spark, base2, route, Seq("severity")) == 2)
+    assert(keptCount(base2, "severity LIKE '1%'") == 2)
+    assertExact(base2, "severity LIKE '1%'")
+  }
+
   test("null stats: comparisons prune all-null chunks, IS NULL finds them") {
     val base = mkBase()
     import spark.implicits._

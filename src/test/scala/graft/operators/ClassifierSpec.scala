@@ -59,6 +59,17 @@ class ClassifierSpec extends SparkSpec {
     scored.foreach(r => assert(r.getAs[Double]("prob") == 0.5))
   }
 
+  test("score survives idCol named 'id' and a pre-existing 'id' column") {
+    import spark.implicits._
+    val w = Array.tabulate(128)(i => (i % 7 - 3) * 0.1)
+    val renamed = corpus().withColumnRenamed("doc_id", "id")
+    assert(Classifier.score(renamed, "id", "text", w).count() == 240)
+    val withExtra = corpus().withColumn("extra", col("doc_id") * 2)
+    val out = Classifier.score(withExtra, "doc_id", "text", w)
+    assert(out.columns.count(_ == "prob") == 1 &&
+      out.columns.contains("extra") && out.count() == 240)
+  }
+
   test("scoring under fixed weights is deterministic") {
     val d = corpus()
     val w = Array.tabulate(128)(i => (i % 7 - 3) * 0.1)

@@ -69,6 +69,29 @@ class DsirShardSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("C36: epoch shuffle is a contiguous permutation, seed-sensitive, null-id-safe") {
+    import spark.implicits._
+    val ids = (0L until 99L).map(Option(_)) :+ Option.empty[Long]
+    val d = ids.toDF("doc_id")
+    val out = Shard.epochShuffle(d, "doc_id", seed = 7L, numShards = 4)
+      .select("doc_id", "position", "shard").collect()
+    // every row (incl. the null id) holds exactly one position 0..n-1
+    assert(out.length == 100)
+    assert(out.map(_.getLong(1)).sorted.toSeq == (0L until 100L))
+    // round-robin deal: shard sizes equal
+    assert(out.groupBy(_.getInt(2)).values.map(_.size).toSet == Set(25))
+    // deterministic for the same seed; a different seed reshuffles
+    val again = Shard.epochShuffle(d, "doc_id", seed = 7L, numShards = 4)
+      .select("doc_id", "position").collect()
+      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    out.foreach(r => assert(again(Option(r.get(0))) == r.getLong(1)))
+    val other = Shard.epochShuffle(d, "doc_id", seed = 8L, numShards = 4)
+      .select("doc_id", "position").collect()
+      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(out.count(r => other(Option(r.get(0))) != r.getLong(1)) > 50,
+      "a different seed must produce a different permutation")
+  }
+
   test("C28b: shards come out token-balanced on skewed sizes") {
     // heavy-tailed weights: a naive contiguous split would put the
     // giants together; round-robin over the size-descending deal
