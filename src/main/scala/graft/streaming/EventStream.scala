@@ -116,13 +116,22 @@ object EventStream {
     * writer (it only merges pairs it listed; a pair landing mid-merge
     * is picked up by the next compaction). A compaction failure only
     * defers cleanup, so it must never fail the batch — it is logged
-    * and retried at the next interval. */
+    * and retried at the next interval.
+    *
+    * `statsCols` non-empty additionally refreshes each route's
+    * file-skipping stats index ([[graft.ocsf.StatsIndex]]) on the same
+    * maintenance cadence — incremental, so each refresh scans only the
+    * files landed since the last one, and the ingest path keeps
+    * [[graft.ocsf.OcsfTables.loadWhere]] pruning current without an
+    * external job. Same failure contract as compaction: the index is
+    * advisory, so a failed refresh is logged, never a batch failure. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
             routes: Seq[String] = OcsfMappings.routes,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
             batchTimeout: Duration = 10.minutes,
-            compactEvery: Int = 100): StreamingQuery = {
+            compactEvery: Int = 100,
+            statsCols: Seq[String] = Nil): StreamingQuery = {
     import scala.concurrent.{Await, Future}
     import graft.ocsf.OcsfSink
     readClassified(spark, landingDir).writeStream
@@ -171,6 +180,15 @@ object EventStream {
                 System.err.println(
                   s"[graft] compactCommits($route) failed at batch $batchId: ${e.getMessage}")
               }
+              if (statsCols.nonEmpty)
+                // incremental: scans only files landed since the last
+                // refresh; advisory index — a failure costs pruning,
+                // never rows, so it must never fail the batch either
+                try { graft.ocsf.StatsIndex.build(spark, table, statsCols); () }
+                catch { case e: Exception =>
+                  System.err.println(
+                    s"[graft] statsIndex($route) failed at batch $batchId: ${e.getMessage}")
+                }
             }
           }
           ()

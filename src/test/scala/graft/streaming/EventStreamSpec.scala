@@ -138,6 +138,54 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Seq("e0", "e1", "e2"))
   }
 
+  test("streaming maintenance keeps the stats index current; loadWhere stays exact") {
+    val landing = Files.createTempDirectory("stream-stats")
+    val out     = Files.createTempDirectory("stream-stats-out")
+    val ckpt    = Files.createTempDirectory("stream-stats-ckpt")
+    val routes  = Seq("DNS Activity")
+    def dns(id: String, host: String, ts: Long) =
+      s"""{"event_simpleName":"DnsRequest","name":"DnsRequestV4","aid":"a-$id","cid":"c1","id":"$id","timestamp":"$ts","event_platform":"Lin","DomainName":"$host.example.com"}"""
+    // distinct per-batch time ranges so per-file stats CAN separate them
+    (0 until 3).foreach { b =>
+      writeGz(landing, s"obj-$b.gz",
+        (0 until 4).map(i => dns(s"e$b-$i", s"h$b-$i",
+          1700000000000L + b * 3600000L + i * 1000L)))
+      val q = EventStream.start(spark, landing.toString, out.toString,
+        ckpt.toString, "us-east-1", "123456789012", routes,
+        Trigger.AvailableNow(), compactEvery = 2,
+        statsCols = Seq("time"))
+      q.awaitTermination(180000)
+    }
+    // the maintenance slot fired at batch 2 and indexed what was
+    // committed then; files landed after stay unindexed (and readable)
+    val tableDir = new org.apache.hadoop.fs.Path(
+      out.toString + "/dns_activity")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tableDir, "_stats/index")),
+      "in-stream maintenance must have built the index")
+    // exactness under the streamed index: loadWhere == load().filter
+    // for a none-matching, a some-matching, and an all-matching range
+    // (counts left to the filter itself — session-timezone-agnostic)
+    def uidsWhere(c: String) =
+      graft.ocsf.OcsfTables.loadWhere(spark, out.toString, "DNS Activity", c)
+        .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    def uidsFull(c: String) =
+      graft.ocsf.OcsfTables.load(spark, out.toString, "DNS Activity")
+        .filter(c).select("metadata.uid").collect()
+        .map(_.getString(0)).sorted.toSeq
+    Seq("time < timestamp'2020-01-01 00:00:00'",
+        "time < timestamp'2023-11-14 22:45:00'",
+        "time >= timestamp'2020-01-01 00:00:00'").foreach { c =>
+      assert(uidsWhere(c) == uidsFull(c), s"loadWhere($c) diverged")
+    }
+    assert(uidsWhere("time IS NOT NULL").size == 12, "all rows reachable")
+    // a follow-up incremental refresh indexes only the straggler files
+    val scanned = graft.ocsf.StatsIndex.build(spark, tableDir, Seq("time"))
+    val total = graft.ocsf.IdempotentSink.committedFiles(fs, tableDir).size
+    assert(scanned < total && scanned >= 0,
+      s"refresh must be incremental (scanned=$scanned of $total)")
+  }
+
   test("fan-out replays a crashed batch without duplicating committed routes") {
     val landing = Files.createTempDirectory("stream-crash")
     val out     = Files.createTempDirectory("stream-crash-out")
