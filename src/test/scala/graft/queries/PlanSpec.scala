@@ -148,6 +148,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // 16-row offsets broadcast back
   }
 
+  test("C36: epoch shuffle's corpus-sized window partitions by bucket, not globally") {
+    val p = plan("q_doc_epoch_shuffle")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("_bucket")), p)
+    assert(p.contains("BroadcastHashJoin"), p) // 256-row offsets broadcast back
+  }
+
   test("C29: chunking is map-only — zero exchanges at any corpus size") {
     val p = plan("q_doc_chunks")
     assert(!p.contains("Exchange"), p)
