@@ -62,6 +62,17 @@ object DocQueries {
     ClusterSample.sample(emb(s, dir), "vec_id", "embedding",
       k = 16, perCell = 8)
 
+  // ---------------------------------------------------------------- C38
+  /** Cluster topic labeling ([[graft.operators.Topics]]): the C35
+    * cells named by their most distinguishing terms (cell term-doc
+    * frequency × corpus IDF, distinct-per-doc so no single spammy doc
+    * names a cluster). Rows-only: k-means cells are engine-specific;
+    * TopicsSpec pins the labeling on planted vocabulary clusters. */
+  def qEmbTopics(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Topics.report(
+      docs(s, dir).select(col("doc_id"), col("text")), emb(s, dir),
+      "doc_id", "text", "vec_id", "embedding", k = 8, topTerms = 5)
+
   // ---------------------------------------------------------------- C33
   /** Hard negatives for the "training batch" vec_id < 8: per query,
     * top-3 most-similar corpus vectors below the near-dup cut. The
@@ -834,6 +845,7 @@ object DocQueries {
     "q_doc_shards"        -> (qDocShards _),
     "q_doc_epoch_shuffle" -> (qDocEpochShuffle _),
     "q_doc_quality_classifier" -> (qDocQualityClassifier _),
+    "q_emb_topics"        -> (qEmbTopics _),
     "q_doc_chunks"        -> (qDocChunks _),
     "q_doc_split_leakfree" -> (qDocSplitLeakfree _),
     "q_doc_langid"        -> (qDocLangid _),

@@ -30,7 +30,9 @@ class ContractSpec extends AnyFunSuite {
       "q_doc_minhash_pairs", "q_doc_pipeline_scale",
       "q_doc_quality_classifier", // distributed-GD weights are float-order-sensitive; ClassifierSpec pins learning
       "q_doc_simhash",
-      "q_doc_simhash_pairs", "q_emb_cluster_sample", "q_emb_ivf_topk",
+      "q_doc_simhash_pairs", "q_emb_cluster_sample",
+      "q_emb_topics", // k-means cells are engine-specific; TopicsSpec pins the labeling
+      "q_emb_ivf_topk",
       "q_emb_lsh_ann", "q_emb_pq_topk", "q_emb_ivfpq_topk",
       "q_mm_features",
       "q_mm_image_dups") // aHash needs image decode — no DuckDB oracle
