@@ -824,35 +824,8 @@ object IdempotentSink {
       spark.conf.set(inferKey, "false")
       val rows = spark.read.option("basePath", tableDir.toString)
         .parquet(files: _*)
-      val repart =
-        if (zorderCols.nonEmpty) {
-          // Z-order the rewrite (operators.Zorder, C34): cluster each
-          // day's rows along the Morton curve of the given top-level
-          // numeric/timestamp non-null columns, so per-file min-max
-          // stats narrow on EVERY one of them and predicates on any
-          // skip files. The file split is the TOP z bits — a z-RANGE
-          // cut, not a hash salt, so clustering survives across files;
-          // a day whose rows span a narrow z-slice yields fewer than
-          // filesPerDay files (larger but still sorted), never
-          // interleaved ones.
-          val bits = math.min(16, 63 / zorderCols.size)
-          val withZ = graft.operators.Zorder
-            .withZValue(rows, zorderCols, "__z", bits)
-          // EXPLICIT partition count: an implicit repartition would let
-          // AQE coalesce the write back into day-spanning files,
-          // undoing the layout
-          val numParts = math.max(1, partDirs.size * filesPerDay)
-          withZ
-            .repartitionByRange(numParts, col("region"), col("accountId"),
-              col("eventDay"), col("__z"))
-            .sortWithinPartitions(col("region"), col("accountId"),
-              col("eventDay"), col("__z"))
-            .drop("__z")
-        } else if (filesPerDay == 1)
-          rows.repartition(col("region"), col("accountId"), col("eventDay"))
-        else rows.repartition(col("region"), col("accountId"), col("eventDay"),
-          pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay)))
-      repart.write.mode("overwrite")
+      rewriteLayout(rows, partDirs.size, filesPerDay, zorderCols)
+        .write.mode("overwrite")
         .partitionBy("region", "accountId", "eventDay")
         .parquet(new Path(stagingRoot, "c").toString)
     } finally spark.conf.set(inferKey, inferOld)
@@ -890,6 +863,37 @@ object IdempotentSink {
     val es = fs.listStatus(cb).map(_.getPath.getName)
     (es.filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSet,
       es.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSet)
+  }
+
+  /** The physical split+order of a data rewrite, shared by
+    * [[compactDataFiles]] and [[deleteWhere]]. With `zorderCols`:
+    * cluster each day's rows along the Morton curve
+    * ([[graft.operators.Zorder]], C34) so per-file min-max stats
+    * narrow on EVERY layout column; the file split is the TOP z bits —
+    * a z-RANGE cut via an EXPLICIT-count `repartitionByRange` (an
+    * implicit repartition would let AQE coalesce the layout away), so
+    * clustering survives across files. Without: one file per day, or a
+    * deterministic hash split into `filesPerDay`. */
+  private def rewriteLayout(rows: org.apache.spark.sql.DataFrame,
+                            numPartDirs: Int, filesPerDay: Int,
+                            zorderCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    if (zorderCols.nonEmpty) {
+      val bits = math.min(16, 63 / zorderCols.size)
+      val withZ = graft.operators.Zorder
+        .withZValue(rows, zorderCols, "__z", bits)
+      val numParts = math.max(1, numPartDirs * filesPerDay)
+      withZ
+        .repartitionByRange(numParts, col("region"), col("accountId"),
+          col("eventDay"), col("__z"))
+        .sortWithinPartitions(col("region"), col("accountId"),
+          col("eventDay"), col("__z"))
+        .drop("__z")
+    } else if (filesPerDay == 1)
+      rows.repartition(col("region"), col("accountId"), col("eventDay"))
+    else rows.repartition(col("region"), col("accountId"), col("eventDay"),
+      pmod(xxhash64(col("metadata.uid"), col("time")), lit(filesPerDay)))
   }
 
   /** Fresh `compactdata-<k>` sequence number: one past the largest k
@@ -973,14 +977,22 @@ object IdempotentSink {
     *  - live foreign-writer (`w-*`) pairs REFUSE the delete: their
     *    owner's replay would restage the erased rows. Retire them
     *    first via [[compactCommits]]`(foldWriters = ...)`;
-    *  - the rewrite of an affected day collapses toward one file and
-    *    records no layout, so a z-ordered day loses its clustering —
-    *    the next `compactDataFiles(zorderCols = ...)` sees the
-    *    missing `#layout` header and restores it.
+    *  - pass the table's `filesPerDay`/`zorderCols` to re-lay the
+    *    rewritten slice like the rest of the table. The output pair
+    *    records the `#layout` header ONLY when every superseded pair
+    *    already recorded the same layout (the carried files are part
+    *    of the pair too — a mixed pair must stay rewrite-eligible);
+    *    an erasure over a z-ordered table with matching `zorderCols`
+    *    therefore keeps the maintenance loop a no-op, while one
+    *    without re-layout leaves the header off and the next
+    *    `compactDataFiles(zorderCols = ...)` restores clustering.
     *
     * Returns the number of rows deleted. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession,
-                  tableDir: Path, cond: String): Long = {
+                  tableDir: Path, cond: String,
+                  filesPerDay: Int = 1,
+                  zorderCols: Seq[String] = Nil): Long = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, not}
     val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
     val cb = new Path(tableDir, "_committed_batches")
@@ -1043,15 +1055,26 @@ object IdempotentSink {
     }).distinct
     val k = nextRewriteK(fs, cb)
     val stagingRoot = new Path(tableDir, s"_staging/compactdata_$k")
+    val affectedPartDirs = rewriteFiles
+      .map(f => new Path(f).getParent.toString).toSet.size
     try {
       spark.conf.set(inferKey, "false")
-      spark.read.option("basePath", tableDir.toString)
+      val kept = spark.read.option("basePath", tableDir.toString)
         .parquet(rewriteFiles: _*)
         .where(not(coalesce(delCond, lit(false))))
-        .repartition(col("region"), col("accountId"), col("eventDay"))
-        .sortWithinPartitions(col("region"), col("accountId"),
-          col("eventDay"), col("time"))
-        .write.mode("overwrite")
+      // one staged file per affected input file (capped by the per-day
+      // quota): the rewrite covers only a SLICE of each day, so
+      // applying the full day quota would inflate the file count past
+      // the compaction target and force a needless follow-up rewrite
+      val numParts = math.max(1,
+        math.min(rewriteFiles.size, affectedPartDirs * filesPerDay))
+      val laid =
+        if (zorderCols.nonEmpty)
+          rewriteLayout(kept, numParts, 1, zorderCols)
+        else rewriteLayout(kept, affectedPartDirs, filesPerDay, Nil)
+          .sortWithinPartitions(col("region"), col("accountId"),
+            col("eventDay"), col("time"))
+      laid.write.mode("overwrite")
         .partitionBy("region", "accountId", "eventDay")
         .parquet(new Path(stagingRoot, "c").toString)
     } finally spark.conf.set(inferKey, inferOld)
@@ -1060,9 +1083,17 @@ object IdempotentSink {
     val maxBatch = inputs.flatMap { case (n, md) =>
       n.toLongOption ++ md.maxBatch
     }.maxOption
+    // record the layout ONLY when the whole output pair (staged AND
+    // carried files) is uniformly laid: every superseded pair must
+    // already record it
+    val layoutStr =
+      if (zorderCols.isEmpty) None
+      else Some("zorder:" + zorderCols.mkString(","))
+    val recordLayout =
+      layoutStr.filter(ls => inputs.forall(_._2.layout.contains(ls)))
     writeAtomic(fs, new Path(cb, s"compactdata-$k.manifest"),
       manifestBody(staged ++ carried,
-        inputs.map(_._1).toSet ++ deadExclusions, maxBatch))
+        inputs.map(_._1).toSet ++ deadExclusions, maxBatch, recordLayout))
     staged.foreach { case (rel, len) =>
       promoteOne(fs, stagingRoot, tableDir, rel, len, "compactdata", k.toString)
     }

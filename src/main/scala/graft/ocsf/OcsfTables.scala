@@ -160,9 +160,10 @@ object OcsfTables {
     * rows kept, time travel below the new horizon throws, live
     * backfill writers refuse). Returns rows deleted. */
   def deleteWhere(spark: SparkSession, baseDir: String, route: String,
-                  cond: String): Long = {
+                  cond: String, filesPerDay: Int = 1,
+                  zorderCols: Seq[String] = Nil): Long = {
     val (_, tableDir) = tableFs(spark, baseDir, route)
-    IdempotentSink.deleteWhere(spark, tableDir, cond)
+    IdempotentSink.deleteWhere(spark, tableDir, cond, filesPerDay, zorderCols)
   }
 
   /** The file list [[loadWhere]] would open — exposed for maintenance

@@ -149,6 +149,32 @@ class DeleteWhereSpec extends SparkSpec {
     assert(!asOf1.contains("u1-0"))
   }
 
+  test("layout-preserving erasure: z-order delete keeps the maintenance loop a no-op") {
+    val base = mkBase()
+    writeBatches(base, 3)
+    val (fs, tableDir) = fsOf(base)
+    val z = Seq("severity")
+    // establish a recorded z-layout
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = z) == 3)
+    val all = uids(base)
+    // erasure WITH the table's layout: rewritten slice re-laid on the
+    // same curve, layout header carried → compaction stays a no-op
+    assert(IdempotentSink.deleteWhere(spark, tableDir, "severity = 105",
+      filesPerDay = 2, zorderCols = z) == 1L)
+    assert(uids(base) == all.filterNot(_ == "u1-5"))
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = z) == 0,
+      "layout preserved end-to-end: nothing to re-lay")
+    // erasure WITHOUT re-layout: the output pair drops the header and
+    // the next z-compaction rewrites to restore clustering
+    assert(IdempotentSink.deleteWhere(spark, tableDir, "severity = 106") == 1L)
+    assert(IdempotentSink.compactDataFiles(spark, tableDir,
+      filesPerDay = 2, zorderCols = z) == 1,
+      "missing layout header must trigger a restoring rewrite")
+    assert(uids(base) == all.filterNot(u => u == "u1-5" || u == "u1-6"))
+  }
+
   test("live foreign-writer pairs refuse the delete") {
     val base = mkBase()
     writeBatches(base, 1)
