@@ -1106,6 +1106,60 @@ object IdempotentSink {
     deleted
   }
 
+  /** Offline janitor for the residue no replay ever reclaims: a
+    * writer that CRASHED AND NEVER CAME BACK leaves its attempt
+    * staging dir (`_staging/batch_<pair>/g<gen>/`) and possibly a
+    * `.{name}.tmp` from a torn [[writeAtomic]] — both invisible to
+    * readers (staging is underscore-hidden, tmp files are dot-hidden)
+    * but real object-store storage forever. Every OTHER residue class
+    * already self-heals: a replay resumes its own staging, and the
+    * data-rewrite ops settle crashed `compactdata` state on their next
+    * run (which this also invokes).
+    *
+    * Deletes ONLY bookkeeping residue, never data: batch staging dirs
+    * for pairs that are already COMMITTED (their rows live at final
+    * paths; the staging copy is a leftover) or whose pair name has no
+    * manifest at all AND is not in-flight in this process (a crashed
+    * first attempt — nothing was published, nothing is lost), plus
+    * torn control-dir tmp files. Final-path data files named by no
+    * manifest (out-of-contract plain appends) are NOT touched — the
+    * [[OcsfTables.load]] stray guard reports those; deleting them
+    * could destroy data this operator does not own.
+    *
+    * OFFLINE, single operator, same contract as the other maintenance
+    * ops. Returns (stagingDirsRemoved, tmpFilesRemoved). */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+             tableDir: Path): (Int, Int) = {
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cb = new Path(tableDir, "_committed_batches")
+    if (!fs.exists(cb)) return (0, 0)
+    settleRewrites(fs, tableDir, cb)
+    val (manifests, done) = pairNames(fs, cb)
+    val staging = new Path(tableDir, "_staging")
+    var dirs = 0
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("batch_")).foreach { d =>
+          val pair = d.getName.stripPrefix("batch_")
+          val inFlight =
+            bookkeepingKeys.contains(attemptKey(fs, tableDir, pair))
+          // committed → rows are at final paths, staging is residue;
+          // no manifest and not in-flight → crashed first attempt,
+          // nothing published. A published-but-unmarked batch manifest
+          // keeps its staging (a replay may still resume its promote).
+          if (!inFlight && (done.contains(pair) || !manifests.contains(pair))) {
+            fs.delete(d, true)
+            dirs += 1
+          }
+        }
+    }
+    var tmps = 0
+    fs.listStatus(cb).map(_.getPath)
+      .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+      .foreach { p => fs.delete(p, false); tmps += 1 }
+    (dirs, tmps)
+  }
+
   /** Canonical per-file key: `input_file_name()` URIs (empty
     * authority) and manifest-derived Paths (null authority) must
     * compare equal — rebuilt from URI components, never `toString`.

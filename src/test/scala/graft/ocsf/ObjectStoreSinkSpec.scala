@@ -278,6 +278,42 @@ class ObjectStoreSinkSpec extends SparkSpec {
     assert(committedUids(base) == before)
   }
 
+  test("vacuum reclaims abandoned staging and torn tmp files, keeps resumable state and rows") {
+    val base = mkBase()
+    IdempotentSink.writeBatch(df("e1" -> "2023-11-14"), base, route,
+      region, acct, batchId = 0L)
+    val (fs, tableDir) = fsOf(base)
+    val before = committedUids(base)
+    def mk(p: String): Unit = {
+      val out = fs.create(new Path(tableDir, p), true)
+      out.write("junk".getBytes); out.close()
+    }
+    // committed batch 0's staging leftover + a crashed never-replayed
+    // attempt (no manifest) + a torn writeAtomic tmp
+    mk("_staging/batch_0/g9/leftover.parquet")
+    mk("_staging/batch_5/g1/orphan.parquet")
+    mk("_committed_batches/.9.manifest.tmp")
+    // a PUBLISHED-but-unmarked batch manifest: its staging must
+    // survive (a replay may still resume the promote)
+    IdempotentSink.writeBatch(df("e2" -> "2023-11-14"), base, route,
+      region, acct, batchId = 7L)
+    fs.delete(new Path(tableDir, "_committed_batches/7.committed"), false)
+    mk("_staging/batch_7/g1/resumable.parquet")
+    assert(IdempotentSink.vacuum(spark, tableDir) == (2, 1))
+    assert(!fs.exists(new Path(tableDir, "_staging/batch_0")))
+    assert(!fs.exists(new Path(tableDir, "_staging/batch_5")))
+    assert(fs.exists(new Path(tableDir, "_staging/batch_7/g1/resumable.parquet")),
+      "unmarked-manifest staging is resumable state, not residue")
+    assert(!fs.exists(new Path(tableDir, "_committed_batches/.9.manifest.tmp")))
+    assert(committedUids(base) == before, "vacuum must never touch rows")
+    // idempotent
+    assert(IdempotentSink.vacuum(spark, tableDir) == (0, 0))
+    // the crashed batch 7 replays to completion afterwards
+    IdempotentSink.writeBatch(df("e2" -> "2023-11-14"), base, route,
+      region, acct, batchId = 7L)
+    assert(committedUids(base) == (before :+ "e2").sorted)
+  }
+
   test("crash mid data-compaction promote: readers keep the originals, re-run completes") {
     val base = mkBase()
     (0 until 2).foreach { b =>
