@@ -25,33 +25,64 @@ import graft.sources.FdrSource
   */
 object EventStream {
 
+  /** How new landing objects are discovered each trigger:
+    *
+    *  - [[Listing]] — Spark's file source: LIST the prefix, diff
+    *    against the checkpoint's seen-files map. Zero setup, but the
+    *    per-trigger cost is O(all objects ever landed) and the map
+    *    grows without bound — fine up to ~10⁵ objects, the wrong
+    *    shape at 100 TB/day.
+    *  - [[Manifest]] — `format("graft-landing")`
+    *    ([[graft.sources.LandingSource]]): the lander announces each
+    *    published batch in [[graft.sources.LandingLog]] and the stream
+    *    plans batches from the announcements — the reference's S3→SQS
+    *    notification ingest (README.md:34-38), per-trigger cost
+    *    tracking the ingest delta. */
+  sealed trait Discovery
+  case object Listing extends Discovery
+  case object Manifest extends Discovery
+
   /** Parsed streaming relation (raw, fields, event_name) over the
     * landing prefix. */
-  private def readNamed(spark: SparkSession, landingDir: String): DataFrame =
-    spark.readStream
-      .option("maxFilesPerTrigger", 64)
-      .text(landingDir)
-      .toDF("raw")
+  private def readNamed(spark: SparkSession, landingDir: String,
+                        discovery: Discovery): DataFrame = {
+    val raw = discovery match {
+      case Listing =>
+        spark.readStream
+          .option("maxFilesPerTrigger", 64)
+          .text(landingDir)
+          .toDF("raw")
+      case Manifest =>
+        spark.readStream
+          .format("graft-landing")
+          .option("maxFilesPerTrigger", 64)
+          .load(landingDir)
+          .select("raw")
+    }
+    raw
       .filter(length(trim(col("raw"))) > 0)
       .withColumn("fields", from_json(col("raw"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType)))
       .withColumn("event_name", FdrSource.eventName(col("fields")))
+  }
 
   /** Streaming equivalent of FdrSource.load: gz json-lines →
     * classified events. */
-  def readClassified(spark: SparkSession, landingDir: String): DataFrame =
+  def readClassified(spark: SparkSession, landingDir: String,
+                     discovery: Discovery = Listing): DataFrame =
     FdrSource.mappedWithClass(spark,
-      readNamed(spark, landingDir).filter(col("event_name").isNotNull))
+      readNamed(spark, landingDir, discovery).filter(col("event_name").isNotNull))
 
   /** Streaming equivalent of FdrSource.loadWithQuarantine: classified
     * events plus the (raw, reason) quarantine stream. Run the
     * quarantine side as its own query (e.g. [[startQuarantineSink]])
     * so skipped lines are counted and replayable instead of silently
     * dropped — the reference merely logs them from the Lambda. */
-  def readWithQuarantine(spark: SparkSession, landingDir: String): FdrSource.Loaded =
-    FdrSource.splitQuarantine(spark, readNamed(spark, landingDir))
+  def readWithQuarantine(spark: SparkSession, landingDir: String,
+                         discovery: Discovery = Listing): FdrSource.Loaded =
+    FdrSource.splitQuarantine(spark, readNamed(spark, landingDir, discovery))
 
   /** Lands the quarantine stream as parquet with its own checkpoint. */
   def startQuarantineSink(quarantined: DataFrame, dir: String,
@@ -131,10 +162,11 @@ object EventStream {
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
             batchTimeout: Duration = 10.minutes,
             compactEvery: Int = 100,
-            statsCols: Seq[String] = Nil): StreamingQuery = {
+            statsCols: Seq[String] = Nil,
+            discovery: Discovery = Listing): StreamingQuery = {
     import scala.concurrent.{Await, Future}
     import graft.ocsf.OcsfSink
-    readClassified(spark, landingDir).writeStream
+    readClassified(spark, landingDir, discovery).writeStream
       .queryName("ocsf-fanout")
       .option("checkpointLocation", s"$checkpointDir/_fanout")
       .trigger(trigger)
