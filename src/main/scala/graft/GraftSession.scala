@@ -33,6 +33,11 @@ object GraftSession {
       // columns (events.ts in the driver testdata) are read as Long;
       // Tables.load converts back gated on the parquet logical type
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (events.ts in
+      // newer driver testdata) must read as TIMESTAMP, not NTZ: the
+      // session tz is UTC so values are identical, and the epoch fns
+      // (unix_micros etc.) only accept TIMESTAMP
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -161,7 +161,7 @@ private[sources] class LandingMicroBatchStream(
           val (s, i) = start.of(w)
           r.seq > s || (r.seq == s && r.idx > i)
         }
-        .groupBy { case (w, r) => (w, r.seq, r.idx) }.map(_._2.head).toSeq
+        .groupBy { case (w, r) => (w, r.seq, r.idx) }.values.map(_.head).toSeq
         .sortBy { case (w, r) => (r.seq, r.idx, w) }
     }
     try attempt()

@@ -31,6 +31,7 @@ object Tables {
     // idempotent safety net for sessions not built by GraftSession
     // (GraftSession sets this once at build time)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val path = s"$sfDir/$table.parquet"
     val df = spark.read.parquet(path)
     // Convert only when the parquet logical type is really
