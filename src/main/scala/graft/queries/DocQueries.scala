@@ -581,6 +581,21 @@ object DocQueries {
       .select(col("source"), col("cut_hex"))
   }
 
+  // ---------------------------------------------------------------- C39
+  /** BPE vocabulary induction ([[graft.operators.Bpe]]): the first 48
+    * merge rules learned from the corpus, batch-16 per round (3 corpus
+    * passes — see the operator doc for why symbol-disjoint batches are
+    * exact). Output is the persistable tokenizer artifact (rank, left,
+    * right, merged, pair_count). Rows-only by declared design: the
+    * iterative argmax is not SQL-expressible in one statement; BpeSpec
+    * pins strict-classic equivalence (batch=1 vs reference trainer on
+    * planted corpora), batched determinism, and greedy application. */
+  def qDocBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.operators.Bpe.learnMerges(
+      s, docs(s, dir), "text", numMerges = 48, minPairCount = 2L, batch = 16)
+    graft.operators.Bpe.mergesDf(s, merges)
+  }
+
   // ---------------------------------------------------------------- C21
   /** Intra-document repetition ratio: 1 − distinct/total word 3-grams
     * — the boilerplate/loop detector in Gopher-style quality
@@ -822,6 +837,7 @@ object DocQueries {
     "q_doc_span_dedup"    -> (qDocSpanDedup _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
+    "q_doc_bpe"           -> (qDocBpe _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
     "q_doc_tfidf"         -> (qDocTfidf _),
