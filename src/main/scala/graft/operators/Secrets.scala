@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** High-entropy secret/credential detection and scrubbing
+  * (SURVEY.md §2 C40) — the "don't train on API keys" pass every
+  * code/web corpus pipeline runs before tokenization (the
+  * detect-secrets / trufflehog stance: a leaked credential is a long
+  * token drawn near-uniformly from a wide charset, so its Shannon
+  * entropy separates it from natural words).
+  *
+  * Everything is native Catalyst higher-order functions over the
+  * token array — no UDF, no explode: the per-token entropy is a
+  * nested `transform`/`filter`/`aggregate` chain that stays inside
+  * whole-stage codegen, so the scan is map-only and embarrassingly
+  * parallel at 100 TB (filter/scrub shape, like C22's regex redaction
+  * which this composes with).
+  *
+  * A token is a CANDIDATE when its length and distinct-character
+  * count clear integer thresholds (cheap guards that prune the
+  * entropy computation to rare long tokens), and FLAGGED when its
+  * entropy also clears `minEntropy` bits/char. The candidate
+  * predicate is integer-only, so cross-engine counts are exact; the
+  * entropy cut is float and belongs to the rows-only/spec side of the
+  * contract (SecretsSpec pins exact values on planted tokens). */
+object Secrets {
+
+  /** Replacement literal written over flagged tokens. */
+  val Mask = "[SECRET]"
+
+  /** Shannon entropy of a token in bits/char: −Σ p(c)·log₂ p(c) over
+    * its character distribution. Empty tokens score 0.0. Built from
+    * nested HOFs (distinct chars → per-char counts → plogp sum) —
+    * O(k·d) per token with k = length, d = distinct chars, both small
+    * by construction once the integer guards prune. */
+  def tokenEntropy(tok: Column): Column = {
+    val chars = filter(split(tok, ""), c => c =!= "")
+    val n = size(chars).cast("double")
+    val plogp = transform(array_distinct(chars), c => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      -p * log(2.0, p)
+    })
+    when(size(chars) === 0, lit(0.0))
+      .otherwise(aggregate(plogp, lit(0.0), (acc, x) => acc + x))
+  }
+
+  private def isCandidate(t: Column, minLen: Int, minDistinct: Int): Column =
+    length(t) >= minLen && size(array_distinct(filter(split(t, ""), c => c =!= ""))) >= minDistinct
+
+  /** Per-document detection report: candidate tokens (integer guards
+    * only — exact cross-engine), flagged tokens (candidates whose
+    * entropy ≥ `minEntropy`), and the maximum candidate entropy.
+    * Null texts report empty/zero. */
+  def detect(docs: DataFrame, textCol: String, idCol: String,
+             minLen: Int = 16, minDistinct: Int = 10,
+             minEntropy: Double = 3.5): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val cands = filter(toks, t => isCandidate(t, minLen, minDistinct))
+    val flagged = filter(cands, t => tokenEntropy(t) >= minEntropy)
+    docs.select(col(idCol),
+      size(cands).cast("long").as("n_candidates"),
+      size(flagged).cast("long").as("n_flagged"),
+      coalesce(array_max(transform(cands, t => tokenEntropy(t))), lit(0.0))
+        .as("max_entropy"),
+      flagged.as("flagged_tokens"))
+  }
+
+  /** Corpus scrub: every flagged token replaced by [[Mask]], other
+    * whitespace runs normalized to single spaces (the token array is
+    * the unit of work, exactly as tokenization downstream will see
+    * it). Null texts pass through as null. */
+  def scrub(docs: DataFrame, textCol: String,
+            minLen: Int = 16, minDistinct: Int = 10,
+            minEntropy: Double = 3.5): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val masked = transform(toks, t =>
+      when(isCandidate(t, minLen, minDistinct) &&
+           tokenEntropy(t) >= minEntropy, lit(Mask)).otherwise(t))
+    docs.withColumn(textCol,
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(array_join(masked, " ")))
+  }
+}

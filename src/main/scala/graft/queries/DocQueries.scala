@@ -596,6 +596,21 @@ object DocQueries {
     graft.operators.Bpe.mergesDf(s, merges)
   }
 
+  // ---------------------------------------------------------------- C40
+  /** High-entropy secret detection ([[graft.operators.Secrets]]): the
+    * per-doc credential-scan report. Thresholds tuned down for the
+    * natural-word synthetic corpus (minLen 6 / minDistinct 5) so the
+    * candidate set is non-trivial; the 3.5 bits/char entropy cut sits
+    * ≥ 0.3 bits above any natural word here, so the float comparison
+    * is discrete for the cross-engine hash. SQL-oracled end-to-end —
+    * DuckDB computes the identical nested-lambda entropy. */
+  def qDocSecrets(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.Secrets.detect(docs(s, dir), "text", "doc_id",
+      minLen = 6, minDistinct = 5, minEntropy = 3.5)
+    d.select(col("doc_id"), col("n_candidates"), col("n_flagged"),
+      TextFunctions.round4(col("max_entropy")).as("max_entropy"))
+  }
+
   // ---------------------------------------------------------------- C21
   /** Intra-document repetition ratio: 1 − distinct/total word 3-grams
     * — the boilerplate/loop detector in Gopher-style quality
@@ -838,6 +853,7 @@ object DocQueries {
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_bpe"           -> (qDocBpe _),
+    "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
     "q_doc_tfidf"         -> (qDocTfidf _),
@@ -888,6 +904,33 @@ object DocQueries {
     s"(least(1.0, len(string_split($c, ' ')) / 50.0) * ${alphaSql(c)})"
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_secrets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(COALESCE(text, ''), ' '),
+        |                     t -> t <> '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         list_filter(ts, t -> len(t) >= 6 AND
+        |           len(list_distinct(string_split(t, ''))) >= 5) AS cands
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, cands,
+        |         list_transform(cands, t ->
+        |           -list_aggregate(
+        |              list_transform(list_distinct(string_split(t, '')),
+        |                ch -> (len(list_filter(string_split(t, ''), x -> x = ch))
+        |                         * 1.0 / len(string_split(t, '')))
+        |                      * log2(len(list_filter(string_split(t, ''), x -> x = ch))
+        |                         * 1.0 / len(string_split(t, '')))),
+        |              'sum')) AS hs
+        |  FROM c)
+        |SELECT doc_id,
+        |       CAST(len(cands) AS BIGINT) AS n_candidates,
+        |       CAST(len(list_filter(hs, h -> h >= 3.5)) AS BIGINT) AS n_flagged,
+        |       round(COALESCE(list_aggregate(hs, 'max'), 0.0), 4) AS max_entropy
+        |FROM e""".stripMargin,
     "q_doc_pack" ->
       """WITH t AS (SELECT doc_id,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
