@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("C40: secret detection is map-only — zero exchanges, no UDF") {
+    val p = plan("q_doc_secrets")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("C23: LM scoring is all partial-agg'd joins — no window, no skew cliff") {
     val p = plan("q_doc_lm_score")
     // a c-over-gram Window would pin every occurrence of the hottest
