@@ -48,6 +48,28 @@ object Corpus {
     docs.join(pairs.select(col("doc2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Per-key frequency cap (SURVEY.md §2 C41): keep at most
+    * `maxPerKey` documents per `keyCol` (domain, source, license…),
+    * preferring the highest `scoreCol` with `idCol` as the
+    * deterministic tie-break — the domain-balancing pass web-corpus
+    * pipelines (RefinedWeb/FineWeb stance) run so one mega-domain
+    * cannot dominate the training mix.
+    *
+    * 100 TB shape: the rank-≤-k filter sits directly on the window, so
+    * Spark plans a WindowGroupLimit — each key keeps a k-row heap
+    * map-side and no key ever fully sorts its documents; the shuffle
+    * key is the (high-cardinality) domain. Emits `rk` so downstream
+    * sampling can weight within the kept set. */
+  def capPerKey(docs: DataFrame, keyCol: String, scoreCol: String,
+                idCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxPerKey)
+  }
+
   /** Full curation: exact dedup → near-dup removal → quality gate,
     * with the exact posting-list Jaccard as the pair source
     * (deterministic, oracle-checked). */

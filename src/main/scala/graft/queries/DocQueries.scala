@@ -596,6 +596,19 @@ object DocQueries {
     graft.operators.Bpe.mergesDf(s, merges)
   }
 
+  // ---------------------------------------------------------------- C41
+  /** Per-source frequency cap ([[graft.operators.Corpus.capPerKey]]):
+    * at most 10 documents per source, best-quality-first with doc_id
+    * tie-break. Rank is computed on the ROUNDED quality in both
+    * engines so ties resolve identically. */
+  def qDocSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("quality",
+      TextFunctions.round4(TextFunctions.qualityScore(col("text"))))
+    graft.operators.Corpus.capPerKey(d, "source", "quality", "doc_id", 10)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("rk").cast("long").as("rk"))
+  }
+
   // ---------------------------------------------------------------- C40
   /** High-entropy secret detection ([[graft.operators.Secrets]]): the
     * per-doc credential-scan report. Thresholds tuned down for the
@@ -854,6 +867,7 @@ object DocQueries {
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_bpe"           -> (qDocBpe _),
     "q_doc_secrets"       -> (qDocSecrets _),
+    "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
     "q_doc_tfidf"         -> (qDocTfidf _),
@@ -904,6 +918,14 @@ object DocQueries {
     s"(least(1.0, len(string_split($c, ' ')) / 50.0) * ${alphaSql(c)})"
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_source_cap" ->
+      s"""SELECT doc_id, source,
+        |       round(${qualitySql("text")}, 4) AS quality,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY round(${qualitySql("text")}, 4) DESC, doc_id)
+        |            AS BIGINT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 10""".stripMargin,
     "q_doc_secrets" ->
       """WITH toks AS (
         |  SELECT doc_id,

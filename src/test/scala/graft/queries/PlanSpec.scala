@@ -114,6 +114,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("C41: per-source cap plans WindowGroupLimit — no key fully sorts") {
+    val p = plan("q_doc_source_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("C40: secret detection is map-only — zero exchanges, no UDF") {
     val p = plan("q_doc_secrets")
     assert(!p.contains("Exchange"), p)
