@@ -35,21 +35,39 @@ import graft.operators.Dedup
 object CurationStream {
 
   /** One micro-batch's accounting (the quarantine-not-drop stance:
-    * everything removed is counted, nothing silently vanishes). */
+    * everything removed is counted, nothing silently vanishes).
+    * `secretsScrubbed` counts docs that carried ≥1 masked token —
+    * scrubbed docs stay IN the corpus (masking, not dropping). */
   final case class BatchCounts(batchId: Long, in: Long, lowQuality: Long,
-                               duplicates: Long, kept: Long)
+                               duplicates: Long, kept: Long,
+                               secretsScrubbed: Long = 0L)
 
   /** Screens `batch` against the persisted index, writes survivors to
     * `outDir` (with `batch_id` and their quality score) and appends
     * their band buckets to `indexDir`. Callable directly for backfills
-    * and specs; [[start]] wires it into a streaming query. */
+    * and specs; [[start]] wires it into a streaming query.
+    *
+    * `scrubSecrets` runs [[graft.operators.Secrets.scrub]] (C40)
+    * BEFORE quality/dedup, so a leaked credential never reaches the
+    * lake, the minhash index, or the quality stats — and so two docs
+    * differing only in their embedded keys dedup as the near-dups
+    * they are. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    indexDir: String, outDir: String,
                    textCol: String, idCol: String,
-                   minQuality: Double = 0.3): BatchCounts = {
-    val in = batch.persist()
+                   minQuality: Double = 0.3,
+                   scrubSecrets: Boolean = false): BatchCounts = {
+    val raw = batch.persist()
+    val in =
+      (if (scrubSecrets) graft.operators.Secrets.scrub(raw, textCol)
+       else raw).persist()
     try {
       val nIn = in.count()
+      val nScrubbed =
+        if (scrubSecrets)
+          graft.operators.Secrets.detect(raw, textCol, idCol)
+            .filter(col("n_flagged") > 0).count()
+        else 0L
       val passed = in
         .withColumn("quality",
           TextFunctions.round4(TextFunctions.qualityScore(col(textCol))))
@@ -89,8 +107,9 @@ object CurationStream {
       Dedup.minhashBandBuckets(kept, textCol, idCol)
         .write.mode("append").parquet(indexDir)
       passed.unpersist(); kept.unpersist()
-      BatchCounts(batchId, nIn, nIn - nPassed, nPassed - nKept, nKept)
-    } finally { in.unpersist(); () }
+      BatchCounts(batchId, nIn, nIn - nPassed, nPassed - nKept, nKept,
+        nScrubbed)
+    } finally { in.unpersist(); raw.unpersist(); () }
   }
 
   /** The continuous pipeline: `docs` is a STREAMING DataFrame with
@@ -100,18 +119,19 @@ object CurationStream {
   def start(docs: DataFrame, indexDir: String, outDir: String,
             checkpointDir: String, textCol: String, idCol: String,
             minQuality: Double = 0.3,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+            scrubSecrets: Boolean = false): StreamingQuery =
     docs.writeStream
       .queryName("graft-curation")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val c = processBatch(batch.sparkSession, batch, batchId,
-          indexDir, outDir, textCol, idCol, minQuality)
+          indexDir, outDir, textCol, idCol, minQuality, scrubSecrets)
         System.err.println(
           s"[graft-curation] batch=${c.batchId} in=${c.in} " +
             s"low_quality=${c.lowQuality} duplicates=${c.duplicates} " +
-            s"kept=${c.kept}")
+            s"kept=${c.kept} secrets_scrubbed=${c.secretsScrubbed}")
         ()
       }
       .start()

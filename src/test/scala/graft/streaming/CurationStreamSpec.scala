@@ -50,6 +50,29 @@ class CurationStreamSpec extends SparkSpec {
     assert(c2.duplicates == 1 && c2.kept == 0, c2.toString)
   }
 
+  test("scrubSecrets masks a planted credential before the lake and the index") {
+    val indexDir = Files.createTempDirectory("cur-sec-idx").toString
+    val outDir = Files.createTempDirectory("cur-sec-out").toString
+    val key = "AKIAxQ7rT2mWp9ZbYv3e"
+    val b0 = Seq((1L, s"$textA token $key here"), (2L, textC))
+      .toDF("doc_id", "text")
+    val c0 = CurationStream.processBatch(spark, b0, 0L, indexDir, outDir,
+      "text", "doc_id", scrubSecrets = true)
+    assert(c0.kept == 2 && c0.secretsScrubbed == 1, c0.toString)
+    val landed = spark.read.parquet(outDir)
+      .filter(col("doc_id") === 1L).select("text").as[String].collect()(0)
+    assert(!landed.contains(key), "credential must not reach the lake")
+    assert(landed.contains(graft.operators.Secrets.Mask))
+    // a doc differing ONLY in its embedded key dedups against doc 1:
+    // both scrub to the same text, so batch 1's copy is an exact dup
+    val b1 = Seq((3L, s"$textA token AKIAzW4kN8vRq6XcJm2u here"))
+      .toDF("doc_id", "text")
+    val c1 = CurationStream.processBatch(spark, b1, 1L, indexDir, outDir,
+      "text", "doc_id", scrubSecrets = true)
+    assert(c1.duplicates == 1 && c1.kept == 0,
+      s"key-rotated near-dup must collide after scrubbing: $c1")
+  }
+
   test("the streaming query carries the index across real micro-batches") {
     val landing = Files.createTempDirectory("cur-stream-in")
     val indexDir = Files.createTempDirectory("cur-stream-idx").toString
