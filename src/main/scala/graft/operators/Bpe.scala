@@ -146,9 +146,14 @@ object Bpe {
           rounds += 1
           // truncate lineage every few rounds: each merge nests one
           // more fold into the plan; unbounded depth is an analyzer
-          // cost even though each step is map-side
-          if ((rounds & 0x3) == 0) words = words.localCheckpoint(true)
-          else words.count()
+          // cost even though each step is map-side. The pre-checkpoint
+          // persist is dropped once the checkpoint holds the data —
+          // otherwise every 4th round leaks one cached copy
+          if ((rounds & 0x3) == 0) {
+            val cp = words.localCheckpoint(true)
+            words.unpersist(false)
+            words = cp
+          } else words.count()
           prev.unpersist(false)
         }
       }

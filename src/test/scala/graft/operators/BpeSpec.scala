@@ -101,6 +101,14 @@ class BpeSpec extends SparkSpec {
     assert(v("t</w>") == (1L, 2L))
   }
 
+  test("learned rules are invariant to input partitioning") {
+    val d = corpus(Array.fill(5)("low").mkString(" "), "lowest lowest",
+      Array.fill(3)("newest").mkString(" "))
+    val one  = Bpe.learnMerges(spark, d.coalesce(1), "text", numMerges = 6, batch = 3)
+    val many = Bpe.learnMerges(spark, d.repartition(7), "text", numMerges = 6, batch = 3)
+    assert(one == many, "merge rules must not depend on cluster layout")
+  }
+
   test("mergesDf round-trips rank order") {
     val d = corpus(Array.fill(3)("abc").mkString(" "))
     val m = Bpe.learnMerges(spark, d, "text", numMerges = 2)

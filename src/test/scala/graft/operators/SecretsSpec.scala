@@ -61,6 +61,16 @@ class SecretsSpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("scrub is idempotent: a second pass changes nothing") {
+    val d = Seq((1L, s"alpha $Key beta"), (2L, "plain words"),
+      (3L, "x AKIAzW4kN8vRq6XcJm2u AKIAxQ7rT2mWp9ZbYv3e y"))
+      .toDF("doc_id", "text")
+    val once = Secrets.scrub(d, "text")
+    val twice = Secrets.scrub(once, "text")
+    assert(once.orderBy("doc_id").select("text").as[String].collect().toSeq ==
+      twice.orderBy("doc_id").select("text").as[String].collect().toSeq)
+  }
+
   test("q_doc_secrets thresholds are discrete on the synthetic corpus") {
     // every candidate's entropy must sit clear of the 3.5 cut so the
     // float comparison can never disagree across engines
