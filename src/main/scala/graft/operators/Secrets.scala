@@ -51,20 +51,25 @@ object Secrets {
   /** Per-document detection report: candidate tokens (integer guards
     * only — exact cross-engine), flagged tokens (candidates whose
     * entropy ≥ `minEntropy`), and the maximum candidate entropy.
-    * Null texts report empty/zero. */
+    * Null texts report empty/zero. The entropy array is bound to its
+    * own projected column so each candidate's entropy is computed
+    * ONCE and shared by the flag filter and the max — not re-derived
+    * per consuming expression. */
   def detect(docs: DataFrame, textCol: String, idCol: String,
              minLen: Int = 16, minDistinct: Int = 10,
              minEntropy: Double = 3.5): DataFrame = {
     val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
       t => t =!= "")
     val cands = filter(toks, t => isCandidate(t, minLen, minDistinct))
-    val flagged = filter(cands, t => tokenEntropy(t) >= minEntropy)
-    docs.select(col(idCol),
-      size(cands).cast("long").as("n_candidates"),
-      size(flagged).cast("long").as("n_flagged"),
-      coalesce(array_max(transform(cands, t => tokenEntropy(t))), lit(0.0))
-        .as("max_entropy"),
-      flagged.as("flagged_tokens"))
+    docs.select(col(idCol), cands.as("_cands"))
+      .withColumn("_hs", transform(col("_cands"), t => tokenEntropy(t)))
+      .withColumn("_flagged", array_compact(zip_with(col("_cands"), col("_hs"),
+        (t, h) => when(h >= minEntropy, t))))
+      .select(col(idCol),
+        size(col("_cands")).cast("long").as("n_candidates"),
+        size(col("_flagged")).cast("long").as("n_flagged"),
+        coalesce(array_max(col("_hs")), lit(0.0)).as("max_entropy"),
+        col("_flagged").as("flagged_tokens"))
   }
 
   /** Corpus scrub: every flagged token replaced by [[Mask]], other
