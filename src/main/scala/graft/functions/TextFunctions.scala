@@ -98,6 +98,39 @@ object TextFunctions {
       regexp_replace(c, pat, repl)
     }
 
+  /** Markup-strip patterns in application order (SURVEY.md §2 C42) —
+    * ONE definition shared by [[stripMarkup]] and the DuckDB oracle
+    * mirror (the piiPatterns stance): container elements whose CONTENT
+    * must go (script/style), comments, then every remaining tag, then
+    * entity decodes (AFTER tag removal, so a decoded `<` can never
+    * fabricate a tag). RE2-compatible (no backrefs/lookaround) so the
+    * DuckDB side runs the same regexes. */
+  val markupPatterns: Seq[(String, String)] = Seq(
+    """(?is)<script\b[^>]*>.*?</script>""" -> " ",
+    """(?is)<style\b[^>]*>.*?</style>""" -> " ",
+    """(?s)<!--.*?-->""" -> " ",
+    """<[^>]+>""" -> " ",
+    """&nbsp;""" -> " ",
+    """&amp;""" -> "&",
+    """&lt;""" -> "<",
+    """&gt;""" -> ">",
+    """&quot;""" -> "\"",
+    """&#39;""" -> "'")
+
+  /** HTML/markup text extraction — the "web page → clean text" step
+    * (trafilatura/jusText shape, regex-bounded): strip script/style
+    * bodies, comments and tags, decode the common entities, collapse
+    * whitespace. A fold of builtin `regexp_replace` (codegen'd,
+    * map-only — one pass, zero shuffles at any corpus size). Known
+    * regex-stripper caveat, documented not hidden: a literal `<x y>`
+    * in non-HTML prose is eaten as a tag. */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      markupPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      },
+      """\s+""", " "))
+
   /** 4-decimal rounding that matches DuckDB's semantics for oracle
     * comparison: DuckDB rounds the SCALED double (`round(x·10⁴)/10⁴`),
     * Spark's `round(x, 4)` rounds the unscaled value through

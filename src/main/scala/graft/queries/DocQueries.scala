@@ -596,6 +596,18 @@ object DocQueries {
     graft.operators.Bpe.mergesDf(s, merges)
   }
 
+  // ---------------------------------------------------------------- C42
+  /** Markup extraction ([[TextFunctions.stripMarkup]]): clean text +
+    * post-strip length per doc. The oracle SQL is GENERATED from the
+    * same `markupPatterns` table the Spark fold uses, so the two
+    * chains cannot drift; the corpus is markup-free, so the oracle
+    * pins chain parity on pass-through + whitespace collapse while
+    * MarkupSpec pins the tag/entity behavior on planted HTML. */
+  def qDocMarkup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.stripMarkup(col("text")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+
   // ---------------------------------------------------------------- C41
   /** Per-source frequency cap ([[graft.operators.Corpus.capPerKey]]):
     * at most 10 documents per source, best-quality-first with doc_id
@@ -868,6 +880,7 @@ object DocQueries {
     "q_doc_bpe"           -> (qDocBpe _),
     "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_source_cap"    -> (qDocSourceCap _),
+    "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
     "q_doc_tfidf"         -> (qDocTfidf _),
@@ -911,6 +924,18 @@ object DocQueries {
     * to the quality formula cannot silently miss a copy and break
     * Spark/DuckDB parity (exactly the drift the round-9 lower()/
     * zero-guard fix had to patch in six places). */
+  /** DuckDB mirror of [[TextFunctions.stripMarkup]], GENERATED from
+    * the same pattern table so the chains cannot drift (DuckDB's RE2
+    * runs the identical patterns; standard SQL strings keep the
+    * backslashes literal). */
+  private def stripMarkupSql(c: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val inner = TextFunctions.markupPatterns.foldLeft(c) {
+      case (e, (pat, repl)) => s"regexp_replace($e, '${q(pat)}', '${q(repl)}', 'g')"
+    }
+    s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
+  }
+
   private def alphaSql(c: String): String =
     s"(length(regexp_replace(lower($c), '[^a-z]', '', 'g')) * 1.0 / " +
       s"greatest(length($c), 1))"
@@ -918,6 +943,12 @@ object DocQueries {
     s"(least(1.0, len(string_split($c, ' ')) / 50.0) * ${alphaSql(c)})"
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_markup" ->
+      s"""WITH s AS (SELECT doc_id, ${stripMarkupSql("text")} AS clean_text
+        |           FROM documents)
+        |SELECT doc_id, clean_text,
+        |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM s""".stripMargin,
     "q_doc_source_cap" ->
       s"""SELECT doc_id, source,
         |       round(${qualitySql("text")}, 4) AS quality,
