@@ -608,6 +608,30 @@ object DocQueries {
       TextFunctions.stripMarkup(col("text")).as("clean_text"))
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
 
+  // ---------------------------------------------------------------- C43
+  /** Web-corpus curation capstone: the FineWeb-shaped composition of
+    * the newest stages — markup extraction (C42) → quality gate on
+    * the CLEANED text (C8) → exact dedup on the cleaned content
+    * (C1, keep-smallest-id) → per-source cap (C41). Deterministic
+    * end-to-end, so the WHOLE composition carries one DuckDB oracle
+    * assembled from the same generated mirrors the stage oracles use
+    * — the composition itself is hash-checked, not just its parts. */
+  def qDocPipelineWeb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = docs(s, dir)
+      .withColumn("clean", TextFunctions.stripMarkup(col("text")))
+      .withColumn("quality",
+        TextFunctions.round4(TextFunctions.qualityScore(col("clean"))))
+      .filter(col("quality") >= 0.3)
+    val dupW = Window.partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
+    val deduped = cleaned
+      .withColumn("dup_rk", row_number().over(dupW))
+      .filter(col("dup_rk") === 1).drop("dup_rk")
+    graft.operators.Corpus.capPerKey(deduped, "source", "quality", "doc_id", 10)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("rk").cast("long").as("rk"))
+  }
+
   // ---------------------------------------------------------------- C41
   /** Per-source frequency cap ([[graft.operators.Corpus.capPerKey]]):
     * at most 10 documents per source, best-quality-first with doc_id
@@ -881,6 +905,7 @@ object DocQueries {
     "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_markup"        -> (qDocMarkup _),
+    "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
     "q_doc_tfidf"         -> (qDocTfidf _),
@@ -943,6 +968,23 @@ object DocQueries {
     s"(least(1.0, len(string_split($c, ' ')) / 50.0) * ${alphaSql(c)})"
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_pipeline_web" ->
+      s"""WITH c AS (SELECT doc_id, source, ${stripMarkupSql("text")} AS clean
+        |           FROM documents),
+        |q AS (SELECT doc_id, source, clean,
+        |             round(${qualitySql("clean")}, 4) AS quality
+        |      FROM c
+        |      WHERE round(${qualitySql("clean")}, 4) >= 0.3),
+        |d AS (SELECT doc_id, source, quality,
+        |             row_number() OVER (PARTITION BY md5(clean)
+        |                                ORDER BY doc_id) AS dup_rk
+        |      FROM q)
+        |SELECT doc_id, source, quality,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+        |FROM d
+        |WHERE dup_rk = 1
+        |QUALIFY rk <= 10""".stripMargin,
     "q_doc_markup" ->
       s"""WITH s AS (SELECT doc_id, ${stripMarkupSql("text")} AS clean_text
         |           FROM documents)
