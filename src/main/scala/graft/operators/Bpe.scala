@@ -169,6 +169,17 @@ object Bpe {
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Inverse of [[mergesDf]]: reload a persisted rules artifact (any
+    * relation with rank/left/right/pair_count) into replay order —
+    * rules are few (vocab-sized), so the collect is bounded. */
+  def loadMerges(df: DataFrame): Seq[Merge] =
+    df.select(col("rank").cast("int"), col("left"), col("right"),
+        col("pair_count").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(1) + r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** Tokenize `textCol` into subwords with the learned rules: per
     * distinct word, replay merges in rank order (map-side folds over
     * the word table — never over the corpus), then explode to

@@ -115,5 +115,7 @@ class BpeSpec extends SparkSpec {
     val df = Bpe.mergesDf(spark, m).orderBy("rank").collect()
     assert(df.map(_.getInt(0)).toSeq == m.map(_.rank))
     assert(df.map(_.getString(3)).toSeq == m.map(_.merged))
+    // and the persisted artifact reloads into the identical rule list
+    assert(Bpe.loadMerges(Bpe.mergesDf(spark, m)) == m)
   }
 }
