@@ -562,6 +562,51 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C44
+  /** Temperature-scaled source mixing: per-source token budgets
+    * ∝ `src_tokens^(1/T)` — the multilingual/multi-source sampling
+    * rule (mT5/XLM-R stance) that upweights low-resource sources as T
+    * grows. T = 1 is proportional sampling (every source keeps the
+    * same rate — no rebalancing); T → ∞ converges to C18's equal
+    * split. Same deterministic md5-prefix thresholds as C14/C18, so
+    * the DRAW is engine-reproducible given the cuts; the cuts
+    * themselves pass through a float `pow`, so this entry is
+    * rows-only by declared design and MixSpec pins the T = 1 /
+    * T → ∞ limits, low-resource monotonicity, and determinism. */
+  def qDocMixTemperature(s: SparkSession, dir: String,
+                         totalBudget: Long = 10000L,
+                         temperature: Double = 2.0): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"),
+      substring(md5(col("doc_id").cast("string")), 1, 4).as("bucket"))
+    val totals = d.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+    d.join(broadcast(temperatureCuts(totals, totalBudget, temperature)), "source")
+      .filter(col("bucket") < col("cut_hex"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** Per-source cutoffs with budgets ∝ `src_tokens^(1/T)`: the
+    * weight normalization is one tiny aggregate (sources-count rows)
+    * broadcast back; zero-token sources sample nothing. */
+  private[queries] def temperatureCuts(totals: DataFrame, totalBudget: Long,
+                                       temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val weighted = totals.withColumn("w",
+      when(col("src_tokens") === 0L, lit(0.0))
+        .otherwise(pow(col("src_tokens").cast("double"), lit(1.0 / temperature))))
+    val wsum = weighted.agg(sum("w").as("wsum"))
+    weighted.crossJoin(broadcast(wsum))
+      .withColumn("cut",
+        when(col("src_tokens") === 0L || col("wsum") <= 0.0, lit(0L))
+          .otherwise(least(lit(65536L),
+            floor(col("w") / col("wsum") * totalBudget * 65536.0 /
+                  col("src_tokens").cast("double")).cast("long"))))
+      .withColumn("cut_hex",
+        when(col("cut") >= 65536L, lit("zzzz"))
+          .otherwise(lpad(lower(conv(col("cut"), 10, 16)), 4, "0")))
+      .select(col("source"), col("cut_hex"))
+  }
+
   /** Per-source md5-prefix cutoffs from `(source, src_tokens)` totals:
     * an equal split of `totalBudget` over the sources, rendered as the
     * 4-hex-digit threshold [[qDocSample]] uses. A zero-token source
@@ -896,6 +941,7 @@ object DocQueries {
     "q_mm_image_dups"     -> (qMmImageDups _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
+    "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),
     "q_doc_contamination" -> (qDocContamination _),
     "q_doc_contamination_bloom" -> (qDocContaminationBloom _),
     "q_doc_span_dedup"    -> (qDocSpanDedup _),
