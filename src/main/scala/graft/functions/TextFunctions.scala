@@ -111,11 +111,14 @@ object TextFunctions {
     """(?s)<!--.*?-->""" -> " ",
     """<[^>]+>""" -> " ",
     """&nbsp;""" -> " ",
-    """&amp;""" -> "&",
     """&lt;""" -> "<",
     """&gt;""" -> ">",
     """&quot;""" -> "\"",
-    """&#39;""" -> "'")
+    """&#39;""" -> "'",
+    // `&amp;` decodes LAST (the standard order): decoding it first
+    // would turn double-encoded text like `&amp;lt;` into `&lt;` and
+    // then a second rule pass into a literal `<`.
+    """&amp;""" -> "&")
 
   /** HTML/markup text extraction — the "web page → clean text" step
     * (trafilatura/jusText shape, regex-bounded): strip script/style

@@ -58,7 +58,7 @@ object Secrets {
   def detect(docs: DataFrame, textCol: String, idCol: String,
              minLen: Int = 16, minDistinct: Int = 10,
              minEntropy: Double = 3.5): DataFrame = {
-    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "),
       t => t =!= "")
     val cands = filter(toks, t => isCandidate(t, minLen, minDistinct))
     docs.select(col(idCol), cands.as("_cands"))
@@ -72,19 +72,22 @@ object Secrets {
         col("_flagged").as("flagged_tokens"))
   }
 
-  /** Corpus scrub: every flagged token replaced by [[Mask]], other
-    * whitespace runs normalized to single spaces (the token array is
-    * the unit of work, exactly as tokenization downstream will see
-    * it). Null texts pass through as null. */
+  /** Corpus scrub: every flagged token replaced by [[Mask]]. Documents
+    * with NO flagged token pass through byte-identical (their md5 dedup
+    * keys, minhash buckets and quality scores are untouched by the
+    * scrub pass) — only flagged documents are re-joined from the token
+    * array. Null texts pass through as null. */
   def scrub(docs: DataFrame, textCol: String,
             minLen: Int = 16, minDistinct: Int = 10,
             minEntropy: Double = 3.5): DataFrame = {
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val isFlagged = (t: Column) =>
+      isCandidate(t, minLen, minDistinct) && tokenEntropy(t) >= minEntropy
     val masked = transform(toks, t =>
-      when(isCandidate(t, minLen, minDistinct) &&
-           tokenEntropy(t) >= minEntropy, lit(Mask)).otherwise(t))
+      when(isFlagged(t), lit(Mask)).otherwise(t))
     docs.withColumn(textCol,
       when(col(textCol).isNull, lit(null).cast("string"))
-        .otherwise(array_join(masked, " ")))
+        .when(exists(toks, isFlagged), array_join(masked, " "))
+        .otherwise(col(textCol)))
   }
 }

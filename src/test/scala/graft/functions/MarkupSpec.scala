@@ -32,6 +32,12 @@ class MarkupSpec extends SparkSpec {
       "an entity-encoded script is DATA, not markup — it must survive as text")
   }
 
+  test("double-encoded entities decode exactly once (&amp; rule runs last)") {
+    // '&amp;lt;' is one level of encoding around the literal text '&lt;'
+    // — decoding &amp; first would cascade into a literal '<'
+    assert(strip("a &amp;lt; b &amp;amp; c") == "a &lt; b &amp; c")
+  }
+
   test("multiline script/style bodies are removed ((?s) dotall)") {
     val s = "before<script>\nline1\nline2\n</script>after"
     assert(strip(s) == "before after")

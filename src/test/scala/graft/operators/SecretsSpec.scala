@@ -61,6 +61,32 @@ class SecretsSpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("scrub passes unflagged docs through byte-identical, tabs/newlines included") {
+    val weird = "col1\tcol2\nrow  with   runs of spaces"
+    val d = Seq((1L, weird), (2L, s"pre\tfix $Key post")).toDF("doc_id", "text")
+    val out = Secrets.scrub(d, "text").orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(out(0) == weird, "secret-free doc must not be rewritten at all")
+    // flagged doc: only space-delimited tokens re-join; the tab stays
+    // inside its token (literal-space contract, TextFunctions.tokens)
+    assert(out(1) == s"pre\tfix ${Secrets.Mask} post")
+  }
+
+  test("detect tokenizes on the literal single space (oracle contract)") {
+    // the credential is glued to a tab: under \s+ it would split out and
+    // flag; under the literal-space contract the tab-joined token has
+    // extra chars and different entropy — pin that it still flags as one
+    // token and that a newline-embedded natural phrase yields no flags
+    val d = Seq(
+      (1L, s"alpha\nbeta gamma delta"),
+      (2L, s"x $Key y"))
+      .toDF("doc_id", "text")
+    val r = Secrets.detect(d, "text", "doc_id", minLen = 6, minDistinct = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 0L, "natural words with newline: no flags")
+    assert(r(1).getSeq[String](4) == Seq(Key))
+  }
+
   test("scrub is idempotent: a second pass changes nothing") {
     val d = Seq((1L, s"alpha $Key beta"), (2L, "plain words"),
       (3L, "x AKIAzW4kN8vRq6XcJm2u AKIAxQ7rT2mWp9ZbYv3e y"))
