@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DocQueries, Relational}
+import graft.queries.{DocQueries, OcsfLakeQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ DocQueries.queries
+    Relational.queries ++ DocQueries.queries ++ OcsfLakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ DocQueries.oracleSql
+    Relational.oracleSql ++ DocQueries.oracleSql ++ OcsfLakeQueries.oracleSql
 }

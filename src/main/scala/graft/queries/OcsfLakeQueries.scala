@@ -1,0 +1,251 @@
+package graft.queries
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.EtlBench
+import graft.ocsf.{OcsfSink, OcsfTables}
+import graft.sources.FdrSource
+
+/** Oracled analytics over the NESTED OCSF lake — the reference's actual
+  * consumption surface (reference README.md:48: Athena SQL over the
+  * normalized tables, `actor.process.*`, `device.os.*`,
+  * `observables[*]`). Everything else in the correctness gate runs on
+  * the flat star-schema testdata; these queries prove the nested-struct
+  * surface: struct-leaf predicates and group-bys, array-of-struct
+  * UNNEST, partition pruning on the lake layout, and multi-table reads
+  * — each hash-checked against DuckDB reading the very same parquet
+  * files this pipeline wrote.
+  *
+  * [[OcsfLake.ensure]] materializes a deterministic miniature lake at a
+  * FIXED path ([[OcsfLake.Root]]) by running the full ETL (gz JSON-lines
+  * → classify → 13 normalizers → partitioned fan-out) over the
+  * deterministic [[graft.EtlBench.line]] corpus. The path must be a
+  * compile-time constant because [[oracleSql]] strings embed it — the
+  * driver's DuckDB session only gets views of the star-schema tables,
+  * so the lake is addressed by `read_parquet('<Root>/<table>/⋆⋆/⋆.parquet')`
+  * with hive partitioning.
+  */
+object OcsfLake {
+
+  /** Fixed lake location — embedded in the oracle SQL, so a constant. */
+  val Root = "/tmp/graft_ocsf_lake"
+
+  /** Bump to invalidate lakes built by older generator versions. */
+  val Version = 1
+
+  /** 10k events per route. */
+  val NEvents = 130000L
+
+  /** Index stride into [[EtlBench.line]]: coprime with 13 so the routes
+    * keep cycling, and ~1.7 s of event-time per line so the corpus
+    * spans 4 UTC eventDays (exercises partition pruning, which a
+    * single-day lake cannot). */
+  val Stride = 1663L
+
+  private def marker: Path = Paths.get(Root, s"_GRAFT_LAKE_v$Version")
+
+  /** Build the lake if this JVM (or an earlier run on this box) hasn't
+    * already: idempotent, synchronized, marker-gated. Returns [[Root]]. */
+  def ensure(spark: SparkSession): String = synchronized {
+    if (Files.exists(marker)) return Root
+    val landing = Files.createTempDirectory("graft-lake-landing")
+    val w = new BufferedWriter(new OutputStreamWriter(new GZIPOutputStream(
+      new FileOutputStream(landing.resolve("fdr-0000.gz").toFile)), "UTF-8"), 1 << 20)
+    var i = 0L
+    while (i < NEvents) { w.write(EtlBench.line(i * Stride)); w.write("\n"); i += 1 }
+    w.close()
+    // stale partial lake from an older version/crashed build: rebuild clean
+    val rootPath = Paths.get(Root)
+    if (Files.exists(rootPath)) deleteRecursively(rootPath)
+    val classified = OcsfSink.cacheForFanOut(OcsfSink.routeClustered(
+      FdrSource.load(spark, landing.toString).drop("raw")))
+    OcsfSink.fanOut(classified, Root, "us-east-1", "123456789012")
+    classified.unpersist()
+    deleteRecursively(landing)
+    Files.createFile(marker)
+    Root
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Spark-side reader: the committed-manifest-aware lake loader. */
+  def table(spark: SparkSession, route: String): DataFrame =
+    OcsfTables.load(spark, ensure(spark), route)
+
+  /** DuckDB-side reader for the same table: recursive parquet glob with
+    * hive partitioning (region/accountId/eventDay become columns). */
+  def duck(table: String): String =
+    s"read_parquet('$Root/$table/*/*/*/*.parquet', hive_partitioning=1)"
+}
+
+/** The `q_ocsf_lake_*` query surface — see [[OcsfLake]]. Each entry
+  * ignores the star-schema `dir` argument (the lake is its own input)
+  * and each oracle reads the identical lake parquet from DuckDB, so the
+  * hash compare proves nested-field SEMANTICS, not just row counts. */
+object OcsfLakeQueries {
+
+  /** Partition-pruned day (middle of the 4-day corpus, full day). */
+  private val Day = 20231115
+
+  import org.apache.spark.sql.Column
+
+  private def fmtTime(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  // B-series style registration: name -> (spark, sfDir) => DataFrame
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // nested-leaf predicates (device.os.type, parent process name) +
+    // group-by on the partition column; the filter prunes nothing on
+    // this corpus (all Windows/explorer) but MUST push to the scan
+    "q_ocsf_lake_proc_days" -> ((s, _) =>
+      OcsfLake.table(s, "Process Activity")
+        .filter(col("device.os.type") === "Windows" &&
+          col("process.parent_process.file.name") === "explorer.exe")
+        .groupBy(col("eventDay").cast("string").as("event_day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("process.pid")).as("n_pids"),
+          fmtTime(max(col("time"))).as("max_time"))),
+
+    // selective nested filter (prefix LIKE on query.hostname) + nested
+    // group-by — the "hunt one domain family" Athena query
+    "q_ocsf_lake_dns_family" -> ((s, _) =>
+      OcsfLake.table(s, "DNS Activity")
+        .filter(col("query.hostname").startsWith("host12"))
+        .groupBy(col("query.hostname").as("hostname"),
+          col("rcode").as("rcode"))
+        .agg(count(lit(1)).as("n_queries"),
+          countDistinct(col("src_endpoint.uid")).as("n_devices"))),
+
+    // flat predicate + two-deep nested group-by (url struct)
+    "q_ocsf_lake_http_errors" -> ((s, _) =>
+      OcsfLake.table(s, "HTTP Activity")
+        .filter(col("status_code") === "404")
+        .groupBy(col("http_request.url.hostname").as("hostname"),
+          col("http_request.http_method").as("http_method"))
+        .agg(count(lit(1)).as("n_errors"))),
+
+    // per-user logon profile: nested user struct + distinct over a
+    // nested leaf
+    "q_ocsf_lake_auth_users" -> ((s, _) =>
+      OcsfLake.table(s, "Authentication")
+        .groupBy(col("user.name").as("user_name"))
+        .agg(count(lit(1)).as("n_logons"),
+          countDistinct(col("logon_type_id")).as("n_logon_types"))),
+
+    // connection rollup over two sibling structs
+    "q_ocsf_lake_net_direction" -> ((s, _) =>
+      OcsfLake.table(s, "Network Activity")
+        .groupBy(col("connection_info.direction").as("direction"),
+          col("dst_endpoint.port").as("dst_port"))
+        .agg(count(lit(1)).as("n_conns"),
+          countDistinct(col("dst_endpoint.ip")).as("n_dst_ips"))),
+
+    // observables UNNEST — the reference's observables[*] consumption
+    "q_ocsf_lake_observables" -> ((s, _) =>
+      OcsfLake.table(s, "Process Activity")
+        .select(explode(col("observables")).as("ob"))
+        .groupBy(col("ob.type_id").as("type_id"),
+          col("ob.type").as("obs_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("ob.value")).as("n_values"))),
+
+    // partition pruning: one eventDay across five class tables
+    "q_ocsf_lake_day_classes" -> ((s, _) => {
+      val tables = Seq("Process Activity", "Network Activity",
+        "DNS Activity", "Authentication", "HTTP Activity")
+      tables.map { t =>
+        OcsfLake.table(s, t)
+          .filter(col("eventDay") === Day)
+          .select(col("class_uid"), col("class_name"), col("category_name"))
+      }.reduce(_ union _)
+        .groupBy("class_uid", "class_name", "category_name")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // the 13th route (extApi code-override): nested http_request +
+    // owner account structs
+    "q_ocsf_lake_extapi" -> ((s, _) =>
+      OcsfLake.table(s, "extApi")
+        .groupBy(col("status").as("status"),
+          col("http_request.http_method").as("http_method"),
+          col("src_endpoint.owner.account.type").as("account_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("http_request.url.path")).as("n_paths"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ocsf_lake_proc_days" ->
+      s"""SELECT CAST(eventDay AS VARCHAR) AS event_day,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT process.pid) AS BIGINT) AS n_pids,
+        |       strftime(max(time), '%Y-%m-%d %H:%M:%S') AS max_time
+        |FROM ${OcsfLake.duck("process_activity")}
+        |WHERE device.os.type = 'Windows'
+        |  AND process.parent_process.file.name = 'explorer.exe'
+        |GROUP BY 1""".stripMargin,
+    "q_ocsf_lake_dns_family" ->
+      s"""SELECT "query".hostname AS hostname, rcode,
+        |       CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(count(DISTINCT src_endpoint.uid) AS BIGINT) AS n_devices
+        |FROM ${OcsfLake.duck("dns_activity")}
+        |WHERE "query".hostname LIKE 'host12%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ocsf_lake_http_errors" ->
+      s"""SELECT http_request.url.hostname AS hostname,
+        |       http_request.http_method AS http_method,
+        |       CAST(count(*) AS BIGINT) AS n_errors
+        |FROM ${OcsfLake.duck("http_activity")}
+        |WHERE status_code = '404'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ocsf_lake_auth_users" ->
+      s"""SELECT "user".name AS user_name,
+        |       CAST(count(*) AS BIGINT) AS n_logons,
+        |       CAST(count(DISTINCT logon_type_id) AS BIGINT) AS n_logon_types
+        |FROM ${OcsfLake.duck("authentication")}
+        |GROUP BY 1""".stripMargin,
+    "q_ocsf_lake_net_direction" ->
+      s"""SELECT connection_info.direction AS direction,
+        |       dst_endpoint.port AS dst_port,
+        |       CAST(count(*) AS BIGINT) AS n_conns,
+        |       CAST(count(DISTINCT dst_endpoint.ip) AS BIGINT) AS n_dst_ips
+        |FROM ${OcsfLake.duck("network_activity")}
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ocsf_lake_observables" ->
+      s"""WITH o AS (SELECT UNNEST(observables) AS ob
+        |           FROM ${OcsfLake.duck("process_activity")})
+        |SELECT ob.type_id AS type_id, ob.type AS obs_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT ob.value) AS BIGINT) AS n_values
+        |FROM o
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ocsf_lake_day_classes" -> {
+      val union = Seq("process_activity", "network_activity",
+        "dns_activity", "authentication", "http_activity")
+        .map(t => s"SELECT class_uid, class_name, category_name " +
+          s"FROM ${OcsfLake.duck(t)} WHERE eventDay = $Day")
+        .mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+        |$union)
+        |SELECT class_uid, class_name, category_name,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM u
+        |GROUP BY 1, 2, 3""".stripMargin
+    },
+    "q_ocsf_lake_extapi" ->
+      s"""SELECT status,
+        |       http_request.http_method AS http_method,
+        |       src_endpoint.owner.account.type AS account_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT http_request.url.path) AS BIGINT) AS n_paths
+        |FROM ${OcsfLake.duck("extapi")}
+        |GROUP BY 1, 2, 3""".stripMargin)
+}

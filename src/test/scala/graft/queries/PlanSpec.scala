@@ -171,6 +171,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("OCSF lake: nested schema pruning — dns query reads only the referenced struct leaves") {
+    val p = plan("q_ocsf_lake_dns_family")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("query:struct<hostname:string>"),
+      s"query struct not pruned to hostname: $readSchema")
+    assert(readSchema.contains("src_endpoint:struct<uid:string>"),
+      s"src_endpoint not pruned to uid: $readSchema")
+    // untouched wide columns must not reach the scan
+    assert(!readSchema.contains("observables"), readSchema)
+    assert(!readSchema.contains("metadata"), readSchema)
+    assert(!readSchema.contains("opcode"), readSchema)
+  }
+
+  test("OCSF lake: nested-leaf predicate pushes to the parquet scan") {
+    val p = plan("q_ocsf_lake_dns_family")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("query.hostname"),
+      s"nested predicate not pushed: $pushed")
+  }
+
+  test("OCSF lake: eventDay predicate prunes partitions, not rows") {
+    val p = plan("q_ocsf_lake_day_classes")
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(_.contains("eventDay")),
+      s"partition filter missing eventDay:\n${scans.mkString("\n")}")
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
