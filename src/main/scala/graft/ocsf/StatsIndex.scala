@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, max, min, sum}
 import org.apache.spark.sql.types._
 
 /** File-skipping stats index for commit-log tables: per-data-file
@@ -43,11 +43,15 @@ import org.apache.spark.sql.types._
   * by `input_file_name`) and APPENDS their rows; existing index rows
   * are never rewritten, so the steady-state cost tracks the ingest
   * delta, not the table size. The index is itself a parquet relation,
-  * read and filtered distributed; only per-file NAME strings reach the
-  * driver — the same O(files) contract the manifest reader already
-  * has. The swap-free append design means a crash anywhere leaves at
-  * worst a torn part-file, which readers skip: an index can lose
-  * acceleration, never rows.
+  * read, filtered AND set-intersected distributed: the not-yet-indexed
+  * delta is a left-anti join of the committed list against the index
+  * (only the DELTA's names reach the driver), and [[prune]] is a join
+  * whose driver materialization is the SURVIVOR list — O(pruned
+  * result), never O(indexed files). At a million-file table the only
+  * O(table) driver structure left is the committed manifest list
+  * itself, which compaction bounds. The swap-free append design means
+  * a crash anywhere leaves at worst a torn part-file, which readers
+  * skip: an index can lose acceleration, never rows.
   */
 object StatsIndex {
 
@@ -72,20 +76,35 @@ object StatsIndex {
     val committed = IdempotentSink.committedFiles(fs, tableDir)
     if (committed.isEmpty) return 0
     val idxDir = indexDir(tableDir)
-    val existing: Set[String] = indexDf(spark, fs, tableDir) match {
+    import spark.implicits._
+    // not-yet-indexed delta as a DISTRIBUTED anti-join: only the delta's
+    // names come back to the driver, never the full indexed-file list
+    val newFiles: Seq[Path] = indexDf(spark, fs, tableDir) match {
       case Some(df) if indexedCols(df).toSet == cols.toSet =>
-        df.select("file").collect().map(r => normalize(fs, r.getString(0))).toSet
+        val cdf = committed.map(p => normalize(fs, p)).toDF("c_file")
+        val newKeys = cdf.join(df.select(col("file")),
+            cdf("c_file") === col("file"), "left_anti")
+          .as[String].collect().toSet
+        committed.filter(p => newKeys(normalize(fs, p)))
       case Some(_) => // column set changed: rebuild from scratch
         fs.delete(idxDir, true)
-        Set.empty
-      case None => Set.empty
+        committed
+      case None => committed
     }
-    val newFiles = committed.filterNot(p => existing(normalize(fs, p)))
     if (newFiles.isEmpty) return 0
     val aggs = count(lit(1)).as("cnt") +: cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
     }
+    // store the CANONICAL file key (normalizePath form), attached via a
+    // broadcast map from the predicted `input_file_name()` rendering
+    // (qualified-path URI) — so prune's join needs no per-row driver
+    // normalization. A raw URI the prediction missed falls back to
+    // itself, which only costs acceleration (the file reads as
+    // unindexed), never rows.
+    val rawToCanon = newFiles
+      .map(p => (fs.makeQualified(p).toUri.toString, normalize(fs, p)))
+      .toDF("raw_uri", "file_key")
     // mergeSchema: the delta may straddle an additive schema-evolution
     // boundary (SchemaEvolution) — an indexed column added later must
     // read as null from pre-evolution files, not lose the whole build
@@ -93,8 +112,12 @@ object StatsIndex {
     spark.read.option("basePath", tableDir.toString)
       .option("mergeSchema", "true")
       .parquet(newFiles.map(_.toString): _*)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(input_file_name().as("file_raw"))
       .agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(rawToCanon), col("file_raw") === col("raw_uri"),
+        "left_outer")
+      .withColumn("file", coalesce(col("file_key"), col("file_raw")))
+      .drop("file_raw", "raw_uri", "file_key")
       .write.mode("append").parquet(idxDir.toString)
     newFiles.size
   }
@@ -116,14 +139,20 @@ object StatsIndex {
         pruningFor(parsed, statTypes) match {
           case None => committed // nothing prunable in cond
           case Some(pruning) =>
-            val all = idx.select("file").collect()
-              .map(r => normalize(fs, r.getString(0))).toSet
-            val surviving = idx.filter(pruning).select("file").collect()
-              .map(r => normalize(fs, r.getString(0))).toSet
-            committed.filter { p =>
-              val n = normalize(fs, p)
-              !all(n) || surviving(n)
-            }
+            // one distributed join: a committed file survives when it
+            // has NO stats row (unindexed → keep) or ANY of its rows
+            // passes the relaxed predicate. Only the SURVIVOR names are
+            // materialized on the driver — O(pruned result), which is
+            // the whole point of pruning; the index itself never
+            // round-trips through driver memory.
+            import spark.implicits._
+            val cdf = committed.map(p => normalize(fs, p)).toDF("c_file")
+            val survivors = cdf
+              .join(idx, cdf("c_file") === idx("file"), "left_outer")
+              .filter(idx("file").isNull || pruning)
+              .select("c_file").distinct()
+              .as[String].collect().toSet
+            committed.filter(p => survivors(normalize(fs, p)))
         }
     }
 

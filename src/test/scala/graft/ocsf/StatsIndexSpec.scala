@@ -201,4 +201,41 @@ class StatsIndexSpec extends SparkSpec {
     assert(OcsfTables.buildStats(spark, base, route,
       Seq("severity", "host")) == 2)
   }
+
+  test("100k-file manifest: prune is a distributed join, driver holds only survivors") {
+    // Synthetic metadata-scale case (no data files needed — prune never
+    // opens one): a 100k-row stats index and a 100k-entry committed
+    // list. The pruning join must complete and materialize ONLY the
+    // surviving handful on the driver — the shape that holds when the
+    // committed list is a month of a 100 TB feed.
+    import spark.implicits._
+    val n = 100000
+    val base = Files.createTempDirectory("statsidx-scale").toString
+    val tableDir = new Path(s"file:$base/t")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-file disjoint severity ranges [i*10, i*10+9]
+    spark.range(n).select(
+      // canonical normalizePath form: scheme + "://" + empty authority
+      concat(lit(s"file://$base/t/f"), lpad(col("id").cast("string"), 6, "0"))
+        .as("file"),
+      lit(64L).as("cnt"),
+      (col("id") * 10).cast("int").as("min_severity"),
+      (col("id") * 10 + 9).cast("int").as("max_severity"),
+      lit(0L).as("nulls_severity"))
+      .write.parquet(s"$base/t/_stats/index")
+    val committed = (0 until n).map(i => new Path(f"file:$base/t/f$i%06d")) :+
+      new Path(s"file:$base/t/unindexed-extra") // no stats row → always kept
+    // predicate touches the top 3 files' ranges only
+    val lo = (n - 3) * 10
+    val kept = StatsIndex.prune(spark, fs, tableDir, committed,
+      s"severity >= $lo")
+    assert(kept.map(_.getName).toSet ==
+      Set(f"f${n - 3}%06d", f"f${n - 2}%06d", f"f${n - 1}%06d",
+        "unindexed-extra"),
+      s"expected 3 surviving indexed files + the unindexed one, got " +
+        s"${kept.size}: ${kept.take(8).mkString(", ")}")
+    // and an unprunable predicate still keeps everything (no silent drop)
+    assert(StatsIndex.prune(spark, fs, tableDir, committed,
+      s"pmod(severity, 7) = 3").size == committed.size)
+  }
 }
