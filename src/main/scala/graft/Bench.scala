@@ -67,10 +67,45 @@ object Bench {
     val coldTotal = cold.values.sum
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"sf":${jstr(sfDir)}}"""
+    // STDOUT LINE MUST FIT THE DRIVER'S 2000-CHAR TAIL. The round
+    // artifact (BENCH_r*.json) stores only the last 2000 chars of
+    // captured output; a flat full-name query map outgrew that at ~80
+    // queries, truncating the alphabetically-early entries and leaving
+    // `parsed` null. So stdout carries a COMPLETE but compacted map —
+    // query keys grouped by their shared prefix, times as integer
+    // milliseconds — while bench_out.json keeps the flat
+    // full-precision form. Reconstruction (stated in `qenc` too):
+    // group g + name n -> "q_" + g + "_" + n; root-group ("") names
+    // are the original key minus its leading 'q'. Values are ms.
+    val groupPrefixes =
+      Seq("q_doc_", "q_events_", "q_emb_", "q_ocsf_lake_", "q_approx_", "q_mm_")
+    val grouped = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String, Double]]()
+    timings.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val (g, n) = groupPrefixes.find(k.startsWith) match {
+        case Some(p) => (p.stripPrefix("q_").stripSuffix("_"), k.substring(p.length))
+        case None    => ("", k.stripPrefix("q"))
+      }
+      grouped.getOrElseUpdate(g,
+        scala.collection.mutable.LinkedHashMap[String, Double]())(n) = v
+    }
+    val qsCompact = grouped.toSeq.sortBy(_._1).map { case (g, m) =>
+      s"${jstr(g)}:" + m.map { case (n, v) =>
+        s"${jstr(n)}:${math.round(v * 1000)}" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    // errors only when present — every char of a clean run is budget
+    val esCompact = if (errors.isEmpty) "" else s""","errors":$es"""
+    // cold_total lives only in bench_out.json — every stdout char is
+    // tail budget. "qenc" states the key reconstruction + value unit.
+    val compact =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","qenc":"ms;q_g_n;root qn","queries":$qsCompact$esCompact,"sf":${jstr(new java.io.File(sfDir).getName)}}"""
+    if (compact.length > 1880)
+      System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
+        "the driver tail holds ~1920 — tighten the encoding before adding queries")
     // Single line on stdout; driver greps for the {"metric": prefix.
-    println(line)
+    println(compact)
     // sbt prefixes stdout with [info], which has broken the driver's
-    // parse two rounds running — also write the bare line to a file.
+    // parse two rounds running — also write the bare FULL line to a file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath))

@@ -784,34 +784,52 @@ object DocQueries {
     * pre-filter, so non-candidate terms never shuffle at all.
     * Ranking is (count desc, term asc) — discrete and
     * engine-independent. */
-  def qDocHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+  def qDocHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(docs(s, dir), "text", k = 20, support = 0.001)
+
+  /** Sketch-then-verify top-k with graceful degradation: each attempt
+    * ENFORCES the exactness claim instead of assuming it — the sketch
+    * only guarantees candidates for terms with share > support, so a
+    * kth term at or below that bar could have been evicted
+    * (partition-order dependent) and the result would silently,
+    * nondeterministically diverge from the oracle. When the guard
+    * trips (a flat-tailed corpus where the kth term sits under the
+    * support bar) the support is QUARTERED and the sketch+verify pair
+    * reruns — each retry is one extra map-only pass, and the candidate
+    * array stays bounded at ≤ 1/support strings. Only after
+    * `maxRetries` quarterings does it raise, so a user never hand-tunes
+    * support for an unfamiliar corpus's tail shape. */
+  def heavyHitters(d: DataFrame, textCol: String, k: Int,
+                   support: Double, maxRetries: Int = 3): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    val support = 0.001
-    val d = docs(s, dir)
-    val terms = d.select(explode(TextFunctions.tokens(col("text"))).as("term"))
-    val cands = terms.stat.freqItems(Seq("term"), support)
-      .head().getSeq[String](0)
-    val top = terms.filter(col("term").isin(cands: _*))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("occurrences"))
-      .orderBy(col("occurrences").desc, col("term").asc)
-      .limit(20)
-      .collect()
-    // ENFORCE the exactness claim instead of assuming it: the sketch
-    // only guarantees candidates for terms with share > support, so a
-    // 20th term at or below that bar could have been evicted
-    // (partition-order dependent) and the result would silently,
-    // nondeterministically diverge from the oracle. One map-only pass
-    // prices the guard; failing loudly tells the caller to lower
-    // `support` for this corpus's tail.
-    val nTotal = d.select(sum(size(TextFunctions.tokens(col("text")))))
+    val terms = d.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val nTotal = d.select(sum(size(TextFunctions.tokens(col(textCol)))))
       .head().getLong(0)
-    require(top.length == 20 && top.map(_.getLong(1)).min > support * nTotal,
-      s"heavy-hitter exactness not guaranteed at support=$support: the " +
-        s"20th term's frequency does not clear support×N=" +
-        s"${(support * nTotal).toLong} — lower the support threshold")
-    top.map(r => (r.getString(0), r.getLong(1))).toSeq
-      .toDF("term", "occurrences")
+    var sup = support
+    var attempt = 0
+    while (true) {
+      val cands = terms.stat.freqItems(Seq("term"), sup)
+        .head().getSeq[String](0)
+      val top = terms.filter(col("term").isin(cands: _*))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("term").asc)
+        .limit(k)
+        .collect()
+      if (top.length == k && top.map(_.getLong(1)).min > sup * nTotal)
+        return top.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("term", "occurrences")
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"heavy-hitter exactness not guaranteed even at support=$sup " +
+          s"after $maxRetries retries from $support: the ${k}th term's " +
+          s"frequency does not clear support×N=${(sup * nTotal).toLong} — " +
+          "this corpus has no frequency head; use the exact vocabulary " +
+          "aggregation instead")
+      sup /= 4
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---------------------------------------------------------------- C2e

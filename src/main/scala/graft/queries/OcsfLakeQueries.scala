@@ -78,9 +78,17 @@ object OcsfLake {
     ()
   }
 
-  /** Spark-side reader: the committed-manifest-aware lake loader. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Spark-side reader: the committed-manifest-aware lake loader. The
+    * lake is IMMUTABLE once its marker exists, so the first load per
+    * route (manifest read + stray-file guard) is memoized — the same
+    * reason Athena resolves a table through the Glue catalog instead
+    * of relisting S3 per query. */
   def table(spark: SparkSession, route: String): DataFrame =
-    OcsfTables.load(spark, ensure(spark), route)
+    tableCache.computeIfAbsent(route,
+      r => OcsfTables.load(spark, ensure(spark), r))
 
   /** DuckDB-side reader for the same table: recursive parquet glob with
     * hive partitioning (region/accountId/eventDay become columns). */

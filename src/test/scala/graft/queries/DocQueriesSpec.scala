@@ -40,6 +40,36 @@ class DocQueriesSpec extends SparkSpec {
     assert(top == (50 to 31 by -1).map(t))
   }
 
+  test("C24: flat-tail corpus degrades gracefully — support auto-quarters to exact top-20") {
+    import spark.implicits._
+    // Adversarial tail: 30 head terms at 8 occurrences each sit UNDER
+    // the initial support bar (0.001 × 10000 = 10), so attempt #1's
+    // exactness guard must trip; at support/4 the bar is 2.5 < 8 and
+    // the verified top-20 is exact — no manual tuning.
+    val head = (1 to 30).flatMap(i => Seq.fill(8)(f"head$i%02d"))
+    val tail = (1 to 9760).map(i => s"tail$i")
+    val toks = head ++ tail
+    val docs = toks.grouped(100).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val top = DocQueries.heavyHitters(docs, "text", k = 20, support = 0.001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == 20)
+    assert(top.forall(_._2 == 8L))
+    // ties rank (count desc, term asc): head01..head20 exactly
+    assert(top.map(_._1).toSeq == (1 to 20).map(i => f"head$i%02d"))
+  }
+
+  test("C24: a headless corpus exhausts retries and raises, not silently truncates") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, (1 to 100).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DocQueries.heavyHitters(docs, "text", k = 20, support = 0.001, maxRetries = 0)
+    }
+    assert(e.getMessage.contains("no frequency head"))
+  }
+
   test("C30: leak-free split drops only train docs that near-dup a val doc") {
     import spark.implicits._
     import graft.operators.{Corpus, Dedup}
