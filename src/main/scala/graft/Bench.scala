@@ -28,6 +28,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.queries.DocQueries.ivfPqIndex(spark, sfDir).codes.count()
     catch { case _: Throwable => () }
+    try graft.queries.DocQueries.opqIndex(spark, sfDir)._2.count()
+    catch { case _: Throwable => () }
     // Four passes per query: the first pays one-time costs (codegen
     // compile, JIT, broadcast build) and is reported as cold_*; the
     // MEDIAN of the next three is the steady-state number. A single

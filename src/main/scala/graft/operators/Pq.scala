@@ -165,21 +165,26 @@ object Pq {
     val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
       .getOrElse { return Ann.emptyTopK(emb, idCol) }
     serve(emb, idCol, vecCol, codes.filter(col(idCol) =!= queryId),
-      model, qRaw, k, rerank)
+      model, qRaw, normalize(qRaw), k, rerank)
+  }
+
+  private def normalize(q: Array[Double]): Array[Double] = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    if (n > 0.0) q.map(_ / n) else q
   }
 
   /** The shared ADC serve tail (score candidate code rows, optionally
     * exact-re-rank): [[topK]] feeds it the whole corpus, [[IvfPqIndex]]
-    * only the probed cells. */
+    * only the probed cells. `qLut` is the vector the codes were trained
+    * against (the normalized query — ROTATED for OPQ, where codes live
+    * in the rotated space); `qRaw` stays in the original space for the
+    * exact re-rank, which rotation never touches (cosine is
+    * rotation-invariant, and the stored corpus vectors are unrotated). */
   private[operators] def serve(emb: DataFrame, idCol: String, vecCol: String,
                                candidates: DataFrame, model: PqModel,
-                               qRaw: Array[Double], k: Int,
-                               rerank: Int): DataFrame = {
-    val qNorm = {
-      val n = math.sqrt(qRaw.map(x => x * x).sum)
-      if (n > 0.0) qRaw.map(_ / n) else qRaw
-    }
-    val lut = typedLit(model.flatLut(qNorm).toSeq)
+                               qRaw: Array[Double], qLut: Array[Double],
+                               k: Int, rerank: Int): DataFrame = {
+    val lut = typedLit(model.flatLut(qLut).toSeq)
     val kk = model.k
     val scored = candidates.withColumn("__adc",
       aggregate(zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
@@ -222,7 +227,7 @@ object Pq {
       serve(emb, idCol, vecCol,
         codes.filter(col("centroid_id").isin(probeCells.map(x => x: Any): _*))
           .filter(col(idCol) =!= queryId),
-        model, qRaw, k, rerank)
+        model, qRaw, normalize(qRaw), k, rerank)
     }
 
     /** Incremental append — encode ONLY the delta with the frozen
@@ -263,5 +268,254 @@ object Pq {
       codes.unpersist()
       IvfPqIndex(ivf.centroids, model, cellCodes, idCol)
     } finally ivf.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // OPQ — optimized product quantization (Ge et al., "Optimized
+  // Product Quantization", CVPR 2013, the non-parametric variant).
+  // Plain PQ slices dimensions 1..sub, sub+1..2·sub, …: when the
+  // corpus's variance is unevenly spread or correlated across that
+  // arbitrary slicing, some subspaces waste their k codewords on noise
+  // while others underfit. OPQ learns an ORTHOGONAL rotation R
+  // (applied before slicing) that balances and decorrelates the
+  // subspaces, then quantizes the rotated vectors — same m, same k,
+  // same code size, strictly better (or equal) quantization error.
+  // Rotation preserves cosine, so the ADC story is unchanged: rotate
+  // the query, LUT against the rotated-space codebooks.
+  // ------------------------------------------------------------------
+
+  /** PQ model plus the learned rotation. `rotation(i)(j)` = R[i][j] in
+    * the ROW convention: rotated(v)_j = Σ_i v_i · R[i][j] (d×d doubles
+    * — KBs, a driver/literal-side object like the codebooks). */
+  final case class OpqModel(rotation: Seq[Array[Double]], pq: PqModel) {
+    def dim: Int = pq.dim
+
+    /** Driver-side rotate (for the one query vector per probe). */
+    def rotate(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var j = 0
+      while (j < dim) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * rotation(i)(j); i += 1 }
+        out(j) = s; j += 1
+      }
+      out
+    }
+  }
+
+  /** Map-only matvec: every row's `v` replaced by `v · R`. The d×d
+    * rotation ships as ONE flat literal; the per-row cost is d² mult-
+    * adds inside codegen — the same shape as a dense projection layer,
+    * scale-safe at any corpus size. */
+  private def rotatedBase(base: DataFrame, idCol: String,
+                          r: Seq[Array[Double]]): DataFrame = {
+    val d = r.size
+    val rFlat = typedLit(r.flatMap(_.toSeq))
+    base.select(col(idCol),
+      transform(sequence(lit(0), lit(d - 1)), j =>
+        aggregate(
+          zip_with(col("v"), sequence(lit(0), lit(d - 1)),
+            (x, i) => x * element_at(rFlat, (i * d + j + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x)).as("v"))
+  }
+
+  /** The Procrustes correlation M = Xᵀ·Q — X the original normalized
+    * corpus, Q each row's quantized reconstruction in the rotated
+    * space. Distributed as: per-row flat outer product (d² values),
+    * posexplode, partial-agg'd sum per position — the shuffle carries
+    * d² rows per PARTITION, never per row; only the d×d result reaches
+    * the driver. */
+  private def correlation(base: DataFrame, codesDf: DataFrame,
+                          idCol: String, model: PqModel): Array[Array[Double]] = {
+    val d = model.dim; val sub = model.sub; val kk = model.k
+    // flat codeword table: entry j*k*sub + c*sub + t = codebooks(j)(c)(t)
+    val cwFlat = typedLit(
+      model.codebooks.flatMap(book => book.flatMap(_.toSeq)))
+    val joined = base.join(codesDf, Seq(idCol))
+      .withColumn("__q", transform(sequence(lit(0), lit(d - 1)), i => {
+        val j = (i / lit(sub)).cast("int")
+        val t = pmod(i, lit(sub))
+        element_at(cwFlat,
+          (j * (kk * sub) + element_at(col("codes"), j + 1) * sub + t + 1)
+            .cast("int"))
+      }))
+    val sums = joined
+      .select(posexplode(transform(sequence(lit(0), lit(d * d - 1), lit(1)), p =>
+        element_at(col("v"), (p / lit(d)).cast("int") + 1) *
+          element_at(col("__q"), pmod(p, lit(d)).cast("int") + 1))))
+      .groupBy("pos").agg(sum("col").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(d, d)((i, j) => sums.getOrElse(i * d + j, 0.0))
+  }
+
+  /** Orthogonal (polar) factor of M — the Procrustes solution R = UVᵀ
+    * computed as M·(MᵀM)^(-1/2) with a plain Jacobi eigen-solve of the
+    * d×d symmetric MᵀM. Pure driver math on a d×d matrix (d ≤ a few
+    * hundred for any real embedding), no linalg dependency. Eigenvalues
+    * under `eps` contribute nothing (rank-deficient M leaves those
+    * directions unrotated rather than blowing up). */
+  private[operators] def orthogonalPolar(mIn: Array[Array[Double]]): Seq[Array[Double]] = {
+    val d = mIn.length
+    // S = MᵀM (symmetric PSD)
+    val a = Array.tabulate(d, d)((i, j) =>
+      (0 until d).foldLeft(0.0)((acc, t) => acc + mIn(t)(i) * mIn(t)(j)))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // cyclic Jacobi sweeps until the off-diagonal mass is negligible
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = 0.5 * (a(q)(q) - a(p)(p)) / apq
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eps = 1e-12
+    val invSqrt = (0 until d).map(i => {
+      val lam = a(i)(i)
+      if (lam > eps) 1.0 / math.sqrt(lam) else 0.0
+    })
+    // S^(-1/2) = V diag(1/√λ) Vᵀ, then R = M · S^(-1/2)
+    val sInv = Array.tabulate(d, d)((i, j) =>
+      (0 until d).foldLeft(0.0)((acc, t) => acc + v(i)(t) * invSqrt(t) * v(j)(t)))
+    val r = Array.tabulate(d, d)((i, j) =>
+      (0 until d).foldLeft(0.0)((acc, t) => acc + mIn(i)(t) * sInv(t)(j)))
+    // The clamped (near-null) directions come out of the polar formula
+    // shrunk, not unit — and steep spectra leave e-6-scale residue even
+    // in the kept ones (MᵀM squares the condition number). Finish with
+    // modified Gram-Schmidt over the COLUMNS (the output directions of
+    // v·R); a collapsed column is completed deterministically from the
+    // standard basis, which is exactly the Procrustes freedom in M's
+    // null space. TWO passes ("twice is enough"): normalizing a
+    // shrunken column amplifies the pass-1 projection residue, and the
+    // second sweep removes it.
+    var pass = 0
+    while (pass < 2) {
+    var j = 0
+    while (j < d) {
+      var t = 0
+      while (t < j) {
+        var dot = 0.0; var i = 0
+        while (i < d) { dot += r(i)(j) * r(i)(t); i += 1 }
+        i = 0
+        while (i < d) { r(i)(j) -= dot * r(i)(t); i += 1 }
+        t += 1
+      }
+      var nrm = 0.0; var i = 0
+      while (i < d) { nrm += r(i)(j) * r(i)(j); i += 1 }
+      nrm = math.sqrt(nrm)
+      if (nrm < 1e-8) {
+        // complete from the first basis vector not yet spanned
+        var e = 0
+        var done = false
+        while (e < d && !done) {
+          i = 0; while (i < d) { r(i)(j) = if (i == e) 1.0 else 0.0; i += 1 }
+          var tt = 0
+          while (tt < j) {
+            var dot = 0.0; i = 0
+            while (i < d) { dot += r(i)(j) * r(i)(tt); i += 1 }
+            i = 0
+            while (i < d) { r(i)(j) -= dot * r(i)(tt); i += 1 }
+            tt += 1
+          }
+          var n2 = 0.0; i = 0
+          while (i < d) { n2 += r(i)(j) * r(i)(j); i += 1 }
+          if (n2 > 0.5) { nrm = math.sqrt(n2); done = true }
+          e += 1
+        }
+      }
+      i = 0
+      while (i < d) { r(i)(j) /= nrm; i += 1 }
+      j += 1
+    }
+    pass += 1
+    }
+    r.toSeq
+  }
+
+  /** Fit + encode with the OPQ rotation: alternate (fit codebooks on
+    * the rotated corpus) ↔ (re-solve the optimal rotation by
+    * Procrustes) `opqIters` times, then fit/encode once more under the
+    * final R. Every step is the same bounded machinery as [[build]] —
+    * sub-space k-means, broadcast-collapse encode, one d×d driver
+    * matrix per iteration — so the cost is `opqIters+1` × build, all
+    * map-side/partial-agg shapes. Returns the model and the
+    * MATERIALIZED persisted code relation (caller owns its
+    * unpersist). */
+  def buildOpq(emb: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+               codewords: Int = 256, iters: Int = 3, opqIters: Int = 3,
+               seed: Long = 42L): (OpqModel, DataFrame) = {
+    val base = normalized(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dimRow = base.select(size(col("v"))).limit(1).collect()
+      require(dimRow.nonEmpty, "cannot fit an OPQ codebook on an empty corpus")
+      val d = dimRow.head.getInt(0)
+      var r: Seq[Array[Double]] =
+        (0 until d).map(i => Array.tabulate(d)(j => if (i == j) 1.0 else 0.0))
+      for (_ <- 0 until opqIters) {
+        val rot = rotatedBase(base, idCol, r)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val model = fitBase(rot, idCol, m, codewords, iters, seed)
+          val codesIt = encodeBase(rot, idCol, model)
+          r = orthogonalPolar(correlation(base, codesIt, idCol, model))
+        } finally { rot.unpersist(); () }
+      }
+      val rotFinal = rotatedBase(base, idCol, r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val model = fitBase(rotFinal, idCol, m, codewords, iters, seed)
+        val codes = encodeBase(rotFinal, idCol, model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        (OpqModel(r, model), codes)
+      } finally { rotFinal.unpersist(); () }
+    } finally { base.unpersist(); () }
+  }
+
+  /** ADC top-k over OPQ codes: identical serve shape to [[topK]] — the
+    * only difference is the query is rotated (driver-side, d² mult-adds)
+    * before the LUT, because the codes live in the rotated space. The
+    * exact re-rank still scores ORIGINAL vectors against the ORIGINAL
+    * query (cosine is rotation-invariant, so the two stages agree). */
+  def topKOpq(emb: DataFrame, idCol: String, vecCol: String,
+              codes: DataFrame, model: OpqModel, queryId: Long, k: Int,
+              rerank: Int = 0): DataFrame = {
+    val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+      .getOrElse { return Ann.emptyTopK(emb, idCol) }
+    serve(emb, idCol, vecCol, codes.filter(col(idCol) =!= queryId),
+      model.pq, qRaw, model.rotate(normalize(qRaw)), k, rerank)
   }
 }

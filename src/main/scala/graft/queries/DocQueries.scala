@@ -159,6 +159,27 @@ object DocQueries {
       queryId = 0L, k = 20, rerank = 100)
   }
 
+  // ---------------------------------------------------------------- C25d
+  /** OPQ — PQ behind a learned orthogonal rotation that balances/
+    * decorrelates the subspaces before slicing (same m, same k, same
+    * code bytes; the lift on anisotropic corpora is AccuracySpec-
+    * measured). The testdata embeddings are near-isotropic, so here it
+    * serves as the rotation-is-a-no-op regression surface; same
+    * build/serve split and bounded cache as plain PQ. */
+  private val opqIndexes =
+    new IndexCache[(graft.operators.Pq.OpqModel, DataFrame)](max = 8)(
+      p => { p._2.unpersist(); () })
+
+  def opqIndex(s: SparkSession, dir: String): (graft.operators.Pq.OpqModel, DataFrame) =
+    opqIndexes.get(s, dir)(graft.operators.Pq.buildOpq(emb(s, dir),
+      "vec_id", "embedding", m = 8, codewords = 16, iters = 2, opqIters = 3))
+
+  def qEmbOpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (model, codes) = opqIndex(s, dir)
+    graft.operators.Pq.topKOpq(emb(s, dir), "vec_id", "embedding", codes,
+      model, queryId = 0L, k = 20, rerank = 100)
+  }
+
   // ---------------------------------------------------------------- C25b
   /** The composed IVF-PQ index: cells prune which code rows a probe
     * reads, codes shrink what it reads. Rows-only like its halves. */
@@ -987,6 +1008,7 @@ object DocQueries {
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
+    "q_emb_opq_topk"      -> (qEmbOpqTopk _),
     "q_emb_ivfpq_topk"    -> (qEmbIvfPqTopk _),
     "q_emb_semdedup"      -> (qEmbSemdedup _),
     "q_doc_dsir"          -> (qDocDsir _),

@@ -36,6 +36,8 @@ class ContractSpec extends AnyFunSuite {
       "q_emb_topics", // k-means cells are engine-specific; TopicsSpec pins the labeling
       "q_emb_ivf_topk",
       "q_emb_lsh_ann", "q_emb_pq_topk", "q_emb_ivfpq_topk",
+      "q_emb_opq_topk", // codebooks + learned rotation are k-means-family dependent; AccuracySpec pins the lift
+
       "q_mm_features",
       "q_mm_image_dups") // aHash needs image decode — no DuckDB oracle
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
