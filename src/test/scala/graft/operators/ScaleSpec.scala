@@ -73,4 +73,44 @@ class ScaleSpec extends SparkSpec {
       .distinct().count()
     assert(spread > 1, s"salt fan-out collapsed to $spread value(s)")
   }
+
+  test("C16e: star-contraction converges on a ~1M-edge high-diameter graph") {
+    // The adversarial dup-graph shapes at scale: LONG CHAINS (diameter
+    // breaks min-label propagation, which needs O(diameter) rounds)
+    // and BIG STARS (hot hub keys). 2,500 chains of 200 vertices +
+    // 100 stars of 5,000 leaves = 997,500 edges over 1,000,100
+    // vertices (each star is its hub plus 5,000 leaves). Every component minimum is closed-form, so exact
+    // correctness is checked over ALL vertices distributed — the same
+    // oracle a driver union-find would produce, without collecting a
+    // million edges.
+    val chainEdges = spark.range(2500L * 200L)
+      .select((col("id") / 200L).cast("long").as("c"),
+              pmod(col("id"), lit(200L)).as("i"))
+      .filter(col("i") < 199L)
+      .select((col("c") * 1000L + col("i")).as("doc1"),
+              (col("c") * 1000L + col("i") + 1L).as("doc2"))
+    val starEdges = spark.range(100L * 5000L)
+      .select((lit(10000000L) + (col("id") / 5000L).cast("long") * 100000L).as("hub"),
+              pmod(col("id"), lit(5000L)).as("k"))
+      .select(col("hub").as("doc1"), (col("hub") + col("k") + 1L).as("doc2"))
+    val edges = chainEdges.union(starEdges)
+    assert(edges.count() == 2500L * 199L + 100L * 5000L) // 997,500
+    val t0 = System.nanoTime()
+    val r = Dedup.alternatingComponents(edges)
+    val labeled = r.labels.localCheckpoint()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.converged, s"did not converge in ${r.rounds} rounds")
+    // O(log²) claim with margin: a 200-diameter chain under min-label
+    // propagation would need 200 rounds; star contraction must land
+    // far under the default 30 budget
+    assert(r.rounds <= 15, s"rounds=${r.rounds} — star contraction degraded")
+    info(f"997,500 edges / 1,000,100 vertices: ${r.rounds} rounds, $secs%.1f s")
+    // closed-form component minima: chains -> c*1000, stars -> hub
+    val expected = when(col("id") >= 10000000L,
+        (col("id") / 100000L).cast("long") * 100000L)
+      .otherwise((col("id") / 1000L).cast("long") * 1000L)
+    val wrong = labeled.filter(col("comp") =!= expected).count()
+    assert(wrong == 0L, s"$wrong vertices mislabeled")
+    assert(labeled.count() == 1000100L, "every edge-incident vertex labeled")
+  }
 }
