@@ -121,12 +121,32 @@ object OcsfSink {
     * absent degrade to one partition for that route, never lost. One
     * extra shuffle of the batch, repaid ~3× by the pruned rescans —
     * at streaming cadence the batch is small and the shuffle is
-    * sub-second. */
-  def routeClustered(classified: DataFrame, tasksPerRoute: Int = 2): DataFrame = {
-    require(tasksPerRoute >= 1, "tasksPerRoute must be >= 1")
+    * sub-second.
+    *
+    * The default (0) AUTO-SIZES tasksPerRoute from the input's plan
+    * stats, because what must stay bounded at scale is PARTITION SIZE,
+    * not partition count: a fixed 13×2 layout means each 4× corpus
+    * growth quadruples the rows per cached partition, and the
+    * cache-unroll of those fat serialized blocks is exactly where a
+    * 16M-event backfill blew the default heap (BASELINE.md r12 —
+    * stage-52 OOM at 615k rows/partition; the same corpus passes at
+    * 123k). ~8 MB of source bytes per task keeps a 1M-event batch at
+    * the measured-optimal 2 tasks/route and scales a backfill linearly,
+    * clamped to [2, 64] so a streaming micro-batch never shrinks below
+    * today's layout and a huge backfill never explodes the task
+    * count. */
+  def routeClustered(classified: DataFrame, tasksPerRoute: Int = 0): DataFrame = {
+    require(tasksPerRoute >= 0, "tasksPerRoute must be >= 1 (0 = auto)")
+    val tpr =
+      if (tasksPerRoute > 0) tasksPerRoute
+      else {
+        val bytes = classified.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perTask = BigInt(8L << 20) * OcsfMappings.routes.size
+        ((bytes / perTask) + 1).min(64).max(2).toInt
+      }
     val salt = pmod(xxhash64(coalesce(col("fields").getItem("id"),
-      col("fields").getItem("UTCTimestamp"), lit(""))), lit(tasksPerRoute))
-    classified.repartition(OcsfMappings.routes.size * tasksPerRoute,
+      col("fields").getItem("UTCTimestamp"), lit(""))), lit(tpr))
+    classified.repartition(OcsfMappings.routes.size * tpr,
       col("route"), salt)
   }
 
