@@ -674,6 +674,46 @@ object DocQueries {
       TextFunctions.stripMarkup(col("text")).as("clean_text"))
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
 
+  // ---------------------------------------------------------------- C45
+  /** URL-level dedup — the cheapest curation stage a web pipeline runs
+    * (CCNet/RefinedWeb: re-crawls of one page differ only in scheme
+    * case, `www.`, default ports, tracking params, fragments), here on
+    * PLANTED crawl-style URLs both engines derive identically from
+    * (doc_id, source) — the [[qDocRedact]] stance, since the synthetic
+    * corpus has no URL column. Canonicalize ([[graft.functions
+    * .UrlFunctions.normalizeUrl]]), group by canonical form, keep the
+    * smallest doc_id: map-only normalize + ONE hash aggregation —
+    * no minhash, no content shuffle, the reason this stage runs first
+    * at 100 TB. The planted variants exercise every rule: mixed-case
+    * scheme/host, `WWW.`, `:443`, utm/gclid runs in both positions,
+    * fragments, and a KEPT `ref=` param that must survive. */
+  def qDocUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val raw = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), pmod(col("doc_id"), lit(50)).cast("string"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("?utm_source=feed&utm_campaign=x&ref="),
+          pmod(col("doc_id"), lit(5)).cast("string")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("?ref="), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("&gclid=abc123")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("#section-2"))
+        .otherwise(lit("")))
+    docs(s, dir)
+      .withColumn("raw_url", raw)
+      .withColumn("url", UrlFunctions.normalizeUrl(col("raw_url")))
+      .groupBy("url")
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw"))
+      .withColumn("domain", graft.functions.UrlFunctions.urlDomain(col("url")))
+      .select(col("url"), col("domain"), col("keeper"), col("n_docs"),
+        col("n_raw"))
+  }
+
   // ---------------------------------------------------------------- C43
   /** Web-corpus curation capstone: the FineWeb-shaped composition of
     * the newest stages — markup extraction (C42) → quality gate on
@@ -990,6 +1030,7 @@ object DocQueries {
     "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_markup"        -> (qDocMarkup _),
+    "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
@@ -1047,6 +1088,20 @@ object DocQueries {
     s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
   }
 
+  /** DuckDB mirror of [[graft.functions.UrlFunctions.normalizeUrl]],
+    * generated from the SAME pattern table (`$n` backreferences become
+    * RE2's `\n`). */
+  private def normalizeUrlSql(c: String): String = {
+    import graft.functions.UrlFunctions
+    def q(s: String) = s.replace("'", "''")
+    val hp = q(UrlFunctions.hostPattern)
+    val lowered = s"(lower(regexp_extract($c, '$hp')) || " +
+      s"regexp_replace($c, '$hp', ''))"
+    UrlFunctions.urlPatterns.foldLeft(lowered) { case (e, (p, r)) =>
+      s"regexp_replace($e, '${q(p)}', '${q(r.replace("$", "\\"))}', 'g')"
+    }
+  }
+
   private def alphaSql(c: String): String =
     s"(length(regexp_replace(lower($c), '[^a-z]', '', 'g')) * 1.0 / " +
       s"greatest(length($c), 1))"
@@ -1077,6 +1132,28 @@ object DocQueries {
         |SELECT doc_id, clean_text,
         |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
         |FROM s""".stripMargin,
+    "q_doc_url_dedup" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTPS://WWW.' || upper(source) || '.Example.COM' ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |         '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '?utm_source=feed&utm_campaign=x&ref=' ||
+        |                   CAST(doc_id % 5 AS VARCHAR)
+        |              WHEN doc_id % 3 = 1
+        |              THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR) || '&gclid=abc123'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END AS raw_url
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw_url, ${normalizeUrlSql("raw_url")} AS url FROM u)
+        |SELECT url,
+        |       regexp_extract(url, '^[^/?#]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS domain,
+        |       min(doc_id) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw
+        |FROM c
+        |GROUP BY 1""".stripMargin,
     "q_doc_source_cap" ->
       s"""SELECT doc_id, source,
         |       round(${qualitySql("text")}, 4) AS quality,
