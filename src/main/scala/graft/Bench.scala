@@ -97,11 +97,12 @@ object Bench {
     }.mkString("{", ",", "}")
     // errors only when present — every char of a clean run is budget
     val esCompact = if (errors.isEmpty) "" else s""","errors":$es"""
-    // cold_total lives only in bench_out.json — every stdout char is
-    // tail budget. "qenc" states the key reconstruction + value unit.
+    // cold_total and sf live only in bench_out.json — every stdout
+    // char is tail budget (the driver stores sf itself). "qenc" states
+    // the key reconstruction + per-query value unit.
     val compact =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","qenc":"ms;q_g_n;root qn","queries":$qsCompact$esCompact,"sf":${jstr(new java.io.File(sfDir).getName)}}"""
-    if (compact.length > 1880)
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","qenc":"ms;q_g_n;root qn","queries":$qsCompact$esCompact}"""
+    if (compact.length > 1870)
       System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
         "the driver tail holds ~1920 — tighten the encoding before adding queries")
     // Single line on stdout; driver greps for the {"metric": prefix.
