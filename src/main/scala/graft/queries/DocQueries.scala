@@ -472,6 +472,56 @@ object DocQueries {
         coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
   }
 
+  // ---------------------------------------------------------------- C46
+  /** Cross-corpus LM filtering — the full CCNet setup [[qDocLmScore]]
+    * only approximates: the bigram model is trained on a REFERENCE
+    * slice (here `source = 'src0'`, standing in for the "known-good"
+    * corpus CCNet trains KenLM on) and every candidate document is
+    * scored by smoothed conditional cross-entropy under that model.
+    * Unlike C23's self-scoring, candidate bigrams can be UNSEEN, so
+    * the estimate is add-α smoothed: p(w2|w1) = (c2+α)/(c1+α·V) with
+    * α = 0.5 and V the reference vocabulary — out-of-domain text
+    * degrades to ~uniform probability instead of −∞. High
+    * cross-entropy ⇒ atypical under the reference ⇒ filter/downweight.
+    *
+    * Scale shape inherits C23's: per-(doc, gram) counts fold first
+    * (partial-agg'd — a hot bigram never exceeds one row per doc),
+    * the model aggregates from those rows, scoring is TWO ordinary
+    * equi-joins (bigram, then conditioning unigram — both left joins,
+    * AQE-splittable; no window ever sees a hot gram), and α·V ships
+    * as a 1-row broadcast. The model stays distributed end-to-end. */
+  def qDocLmCrossEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val refGrams = Dedup.shingles(d.filter(col("source") === "src0"),
+      "text", "doc_id", n = 2, dedupGrams = false)
+    val bi = refGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val uni = refGrams
+      .select(substring_index(col("gram"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = d.filter(col("source") === "src0")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val docGram = Dedup.shingles(d, "text", "doc_id", n = 2, dedupGrams = false)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val scored = docGram
+      .join(bi, Seq("gram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)) + lit(0.5) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("bigint").as("n_bigrams"),
+        TextFunctions.round4(-sum(col("k") * col("logp")) / sum(col("k")))
+          .as("cross_entropy"))
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
   // ---------------------------------------------------------------- C13
   /** TF-IDF relevance scoring: top-3 terms per document by
     * tf × ln(N/df) — the standard training-data relevance/keyword
@@ -1031,6 +1081,7 @@ object DocQueries {
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
+    "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
@@ -1597,6 +1648,35 @@ object DocQueries {
         |SELECT d.doc_id,
         |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  COALESCE(sc.avg_logp, 0.0) AS avg_logp
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q_doc_lm_crossentropy" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        |idx AS (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2),
+        |grams AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS gram,
+        |                 t[i] AS w1 FROM idx),
+        |bi AS (SELECT gram, count(*) AS c2 FROM grams
+        |       WHERE source = 'src0' GROUP BY gram),
+        |uni AS (SELECT w1, count(*) AS c1 FROM grams
+        |        WHERE source = 'src0' GROUP BY w1),
+        |vocab AS (SELECT count(DISTINCT w) AS v
+        |          FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+        |doc_gram AS (SELECT doc_id, gram, w1, count(*) AS k
+        |             FROM grams GROUP BY doc_id, gram, w1),
+        |sc AS (SELECT g.doc_id,
+        |         CAST(sum(g.k) AS BIGINT) AS n_bigrams,
+        |         round(-sum(g.k * ln((COALESCE(bi.c2, 0) + 0.5) /
+        |                             (COALESCE(uni.c1, 0) + 0.5 * vocab.v)))
+        |               / sum(g.k), 4) AS cross_entropy
+        |       FROM doc_gram g
+        |       LEFT JOIN bi USING (gram)
+        |       LEFT JOIN uni USING (w1)
+        |       CROSS JOIN vocab
+        |       GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(sc.cross_entropy, 0.0) AS cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "q_doc_redact" ->
       """WITH planted AS (
