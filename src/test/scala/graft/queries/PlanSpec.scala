@@ -199,6 +199,24 @@ class PlanSpec extends SparkSpec {
       s"partition filter missing eventDay:\n${scans.mkString("\n")}")
   }
 
+  test("C45: URL dedup is normalize(map-only) + hash agg — no window, no join") {
+    val p = plan("q_doc_url_dedup")
+    assert(!p.contains("Window"), s"URL dedup must not window:\n$p")
+    assert(!p.contains("Join"), s"URL dedup must not join:\n$p")
+    // the only shuffles are the aggregation's (count-distinct plans a
+    // two-level agg); the normalize itself adds zero exchanges
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("C46: cross-corpus LM scoring joins on gram keys, never windows them") {
+    val p = plan("q_doc_lm_crossentropy")
+    // a window over gram would pin every occurrence of the hottest
+    // bigram to one unsplittable task — the C23 stance, re-pinned here
+    assert(!p.contains("Window"), s"LM scoring must not window:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
