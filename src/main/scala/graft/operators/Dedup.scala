@@ -713,6 +713,80 @@ object Dedup {
     * shuffle join AQE can skew-split when one boilerplate span hits
     * 10⁶ docs; the md5 collision rate is negligible at 2^64 spans.
     * Left joins preserve every document through to the report. */
+  /** C47 — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm, the standard code-dedup
+    * fingerprinter in LLM data pipelines). Every k-gram is hashed and
+    * each length-`w` window of consecutive gram hashes keeps only its
+    * MINIMUM — an expected 2/(w+1) of grams survive, so the posting
+    * relation [[spanDuplication]] would build from every gram shrinks
+    * ~w/2× while keeping the guarantee: any run of ≥ w+k−1 shared
+    * tokens contributes at least one shared fingerprint (the winnowing
+    * theorem; spec-pinned). Cross-engine determinism comes free: the
+    * hash is an md5 prefix (identical in DuckDB), selection is a plain
+    * windowed min, and ties are impossible in practice (equal prefix ⇒
+    * equal gram, and equal mins select the same VALUE either way).
+    * Trailing (shorter-than-w) windows are included — their mins are
+    * suffix minima, deterministic and mirrored identically, so the SQL
+    * oracle needs no end-of-doc special case.
+    *
+    * Scale shape: the per-doc window partitions on doc id (thousands
+    * of parallel partitions, never a global sort), and the fingerprint
+    * relation it emits is the SPARSE one — that sparsity is the whole
+    * point at 100 TB. Returns distinct `(idCol, fp)`. */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 4, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => substring(md5(concat_ws(" ",
+            slice(col("toks"), i + lit(1), lit(k)))), 1, 16)))
+        .as(Seq("pos", "h")))
+    val win = Window.partitionBy(idCol).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams.select(col(idCol), min(col("h")).over(win).as("fp")).distinct()
+  }
+
+  /** Winnowed near-dup candidate pairs: a posting join over the SPARSE
+    * fingerprint relation — (doc1, doc2, n_shared fingerprints), kept
+    * when ≥ `minShared`. `maxDocFreq` drops boilerplate fingerprints
+    * (the [[ngramJaccardPairs]] stop-gram stance: a fingerprint in
+    * hundreds of docs is a hot key whose df² pair blowup buys no
+    * signal); [[winnowDroppedFingerprints]] is its accounting
+    * relation. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 4, w: Int = 8, minShared: Int = 2,
+                  maxDocFreq: Int = 20): DataFrame = {
+    // materialize once: the fingerprint relation feeds the df filter
+    // and BOTH posting sides — unchecked, the explode+window pipeline
+    // would run three times
+    val fp = winnowFingerprints(docs, textCol, idCol, k, w).localCheckpoint()
+    val kept = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val posting = fp.join(kept, Seq("fp"))
+    posting.select(col(idCol).as("doc1"), col("fp"))
+      .join(posting.select(col(idCol).as("doc2"), col("fp")), Seq("fp"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The fingerprints [[winnowPairs]]' `maxDocFreq` cap dropped, with
+    * their document frequencies — every lossy cap gets an accounting
+    * relation. */
+  def winnowDroppedFingerprints(docs: DataFrame, textCol: String,
+                                idCol: String, k: Int = 4, w: Int = 8,
+                                maxDocFreq: Int = 20): DataFrame =
+    winnowFingerprints(docs, textCol, idCol, k, w)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+
   def spanDuplication(docs: DataFrame, textCol: String, idCol: String,
                       span: Int = 32, minDocs: Int = 2): DataFrame = {
     val spans = shingles(docs, textCol, idCol, n = span, dedupGrams = false)

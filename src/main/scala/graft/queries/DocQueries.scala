@@ -979,6 +979,17 @@ object DocQueries {
   def qDocSpanDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDuplication(docs(s, dir), "text", "doc_id", span = 8)
 
+  // ---------------------------------------------------------------- C47
+  /** Winnowing near-dup candidates ([[Dedup.winnowPairs]]) — MOSS
+    * fingerprints at ~2/(w+1) the posting density of the every-gram
+    * span relation, same shared-run guarantee. md5-prefix hashes and a
+    * plain windowed min make the whole pipeline engine-exact, so
+    * unlike the hash-family-dependent minhash/simhash screens this one
+    * carries a full SQL oracle. */
+  def qDocWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(s, dir), "text", "doc_id",
+      k = 4, w = 8, minShared = 2, maxDocFreq = 20)
+
   /** The shared bench/corpus split behind BOTH contamination queries —
     * one definition, so the spec-pinned bloom-superset-of-exact
     * relationship cannot break by the two drifting apart. Docs 0-9
@@ -1082,6 +1093,7 @@ object DocQueries {
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
+    "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
     "q_doc_repetition"    -> (qDocRepetition _),
@@ -1649,6 +1661,27 @@ object DocQueries {
         |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  COALESCE(sc.avg_logp, 0.0) AS avg_logp
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q_doc_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 4),
+        |g AS (SELECT doc_id, i,
+        |        substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+        |               1, 16) AS h
+        |      FROM idx),
+        |fps AS (SELECT DISTINCT doc_id,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |        FROM g),
+        |kept AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+        |         WHERE df <= 20),
+        |posting AS (SELECT f.doc_id, f.fp FROM fps f JOIN kept USING (fp))
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM posting a JOIN posting b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
     "q_doc_lm_crossentropy" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
         |              FROM documents),

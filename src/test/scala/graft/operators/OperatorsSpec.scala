@@ -581,4 +581,50 @@ class OperatorsSpec extends SparkSpec {
       probePlan)
     index.unpersist()
   }
+
+  test("C47: winnowing theorem — a shared run of w+k-1 tokens always yields a shared fingerprint") {
+    import spark.implicits._
+    // k=4, w=8: any shared run of >= 11 tokens must be caught.
+    // Doc 1 and 2 share EXACTLY an 11-token run embedded in otherwise
+    // disjoint text; doc 3 shares nothing that long.
+    val run = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run epsilon zeta eta theta"),
+      (2L, s"one two three four five $run six seven eight nine ten"),
+      (3L, "totally different words that overlap with nothing else here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id", k = 4, w = 8,
+        minShared = 1, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+  }
+
+  test("C47: fingerprints are sparse (~2/(w+1) of grams) and the df cap is accounted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn", "oo", "pp")
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 120).map(_ => words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val nGrams = 60 * (120 - 4 + 1)
+    val nFp = Dedup.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 8)
+      .count()
+    // expected density 2/(w+1) ~ 0.22 of grams; assert well under the
+    // every-gram posting relation with slack for distinct-collapsing
+    assert(nFp < nGrams * 0.45, s"winnowing not sparse: $nFp of $nGrams")
+    // 16 words ^ 4-grams over 60 random docs: some fingerprints recur
+    // in > maxDocFreq docs, and every one dropped is accounted
+    val dropped = Dedup.winnowDroppedFingerprints(docs, "text", "doc_id",
+      k = 4, w = 8, maxDocFreq = 5).collect()
+    assert(dropped.forall(_.getLong(1) > 5))
+    val pairsCapped = Dedup.winnowPairs(docs, "text", "doc_id",
+      k = 4, w = 8, minShared = 1, maxDocFreq = 5).count()
+    val pairsFull = Dedup.winnowPairs(docs, "text", "doc_id",
+      k = 4, w = 8, minShared = 1, maxDocFreq = 10000).count()
+    if (dropped.nonEmpty)
+      assert(pairsCapped <= pairsFull,
+        s"cap must only remove candidates: $pairsCapped vs $pairsFull")
+  }
 }
