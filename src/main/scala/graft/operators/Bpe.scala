@@ -202,4 +202,43 @@ object Bpe {
       .groupBy("subword")
       .agg(countDistinct("word").as("n_words"),
            sum("wc").as("total_count"))
+
+  /** Encode every document into its subword-token stream (SURVEY.md §2
+    * C48) — the APPLY half of the tokenizer story [[learnMerges]]
+    * trains. Output: one row per input doc with `tokens`
+    * (array<string>, in document order), `n_words`, and `n_tokens`;
+    * docs with no words keep an empty token array.
+    *
+    * Scale shape (the fastBPE word-cache trick): the merge replay —
+    * the expensive per-word iterative part — runs ONCE PER DISTINCT
+    * WORD over the Zipf-bounded word table, never per occurrence.
+    * The corpus-sized side only splits, explodes, and equi-joins
+    * `word` to its precomputed encoding (AQE picks broadcast when the
+    * vocab side fits), then one hash agg per doc reassembles order
+    * via `array_sort` on (position, syms) structs — no window, no
+    * global sort. A 10¹²-token corpus pays 10⁷-ish fold evaluations
+    * plus one shuffle on `word` and one on the doc id. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[Merge]): DataFrame = {
+    // distinct-word encodings: replay merges in rank order, map-side
+    val encoded = merges.foldLeft(wordTable(docs, textCol)) { (df, m) =>
+      df.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+    }.select(col("word"), col("syms"))
+    // order-preserving word sequence of each doc (same \s+ contract as
+    // wordTable — the join key must tokenize identically)
+    val seq = docs.select(col(idCol),
+      posexplode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+        w => w =!= "")).as(Seq("wpos", "word")))
+    val enc = seq.join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("syms")))),
+          s => s.getField("syms"))).as("tokens"),
+        count(lit(1)).as("n_words"))
+    docs.select(col(idCol)).join(enc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
 }

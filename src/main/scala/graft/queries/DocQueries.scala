@@ -712,6 +712,31 @@ object DocQueries {
     graft.operators.Bpe.mergesDf(s, merges)
   }
 
+  // ---------------------------------------------------------------- C48
+  /** BPE document encoding ([[graft.operators.Bpe.encodeDocs]]): apply
+    * the learned rules to every document — the tokenize step that
+    * turns the curated corpus into trainable token streams, and the
+    * input [[qDocPack]] packs into sequences. Per doc: word count,
+    * subword count, and the tokens-per-word fertility the tokenizer
+    * literature tracks. Rows-only by declared design (the merge rules
+    * come from the iterative trainer); BpeSpec pins that the
+    * distributed word-cache encode equals a classic sequential
+    * encoder document-for-document and that token concatenation
+    * reconstructs each word sequence exactly. */
+  def qDocBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val d = docs(s, dir)
+    val merges = Bpe.learnMerges(
+      s, d, "text", numMerges = 32, minPairCount = 2L, batch = 16)
+    Bpe.encodeDocs(d, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(TextFunctions.round4(
+            col("n_tokens").cast("double") / col("n_words")))
+          .as("fertility"),
+        array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
+  }
+
   // ---------------------------------------------------------------- C42
   /** Markup extraction ([[TextFunctions.stripMarkup]]): clean text +
     * post-strip length per doc. The oracle SQL is GENERATED from the
@@ -1088,6 +1113,7 @@ object DocQueries {
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_bpe"           -> (qDocBpe _),
+    "q_doc_bpe_encode"    -> (qDocBpeEncode _),
     "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_markup"        -> (qDocMarkup _),

@@ -109,6 +109,78 @@ class BpeSpec extends SparkSpec {
     assert(one == many, "merge rules must not depend on cluster layout")
   }
 
+  // C48 — the classic in-memory encoder the distributed word-cache
+  // encode must match document-for-document: per word, split to chars
+  // (last char + </w>), then replay each merge rule in rank order as a
+  // greedy left-to-right pass.
+  private def classicEncode(text: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+    def applyOne(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+      .flatMap { w =>
+        val init = w.toList.map(_.toString) match {
+          case Nil => Nil
+          case cs  => cs.init :+ (cs.last + Bpe.EndOfWord)
+        }
+        merges.foldLeft(init) { (s, m) => applyOne(s, m.left, m.right) }
+      }
+  }
+
+  test("encodeDocs equals the classic sequential encoder document-for-document") {
+    val texts = Seq(
+      "low low lower lowest",
+      "the newest lowest low",
+      "aaaa abab low",
+      "",
+      "single")
+    val d = corpus(texts: _*)
+    val merges = Bpe.learnMerges(spark, d, "text", numMerges = 8,
+      minPairCount = 1L, batch = 1)
+    assert(merges.nonEmpty)
+    val got = Bpe.encodeDocs(d, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .select("doc_id", "tokens", "n_words", "n_tokens").collect()
+    assert(got.length == texts.length, "every doc keeps a row")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val want = classicEncode(texts(id.toInt), merges)
+      assert(r.getSeq[String](1) == want, s"doc $id token stream")
+      assert(r.getLong(2) ==
+        texts(id.toInt).split("\\s+").count(_.nonEmpty).toLong)
+      assert(r.getLong(3) == want.length.toLong)
+    }
+  }
+
+  test("encodeDocs token concatenation reconstructs the word sequence") {
+    val d = corpus("low lowest low", "newest aaaa")
+    val merges = Bpe.learnMerges(spark, d, "text", numMerges = 6,
+      minPairCount = 1L, batch = 2)
+    val rows = Bpe.encodeDocs(d, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    val texts = Seq("low lowest low", "newest aaaa")
+    rows.foreach { r =>
+      val rebuilt = r.getSeq[String](1).mkString("")
+        .replace(Bpe.EndOfWord, " ").trim
+      assert(rebuilt == texts(r.getLong(0).toInt),
+        "lossless: subwords must concatenate back to the input words")
+    }
+  }
+
+  test("encodeDocs keeps empty and null docs with empty token arrays") {
+    val d = Seq((1L, "aa"), (2L, null.asInstanceOf[String]), (3L, " "))
+      .toDF("doc_id", "text")
+    val m = Bpe.learnMerges(spark, d, "text", numMerges = 1, minPairCount = 1L)
+    val rows = Bpe.encodeDocs(d, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getSeq[String](1).isEmpty && rows(1).getLong(3) == 0L)
+    assert(rows(2).getSeq[String](1).isEmpty && rows(2).getLong(2) == 0L)
+  }
+
   test("mergesDf round-trips rank order") {
     val d = corpus(Array.fill(3)("abc").mkString(" "))
     val m = Bpe.learnMerges(spark, d, "text", numMerges = 2)
