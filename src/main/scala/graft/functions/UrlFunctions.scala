@@ -60,4 +60,16 @@ object UrlFunctions {
     * authority of the CANONICAL url, ports and credentials excluded. */
   def urlDomain(u: Column): Column =
     regexp_extract(normalizeUrl(u), "^[^/?#]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+
+  /** All dot-suffixes of a domain, most-specific first —
+    * `a.b.example.com` → `[a.b.example.com, b.example.com,
+    * example.com, com]`. Blocklist matching explodes these and
+    * EQUI-joins the list (so `example.com` blocks every subdomain)
+    * instead of a suffix-predicate join, which at corpus scale would
+    * be a broadcast nested loop. ≤ label-count rows per doc. */
+  def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(1), size(parts)), i =>
+      array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
 }

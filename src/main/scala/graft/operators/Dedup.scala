@@ -787,6 +787,65 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
 
+  /** Span-level dedup WITH document reconstruction (SURVEY.md §2 C49)
+    * — [[spanDuplication]] only reports the duplicated-span signal;
+    * this operator acts on it: every document is tiled into
+    * consecutive NON-OVERLAPPING `span`-token tiles, each repeated
+    * full tile keeps exactly its globally-first occurrence (min
+    * `(doc_id, tile_idx)` — deterministic on any cluster layout) and
+    * loses the rest, and the surviving tiles are re-joined into
+    * `clean_text`. This is the remove-the-boilerplate step of
+    * substring-level corpus dedup (Lee et al. 2022 shape, tiled so
+    * removal is well-defined and engine-exact): headers, license
+    * blocks and navigation chrome vanish from every copy but one
+    * while the documents themselves survive.
+    *
+    * Ragged tail tiles (< `span` tokens) are never dedup-eligible —
+    * short tails collide by chance and removing them would truncate
+    * most documents.
+    *
+    * Scale shape: tiling is map-only arithmetic over the token array
+    * (no self-join, no window over the corpus); the keeper choice is
+    * ONE hash agg on the tile hash (partial-agg'd min/count); the
+    * rebuild is one hash agg on the doc id with `array_sort` +
+    * `array_join` — tiles per doc are bounded by doc length, so no
+    * group blows up. md5 tiles + plain min make every step
+    * engine-exact, so the operator carries a full SQL oracle. */
+  def spanScrub(docs: DataFrame, textCol: String, idCol: String,
+                span: Int = 32): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    // ceil(n/span) tiles; n >= 1 always (splitting "" yields [""])
+    val nTiles = floor((size(toks) + lit(span - 1)).cast("double") / span)
+      .cast("int")
+    val tiles = docs.select(col(idCol), toks.as("toks"),
+        posexplode(sequence(lit(0), nTiles - 1)).as(Seq("ord", "tile_idx")))
+      .select(col(idCol), col("tile_idx"),
+        array_join(slice(col("toks"),
+          col("tile_idx") * span + 1, lit(span)), " ").as("tile"),
+        ((col("tile_idx") + 1) * span <= size(col("toks"))).as("full"))
+      .withColumn("h", md5(col("tile")))
+    val keepers = tiles.filter(col("full"))
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("tile_idx"))).as("keeper"),
+           count(lit(1)).as("n_occ"))
+    val marked = tiles.join(keepers, Seq("h"), "left")
+      .withColumn("dropped",
+        col("full") && col("n_occ") >= 2 &&
+          !(col(idCol) === col("keeper")(idCol) &&
+            col("tile_idx") === col("keeper.tile_idx")))
+    marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("dropped"),
+            struct(col("tile_idx"), col("tile"))))),
+          s => s.getField("tile")), " ").as("clean_text"),
+        count(lit(1)).as("n_tiles"),
+        sum(col("dropped").cast("long")).as("n_removed"))
+      .select(col(idCol), col("clean_text"), col("n_tiles"),
+        col("n_removed"))
+  }
+
   def spanDuplication(docs: DataFrame, textCol: String, idCol: String,
                       span: Int = 32, minDocs: Int = 2): DataFrame = {
     val spans = shingles(docs, textCol, idCol, n = span, dedupGrams = false)

@@ -53,6 +53,17 @@ object DocQueries {
   def qEmbCosineTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)
 
+  // ---------------------------------------------------------------- C50
+  /** Int8 scalar-quantized top-k ([[graft.operators.Sq]]): the
+    * compressed-scan tier between C5's exact cosine and C25's PQ —
+    * 4× smaller vectors, integer dot-product scoring. Engine-exact
+    * (absmax scales, half-away rounding, integer sums), so unlike the
+    * other ANN screens it carries a full SQL oracle; AccuracySpec pins
+    * its recall@20 against the exact scan. */
+  def qEmbSqTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sq.topK(emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 20)
+
   // ---------------------------------------------------------------- C35
   /** Cluster-balanced sample: ≤8 docs per k-means cell over the
     * embedding space — the topic-diversity mixing draw. Rows-only
@@ -1004,6 +1015,44 @@ object DocQueries {
   def qDocSpanDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDuplication(docs(s, dir), "text", "doc_id", span = 8)
 
+  // ---------------------------------------------------------------- C51
+  /** Domain blocklist filtering — the other half of URL-level curation
+    * (C45 dedups, this REMOVES): drop every document whose canonical
+    * domain is a blocklisted domain OR any subdomain of one. The
+    * planted URLs reuse C45's stance (derived identically by both
+    * engines from (doc_id, source)); docs where `doc_id % 11 = 0` gain
+    * a `cdn.` label so the subdomain-match path is actually exercised.
+    * Scale shape: suffix EXPLODE (≤ label count per doc) + broadcast
+    * equi-join on the blocklist + left-anti — never a suffix-predicate
+    * nested loop ([[graft.functions.UrlFunctions.domainSuffixes]]). */
+  def qDocBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    import s.implicits._
+    val blockDf = Seq("src3.example.com", "src7.example.com",
+      "blocked.example.net").toDF("bad")
+    val raw = concat(lit("https://"),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("CDN.")).otherwise(lit("")),
+      upper(col("source")), lit(".Example.COM/p/"),
+      col("doc_id").cast("string"))
+    val d = docs(s, dir)
+      .withColumn("domain", UrlFunctions.urlDomain(raw))
+    val hit = d.select(col("doc_id"),
+        explode(UrlFunctions.domainSuffixes(col("domain"))).as("sfx"))
+      .join(broadcast(blockDf), col("sfx") === col("bad"))
+      .select(col("doc_id")).distinct()
+    d.join(hit, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("domain"))
+  }
+
+  // ---------------------------------------------------------------- C49
+  /** Span scrub — remove-all-but-first-occurrence dedup of repeated
+    * 8-token tiles with document reconstruction
+    * ([[graft.operators.Dedup.spanScrub]]); the acting counterpart of
+    * [[qDocSpanDedup]]'s report. Engine-exact (md5 tiles, min keeper),
+    * so the whole rebuild carries a full SQL oracle. */
+  def qDocSpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanScrub(docs(s, dir), "text", "doc_id", span = 8)
+
   // ---------------------------------------------------------------- C47
   /** Winnowing near-dup candidates ([[Dedup.winnowPairs]]) — MOSS
     * fingerprints at ~2/(w+1) the posting density of the every-gram
@@ -1110,6 +1159,7 @@ object DocQueries {
     "q_doc_contamination" -> (qDocContamination _),
     "q_doc_contamination_bloom" -> (qDocContaminationBloom _),
     "q_doc_span_dedup"    -> (qDocSpanDedup _),
+    "q_doc_span_scrub"    -> (qDocSpanScrub _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
     "q_doc_bpe"           -> (qDocBpe _),
@@ -1118,6 +1168,8 @@ object DocQueries {
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
+    "q_doc_blocklist"     -> (qDocBlocklist _),
+    "q_emb_sq_topk"       -> (qEmbSqTopk _),
     "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
     "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
@@ -1385,6 +1437,78 @@ object DocQueries {
         |            ELSE round(per.n_shared * 10000.0 / per.n_spans) / 10000.0
         |       END AS dup_span_fraction
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    "q_doc_blocklist" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' ||
+        |         CASE WHEN doc_id % 11 = 0 THEN 'CDN.' ELSE '' END ||
+        |         upper(source) || '.Example.COM/p/' ||
+        |         CAST(doc_id AS VARCHAR) AS raw_url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        regexp_extract(${normalizeUrlSql("raw_url")},
+        |          '^[^/?#]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS domain
+        |      FROM u),
+        |p AS (SELECT doc_id, domain, string_split(domain, '.') AS parts
+        |      FROM c),
+        |sfx AS (SELECT doc_id,
+        |          array_to_string(parts[i:len(parts)], '.') AS s
+        |        FROM p, unnest(generate_series(1, len(parts))) AS t(i)),
+        |hit AS (SELECT DISTINCT doc_id FROM sfx
+        |        WHERE s IN ('src3.example.com', 'src7.example.com',
+        |                    'blocked.example.net'))
+        |SELECT doc_id, domain FROM c
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    "q_emb_sq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |dims AS (SELECT i, max(abs(v[i])) AS s
+        |         FROM e, unnest(generate_series(1, len(v))) AS t(i)
+        |         GROUP BY i),
+        |recon AS (SELECT vec_id, i,
+        |            CASE WHEN s > 0 THEN round(v[i] * 127.0 / s)
+        |                 ELSE 0.0 END * s / 127.0 AS r
+        |          FROM e, unnest(generate_series(1, len(v))) AS t(i)
+        |          JOIN dims USING (i)),
+        |q AS (SELECT i, r AS qr FROM recon WHERE vec_id = 0),
+        |norms AS (SELECT vec_id, sum(r * r) AS n2 FROM recon
+        |          GROUP BY vec_id),
+        |dots AS (SELECT c.vec_id, sum(c.r * q.qr) AS d
+        |         FROM recon c JOIN q USING (i)
+        |         WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        |SELECT dots.vec_id,
+        |       round(CASE WHEN n.n2 > 0 AND nq.n2 > 0
+        |                  THEN dots.d / (sqrt(n.n2) * sqrt(nq.n2))
+        |                  ELSE 0.0 END, 4) AS qcos
+        |FROM dots
+        |JOIN norms n USING (vec_id)
+        |CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
+        |ORDER BY qcos DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    "q_doc_span_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        |              FROM documents),
+        |tiles AS (SELECT doc_id, i AS tile_idx,
+        |            array_to_string(t[(i*8+1):(i*8+8)], ' ') AS tile,
+        |            (i+1)*8 <= len(t) AS isfull
+        |          FROM toks,
+        |            unnest(generate_series(0,
+        |              CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS u(i)),
+        |hashed AS (SELECT *, md5(tile) AS h FROM tiles),
+        |marked AS (SELECT doc_id, tile_idx, tile,
+        |             isfull AND
+        |             count(*) OVER (PARTITION BY h, isfull) >= 2 AND
+        |             row_number() OVER (PARTITION BY h, isfull
+        |                                ORDER BY doc_id, tile_idx) > 1
+        |             AS dropped
+        |           FROM hashed)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN NOT dropped THEN tile END,
+        |                           ' ' ORDER BY tile_idx), '') AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_tiles,
+        |       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_removed
+        |FROM marked GROUP BY doc_id""".stripMargin,
     "q_doc_mix_sample" ->
       """WITH t AS (SELECT doc_id, source,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

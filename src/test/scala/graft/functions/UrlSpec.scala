@@ -49,4 +49,17 @@ class UrlSpec extends SparkSpec {
       .map(_.getString(0)).toSeq
     assert(doms == Seq("site.com", "host.com", "s.com"))
   }
+
+  test("C51: domainSuffixes enumerates every dot-suffix, most-specific first") {
+    import spark.implicits._
+    val got = Seq("a.b.example.com", "example.com", "localhost")
+      .toDF("d")
+      .select(UrlFunctions.domainSuffixes(col("d")).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got(0) == Seq("a.b.example.com", "b.example.com",
+      "example.com", "com"))
+    assert(got(1) == Seq("example.com", "com"))
+    // no dot: the domain itself is its only suffix
+    assert(got(2) == Seq("localhost"))
+  }
 }

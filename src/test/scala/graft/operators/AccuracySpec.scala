@@ -92,6 +92,32 @@ class AccuracySpec extends SparkSpec {
     appended.unpersist()
   }
 
+  test("C50: SQ8 recall@20 beats PQ's ADC tier; codes are bounded ints") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val exact10 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Sq.topK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size / 20.0
+    info(f"SQ8 recall@20 = $recall%.2f")
+    // reconstructed-value scoring keeps cosine error ≤ ~0.005 — near-
+    // lossless ranking (scoring raw codes instead measured 0.85 here:
+    // per-dim scales distort the geometry — see Sq.decode). Pin a
+    // strong bound plus the well-separated contract: every exact
+    // top-10 neighbor must survive into the SQ top-20.
+    assert(recall >= 0.95, s"SQ8 recall@20 degraded to $recall")
+    assert((exact10 -- got).isEmpty,
+      s"SQ8 lost a well-separated top-10 neighbor: ${exact10 -- got}")
+    // the compression contract: every code an integer in [-127, 127]
+    val scales = Sq.fitScales(emb, "embedding")
+    val codes = emb.crossJoin(broadcast(scales))
+      .select(Sq.encode(col("embedding"), col("scales")).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    assert(codes.forall(_.forall(v => v == math.rint(v) && v.abs <= 127.0)))
+  }
+
   test("C25: PQ ADC recall@20 improves with re-rank; codes are m ints per vector") {
     val emb = Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)

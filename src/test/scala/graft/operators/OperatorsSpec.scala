@@ -266,6 +266,50 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("C49: span scrub removes repeated tiles, keeps the first occurrence, reconstructs docs") {
+    val corpus = Seq(
+      (1L, "hdr one hdr two body a body b"),   // tiles(2): [hdr one][hdr two][body a][body b]
+      (2L, "hdr one hdr two other x other y"), // repeats doc1's first two tiles
+      (3L, "body a fresh z tail"),             // repeats [body a]; ragged tail [tail]
+      (4L, ""),                                // empty doc survives
+      (5L, "hdr one")                          // repeats [hdr one] a third time
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(corpus, "text", "doc_id", span = 2)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 is the global first occurrence of every one of its tiles
+    assert(rows(1L) == (("hdr one hdr two body a body b", 4L, 0L)), rows(1L).toString)
+    // doc 2 loses the two tiles doc 1 already owns
+    assert(rows(2L) == (("other x other y", 4L, 2L)), rows(2L).toString)
+    // doc 3 loses [body a]; the ragged tail [tail] is never eligible
+    assert(rows(3L) == (("fresh z tail", 3L, 1L)), rows(3L).toString)
+    // empty doc: one short tile, kept, clean_text stays empty
+    assert(rows(4L) == (("", 1L, 0L)), rows(4L).toString)
+    // third occurrence of [hdr one] also dropped — keeper is global-min
+    assert(rows(5L) == (("", 1L, 1L)), rows(5L).toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("C49: intra-doc repeats keep only the earliest tile; idempotent on scrubbed text") {
+    val corpus = Seq(
+      (7L, "dup a dup a dup a uniq b"),
+      (8L, "x y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(corpus, "text", "doc_id", span = 2)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(m(7L) == (("dup a uniq b", 2L)), m(7L).toString)
+    assert(m(8L) == (("x y", 0L)), m(8L).toString)
+    // scrubbing the scrubbed corpus changes nothing
+    val again = Dedup.spanScrub(
+      out.select(col("doc_id"), col("clean_text").as("text")),
+      "text", "doc_id", span = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again.values.forall(_ == 0L), again.toString)
+  }
+
   test("C19: contamination screening flags exactly the overlapping docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon tail words here"), // contains the bench 5-gram
