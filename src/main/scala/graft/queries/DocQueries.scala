@@ -1064,6 +1064,107 @@ object DocQueries {
     Dedup.winnowPairs(docs(s, dir), "text", "doc_id",
       k = 4, w = 8, minShared = 2, maxDocFreq = 20)
 
+  // ---------------------------------------------------------------- C52
+  /** Gopher-style rule-filter battery (Rae et al. 2021 §A1.1, the
+    * heuristic gate most web-corpus pipelines run before any model
+    * touches a document): per-document word count, mean word length,
+    * most-frequent-token fraction, duplicate-bigram fraction and
+    * stopword presence, plus the composite `keep` verdict. The rules
+    * that need punctuation/line structure (symbol ratio, bullet lines)
+    * are degenerate on this single-space corpus and are represented by
+    * the token-shape rules that do discriminate here. Every metric is
+    * a per-document HOF fold — the whole battery is MAP-ONLY (one scan,
+    * zero shuffles at 100 TB): the top-token count folds over the
+    * SORTED token array (equal tokens adjacent → one O(n log n) pass
+    * tracks the longest run) instead of an explode+groupBy that would
+    * shuffle every token in the corpus; bigrams are a `zip_with` of the
+    * array against its own shift, never a posexplode. Thresholds
+    * compare the ROUNDED metrics so both engines cut the same
+    * boundary (SURVEY §5). */
+  def qDocGopher(s: SparkSession, dir: String): DataFrame =
+    gopherMetrics(docs(s, dir))
+
+  /** The per-document battery behind [[qDocGopher]], on any relation
+    * with (`doc_id`, `text`). Separated so the spec can pin the edge
+    * cases the synthetic corpus never produces (empty text, one-token
+    * docs, a fully-repeated document). */
+  def gopherMetrics(d: DataFrame): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val n = size(t)
+    // longest run of one token in the sorted array == max occurrence count
+    val topCnt = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val bigrams = zip_with(slice(t, lit(1), greatest(n - 1, lit(0))),
+      slice(t, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val base = d.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      TextFunctions.round4(sumLen.cast("double") / greatest(n, lit(1)))
+        .as("mean_wlen"),
+      TextFunctions.round4(topCnt.cast("double") / greatest(n, lit(1)))
+        .as("top_frac"),
+      TextFunctions.round4(
+        when(n > 1,
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1))
+          .otherwise(lit(0.0))).as("dup_bigram_frac"),
+      TextFunctions.distinctOverlap(col("text"), enStop).cast("bigint")
+        .as("stop_hits"))
+    base.withColumn("keep",
+      (col("n_tokens").between(50, 100000) &&
+        col("mean_wlen").between(3.0, 10.0) &&
+        col("top_frac") <= 0.2 &&
+        col("dup_bigram_frac") <= 0.4 &&
+        col("stop_hits") >= 2).cast("int"))
+  }
+
+  // ---------------------------------------------------------------- C55
+  /** Corpus datasheet (Gebru et al. "Datasheets for Datasets" — the
+    * composition table a released corpus ships with): per source, doc
+    * and language counts, token volume, the exact interpolated token
+    * quantile ladder (min/p25/p50/p75/p90/max — what you read before
+    * choosing pack length and shard sizes), distinct-text count and
+    * the exact-duplicate rate. Complements [[qDocSourceMix]] (C15:
+    * source×lang mean quality) with the distributional view. One
+    * partial-agg'd groupBy on `source`; `percentile` is Spark's exact
+    * interpolated aggregate — type R-7, the same definition DuckDB's
+    * `quantile_cont` uses (parity proven since q21_percentile). */
+  def qDocDatasheet(s: SparkSession, dir: String): DataFrame =
+    datasheet(docs(s, dir))
+
+  /** The per-source composition report behind [[qDocDatasheet]], on any
+    * relation with (`source`, `lang`, `text`). */
+  def datasheet(d: DataFrame): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    d
+      .select(col("source"), col("lang"), col("text"),
+        size(t).cast("bigint").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        TextFunctions.round4(percentile(col("n_tokens"), lit(0.25))).as("p25_tokens"),
+        TextFunctions.round4(percentile(col("n_tokens"), lit(0.5))).as("p50_tokens"),
+        TextFunctions.round4(percentile(col("n_tokens"), lit(0.75))).as("p75_tokens"),
+        TextFunctions.round4(percentile(col("n_tokens"), lit(0.9))).as("p90_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        TextFunctions.round4(
+          lit(1.0) - countDistinct(col("text")).cast("double") / count(lit(1)))
+          .as("dup_rate"))
+  }
+
   /** The shared bench/corpus split behind BOTH contamination queries —
     * one definition, so the spec-pinned bloom-superset-of-exact
     * relationship cannot break by the two drifting apart. Docs 0-9
@@ -1166,6 +1267,8 @@ object DocQueries {
     "q_doc_bpe_encode"    -> (qDocBpeEncode _),
     "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_source_cap"    -> (qDocSourceCap _),
+    "q_doc_gopher"        -> (qDocGopher _),
+    "q_doc_datasheet"     -> (qDocDatasheet _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_blocklist"     -> (qDocBlocklist _),
@@ -1567,6 +1670,48 @@ object DocQueries {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
         |FROM reach GROUP BY src""".stripMargin,
+    "q_doc_gopher" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        round((SELECT sum(length(x)) FROM unnest(t) AS u(x)) * 1.0 /
+        |              greatest(len(t), 1), 4) AS mean_wlen,
+        |        round((SELECT max(c) FROM (SELECT count(*) AS c
+        |                                   FROM unnest(t) AS u(x) GROUP BY x)) * 1.0 /
+        |              greatest(len(t), 1), 4) AS top_frac,
+        |        round(CASE WHEN len(t) > 1 THEN
+        |                1.0 - (SELECT count(DISTINCT t[i] || ' ' || t[i+1])
+        |                       FROM unnest(generate_series(1, len(t) - 1)) AS g(i))
+        |                      * 1.0 / (len(t) - 1)
+        |              ELSE 0.0 END, 4) AS dup_bigram_frac,
+        |        CAST(len(list_intersect(list_distinct(t),
+        |                                ['the','a','of','and','to'])) AS BIGINT)
+        |          AS stop_hits
+        |      FROM toks)
+        |SELECT *,
+        |  CAST(n_tokens BETWEEN 50 AND 100000
+        |       AND mean_wlen BETWEEN 3.0 AND 10.0
+        |       AND top_frac <= 0.2
+        |       AND dup_bigram_frac <= 0.4
+        |       AND stop_hits >= 2 AS INT) AS keep
+        |FROM m""".stripMargin,
+    "q_doc_datasheet" ->
+      """WITH t AS (SELECT source, lang, text,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  round(quantile_cont(n_tokens, 0.25), 4) AS p25_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(n_tokens, 0.75), 4) AS p75_tokens,
+        |  round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_rate
+        |FROM t GROUP BY source""".stripMargin,
     "q_doc_source_mix" ->
       s"""SELECT source, lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

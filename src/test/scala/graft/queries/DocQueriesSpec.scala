@@ -145,4 +145,50 @@ class DocQueriesSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.redactPii(col("r")).as("r"))
     assert(once.head().getString(0) == twice.head().getString(0))
   }
+
+  test("C52: gopher metrics — hand-computed edges the corpus never produces") {
+    import spark.implicits._
+    // 48 distinct tokens incl. 2 stopwords — fails ONLY the count floor
+    val stop48 = ((1 to 46).map(i => f"tok$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val d = Seq(
+      (1L, ""),                                    // empty text
+      (2L, "word"),                                // single token
+      (3L, Seq.fill(60)("spam").mkString(" ")),    // fully repeated
+      (4L, ((1 to 58).map(i => f"tok$i%02d") ++ Seq("the", "a")).mkString(" ")),
+      (5L, stop48))                                // 48 < 50 tokens
+      .toDF("doc_id", "text")
+    val m = DocQueries.gopherMetrics(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // empty text: split('') = [''] → 1 zero-length token, nothing divides by 0
+    assert(m(1L).getLong(1) == 1L && m(1L).getDouble(2) == 0.0)
+    assert(m(1L).getInt(6) == 0)
+    // single token: top_frac = 1, no bigrams → dup 0.0
+    assert(m(2L).getDouble(3) == 1.0 && m(2L).getDouble(4) == 0.0)
+    // fully repeated doc: top_frac 1.0, every bigram identical → dup = 1 - 1/59
+    assert(m(3L).getDouble(3) == 1.0)
+    assert(m(3L).getDouble(4) == BigDecimal(1.0 - 1.0 / 59)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m(3L).getInt(6) == 0) // fails keep: top_frac and stop_hits
+    // 60 distinct-ish tokens incl. 2 stopwords: passes every rule
+    assert(m(4L).getLong(1) == 60L && m(4L).getLong(5) == 2L
+      && m(4L).getInt(6) == 1)
+    // 48 tokens: fails ONLY the word-count floor
+    assert(m(5L).getLong(5) == 2L && m(5L).getInt(6) == 0)
+  }
+
+  test("C55: datasheet quantile ladder and dup rate are exact on a hand-set") {
+    import spark.implicits._
+    // one source, token counts 1..5 → p50 = 3, p25 = 2, p90 = 4.6 (R-7)
+    val d = (1 to 5).map(i => ("s", "en", Seq.fill(i)("w").mkString(" ")))
+      .toDF("source", "lang", "text")
+      .union(Seq(("s", "en", "w")).toDF("source", "lang", "text")) // dup of i=1
+    val r = DocQueries.datasheet(d).collect().head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(byName("n_docs")) == 6L)
+    assert(r.getLong(byName("n_distinct_texts")) == 5L)
+    assert(r.getDouble(byName("p50_tokens")) == 2.5) // 1,1,2,3,4,5 → (2+3)/2
+    assert(r.getDouble(byName("p90_tokens")) == 4.5) // R-7: 4 + 0.5·(5-4)
+    assert(r.getDouble(byName("dup_rate")) ==
+      BigDecimal(1.0 - 5.0 / 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
