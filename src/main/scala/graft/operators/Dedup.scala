@@ -846,6 +846,77 @@ object Dedup {
         col("n_removed"))
   }
 
+  /** C54 — SURGICAL benchmark decontamination: where
+    * [[contaminationHits]] only FLAGS documents sharing an n-gram with
+    * the eval set (and dropping the whole doc throws away everything
+    * else it contains), this operator removes exactly the overlapping
+    * token spans and keeps the document — the decontamination stance
+    * of GPT-3/PaLM-style dedup ("remove the contaminated substring,
+    * not the page"). A token is contaminated iff ANY eval n-gram
+    * window covers it; clean_text is the remaining tokens in order.
+    *
+    * Scale shape: the eval gram set BROADCASTS (eval suites are KB–MB);
+    * the positioned-window relation is a map-only transform+posexplode
+    * of the token array; only HIT windows (contaminated docs) ever
+    * shuffle — a clean corpus aggregates nothing; the position
+    * expansion is hit-bounded (≤ n rows per hit window) and the
+    * rebuild is one hash agg on the doc id. Every step is integer
+    * positions + string equality — engine-exact, full SQL oracle. */
+  def decontamScrub(docs: DataFrame, textCol: String, idCol: String,
+                    benchGrams: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    val based = docs.select(col(idCol), toks.as("toks"))
+    // 1-based window starts: window p covers tokens [p, p+n-1]
+    val wins = based.select(col(idCol),
+        posexplode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            p => concat_ws(" ", slice(col("toks"), p, lit(n)))))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+          .as(Seq("ord", "gram")))
+    val hits = wins
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .select(col(idCol), (col("ord") + 1).as("p"))
+    val bad = hits
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1))).as("bp"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("bp"))).as("badpos"))
+    based.join(bad, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(col("toks"),
+          (tok, i) => !array_contains(
+            coalesce(col("badpos"), expr("CAST(array() AS array<int>)")),
+            i + 1)), " ").as("clean_text"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        coalesce(size(col("badpos")), lit(0)).cast("bigint").as("n_removed"))
+  }
+
+  /** C58 — INCREMENTAL exact dedup: screen a daily delta against the
+    * persisted hash index of the already-ingested corpus — the exact
+    * counterpart of [[incrementalMinhashPairs]] (near-dup has had an
+    * incremental path since r5; exact dedup deserves the same: never
+    * re-hash yesterday's 100 TB to admit today's delta). Survivors =
+    * delta docs whose text hash is (a) not in the corpus index and
+    * (b) the minimum id among intra-delta copies; `n_delta_copies`
+    * accounts sibling copies arriving in the same delta. The returned
+    * relation is exactly what gets appended to the index for the next
+    * delta (hash + id), closing the loop.
+    *
+    * Scale shape: grouping + anti-join both key on the 128-bit md5 —
+    * uniformly distributed, partial-agg'd; the corpus index never
+    * re-scans its text, only its hash column (a narrow parquet read);
+    * delta-sized output. */
+  def incrementalExactDedup(corpusIndex: DataFrame, delta: DataFrame,
+                            textCol: String, idCol: String): DataFrame = {
+    val hashed = delta.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("h"))
+    hashed.groupBy(col("h"))
+      .agg(min(col(idCol)).as(idCol),
+           count(lit(1)).as("n_delta_copies"))
+      .join(corpusIndex.select(col("h")).distinct(), Seq("h"), "left_anti")
+      .select(col(idCol), col("h"), col("n_delta_copies"))
+  }
+
   def spanDuplication(docs: DataFrame, textCol: String, idCol: String,
                       span: Int = 32, minDocs: Int = 2): DataFrame = {
     val spans = shingles(docs, textCol, idCol, n = span, dedupGrams = false)

@@ -1176,6 +1176,29 @@ object DocQueries {
         "text", "doc_id", n = 5).select(col("gram")))
   }
 
+  // ---------------------------------------------------------------- C54
+  /** Surgical decontamination ([[Dedup.decontamScrub]]): remove the
+    * eval-overlapping token spans, keep the document — same
+    * bench/corpus split and gram length as [[qDocContamination]], so
+    * the two queries are the flag-vs-fix pair of the same screen. */
+  def qDocDecontamScrub(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = contaminationSplit(s, dir)
+    Dedup.decontamScrub(corpus, "text", "doc_id", bench, n = 5)
+  }
+
+  // ---------------------------------------------------------------- C58
+  /** Incremental exact dedup ([[Dedup.incrementalExactDedup]]): the
+    * delta (doc_id ≥ 250 — the same split as
+    * [[qDocMinhashIncremental]]) screened against the persisted hash
+    * index of the first half. */
+  def qDocExactIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalExactDedup(
+      d.filter(col("doc_id") < 250)
+        .select(md5(coalesce(col("text"), lit(""))).as("h")),
+      d.filter(col("doc_id") >= 250), "text", "doc_id")
+  }
+
   // --------------------------------------------------------------- C19b
   /** The bloom-screen configuration of the same check: the benchmark
     * grams broadcast as a fixed-size Bloom filter instead of verbatim
@@ -1269,6 +1292,8 @@ object DocQueries {
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_gopher"        -> (qDocGopher _),
     "q_doc_datasheet"     -> (qDocDatasheet _),
+    "q_doc_decontam_scrub" -> (qDocDecontamScrub _),
+    "q_doc_exact_incremental" -> (qDocExactIncremental _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_blocklist"     -> (qDocBlocklist _),
@@ -1670,6 +1695,38 @@ object DocQueries {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
         |FROM reach GROUP BY src""".stripMargin,
+    "q_doc_decontam_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bench AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+        |          FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+        |          WHERE doc_id < 10 AND len(t) >= 5),
+        |corpus AS (SELECT * FROM toks WHERE doc_id >= 10),
+        |wins AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+        |         FROM corpus, unnest(generate_series(1, len(t) - 4)) AS g(i)
+        |         WHERE len(t) >= 5),
+        |hits AS (SELECT w.doc_id, w.i FROM wins w JOIN bench b USING (gram)),
+        |bad AS (SELECT DISTINCT doc_id, j
+        |        FROM hits, unnest(generate_series(i, i + 4)) AS u(j)),
+        |pos AS (SELECT doc_id, t[p] AS tok, p
+        |        FROM corpus, unnest(generate_series(1, len(t))) AS s(p))
+        |SELECT pos.doc_id,
+        |  coalesce(string_agg(CASE WHEN bad.j IS NULL THEN tok END,
+        |                      ' ' ORDER BY p), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN bad.j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM pos LEFT JOIN bad ON bad.doc_id = pos.doc_id AND bad.j = pos.p
+        |GROUP BY pos.doc_id""".stripMargin,
+    "q_doc_exact_incremental" ->
+      """WITH delta AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+        |               FROM documents WHERE doc_id >= 250),
+        |corpus AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+        |           FROM documents WHERE doc_id < 250),
+        |g AS (SELECT h, min(doc_id) AS doc_id,
+        |             CAST(count(*) AS BIGINT) AS n_delta_copies
+        |      FROM delta GROUP BY h)
+        |SELECT doc_id, h, n_delta_copies FROM g
+        |WHERE h NOT IN (SELECT h FROM corpus)""".stripMargin,
     "q_doc_gopher" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |m AS (SELECT doc_id,

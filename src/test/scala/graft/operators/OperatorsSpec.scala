@@ -671,4 +671,53 @@ class OperatorsSpec extends SparkSpec {
       assert(pairsCapped <= pairsFull,
         s"cap must only remove candidates: $pairsCapped vs $pairsFull")
   }
+
+  test("C54: decontam scrub removes exactly the covered spans, keeps the doc") {
+    val bench = Seq("secret eval answer").toDF("text")
+      .select(lit(1L).as("doc_id"), col("text"))
+    val benchGrams = Dedup.shingles(bench, "text", "doc_id", n = 3)
+      .select(col("gram"))
+    val corpus = Seq(
+      (10L, "intro words secret eval answer outro words"), // one hit mid-doc
+      (11L, "secret eval answer"),                          // entirely contaminated
+      (12L, "secret eval clean no full gram here"),         // partial overlap: no 3-gram hit
+      (13L, "a secret eval answer b secret eval answer c")  // two hits
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontamScrub(corpus, "text", "doc_id", benchGrams, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == (("intro words outro words", 7L, 3L)), out(10L).toString)
+    assert(out(11L) == (("", 3L, 3L)), out(11L).toString)
+    // a 2-token prefix of an eval gram is NOT contamination at n=3
+    assert(out(12L) == (("secret eval clean no full gram here", 7L, 0L)),
+      out(12L).toString)
+    assert(out(13L) == (("a b c", 9L, 6L)), out(13L).toString)
+  }
+
+  test("C54: overlapping hit windows union their covered positions, not double-remove") {
+    // eval grams "x y z" and "y z w" overlap in the corpus run "x y z w":
+    // covered positions are the union {1,2,3,4}, so exactly 4 tokens go
+    val bench = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    val grams = Dedup.shingles(bench, "text", "doc_id", n = 3).select(col("gram"))
+    val corpus = Seq((20L, "x y z w tail one two")).toDF("doc_id", "text")
+    val out = Dedup.decontamScrub(corpus, "text", "doc_id", grams, n = 3)
+      .collect().head
+    assert(out.getString(1) == "tail one two")
+    assert(out.getLong(3) == 4L)
+  }
+
+  test("C58: incremental exact dedup drops corpus-known hashes, collapses intra-delta copies") {
+    val corpusIdx = Seq("seen before", "also seen")
+      .toDF("text").select(md5(col("text")).as("h"))
+    val delta = Seq(
+      (100L, "seen before"),   // known to the corpus → dropped
+      (101L, "brand new one"), // survives
+      (102L, "twin text"),     // intra-delta copy, min id → survives w/ count 2
+      (103L, "twin text"),
+      (104L, "brand new two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(corpusIdx, delta, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(101L -> 1L, 102L -> 2L, 104L -> 1L), out.toString)
+  }
 }
