@@ -140,4 +140,72 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** C56 — MMR (maximal marginal relevance, Carbonell & Goldstein '98)
+    * diversified top-k: greedily pick the candidate maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the relevance/diversity
+    * re-ranker behind diverse RAG retrieval and diverse training-sample
+    * selection (a pure-relevance top-k returns k near-copies of the
+    * same document; MMR forces coverage).
+    *
+    * Scale shape — retrieve distributed, re-rank bounded: the corpus
+    * pass is [[bruteForceTopK]]'s map-only broadcast-query scoring
+    * scan (swap in an ANN probe at 100 TB) keeping only the top
+    * `poolSize` candidates (TakeOrdered — never a global sort); the
+    * greedy loop then runs over that ≤poolSize×dim pool on the driver,
+    * a BOUNDED-BY-CONSTRUCTION collect (the IVF-centroid stance, and
+    * how every production re-ranker works: selection is inherently
+    * sequential — k dependent argmaxes — so distributing it would buy
+    * k scheduler round-trips, not parallelism). Determinism: all
+    * similarities round to 4 decimals before comparison, ties break on
+    * candidate id — reproducible on any engine, layout or float order.
+    * Rows-only (the greedy chain isn't one SQL statement); MmrSpec in
+    * OperatorsSpec pins first-pick relevance, duplicate displacement,
+    * the λ=1 pure-relevance limit, and determinism. */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int = 10, lambda: Double = 0.7,
+              poolSize: Int = 100): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = toDoubles(col(vecCol))
+    val query = emb.filter(col(idCol) === queryId).select(v.as("qv")).limit(1)
+    val pool = emb.select(col(idCol), v.as("v"))
+      .filter(col(idCol) =!= queryId)
+      .join(broadcast(query))
+      .select(col(idCol), col("v"),
+        round(cosineNative(col("v"), col("qv")), 4).as("rel"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Double]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    val picked = Seq.newBuilder[(Long, Long, Double, Double)]
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, vec, rel) =>
+        val div = maxSim.getOrElse(id, 0.0)
+        val score = BigDecimal(lambda * rel - (1 - lambda) * div)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, vec, rel, score)
+      }.reduceLeft((a, b) =>
+        if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a)
+      picked += ((rank, best._1, best._3, best._4))
+      remaining.remove(best._1)
+      remaining.values.foreach { case (id, vec, _) =>
+        val s = cos4(vec, best._2)
+        if (s > maxSim.getOrElse(id, 0.0)) maxSim(id) = s
+      }
+      rank += 1
+    }
+    picked.result().toDF("rk", idCol, "relevance", "mmr_score")
+  }
 }

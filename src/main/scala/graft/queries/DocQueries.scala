@@ -1176,6 +1176,15 @@ object DocQueries {
         "text", "doc_id", n = 5).select(col("gram")))
   }
 
+  // ---------------------------------------------------------------- C56
+  /** MMR-diversified retrieval ([[Similarity.mmrTopK]]): the
+    * relevance/diversity re-rank of the C5 brute-force shortlist.
+    * Rows-only by declared design (the greedy selection chain isn't
+    * one SQL statement); OperatorsSpec pins the selection behavior. */
+  def qEmbMmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10, lambda = 0.7, poolSize = 100)
+
   // ---------------------------------------------------------------- C54
   /** Surgical decontamination ([[Dedup.decontamScrub]]): remove the
     * eval-overlapping token spans, keep the document — same
@@ -1294,6 +1303,7 @@ object DocQueries {
     "q_doc_datasheet"     -> (qDocDatasheet _),
     "q_doc_decontam_scrub" -> (qDocDecontamScrub _),
     "q_doc_exact_incremental" -> (qDocExactIncremental _),
+    "q_emb_mmr"           -> (qEmbMmr _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_blocklist"     -> (qDocBlocklist _),

@@ -38,6 +38,7 @@ class ContractSpec extends AnyFunSuite {
       "q_emb_ivf_topk",
       "q_emb_lsh_ann", "q_emb_pq_topk", "q_emb_ivfpq_topk",
       "q_emb_opq_topk", // codebooks + learned rotation are k-means-family dependent; AccuracySpec pins the lift
+      "q_emb_mmr", // greedy selection chain isn't one SQL statement; OperatorsSpec pins it
 
       "q_mm_features",
       "q_mm_image_dups") // aHash needs image decode — no DuckDB oracle

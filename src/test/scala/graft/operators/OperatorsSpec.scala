@@ -706,6 +706,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getLong(3) == 4L)
   }
 
+  test("C56: MMR displaces a near-duplicate in favor of a diverse item; λ=1 is pure relevance") {
+    // query along e1. Hand-computed at λ=0.4 after pick #1 (=id 1):
+    //   id 2 (near-copy):  0.4·0.999 − 0.6·sim(2,1)=0.999 → −0.1998
+    //   id 3 (diverse):    0.4·0.6   − 0.6·sim(3,1)=0.6   → −0.12  ← wins
+    //   id 4 (anti-query): 0.4·(−1)  − 0.6·0              → −0.4
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),           // query
+      (1L, Array(0.999, 0.045, 0.0)),       // most relevant
+      (2L, Array(0.999, 0.045, 0.0)),       // exact near-copy of 1
+      (3L, Array(0.6, 0.8, 0.0)),           // diverse, rel 0.6
+      (4L, Array(-1.0, 0.0, 0.0))           // anti-query
+    ).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(vecs, "vec_id", "embedding", queryId = 0L,
+        k = 3, lambda = 0.4, poolSize = 10)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    // near-copy's margin dies to the diversity penalty; third pick is
+    // the copy again once diversity is already paid for
+    assert(mmr == Seq(1L, 3L, 2L), mmr.toString)
+    // λ=1: diversity term vanishes → exactly the relevance order
+    val rel = Similarity.mmrTopK(vecs, "vec_id", "embedding", queryId = 0L,
+        k = 4, lambda = 1.0, poolSize = 10)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(1L, 2L, 3L, 4L), rel.toString)
+    // determinism: same inputs → same ranking
+    val again = Similarity.mmrTopK(vecs, "vec_id", "embedding", queryId = 0L,
+        k = 3, lambda = 0.4, poolSize = 10)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(again == mmr)
+  }
+
   test("C58: incremental exact dedup drops corpus-known hashes, collapses intra-delta copies") {
     val corpusIdx = Seq("seen before", "also seen")
       .toDF("text").select(md5(col("text")).as("h"))
