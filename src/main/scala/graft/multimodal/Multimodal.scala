@@ -112,16 +112,19 @@ object Multimodal {
     })
   }
 
-  /** (media_id, format, ahash, decoded) — [[Codec.aHash]] per image
-    * row. Undecodable payloads emit `decoded = false` (ahash 0)
-    * rather than vanishing — filter them into a quarantine count, the
-    * same stance as every other lossy edge. Feed the decoded rows to
-    * [[graft.operators.Dedup.hammingPairs]] for perceptual image
-    * near-dup detection (C31): brightness shifts and re-encodes of
-    * the same picture land within a few bits; different pictures
-    * disagree on ~half. */
+  /** (media_id, format, ahash, phash, decoded) — [[Codec.aHash]] AND
+    * [[Codec.pHash]] per image row (both hashes from one decode — the
+    * expensive step — so pipelines can band on either signal without
+    * a second pass). Undecodable payloads emit `decoded = false`
+    * (hashes 0) rather than vanishing — filter them into a quarantine
+    * count, the same stance as every other lossy edge. Feed the
+    * decoded rows to [[graft.operators.Dedup.hammingPairs]] for
+    * perceptual image near-dup detection (C31 on `ahash`, C57 on
+    * `phash`): brightness shifts and re-encodes of the same picture
+    * land within a few bits; the DCT hash additionally rides out
+    * contrast/tone changes; different pictures disagree on ~half. */
   final case class MediaHash(media_id: Long, format: String,
-                             ahash: Long, decoded: Boolean)
+                             ahash: Long, phash: Long, decoded: Boolean)
 
   def imageHashes(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
@@ -134,8 +137,9 @@ object Multimodal {
           case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-      img.map(i => MediaHash(r.media_id, r.format, Codec.aHash(i), decoded = true))
-        .getOrElse(MediaHash(r.media_id, r.format, 0L, decoded = false))
+      img.map(i => MediaHash(r.media_id, r.format, Codec.aHash(i),
+          Codec.pHash(i), decoded = true))
+        .getOrElse(MediaHash(r.media_id, r.format, 0L, 0L, decoded = false))
     })
   }
 

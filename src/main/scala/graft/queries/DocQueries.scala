@@ -1282,10 +1282,40 @@ object DocQueries {
     Dedup.hammingPairs(hashes, "media_id", "ahash", maxDist = 3)
   }
 
+  // ---------------------------------------------------------------- C57
+  /** DCT perceptual image near-dup detection: [[Codec.pHash]] per
+    * rendered image, banded hamming pairs on the 64-bit DCT hashes —
+    * the contrast/tone-robust sibling of [[qMmImageDups]]'s aHash.
+    * Every `doc_id % 10 == 0` plants a CONTRAST-STRETCHED copy (each
+    * byte scaled 1.25× around 128, clamped) — the transform aHash is
+    * weakest against (cells near the mean flip) and the DCT hash
+    * rides out. Rows-only by design; MultimodalSpec pins invariances. */
+  def qMmPhashDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => MM}
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val contrast = seed.map { b =>
+          val v = 128 + ((b & 0xff) - 128) * 5 / 4
+          math.max(0, math.min(255, v)).toByte
+        }
+        val orig = MM.MediaRow(id, MM.renderPpm(seed, 16, 16), "ppm", 16, 16, 1)
+        if (id % 10 == 0)
+          Seq(orig, MM.MediaRow(id + 1000000,
+            MM.renderPpm(contrast, 16, 16), "ppm", 16, 16, 1))
+        else Seq(orig)
+      }
+    val hashes = MM.imageHashes(media).toDF().filter(col("decoded"))
+    Dedup.hammingPairs(hashes, "media_id", "phash", maxDist = 7)
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features"       -> (qMmFeatures _),
     "q_mm_image_dups"     -> (qMmImageDups _),
+    "q_mm_phash_dups"     -> (qMmPhashDups _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),

@@ -47,6 +47,58 @@ class MultimodalSpec extends SparkSpec {
       "different pictures must disagree substantially")
   }
 
+  test("C57: pHash is contrast/tone/resize-invariant, discriminates pictures") {
+    // smooth 2-D blob: energy across several low frequencies — the
+    // image class the median-rule pHash failed on (noise-floor bits)
+    def blob(w: Int, h: Int): Codec.Image = Codec.Image(w, h,
+      Array.tabulate(3 * w * h) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        ((x * y * 255 / ((w - 1) * (h - 1)) +
+          (x + y) * 127 / (w + h - 2)) / 2).toByte
+      })
+    def contrast(img: Codec.Image, num: Int, den: Int): Codec.Image = img.copy(
+      pixels = img.pixels.map { b =>
+        val v = 128 + ((b & 0xff) - 128) * num / den
+        math.max(0, math.min(255, v)).toByte
+      })
+    def lin(img: Codec.Image, num: Int, den: Int, off: Int): Codec.Image = img.copy(
+      pixels = img.pixels.map { b =>
+        val v = (b & 0xff) * num / den + off
+        math.max(0, math.min(255, v)).toByte
+      })
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val b64 = blob(64, 64)
+    val base = Codec.pHash(b64)
+    // linear tone maps scale every AC coefficient AND the threshold
+    // together — bits fixed (measured 0, asserted with headroom)
+    assert(dist(base, Codec.pHash(contrast(b64, 5, 4))) <= 4,
+      "contrast stretch must stay within hamming 4")
+    assert(dist(base, Codec.pHash(contrast(b64, 3, 4))) <= 4,
+      "contrast reduction must stay within hamming 4")
+    assert(dist(base, Codec.pHash(lin(b64, 7, 8, 16))) <= 4,
+      "linear tone map must stay within hamming 4")
+    assert(dist(base, Codec.pHash(blob(32, 32))) <= 4,
+      "resize of the same picture must stay within hamming 4")
+    // an 8-px block checkerboard concentrates energy elsewhere
+    val other = Codec.Image(64, 64, Array.tabulate(3 * 64 * 64) { i =>
+      val p = i / 3; (((((p / 64) / 8) % 2) ^ (((p % 64) / 8) % 2)) * 255).toByte
+    })
+    assert(dist(base, Codec.pHash(other)) >= 8,
+      "different pictures must disagree substantially")
+    // textured (rendered-corpus-style) images: strong separation and
+    // tone invariance — the class q_mm_phash_dups actually bands
+    val tex1 = Codec.decodePpm(Multimodal.renderPpm(
+      "first deterministic texture".getBytes("UTF-8"), 16, 16)).get
+    val tex2 = Codec.decodePpm(Multimodal.renderPpm(
+      "second entirely different".getBytes("UTF-8"), 16, 16)).get
+    assert(dist(Codec.pHash(tex1), Codec.pHash(contrast(tex1, 5, 4))) <= 6,
+      "clamped contrast on a texture must stay within the banding cut")
+    assert(dist(Codec.pHash(tex1), Codec.pHash(tex2)) >= 16,
+      "different textures must disagree substantially")
+    // determinism: same pixels, same hash
+    assert(base == Codec.pHash(blob(64, 64)))
+  }
+
   test("C31: imageHashes + hammingPairs find the perceptual dup, not the stranger") {
     val w = 16; val h = 16
     def grad(d: Int) = Multimodal.renderPpm(
