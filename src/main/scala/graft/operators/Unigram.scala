@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed unigram-LM tokenizer training (SURVEY.md §2 C53) —
+  * the SentencePiece-style trainer (Kudo 2018), the other half of the
+  * subword-tokenizer story next to [[Bpe]]: where BPE GROWS a vocab by
+  * merging, the unigram LM SHRINKS a big seed vocabulary by
+  * expectation-maximization + pruning, and segmentation is the
+  * minimum-cost (Viterbi) path under piece log-probabilities instead
+  * of a merge replay.
+  *
+  * Algorithm (hard/Viterbi EM — deterministic, the property every
+  * other trainer in this repo pins):
+  *  1. distinct-word table `(word, wc)` — the same Zipf-bounded cache
+  *     trick as [[Bpe.wordTable]]: all per-word work runs once per
+  *     DISTINCT word, never per occurrence;
+  *  2. seed vocab: the `seedSize` most frequent substrings of length
+  *     ≤ `maxPieceLen` (occurrence-weighted), plus ALL single
+  *     characters (coverage guarantee: every word stays segmentable);
+  *  3. E-step: per word, the min-cost segmentation under current
+  *     piece costs (−ln p), found by a Viterbi DP expressed as one
+  *     codegen'd `aggregate` fold over the word's candidate edges —
+  *     edges sorted by (end, start), so each relaxation reads a
+  *     final predecessor cost (start < end ⇒ already settled);
+  *  4. M-step: piece usage = Σ wc over best paths; p = usage/total.
+  *     Unused multi-char pieces drop out; the corpus ALPHABET stays at
+  *     a usage floor of 1 (see [[charTable]] — without the floor, an
+  *     EM step drops unused characters and a later prune can orphan a
+  *     word whose covering piece it removes);
+  *  5. prune: drop the lowest-usage multi-char pieces down to
+  *     `vocabSize` (the alphabet is never pruned), re-run EM.
+  *
+  * Scale shape (100 TB): the corpus is touched ONCE (word table);
+  * every EM iteration is word-table-sized — candidate-edge explode
+  * (≤ len·maxPieceLen rows per distinct word, map-side), an equi-join
+  * against the vocab on `piece` (vocab is `seedSize` rows → AQE
+  * broadcasts it), one groupBy(word) collect of the word's own edges
+  * (bounded by word length — never a corpus-wide window), the DP fold
+  * (map-side codegen), and a piece-usage partial agg. Driver state is
+  * the vocab only (seedSize-bounded, the IVF-centroid stance).
+  *
+  * Determinism: seed selection orders by (count desc, piece asc);
+  * the DP tie-breaks by preferring the LATER-sorted edge only on a
+  * strict cost improvement (so equal-cost paths resolve to the
+  * smallest-start, i.e. longest-last-piece, chain); usages are exact
+  * integer sums. Same corpus + params ⇒ same vocab on any layout —
+  * UnigramSpec pins parity against an independent sequential trainer.
+  *
+  * Reference scope note: QOPCFDR delegates analytics to Athena
+  * (/root/reference/README.md:48) and has no tokenizer story; this
+  * operator belongs to the training-data extension surface. */
+object Unigram {
+
+  private val Inf = 1e18
+
+  /** Distinct-word table `(word, wc)`. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** All (start, end] candidate cut pairs of a word: 0 ≤ s < e ≤ len,
+    * e − s ≤ maxPieceLen. Map-only nested transform + flatten. */
+  private def candidateCuts(wlen: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(0), wlen - 1), s =>
+      transform(sequence(s + 1, least(wlen, s + lit(maxPieceLen))), e =>
+        struct(s.as("s"), e.as("e")))))
+
+  /** Candidate piece occurrences `(word, wc, s, e, piece)` — the
+    * relation both seeding and the E-step explode. */
+  private def pieceOccurrences(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("word"), col("wc"), length(col("word")).as("wlen"),
+        explode(candidateCuts(length(col("word")), maxPieceLen)).as("cut"))
+      .select(col("word"), col("wc"), col("cut.s").as("s"), col("cut.e").as("e"),
+        expr("substring(word, s + 1, e - s)").as("piece"))
+
+  /** Seed vocabulary `(piece, seed_count)`: top `seedSize` substrings
+    * by occurrence-weighted count (ties to the lexicographically
+    * smaller piece) UNION all single characters. */
+  def seedVocab(words: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame = {
+    val counts = pieceOccurrences(words, maxPieceLen)
+      .groupBy("piece").agg(sum("wc").as("seed_count"))
+    val top = counts
+      .orderBy(col("seed_count").desc, col("piece"))
+      .limit(seedSize)
+    val chars = counts.where(length(col("piece")) === 1)
+    top.unionByName(chars).groupBy("piece")
+      .agg(max("seed_count").as("seed_count"))
+  }
+
+  /** One E-step: per distinct word, the Viterbi segmentation under
+    * `vocab(piece, cost)` (cost = −ln p), returned as
+    * `(word, wc, pieces array<string>)`. Words are always segmentable
+    * while every character is in the vocab. */
+  def viterbiSegment(words: DataFrame, vocab: DataFrame,
+                     maxPieceLen: Int): DataFrame = {
+    val edges = pieceOccurrences(words, maxPieceLen)
+      .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+      .groupBy(col("word"), col("wc"))
+      .agg(array_sort(collect_list(
+        struct(col("e"), col("s"), col("cost")))).as("edges"))
+      .select(col("word"), col("wc"), length(col("word")).as("n"), col("edges"))
+    // DP state: costs[0..n] (index i+1 ↔ position i) + froms[0..n].
+    // Edges arrive sorted by (e, s); relaxing edge (s, e) reads
+    // costs[s], which is final because every edge ending ≤ s sorted
+    // earlier. Strict < keeps the first-seen best (smallest start).
+    val init = struct(
+      concat(array(lit(0.0)),
+        transform(sequence(lit(1), col("n")), _ => lit(Inf))).as("costs"),
+      transform(sequence(lit(0), col("n")), _ => lit(-1)).as("froms"))
+    val folded = aggregate(col("edges"), init, (acc, ed) => {
+      val s = ed.getField("s"); val e = ed.getField("e")
+      val cand = element_at(acc.getField("costs"), s + 1) + ed.getField("cost")
+      val cur = element_at(acc.getField("costs"), e + 1)
+      val better = cand < cur
+      struct(
+        when(better,
+          concat(slice(acc.getField("costs"), lit(1), e), array(cand),
+            slice(acc.getField("costs"), e + 2, col("n") - e)))
+          .otherwise(acc.getField("costs")).as("costs"),
+        when(better,
+          concat(slice(acc.getField("froms"), lit(1), e), array(s),
+            slice(acc.getField("froms"), e + 2, col("n") - e)))
+          .otherwise(acc.getField("froms")).as("froms"))
+    })
+    val withDp = edges.select(col("word"), col("wc"), col("n"),
+      folded.getField("froms").as("froms"))
+    // Backtrack: walk froms from position n to 0 (≤ n hops), emitting
+    // (s, e] cuts front-to-back via prepend.
+    val cuts = aggregate(sequence(lit(1), col("n")),
+      struct(col("n").as("pos"),
+        expr("CAST(array() AS array<struct<s:int,e:int>>)").as("cuts")),
+      (acc, _) => {
+        val p = acc.getField("pos")
+        val s = element_at(col("froms"), p + 1)
+        when(p > 0,
+          struct(s.as("pos"),
+            concat(array(struct(s.as("s"), p.as("e"))),
+              acc.getField("cuts")).as("cuts")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cuts"))
+    withDp.select(col("word"), col("wc"),
+      transform(cuts, c =>
+        col("word").substr(c.getField("s") + 1,
+          c.getField("e") - c.getField("s"))).as("pieces"))
+  }
+
+  /** Piece-usage table after one E-step: `(piece, usage)`,
+    * usage = Σ wc over best paths. */
+  def usageCounts(segmented: DataFrame): DataFrame =
+    segmented
+      .select(col("wc"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("usage"))
+
+  /** Every distinct character of the corpus — the REQUIRED alphabet.
+    * Kept in the vocab at a usage floor of 1 through every EM and
+    * prune step: an EM step gives unused characters zero usage, and
+    * once a character is gone a later prune can orphan a word whose
+    * best multi-char piece it then removes (the trap SentencePiece's
+    * required_chars exists for — observed on this repo's own spec
+    * corpus before the floor was added). */
+  def charTable(words: DataFrame): DataFrame =
+    words
+      .select(explode(filter(split(col("word"), ""), c => c =!= ""))
+        .as("piece"))
+      .distinct()
+
+  /** Train a unigram-LM vocabulary. Returns `(piece, usage, logprob)`
+    * — usage from the final E-step, logprob = ln(usage / Σ usage). */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String,
+            vocabSize: Int = 256, maxPieceLen: Int = 5,
+            seedSize: Int = 512, emIters: Int = 2,
+            pruneRounds: Int = 2): DataFrame = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      "need seedSize >= vocabSize >= 1")
+    val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    try {
+      val alphabet = charTable(words).localCheckpoint(true)
+      // union the alphabet at a usage floor of 1 (chars already
+      // present keep their real usage — max wins)
+      def withAlphabetFloor(usage: DataFrame): DataFrame =
+        usage.unionByName(alphabet.select(col("piece"), lit(1L).as("usage")))
+          .groupBy("piece").agg(max("usage").as("usage"))
+      // seed costs from seed counts
+      var vocab = withCosts(
+        seedVocab(words, maxPieceLen, seedSize)
+          .select(col("piece"), col("seed_count").as("usage")))
+        .localCheckpoint(true)
+      var round = 0
+      while (round <= pruneRounds) {
+        var it = 0
+        while (it < emIters) {
+          val seg = viterbiSegment(words, vocab, maxPieceLen)
+          vocab = withCosts(withAlphabetFloor(usageCounts(seg)))
+            .localCheckpoint(true)
+          it += 1
+        }
+        if (round < pruneRounds) {
+          // prune multi-char pieces to the usage top; the alphabet is
+          // immune (it IS the coverage guarantee)
+          val chars = vocab.where(length(col("piece")) === 1)
+          val multi = vocab.where(length(col("piece")) > 1)
+            .orderBy(col("usage").desc, col("piece"))
+            .limit(math.max(0, vocabSize - chars.count().toInt))
+          vocab = withCosts(chars.unionByName(multi)
+              .select(col("piece"), col("usage")))
+            .localCheckpoint(true)
+        }
+        round += 1
+      }
+      vocab.select(col("piece"), col("usage"),
+        graft.functions.TextFunctions.round4(-col("cost")).as("logprob"))
+    } finally words.unpersist(false)
+  }
+
+  /** Attach Viterbi costs: cost = −ln(usage / Σ usage). The 1-row
+    * total crossJoin-broadcasts (the Dsir/Zorder stance). */
+  private def withCosts(vocab: DataFrame): DataFrame = {
+    val total = vocab.agg(sum("usage").as("tot"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("piece"), col("usage"),
+        (-log(col("usage").cast("double") / col("tot"))).as("cost"))
+  }
+}

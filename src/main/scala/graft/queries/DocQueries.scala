@@ -1176,6 +1176,18 @@ object DocQueries {
         "text", "doc_id", n = 5).select(col("gram")))
   }
 
+  // ---------------------------------------------------------------- C53
+  /** Unigram-LM tokenizer training ([[graft.operators.Unigram]]):
+    * SentencePiece-style Viterbi-EM over the distinct-word table —
+    * the shrink-a-seed-vocab counterpart of C39's grow-by-merges BPE.
+    * Rows-only by declared design (iterative EM isn't one SQL
+    * statement); UnigramSpec pins exact parity against an independent
+    * sequential trainer. */
+  def qDocUnigram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.train(s, docs(s, dir), "text",
+      vocabSize = 64, maxPieceLen = 5, seedSize = 256,
+      emIters = 2, pruneRounds = 1)
+
   // ---------------------------------------------------------------- C56
   /** MMR-diversified retrieval ([[Similarity.mmrTopK]]): the
     * relevance/diversity re-rank of the C5 brute-force shortlist.
@@ -1334,6 +1346,7 @@ object DocQueries {
     "q_doc_decontam_scrub" -> (qDocDecontamScrub _),
     "q_doc_exact_incremental" -> (qDocExactIncremental _),
     "q_emb_mmr"           -> (qEmbMmr _),
+    "q_doc_unigram"       -> (qDocUnigram _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_blocklist"     -> (qDocBlocklist _),
