@@ -220,6 +220,38 @@ object Unigram {
     } finally words.unpersist(false)
   }
 
+  /** Encode every document into its unigram-LM token stream — the
+    * APPLY half (the [[Bpe.encodeDocs]] counterpart, same word-cache
+    * shape): Viterbi segmentation runs once per DISTINCT word under
+    * the trained `vocab(piece, cost)`; the corpus-sized side only
+    * splits, explodes and equi-joins `word`, then one hash agg per
+    * doc reassembles order via `array_sort` structs. Output:
+    * (id, tokens, n_words, n_tokens); wordless docs keep empty
+    * arrays. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame, maxPieceLen: Int = 5): DataFrame = {
+    val words = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val encoded = viterbiSegment(words, vocab, maxPieceLen)
+      .select(col("word"), col("pieces"))
+    val seq = docs.select(col(idCol),
+      posexplode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+        w => w =!= "")).as(Seq("wpos", "word")))
+    val enc = seq.join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("pieces")))),
+          s => s.getField("pieces"))).as("tokens"),
+        count(lit(1)).as("n_words"))
+    docs.select(col(idCol)).join(enc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Attach Viterbi costs: cost = −ln(usage / Σ usage). The 1-row
     * total crossJoin-broadcasts (the Dsir/Zorder stance). */
   private def withCosts(vocab: DataFrame): DataFrame = {

@@ -1188,6 +1188,29 @@ object DocQueries {
       vocabSize = 64, maxPieceLen = 5, seedSize = 256,
       emIters = 2, pruneRounds = 1)
 
+  // --------------------------------------------------------------- C53b
+  /** Unigram-LM document encoding ([[graft.operators.Unigram.encodeDocs]]):
+    * the apply half — every doc segmented under the trained vocab via
+    * the distinct-word cache, with the same fertility metric as the
+    * BPE encoder ([[qDocBpeEncode]]), so the two tokenizers are
+    * directly comparable on one corpus. Rows-only (rules come from the
+    * iterative trainer); UnigramSpec pins encoder parity. */
+  def qDocUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val d = docs(s, dir)
+    val vocab = Unigram.train(s, d, "text",
+        vocabSize = 64, maxPieceLen = 5, seedSize = 256,
+        emIters = 2, pruneRounds = 1)
+      .select(col("piece"), (-col("logprob")).as("cost"))
+    Unigram.encodeDocs(d, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(TextFunctions.round4(
+            col("n_tokens").cast("double") / col("n_words")))
+          .as("fertility"),
+        array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
+  }
+
   // ---------------------------------------------------------------- C56
   /** MMR-diversified retrieval ([[Similarity.mmrTopK]]): the
     * relevance/diversity re-rank of the C5 brute-force shortlist.
@@ -1347,6 +1370,7 @@ object DocQueries {
     "q_doc_exact_incremental" -> (qDocExactIncremental _),
     "q_emb_mmr"           -> (qEmbMmr _),
     "q_doc_unigram"       -> (qDocUnigram _),
+    "q_doc_unigram_encode" -> (qDocUnigramEncode _),
     "q_doc_markup"        -> (qDocMarkup _),
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_blocklist"     -> (qDocBlocklist _),

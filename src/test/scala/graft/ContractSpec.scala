@@ -32,6 +32,7 @@ class ContractSpec extends AnyFunSuite {
       "q_doc_bpe", // iterative argmax isn't one SQL statement; BpeSpec pins the trainer
       "q_doc_bpe_encode", // rules come from the iterative trainer; BpeSpec pins encoder parity
       "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity
+      "q_doc_unigram_encode", // vocab comes from the iterative trainer; UnigramSpec pins encoder parity
       "q_doc_mix_temperature", // cuts pass through float pow; MixSpec pins the T limits
       "q_doc_simhash",
       "q_doc_simhash_pairs", "q_emb_cluster_sample",

@@ -145,6 +145,30 @@ class UnigramSpec extends SparkSpec {
     assert(vocab.forall(_._2 > 0))
   }
 
+  test("C53b: encodeDocs segments documents word-for-word like the reference; reconstruction is lossless") {
+    val docs = (corpus ++ Seq("")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val usage = refTrain(corpus, vocabSize = 12, maxPieceLen = 4,
+      seedSize = 40, emIters = 2, pruneRounds = 1)
+    val tot = usage.values.sum.toDouble
+    val cost = usage.map { case (p, u) => p -> -math.log(u / tot) }
+    val vocabDf = cost.toSeq.toDF("piece", "cost")
+    val got = Unigram.encodeDocs(docs, "doc_id", "text", vocabDf,
+        maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2), r.getLong(3)))).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val words = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = words.flatMap(w => refSegment(w, cost, 4))
+      assert(got(i.toLong)._1 == want, s"doc $i: ${got(i.toLong)._1} vs $want")
+      assert(got(i.toLong)._2 == words.size)
+      // lossless: concatenating each word's pieces re-derives the text
+      assert(got(i.toLong)._1.mkString == words.mkString)
+    }
+    // wordless doc keeps its row with empty tokens
+    assert(got(corpus.length.toLong) == ((Seq(), 0L, 0L)))
+  }
+
   test("C53: null/empty docs contribute nothing; training is deterministic") {
     val docs = (corpus ++ Seq("", null)).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
