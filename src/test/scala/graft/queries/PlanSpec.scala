@@ -217,6 +217,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("C52: gopher battery is MAP-ONLY — zero exchanges, no explode, no window") {
+    val p = plan("q_doc_gopher")
+    assert(!p.contains("Exchange"), s"gopher must not shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+    // top-token count folds over the sorted array — never an
+    // explode+groupBy that would shuffle every corpus token
+    assert(!p.contains("Generate"), s"gopher must not explode:\n$p")
+  }
+
+  test("C55: datasheet is one partial-agg'd groupBy on source") {
+    val p = plan("q_doc_datasheet")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("C54: decontam scrub broadcasts the eval grams; no cartesian anywhere") {
+    val p = plan("q_doc_decontam_scrub")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("C58: incremental exact dedup keys its agg and anti-join on the hash") {
+    val p = plan("q_doc_exact_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
