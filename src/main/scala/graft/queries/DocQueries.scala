@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
@@ -322,22 +322,24 @@ object DocQueries {
   // ---------------------------------------------------------------- C7
   /** Language-ID by distinct-stopword overlap per language, argmax with
     * a deterministic tie order (en > fr > de > es > und). */
-  def qDocLangid(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .withColumn("en_hits", TextFunctions.distinctOverlap(col("text"), enStop))
-      .withColumn("fr_hits", TextFunctions.distinctOverlap(col("text"), frStop))
-      .withColumn("de_hits", TextFunctions.distinctOverlap(col("text"), deStop))
-      .withColumn("es_hits", TextFunctions.distinctOverlap(col("text"), esStop))
-    d.select(col("doc_id"),
-      when(col("en_hits") > 0 && col("en_hits") >= col("fr_hits") &&
-           col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
-        .when(col("fr_hits") > 0 && col("fr_hits") >= col("de_hits") &&
-              col("fr_hits") >= col("es_hits"), "fr")
-        .when(col("de_hits") > 0 && col("de_hits") >= col("es_hits"), "de")
-        .when(col("es_hits") > 0, "es")
-        .otherwise("und").as("pred_lang"),
-      col("en_hits"))
+  /** The stopword-vote language classifier behind C7 and the CCNet
+    * capstone — one definition so the two cannot drift. */
+  private def predLangExpr(text: Column): Column = {
+    val en = TextFunctions.distinctOverlap(text, enStop)
+    val fr = TextFunctions.distinctOverlap(text, frStop)
+    val de = TextFunctions.distinctOverlap(text, deStop)
+    val es = TextFunctions.distinctOverlap(text, esStop)
+    when(en > 0 && en >= fr && en >= de && en >= es, "en")
+      .when(fr > 0 && fr >= de && fr >= es, "fr")
+      .when(de > 0 && de >= es, "de")
+      .when(es > 0, "es")
+      .otherwise("und")
   }
+
+  def qDocLangid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      predLangExpr(col("text")).as("pred_lang"),
+      TextFunctions.distinctOverlap(col("text"), enStop).as("en_hits"))
 
   // ---------------------------------------------------------------- C8
   /** Quality scoring: length, alphabetic ratio, stopword ratio →
@@ -501,8 +503,13 @@ object DocQueries {
     * equi-joins (bigram, then conditioning unigram — both left joins,
     * AQE-splittable; no window ever sees a hot gram), and α·V ships
     * as a 1-row broadcast. The model stays distributed end-to-end. */
-  def qDocLmCrossEntropy(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def qDocLmCrossEntropy(s: SparkSession, dir: String): DataFrame =
+    lmCrossEntropyScores(docs(s, dir))
+
+  /** The C46 scorer on any (doc_id, source, text) relation — shared
+    * by [[qDocLmCrossEntropy]] and the CCNet capstone so the two
+    * cannot drift. Reference slice = `source = 'src0'`. */
+  def lmCrossEntropyScores(d: DataFrame): DataFrame = {
     val refGrams = Dedup.shingles(d.filter(col("source") === "src0"),
       "text", "doc_id", n = 2, dedupGrams = false)
     val bi = refGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
@@ -1211,6 +1218,47 @@ object DocQueries {
         array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
   }
 
+  // ---------------------------------------------------------------- C59
+  /** CCNet-shaped curation capstone (Wenzek et al. 2020): exact
+    * content dedup (keep-min-id) → stopword language ID → cross-corpus
+    * LM scoring against the reference slice → per-language
+    * head/middle/tail buckets at the exact interpolated p33/p66 of the
+    * ROUNDED score — the perplexity-tercile split CCNet feeds to
+    * training. Every stage reuses the exact oracled stage definition
+    * (C1 keep-min, C7 [[predLangExpr]], C46
+    * [[lmCrossEntropyScores]]), and the WHOLE composition carries one
+    * DuckDB oracle assembled from the same mirrors — the composition
+    * is hash-checked, not just its parts (the C43 stance). Zero-bigram
+    * docs bucket as 'unscored' (CCNet cannot score them) and are
+    * excluded from the cutpoint estimate. Scale shape: dedup is one
+    * md5-keyed window (WindowGroupLimit-able), langid map-only, the
+    * scorer inherits C23/C46's partial-agg'd no-hot-window shape, and
+    * the per-language cutoffs are a ≤|langs|-row broadcast join. */
+  def qDocPipelineCcnet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = docs(s, dir)
+      .withColumn("dup_rk", row_number().over(dupW))
+      .filter(col("dup_rk") === 1).drop("dup_rk")
+      .withColumn("pred_lang", predLangExpr(col("text")))
+    val scored = deduped.select(col("doc_id"), col("pred_lang"))
+      .join(lmCrossEntropyScores(deduped), Seq("doc_id"))
+    val cuts = scored.filter(col("n_bigrams") > 0)
+      .groupBy(col("pred_lang"))
+      .agg(
+        TextFunctions.round4(percentile(col("cross_entropy"), lit(0.33)))
+          .as("p33"),
+        TextFunctions.round4(percentile(col("cross_entropy"), lit(0.66)))
+          .as("p66"))
+    scored.join(broadcast(cuts), Seq("pred_lang"), "left")
+      .select(col("doc_id"), col("pred_lang"),
+        col("n_bigrams"), col("cross_entropy"),
+        when(col("n_bigrams") === 0, "unscored")
+          .when(col("cross_entropy") <= col("p33"), "head")
+          .when(col("cross_entropy") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ---------------------------------------------------------------- C56
   /** MMR-diversified retrieval ([[Similarity.mmrTopK]]): the
     * relevance/diversity re-rank of the C5 brute-force shortlist.
@@ -1376,6 +1424,7 @@ object DocQueries {
     "q_doc_blocklist"     -> (qDocBlocklist _),
     "q_emb_sq_topk"       -> (qEmbSqTopk _),
     "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
+    "q_doc_pipeline_ccnet" -> (qDocPipelineCcnet _),
     "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
@@ -2111,6 +2160,68 @@ object DocQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+    "q_doc_pipeline_ccnet" ->
+      """WITH ded AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |           row_number() OVER (PARTITION BY md5(text)
+        |                              ORDER BY doc_id) AS rk
+        |    FROM documents) WHERE rk = 1),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_hits > 0 AND en_hits >= fr_hits AND en_hits >= de_hits
+        |              AND en_hits >= es_hits THEN 'en'
+        |         WHEN fr_hits > 0 AND fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+        |         WHEN de_hits > 0 AND de_hits >= es_hits THEN 'de'
+        |         WHEN es_hits > 0 THEN 'es'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM (SELECT doc_id,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['the','a','of','and','to'])) AS en_hits,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['le','la','de','et','un'])) AS fr_hits,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['der','die','das','und','ein'])) AS de_hits,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['el','los','las','y','una'])) AS es_hits
+        |  FROM ded)),
+        |toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM ded),
+        |idx AS (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2),
+        |grams AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS gram,
+        |                 t[i] AS w1 FROM idx),
+        |bi AS (SELECT gram, count(*) AS c2 FROM grams
+        |       WHERE source = 'src0' GROUP BY gram),
+        |uni AS (SELECT w1, count(*) AS c1 FROM grams
+        |        WHERE source = 'src0' GROUP BY w1),
+        |vocab AS (SELECT count(DISTINCT w) AS v
+        |          FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+        |doc_gram AS (SELECT doc_id, gram, w1, count(*) AS k
+        |             FROM grams GROUP BY doc_id, gram, w1),
+        |sc AS (SELECT g.doc_id,
+        |         CAST(sum(g.k) AS BIGINT) AS n_bigrams,
+        |         round(-sum(g.k * ln((COALESCE(bi.c2, 0) + 0.5) /
+        |                             (COALESCE(uni.c1, 0) + 0.5 * vocab.v)))
+        |               / sum(g.k), 4) AS cross_entropy
+        |       FROM doc_gram g
+        |       LEFT JOIN bi USING (gram)
+        |       LEFT JOIN uni USING (w1)
+        |       CROSS JOIN vocab
+        |       GROUP BY g.doc_id),
+        |scored AS (SELECT l.doc_id, l.pred_lang,
+        |             CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |             COALESCE(sc.cross_entropy, 0.0) AS cross_entropy
+        |           FROM lang l LEFT JOIN sc ON sc.doc_id = l.doc_id),
+        |cuts AS (SELECT pred_lang,
+        |           round(quantile_cont(cross_entropy, 0.33), 4) AS p33,
+        |           round(quantile_cont(cross_entropy, 0.66), 4) AS p66
+        |         FROM scored WHERE n_bigrams > 0 GROUP BY pred_lang)
+        |SELECT s.doc_id, s.pred_lang, s.n_bigrams, s.cross_entropy,
+        |  CASE WHEN s.n_bigrams = 0 THEN 'unscored'
+        |       WHEN s.cross_entropy <= c.p33 THEN 'head'
+        |       WHEN s.cross_entropy <= c.p66 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s LEFT JOIN cuts c USING (pred_lang)""".stripMargin,
     "q_doc_lm_crossentropy" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
         |              FROM documents),
