@@ -569,6 +569,49 @@ object DocQueries {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- C60
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene
+    * `k1=1.2, b=0.75` parameterization with the +1-smoothed idf):
+    * top-20 documents for a fixed query term set — the lexical
+    * retrieval step behind targeted data selection ("find the corpus
+    * documents most about X and upsample them"). Scale shape: the
+    * query terms are an `isin` literal filter ON the exploded token
+    * relation, so only query-term postings ever shuffle (a 100 TB
+    * corpus aggregates |q| terms' postings, not its vocabulary);
+    * df is a |q|-row broadcast, (N, Σdl) a 1-row broadcast; the final
+    * cut is TakeOrdered on the ROUNDED score with doc_id tie-break —
+    * deterministic in both engines, so the top-20 boundary is exact. */
+  def qDocBm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("table", "window", "scan", "merge")
+    val k1 = 1.2; val b = 0.75
+    val toks = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("bigint").as("dl"), col("t"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(qTerms.map(x => x: Any): _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("dl") * col("n_docs") / col("sum_dl"))))
+      .groupBy(col("doc_id"))
+      .agg(TextFunctions.round4(sum(col("w"))).as("bm25"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+    scored.withColumn("rk",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long"))
+  }
+
   // ---------------------------------------------------------------- C14
   /** Deterministic stratified sampling: a reproducible hash of the id
     * (never `rand()` — re-runs and retried tasks must agree) with a
@@ -1425,6 +1468,7 @@ object DocQueries {
     "q_emb_sq_topk"       -> (qEmbSqTopk _),
     "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
     "q_doc_pipeline_ccnet" -> (qDocPipelineCcnet _),
+    "q_doc_bm25"          -> (qDocBm25 _),
     "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
@@ -2160,6 +2204,29 @@ object DocQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+    "q_doc_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |       WHERE term IN ('table','window','scan','merge')
+        |       GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         round(sum(ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   (tf.tf * 2.2) /
+        |                   (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * stats.n_docs
+        |                                          / stats.sum_dl))), 4) AS bm25,
+        |         CAST(count(*) AS BIGINT) AS n_matched
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |       GROUP BY tf.doc_id)
+        |SELECT doc_id, bm25, n_matched, rk FROM (
+        |  SELECT doc_id, bm25, n_matched,
+        |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |WHERE rk <= 20""".stripMargin,
     "q_doc_pipeline_ccnet" ->
       """WITH ded AS (
         |  SELECT doc_id, source, text FROM (
