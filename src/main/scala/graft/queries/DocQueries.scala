@@ -612,6 +612,66 @@ object DocQueries {
         .cast("long"))
   }
 
+  // ---------------------------------------------------------------- C61
+  /** Corpus version diff — the dataset-versioning report a released
+    * corpus ships between snapshots (what changed since v1?): per
+    * doc_id, `added` / `removed` / `changed` / `unchanged` by content
+    * hash, via ONE full outer join on the id. The two versions are
+    * derived deterministically from the one corpus (the C45
+    * derive-identically stance): v1 = ids with `% 5 != 4`, v2 = ids
+    * with `% 7 != 6` and text amended for `% 11 == 0`. Scale shape:
+    * hashes travel as md5 (32 B), the join keys on the id, statuses
+    * are a map-only CASE — a 100 TB diff is one co-partitionable
+    * join, no content comparison beyond the hash. */
+  def qDocCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val v1 = d.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = d.filter(pmod(col("doc_id"), lit(7)) =!= 6)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" amended")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  // ---------------------------------------------------------------- C62
+  /** Per-source embedding centroids + per-dimension variance — the
+    * "what does each source look like in embedding space" report
+    * behind drift monitoring and source-mix debugging. ENGINE-EXACT
+    * by integer quantization: each value becomes
+    * `CAST(round(x·10⁶) AS BIGINT)` BEFORE summation, so the
+    * per-(source, dim) sums are exact integers in any engine and any
+    * partition order (a raw float sum differs in ulps between
+    * engines/layouts — the classic cross-engine mean trap); the mean
+    * and variance then divide identical integers. Scale shape: one
+    * posexplode + one partial-agg'd groupBy on (source, dim) — output
+    * is sources×dims rows, never driver-side. */
+  def qEmbSourceCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("source", concat(lit("src"), pmod(col("vec_id"), lit(4))))
+    e.select(col("source"),
+        posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(col("source"), (col("dim0") + 1).as("dim"),
+        round(col("x").cast("double") * 1e6, 0).cast("bigint").as("q"))
+      .groupBy(col("source"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("source"), col("dim").cast("bigint").as("dim"),
+        TextFunctions.round4(col("sq").cast("double") / 1e6 / col("n"))
+          .as("centroid"),
+        TextFunctions.round4(
+          (col("sqq").cast("double") / col("n") -
+            (col("sq").cast("double") / col("n")) *
+            (col("sq").cast("double") / col("n"))) / 1e12).as("variance"))
+  }
+
   // ---------------------------------------------------------------- C14
   /** Deterministic stratified sampling: a reproducible hash of the id
     * (never `rand()` — re-runs and retried tasks must agree) with a
@@ -1469,6 +1529,8 @@ object DocQueries {
     "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
     "q_doc_pipeline_ccnet" -> (qDocPipelineCcnet _),
     "q_doc_bm25"          -> (qDocBm25 _),
+    "q_doc_corpus_diff"   -> (qDocCorpusDiff _),
+    "q_emb_source_centroids" -> (qEmbSourceCentroids _),
     "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
@@ -2204,6 +2266,35 @@ object DocQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+    "q_doc_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+        |            WHERE doc_id % 5 != 4),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' amended'
+        |                  ELSE text END) AS h2
+        |       FROM documents WHERE doc_id % 7 != 6)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 != h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
+    "q_emb_source_centroids" ->
+      """WITH e AS (SELECT vec_id,
+        |             'src' || CAST(vec_id % 4 AS VARCHAR) AS source, embedding
+        |           FROM embeddings),
+        |q AS (SELECT source, i AS dim,
+        |        CAST(round(embedding[i] * 1000000.0) AS BIGINT) AS q
+        |      FROM e, unnest(generate_series(1, len(embedding))) AS g(i)),
+        |a AS (SELECT source, dim, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+        |      FROM q GROUP BY source, dim)
+        |SELECT source, CAST(dim AS BIGINT) AS dim,
+        |  round(CAST(sq AS DOUBLE) / 1000000.0 / n, 4) + 0.0 AS centroid,
+        |  round((CAST(sqq AS DOUBLE) / n -
+        |         (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+        |        / 1000000000000.0, 4) + 0.0 AS variance
+        |FROM a""".stripMargin,
     "q_doc_bm25" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
