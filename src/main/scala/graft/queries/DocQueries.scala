@@ -672,6 +672,87 @@ object DocQueries {
             (col("sq").cast("double") / col("n"))) / 1e12).as("variance"))
   }
 
+  // ---------------------------------------------------------------- C63
+  /** SFT chat-data preparation: each document becomes a synthetic
+    * multi-turn conversation (16-token turns, alternating
+    * user/assistant — the derive-identically stance: both engines
+    * build the same conversations from the same corpus), rendered
+    * into a ChatML-style template with per-turn LOSS-MASK token
+    * offsets — the `(start, end)` spans an SFT trainer masks (user
+    * turns contribute no loss; the mask is emitted as token offsets
+    * into the rendered stream, including the 2-token role header the
+    * template adds per turn). One row per turn keeps the relation
+    * flat; map-only tiling (the C49 shape) + per-conversation offsets
+    * by a prefix sum over the turn window — partitioned by doc, never
+    * corpus-wide. */
+  def qDocChatTurns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = 16
+    val toks = TextFunctions.tokens(col("text"))
+    val nTurns = floor((size(toks) + lit(span - 1)).cast("double") / span)
+      .cast("int")
+    val turns = docs(s, dir).select(col("doc_id"), toks.as("toks"),
+        posexplode(sequence(lit(0), nTurns - 1)).as(Seq("ord", "turn_idx")))
+      .select(col("doc_id"), col("turn_idx"),
+        array_join(slice(col("toks"),
+          col("turn_idx") * span + 1, lit(span)), " ").as("turn_text"),
+        least(size(col("toks")) - col("turn_idx") * span, lit(span))
+          .cast("bigint").as("n_turn_tokens"),
+        when(pmod(col("turn_idx"), lit(2)) === 0, "user")
+          .otherwise("assistant").as("role"))
+    // rendered stream = per turn: <|role|> <text> <|end|> — 2 extra
+    // tokens per turn; offsets are a running sum over prior turns
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("start_tok",
+        coalesce(sum(col("n_turn_tokens") + 2).over(w), lit(0L)))
+      .withColumn("end_tok", col("start_tok") + col("n_turn_tokens") + 2)
+      .select(col("doc_id"), col("turn_idx").cast("bigint").as("turn_idx"),
+        col("role"),
+        concat(lit("<|"), col("role"), lit("|> "), col("turn_text"),
+          lit(" <|end|>")).as("rendered"),
+        col("n_turn_tokens"), col("start_tok"), col("end_tok"),
+        (col("role") === "user").cast("int").as("loss_masked"))
+  }
+
+  // ---------------------------------------------------------------- C64
+  /** DPO/RLHF preference-pair mining: within each (source, length
+    * bucket), pair the best-quality document against the worst (the
+    * chosen/rejected construction behind preference-training data
+    * built from quality signals); rank on the ROUNDED quality with id
+    * tie-break (both engines cut identically), pairs require a real
+    * quality gap (≥ 0.1) so ties never fabricate preferences.
+    * Scale shape: two WindowGroupLimit-able row_number windows on the
+    * (source, bucket) key + one equi-join of the two 1-row-per-group
+    * relations — never a within-group cross join. */
+  def qDocPreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+      .withColumn("quality",
+        TextFunctions.round4(TextFunctions.qualityScore(col("text"))))
+      .withColumn("bucket",
+        (size(TextFunctions.tokens(col("text"))) / 25).cast("int"))
+    val wBest = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wWorst = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("quality").asc, col("doc_id"))
+    val best = d.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("bucket"),
+        col("doc_id").as("chosen_id"), col("quality").as("chosen_q"))
+    val worst = d.withColumn("rk", row_number().over(wWorst))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("bucket"),
+        col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
+    best.join(worst, Seq("source", "bucket"))
+      .filter(col("chosen_q") - col("rejected_q") >= 0.1)
+      .select(col("source"), col("bucket").cast("bigint").as("bucket"),
+        col("chosen_id"), col("rejected_id"),
+        TextFunctions.round4(col("chosen_q") - col("rejected_q"))
+          .as("quality_gap"))
+  }
+
   // ---------------------------------------------------------------- C14
   /** Deterministic stratified sampling: a reproducible hash of the id
     * (never `rand()` — re-runs and retried tasks must agree) with a
@@ -1530,6 +1611,8 @@ object DocQueries {
     "q_doc_pipeline_ccnet" -> (qDocPipelineCcnet _),
     "q_doc_bm25"          -> (qDocBm25 _),
     "q_doc_corpus_diff"   -> (qDocCorpusDiff _),
+    "q_doc_chat_turns"    -> (qDocChatTurns _),
+    "q_doc_preference_pairs" -> (qDocPreferencePairs _),
     "q_emb_source_centroids" -> (qEmbSourceCentroids _),
     "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
@@ -2266,6 +2349,46 @@ object DocQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+    "q_doc_chat_turns" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |turns AS (SELECT doc_id, i AS turn_idx,
+        |            array_to_string(t[(i*16+1):(i*16+16)], ' ') AS turn_text,
+        |            least(len(t) - i*16, 16) AS n_turn_tokens,
+        |            CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+        |          FROM toks, unnest(generate_series(0,
+        |            CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS u(i)),
+        |o AS (SELECT *,
+        |        COALESCE(sum(n_turn_tokens + 2) OVER (
+        |          PARTITION BY doc_id ORDER BY turn_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS start_tok
+        |      FROM turns)
+        |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+        |  '<|' || role || '|> ' || turn_text || ' <|end|>' AS rendered,
+        |  CAST(n_turn_tokens AS BIGINT) AS n_turn_tokens,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok + n_turn_tokens + 2 AS BIGINT) AS end_tok,
+        |  CAST(role = 'user' AS INT) AS loss_masked
+        |FROM o""".stripMargin,
+    "q_doc_preference_pairs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |             round(${qualitySql("text")}, 4) AS quality,
+        |             CAST(len(string_split(text, ' ')) // 25 AS INT) AS bucket
+        |           FROM documents),
+        |best AS (SELECT source, bucket, doc_id AS chosen_id,
+        |                quality AS chosen_q FROM d
+        |         QUALIFY row_number() OVER (PARTITION BY source, bucket
+        |                 ORDER BY quality DESC, doc_id) = 1),
+        |worst AS (SELECT source, bucket, doc_id AS rejected_id,
+        |                 quality AS rejected_q FROM d
+        |          QUALIFY row_number() OVER (PARTITION BY source, bucket
+        |                  ORDER BY quality ASC, doc_id) = 1)
+        |SELECT best.source, CAST(best.bucket AS BIGINT) AS bucket,
+        |  chosen_id, rejected_id,
+        |  round(chosen_q - rejected_q, 4) AS quality_gap
+        |FROM best JOIN worst
+        |  ON best.source = worst.source AND best.bucket = worst.bucket
+        |WHERE chosen_q - rejected_q >= 0.1""".stripMargin,
     "q_doc_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
         |            WHERE doc_id % 5 != 4),
