@@ -612,6 +612,42 @@ object DocQueries {
         .cast("long"))
   }
 
+  // ---------------------------------------------------------------- C65
+  /** Per-source token-distribution drift: smoothed KL(source ‖ corpus)
+    * over the same 256 md5-hashed token buckets DSIR uses (C27) — the
+    * text-side counterpart of C62's embedding drift report ("which
+    * source's language stopped looking like the corpus"). Add-one
+    * smoothing keeps unseen buckets finite; all counts are exact
+    * integers (engine-identical md5 bucketing), the log-ratio
+    * arithmetic then runs on identical doubles. Scale shape: one
+    * explode → two partial-agg'd groupBys on (source, bucket) /
+    * bucket keys; the corpus-side model is 256 rows broadcast back —
+    * the DSIR shape end-to-end. */
+  def qDocSourceKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .select(col("source"), graft.operators.Dsir.bucket(col("w")).as("bucket"))
+    val perSrc = toks.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cc"))
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
+    val corpTot = corpus.agg(sum(col("cc")).as("ct"))
+    // dense grid: every (source, bucket) cell, zero-filled, so the
+    // smoothing term is identical in both engines
+    val grid = srcTot.crossJoin(corpus.select(col("bucket"), col("cc")))
+      .join(perSrc, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("st"), col("ct"),
+        col("bucket"), col("cc"), coalesce(col("c"), lit(0L)).as("c"))
+    grid
+      .withColumn("p", (col("c") + lit(1.0)) / (col("st") + lit(256.0)))
+      .withColumn("q", (col("cc") + lit(1.0)) / (col("ct") + lit(256.0)))
+      .groupBy(col("source"))
+      .agg(TextFunctions.round4(sum(col("p") * log(col("p") / col("q"))))
+        .as("kl_bits"),
+        max(col("st")).as("n_tokens"))
+  }
+
   // ---------------------------------------------------------------- C61
   /** Corpus version diff — the dataset-versioning report a released
     * corpus ships between snapshots (what changed since v1?): per
@@ -1612,6 +1648,7 @@ object DocQueries {
     "q_doc_bm25"          -> (qDocBm25 _),
     "q_doc_corpus_diff"   -> (qDocCorpusDiff _),
     "q_doc_chat_turns"    -> (qDocChatTurns _),
+    "q_doc_source_kl"     -> (qDocSourceKl _),
     "q_doc_preference_pairs" -> (qDocPreferencePairs _),
     "q_emb_source_centroids" -> (qEmbSourceCentroids _),
     "q_doc_winnow"        -> (qDocWinnow _),
@@ -2349,6 +2386,29 @@ object DocQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+    "q_doc_source_kl" ->
+      """WITH toks AS (SELECT source, substr(md5(w), 1, 2) AS bucket
+        |              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |                    FROM documents)),
+        |per_src AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+        |            FROM toks GROUP BY source, bucket),
+        |corpus AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cc
+        |           FROM toks GROUP BY bucket),
+        |src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st
+        |            FROM per_src GROUP BY source),
+        |corp_tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM corpus),
+        |grid AS (SELECT s.source, s.st, t.ct, b.bucket, b.cc,
+        |                COALESCE(p.c, 0) AS c
+        |         FROM src_tot s CROSS JOIN corpus b
+        |         LEFT JOIN per_src p
+        |           ON p.source = s.source AND p.bucket = b.bucket
+        |         CROSS JOIN corp_tot t)
+        |SELECT source,
+        |  round(sum(((c + 1.0) / (st + 256.0)) *
+        |            ln(((c + 1.0) / (st + 256.0)) /
+        |               ((cc + 1.0) / (ct + 256.0)))), 4) AS kl_bits,
+        |  CAST(max(st) AS BIGINT) AS n_tokens
+        |FROM grid GROUP BY source""".stripMargin,
     "q_doc_chat_turns" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |turns AS (SELECT doc_id, i AS turn_idx,
