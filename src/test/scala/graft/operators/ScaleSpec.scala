@@ -113,4 +113,37 @@ class ScaleSpec extends SparkSpec {
     assert(wrong == 0L, s"$wrong vertices mislabeled")
     assert(labeled.count() == 1000100L, "every edge-incident vertex labeled")
   }
+
+  test("C53s: unigram trainer holds at a 100k-distinct-word table") {
+    // The Zipf-bounded word table is the scale knob for tokenizer
+    // training (10⁷-10⁸ distinct words at 100 TB). 100k synthetic
+    // distinct words (base-36 ids — realistic 4-7 char lengths,
+    // shared prefixes so multi-char pieces actually win), 10k docs of
+    // 10 words each. One EM round must complete in seconds-not-hours
+    // wall time and the learned vocab must still reconstruct text
+    // losslessly (the coverage invariant the alphabet floor defends).
+    val word = (j: org.apache.spark.sql.Column) => concat(lit("w"), conv(j, 10, 36))
+    val docs = spark.range(10000L)
+      .select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(9)),
+          k => word(pmod(col("id") * 10 + k, lit(100000)))), " ").as("text"))
+    val t0 = System.nanoTime()
+    val vocab = Unigram.train(spark, docs, "text",
+      vocabSize = 1000, maxPieceLen = 4, seedSize = 2000,
+      emIters = 1, pruneRounds = 1)
+    val n = vocab.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"100k distinct words: vocab=$n, $secs%.1f s")
+    assert(n >= 37, "alphabet (w + 0-9a-z) must survive pruning")
+    // lossless round-trip on a sample: pieces re-concatenate to the text
+    val sample = docs.filter(col("doc_id") < 100)
+    val enc = Unigram.encodeDocs(sample, "doc_id", "text",
+        vocab.select(col("piece"), (-col("logprob")).as("cost")),
+        maxPieceLen = 4)
+      .select(col("doc_id"), concat_ws("", col("tokens")).as("joined"))
+    val bad = enc.join(sample, "doc_id")
+      .filter(col("joined") =!= regexp_replace(col("text"), " ", ""))
+      .count()
+    assert(bad == 0L, s"$bad docs failed lossless reconstruction")
+  }
 }
