@@ -180,8 +180,11 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     def cos4(a: Array[Double], b: Array[Double]): Double = {
+      // ragged input guard: score only the shared prefix (the HOF
+      // zip_with stance — a length mismatch must not throw mid-rank)
+      val n = math.min(a.length, b.length)
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      while (i < n) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
       val c = if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
       BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

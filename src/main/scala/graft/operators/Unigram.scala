@@ -180,7 +180,15 @@ object Unigram {
     require(vocabSize >= 1 && seedSize >= vocabSize,
       "need seedSize >= vocabSize >= 1")
     val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    val nWords = words.count()
+    if (nWords == 0L) {
+      // empty/wordless corpus: an empty vocab, not a null-cost NaN
+      // cascade through withCosts' 0-total division
+      words.unpersist(false)
+      import docs.sparkSession.implicits._
+      return Seq.empty[(String, Long, Double)]
+        .toDF("piece", "usage", "logprob")
+    }
     try {
       val alphabet = charTable(words).localCheckpoint(true)
       // union the alphabet at a usage floor of 1 (chars already

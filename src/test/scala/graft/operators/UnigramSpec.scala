@@ -169,6 +169,16 @@ class UnigramSpec extends SparkSpec {
     assert(got(corpus.length.toLong) == ((Seq(), 0L, 0L)))
   }
 
+  test("C53: an entirely wordless corpus trains to an empty vocab, not a NaN cascade") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.train(spark, docs, "text",
+      vocabSize = 8, maxPieceLen = 3, seedSize = 16,
+      emIters = 1, pruneRounds = 1)
+    assert(vocab.count() == 0L)
+    assert(vocab.columns.toSeq == Seq("piece", "usage", "logprob"))
+  }
+
   test("C53: null/empty docs contribute nothing; training is deterministic") {
     val docs = (corpus ++ Seq("", null)).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
