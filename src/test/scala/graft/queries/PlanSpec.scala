@@ -247,6 +247,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("C64: preference pairing plans WindowGroupLimit — no group ever fully sorts") {
+    val p = plan("q_doc_preference_pairs")
+    assert(p.contains("WindowGroupLimit"), s"rank<=1 must push into the window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("C60: BM25 aggregates only query-term postings; stats sides broadcast") {
+    val p = plan("q_doc_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrdered"), s"top-20 must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("C63: chat-turn offsets window partitions by doc, never corpus-wide") {
+    val p = plan("q_doc_chat_turns")
+    // the offset window's partition key must be the doc id — an
+    // unpartitioned window would serialize the corpus on one task
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("doc_id"), s"window not doc-partitioned: $winLine")
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
