@@ -612,6 +612,36 @@ object DocQueries {
         .cast("long"))
   }
 
+  // ---------------------------------------------------------------- C66
+  /** Word-blocklist content filter (the LDNOOBW-style "bad words"
+    * stage every public web pipeline runs, distinct from C51's
+    * DOMAIN blocklist): per doc, the count and fraction of tokens in
+    * the blocked set, and the keep verdict (drop when > 2% of tokens
+    * are blocked OR ≥ 3 distinct blocked kinds appear — the
+    * fraction-plus-diversity rule that keeps a single quoted slur
+    * from nuking a long document while still dropping concentrated
+    * content). Stand-in list = corpus words (planted deterministic);
+    * production swaps the literal array. Map-only HOF counting — the
+    * blocklist ships inside the codegen'd filter lambda, no join, no
+    * shuffle at any corpus size; thresholds compare ROUNDED
+    * fractions (SURVEY §5). */
+  def qDocBadwords(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("slow", "broken", "bad")
+    val t = TextFunctions.tokens(col("text"))
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      size(t).cast("bigint").as("n_tokens"),
+      size(filter(t, x => x.isin(blocked.map(v => v: Any): _*)))
+        .cast("bigint").as("n_blocked"),
+      TextFunctions.distinctOverlap(col("text"), blocked).cast("bigint")
+        .as("n_blocked_kinds"))
+    base
+      .withColumn("blocked_frac", TextFunctions.round4(
+        col("n_blocked").cast("double") / greatest(col("n_tokens"), lit(1))))
+      .withColumn("keep",
+        (col("blocked_frac") <= 0.02 && col("n_blocked_kinds") < 3).cast("int"))
+  }
+
   // ---------------------------------------------------------------- C65
   /** Per-source token-distribution drift: smoothed KL(source ‖ corpus)
     * over the same 256 md5-hashed token buckets DSIR uses (C27) — the
@@ -1649,6 +1679,7 @@ object DocQueries {
     "q_doc_corpus_diff"   -> (qDocCorpusDiff _),
     "q_doc_chat_turns"    -> (qDocChatTurns _),
     "q_doc_source_kl"     -> (qDocSourceKl _),
+    "q_doc_badwords"      -> (qDocBadwords _),
     "q_doc_preference_pairs" -> (qDocPreferencePairs _),
     "q_emb_source_centroids" -> (qEmbSourceCentroids _),
     "q_doc_winnow"        -> (qDocWinnow _),
@@ -2386,6 +2417,20 @@ object DocQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+    "q_doc_badwords" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('slow','broken','bad'))) AS BIGINT) AS n_blocked,
+        |        CAST(len(list_intersect(list_distinct(toks),
+        |          ['slow','broken','bad'])) AS BIGINT) AS n_blocked_kinds
+        |      FROM t)
+        |SELECT doc_id, n_tokens, n_blocked, n_blocked_kinds,
+        |  round(n_blocked * 1.0 / greatest(n_tokens, 1), 4) AS blocked_frac,
+        |  CAST(round(n_blocked * 1.0 / greatest(n_tokens, 1), 4) <= 0.02
+        |       AND n_blocked_kinds < 3 AS INT) AS keep
+        |FROM m""".stripMargin,
     "q_doc_source_kl" ->
       """WITH toks AS (SELECT source, substr(md5(w), 1, 2) AS bucket
         |              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
