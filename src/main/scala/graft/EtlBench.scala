@@ -67,6 +67,24 @@ object EtlBench {
     val spark = GraftSession.get()
     if (args.length > 2)
       spark.conf.set("spark.sql.parquet.compression.codec", args(2))
+    // Cache-unroll transient-heap lever (SPARK_GRAFT_CACHE_BATCH):
+    // each cache task builds one columnar batch of this many rows in
+    // heap before it is stored/evicted — 32 concurrent unroll tasks ×
+    // doubling ColumnBuilder buffers is the allocation that OOMs an
+    // oversized corpus on a small heap (BASELINE.md, 32M events @ 8 g).
+    // Smaller batches shrink the transient peak at a small scan-time
+    // cost; the default 10,000 stands unless set.
+    sys.env.get("SPARK_GRAFT_CACHE_BATCH").foreach(b =>
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", b))
+    // Concurrent-writer heap lever (SPARK_GRAFT_PARQUET_BLOCK, bytes):
+    // every open parquet file buffers a full row group on heap, and the
+    // fan-out runs 13 routes × filesPerDay writer tasks concurrently —
+    // at the default 128 MB block size that is GBs of write buffers
+    // before the first flush. A single-node heap staging the whole
+    // fan-out needs smaller row groups; a real cluster (one task per
+    // executor core with its own heap) keeps the default.
+    sys.env.get("SPARK_GRAFT_PARQUET_BLOCK").foreach(b =>
+      spark.sparkContext.hadoopConfiguration.set("parquet.block.size", b))
     // Latency-optimal default: enough writer tasks per (route, day)
     // that 13 concurrent route jobs cover the core budget (auto-sizing
     // would give this single-day corpus ONE encode core per route).
