@@ -91,9 +91,12 @@ object Bench {
       grouped.getOrElseUpdate(g,
         scala.collection.mutable.LinkedHashMap[String, Double]())(n) = v
     }
+    // each group is ONE joined string ("n1=cs,n2=cs") and values are
+    // CENTISECONDS — per-name quoting and ms precision outgrew the
+    // tail at 125 queries (2279 chars); this encoding fits with room
     val qsCompact = grouped.toSeq.sortBy(_._1).map { case (g, m) =>
-      s"${jstr(g)}:" + m.map { case (n, v) =>
-        s"${jstr(n)}:${math.round(v * 1000)}" }.mkString("{", ",", "}")
+      s"${jstr(g)}:" + jstr(m.map { case (n, v) =>
+        s"$n=${math.round(v * 100)}" }.mkString(","))
     }.mkString("{", ",", "}")
     // errors only when present — every char of a clean run is budget
     val esCompact = if (errors.isEmpty) "" else s""","errors":$es"""
@@ -101,7 +104,7 @@ object Bench {
     // char is tail budget (the driver stores sf itself). "qenc" states
     // the key reconstruction + per-query value unit.
     val compact =
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","qenc":"ms;q_g_n;root qn","queries":$qsCompact$esCompact}"""
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","qenc":"cs;n=v;q_g_n|qn","queries":$qsCompact$esCompact}"""
     if (compact.length > 1870)
       System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
         "the driver tail holds ~1920 — tighten the encoding before adding queries")

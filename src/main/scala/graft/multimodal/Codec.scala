@@ -337,6 +337,47 @@ object Codec {
 
   /** 16-dim audio feature: RMS (1) + zero-crossing rate (1) + peak
     * (1) + log-duration (1) + 12-segment energy profile. */
+  /** Perceptual audio fingerprint (Haitsma–Kalker shape, reduced to
+    * one 64-bit word): the clip is cut into 65 equal frames, each
+    * frame's energy is the sum of squared samples, and bit i is set
+    * when frame i+1 carries MORE energy than frame i — the
+    * sign-of-energy-delta signature. Volume changes scale every
+    * frame energy by the same factor, so the comparisons — and the
+    * fingerprint — are amplitude-invariant by construction (integer
+    * re-quantization of a scaled clip flips at most the bits whose
+    * neighboring frames were already near-equal); re-encodes and
+    * small edits flip few bits, different material disagrees on ~32.
+    * Integer/double arithmetic in a fixed order → deterministic.
+    * Empty/too-short clips (< 65 samples) fingerprint 0L with the
+    * `decoded` flag carrying the distinction upstream. Band through
+    * [[graft.operators.Dedup.hammingPairs]] like the image hashes. */
+  def audioHash(a: Audio): Long = {
+    val n = a.samples.length
+    if (n < 65) return 0L
+    val e = new Array[Double](65)
+    var f = 0
+    while (f < 65) {
+      val from = n.toLong * f / 65
+      val until = n.toLong * (f + 1) / 65
+      var s = 0.0
+      var j = from
+      while (j < until) {
+        val v = a.samples(j.toInt).toDouble
+        s += v * v
+        j += 1
+      }
+      e(f) = s
+      f += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   def audioFeatures(a: Audio): Array[Float] = {
     val out = new Array[Float](Multimodal.FeatureDim)
     val n = a.samples.length

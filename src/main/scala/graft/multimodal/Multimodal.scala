@@ -143,6 +143,28 @@ object Multimodal {
     })
   }
 
+  /** (media_id, format, afp, decoded) — [[Codec.audioHash]] per audio
+    * row: the audio counterpart of [[imageHashes]], same
+    * quarantine-not-drop stance for undecodable payloads, same
+    * banded [[graft.operators.Dedup.hammingPairs]] downstream. */
+  final case class AudioHash(media_id: Long, format: String,
+                             afp: Long, decoded: Boolean)
+
+  def audioHashes(ds: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val aud = try {
+        r.format match {
+          case "wav" => Codec.decodeWav(r.data)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      aud.map(a => AudioHash(r.media_id, r.format, Codec.audioHash(a),
+          decoded = true))
+        .getOrElse(AudioHash(r.media_id, r.format, 0L, decoded = false))
+    })
+  }
+
   /** Deterministic text→image rendering: the seed bytes are cycled
     * into a P6 raster. Real encoder — the decode side is the same
     * [[Codec.decodePpm]] path production media takes, which is what

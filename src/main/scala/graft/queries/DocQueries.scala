@@ -1644,11 +1644,48 @@ object DocQueries {
     Dedup.hammingPairs(hashes, "media_id", "phash", maxDist = 7)
   }
 
+  // ---------------------------------------------------------------- C67
+  /** Perceptual AUDIO near-dup detection ([[Codec.audioHash]] +
+    * banded hamming pairs) — the audio leg of the multimodal dedup
+    * story (C31/C57 cover images): every document renders to a WAV
+    * clip and each `doc_id % 10 == 0` additionally plants a
+    * HALF-VOLUME copy (every PCM sample integer-halved in place — a
+    * perceptual duplicate whose bytes and md5 all differ). The
+    * sign-of-energy-delta fingerprint is amplitude-invariant by
+    * construction, so the planted pairs band together while distinct
+    * clips disagree on ~half the bits. Rows-only (audio decode has no
+    * DuckDB oracle); MultimodalSpec pins the invariances. */
+  def qMmAudioDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => MM}
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val wav = MM.renderWavPcm16(text.getBytes("UTF-8"), 800)
+        val orig = MM.MediaRow(id, wav, "wav", 0, 0, 1)
+        if (id % 10 == 0) {
+          val half = wav.clone()
+          var i = 44
+          while (i + 1 < half.length) {
+            val s16 = ((half(i) & 0xff) | (half(i + 1) << 8)).toShort
+            val v = (s16 / 2).toShort
+            half(i) = (v & 0xff).toByte
+            half(i + 1) = ((v >> 8) & 0xff).toByte
+            i += 2
+          }
+          Seq(orig, MM.MediaRow(id + 1000000, half, "wav", 0, 0, 1))
+        } else Seq(orig)
+      }
+    val hashes = MM.audioHashes(media).toDF().filter(col("decoded"))
+    Dedup.hammingPairs(hashes, "media_id", "afp", maxDist = 3)
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features"       -> (qMmFeatures _),
     "q_mm_image_dups"     -> (qMmImageDups _),
     "q_mm_phash_dups"     -> (qMmPhashDups _),
+    "q_mm_audio_dups"     -> (qMmAudioDups _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),

@@ -99,6 +99,35 @@ class MultimodalSpec extends SparkSpec {
     assert(base == Codec.pHash(blob(64, 64)))
   }
 
+  test("C67: audioHash is volume-invariant, discriminates clips, quarantines junk") {
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def clip(seed: String): Codec.Audio =
+      Codec.decodeWav(Multimodal.renderWavPcm16(seed.getBytes("UTF-8"), 800)).get
+    def scaled(a: Codec.Audio, num: Int, den: Int): Codec.Audio =
+      a.copy(samples = a.samples.map(s => (s.toInt * num / den).toShort))
+    val a = clip("first deterministic audio clip content")
+    val base = Codec.audioHash(a)
+    // amplitude invariance: energies scale together, delta signs hold
+    // (integer re-quantization may flip near-equal neighbors only)
+    assert(dist(base, Codec.audioHash(scaled(a, 1, 2))) <= 3,
+      "half volume must stay within hamming 3")
+    assert(dist(base, Codec.audioHash(scaled(a, 1, 8))) <= 3,
+      "eighth volume must stay within hamming 3")
+    val b = clip("completely different material entirely")
+    assert(dist(base, Codec.audioHash(b)) >= 16,
+      "different clips must disagree substantially")
+    // determinism + short-clip guard
+    assert(base == Codec.audioHash(clip("first deterministic audio clip content")))
+    assert(Codec.audioHash(Codec.Audio(8000, new Array[Short](10))) == 0L)
+    // end-to-end: planted half-volume dup bands; junk is quarantined
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, Multimodal.renderWavPcm16("clip one payload".getBytes, 800), "wav", 0, 0, 1),
+      MediaRow(2L, Array[Byte](1, 2, 3), "wav", 0, 0, 1)).toDS()
+    val hs = Multimodal.audioHashes(rows).collect().map(h => h.media_id -> h.decoded).toMap
+    assert(hs == Map(1L -> true, 2L -> false))
+  }
+
   test("C31: imageHashes + hammingPairs find the perceptual dup, not the stranger") {
     val w = 16; val h = 16
     def grad(d: Int) = Multimodal.renderPpm(
