@@ -736,6 +736,41 @@ class OperatorsSpec extends SparkSpec {
     assert(again == mmr)
   }
 
+  test("C56: MMR measurably diversifies the real-embedding top-10 vs pure relevance") {
+    // the operator's reason to exist, quantified on the actual
+    // testdata embeddings: the MMR set must be internally LESS
+    // similar than the pure-relevance set at comparable relevance
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    def vecsOf(ids: Seq[Long]): Seq[Array[Double]] = {
+      val m = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      ids.map(m)
+    }
+    def meanPairCos(vs: Seq[Array[Double]]): Double = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val ps = for (i <- vs.indices; j <- (i + 1) until vs.size) yield cos(vs(i), vs(j))
+      ps.sum / ps.size
+    }
+    val mmrIds = Similarity.mmrTopK(emb, "vec_id", "embedding", queryId = 0L,
+        k = 10, lambda = 0.5, poolSize = 100)
+      .collect().map(_.getLong(1)).toSeq
+    val relIds = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val dMmr = meanPairCos(vecsOf(mmrIds))
+    val dRel = meanPairCos(vecsOf(relIds))
+    info(f"mean pairwise cosine: relevance=$dRel%.3f mmr=$dMmr%.3f")
+    assert(dMmr < dRel,
+      f"MMR set must be more diverse: mmr=$dMmr%.3f vs relevance=$dRel%.3f")
+  }
+
   test("C58: incremental exact dedup drops corpus-known hashes, collapses intra-delta copies") {
     val corpusIdx = Seq("seen before", "also seen")
       .toDF("text").select(md5(col("text")).as("h"))
