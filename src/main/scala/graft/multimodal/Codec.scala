@@ -222,6 +222,14 @@ object Codec {
     * a quarantine class. Integer luma, fixed summation order, double
     * arithmetic → deterministic across JVMs (Java 17+ is strictfp
     * everywhere). Bit 0 (DC) is always 0: DC is pure brightness. */
+  // DCT-II basis for pHash's fixed n=32: 8 output frequencies × 32
+  // samples, shared across all pHash calls on the executor (hoisted —
+  // per-call tabulate cost ~256 cos() per image measured as a real
+  // fraction of pHash time). Immutable after class init, so safe to
+  // share across Spark task threads.
+  private val PHashCosT: Array[Array[Double]] = Array.tabulate(8, 32)(
+    (u, x) => math.cos(math.Pi * (2 * x + 1) * u / 64.0))
+
   def pHash(img: Image): Long = {
     val n = 32
     val small = resize(img, n, n)
@@ -234,8 +242,7 @@ object Codec {
       i += 1
     }
     // separable DCT-II, computing only the first 8 frequencies per axis
-    val cosT = Array.tabulate(8, n)((u, x) =>
-      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+    val cosT = PHashCosT
     val tmp = Array.ofDim[Double](8, n) // (u, y): row transform
     var u = 0
     while (u < 8) {

@@ -112,22 +112,29 @@ object Multimodal {
     })
   }
 
-  /** (media_id, format, ahash, phash, decoded) — [[Codec.aHash]] AND
-    * [[Codec.pHash]] per image row (both hashes from one decode — the
-    * expensive step — so pipelines can band on either signal without
-    * a second pass). Undecodable payloads emit `decoded = false`
-    * (hashes 0) rather than vanishing — filter them into a quarantine
-    * count, the same stance as every other lossy edge. Feed the
-    * decoded rows to [[graft.operators.Dedup.hammingPairs]] for
-    * perceptual image near-dup detection (C31 on `ahash`, C57 on
-    * `phash`): brightness shifts and re-encodes of the same picture
-    * land within a few bits; the DCT hash additionally rides out
-    * contrast/tone changes; different pictures disagree on ~half. */
+  /** (media_id, format, ahash, phash, decoded) — [[Codec.aHash]]
+    * and/or [[Codec.pHash]] per image row (requested hashes share one
+    * decode — the expensive step — so pipelines can band on either
+    * signal without a second pass). The `withAHash`/`withPHash` flags
+    * select the hash set: pHash costs a 32×32 resize + partial 2-D DCT
+    * per image (~ms), so a consumer that bands only on `ahash` should
+    * not pay for it — an unrequested hash column is emitted as 0.
+    * Undecodable payloads emit `decoded = false` (hashes 0) rather
+    * than vanishing — filter them into a quarantine count, the same
+    * stance as every other lossy edge. Feed the decoded rows to
+    * [[graft.operators.Dedup.hammingPairs]] for perceptual image
+    * near-dup detection (C31 on `ahash`, C57 on `phash`): brightness
+    * shifts and re-encodes of the same picture land within a few bits;
+    * the DCT hash additionally rides out contrast/tone changes;
+    * different pictures disagree on ~half. */
   final case class MediaHash(media_id: Long, format: String,
                              ahash: Long, phash: Long, decoded: Boolean)
 
-  def imageHashes(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
+  def imageHashes(ds: Dataset[MediaRow],
+                  withAHash: Boolean = true,
+                  withPHash: Boolean = true): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
+    require(withAHash || withPHash, "select at least one hash")
     ds.mapPartitions(_.map { r =>
       val img = try {
         r.format match {
@@ -137,8 +144,9 @@ object Multimodal {
           case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-      img.map(i => MediaHash(r.media_id, r.format, Codec.aHash(i),
-          Codec.pHash(i), decoded = true))
+      img.map(i => MediaHash(r.media_id, r.format,
+          if (withAHash) Codec.aHash(i) else 0L,
+          if (withPHash) Codec.pHash(i) else 0L, decoded = true))
         .getOrElse(MediaHash(r.media_id, r.format, 0L, 0L, decoded = false))
     })
   }

@@ -150,9 +150,12 @@ object Similarity {
     *
     * Scale shape — retrieve distributed, re-rank bounded: the corpus
     * pass is [[bruteForceTopK]]'s map-only broadcast-query scoring
-    * scan (swap in an ANN probe at 100 TB) keeping only the top
-    * `poolSize` candidates (TakeOrdered — never a global sort); the
-    * greedy loop then runs over that ≤poolSize×dim pool on the driver,
+    * scan keeping only the top `poolSize` candidates (TakeOrdered —
+    * never a global sort); at 100 TB pass `candidates` — ids from an
+    * ANN probe (`Ivf.topK`, PQ ADC, LSH buckets — the
+    * [[hardNegatives]] pattern) — and only those rows are scored and
+    * pooled, so the scan touches probe output instead of the corpus.
+    * The greedy loop then runs over that ≤poolSize×dim pool on the driver,
     * a BOUNDED-BY-CONSTRUCTION collect (the IVF-centroid stance, and
     * how every production re-ranker works: selection is inherently
     * sequential — k dependent argmaxes — so distributing it would buy
@@ -164,13 +167,25 @@ object Similarity {
     * the λ=1 pure-relevance limit, and determinism. */
   def mmrTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int = 10, lambda: Double = 0.7,
-              poolSize: Int = 100): DataFrame = {
+              poolSize: Int = 100,
+              candidates: Option[DataFrame] = None): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
     val spark = emb.sparkSession
     import spark.implicits._
     val v = toDoubles(col(vecCol))
     val query = emb.filter(col(idCol) === queryId).select(v.as("qv")).limit(1)
-    val pool = emb.select(col(idCol), v.as("v"))
+    val corpus = candidates match {
+      case None => emb.select(col(idCol), v.as("v"))
+      // ANN probes can emit a candidate from several cells/tables —
+      // the left_semi dedups and prunes in one keyed join, so the
+      // scoring scan touches only probe output, never the corpus.
+      case Some(c) =>
+        val cand = c.select(
+          col(if (c.columns.contains(idCol)) idCol else c.columns.head)
+            .cast("long").as(idCol))
+        emb.select(col(idCol), v.as("v")).join(cand, Seq(idCol), "left_semi")
+    }
+    val pool = corpus
       .filter(col(idCol) =!= queryId)
       .join(broadcast(query))
       .select(col(idCol), col("v"),
@@ -205,7 +220,13 @@ object Similarity {
       remaining.remove(best._1)
       remaining.values.foreach { case (id, vec, _) =>
         val s = cos4(vec, best._2)
-        if (s > maxSim.getOrElse(id, 0.0)) maxSim(id) = s
+        // true SIGNED max over the selected set (Carbonell–Goldstein):
+        // a candidate anti-correlated with everything picked keeps its
+        // negative max-sim, so the penalty term BOOSTS it rather than
+        // clamping at 0. maxSim has an entry for every remaining id
+        // after the first pick, so the seed is the first similarity.
+        val cur = maxSim.get(id)
+        if (cur.isEmpty || s > cur.get) maxSim(id) = s
       }
       rank += 1
     }

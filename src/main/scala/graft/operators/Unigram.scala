@@ -95,8 +95,15 @@ object Unigram {
 
   /** One E-step: per distinct word, the Viterbi segmentation under
     * `vocab(piece, cost)` (cost = −ln p), returned as
-    * `(word, wc, pieces array<string>)`. Words are always segmentable
-    * while every character is in the vocab. */
+    * `(word, wc, pieces array<string>, segmentable boolean)`. Words
+    * are always segmentable while every character is in the vocab
+    * (training guarantees this via the alphabet floor); under an
+    * ARBITRARY vocab — e.g. [[encodeDocs]] applying a vocab trained
+    * on a different alphabet — a word may have no full piece cover:
+    * those rows come back `segmentable = false` with EMPTY pieces
+    * (never a garbage backtrack), and words with NO matching piece at
+    * all are absent entirely (the edge join is inner) — callers that
+    * must account for every word left-join this output. */
   def viterbiSegment(words: DataFrame, vocab: DataFrame,
                      maxPieceLen: Int): DataFrame = {
     val edges = pieceOccurrences(words, maxPieceLen)
@@ -129,7 +136,14 @@ object Unigram {
           .otherwise(acc.getField("froms")).as("froms"))
     })
     val withDp = edges.select(col("word"), col("wc"), col("n"),
-      folded.getField("froms").as("froms"))
+        folded.as("dp"))
+      .select(col("word"), col("wc"), col("n"),
+        col("dp").getField("froms").as("froms"),
+        // a finite cost at position n means a full piece cover exists,
+        // and every backtrack hop then follows settled finite
+        // predecessors — so this single check validates the whole path
+        (element_at(col("dp").getField("costs"), col("n") + 1) < Inf)
+          .as("segmentable"))
     // Backtrack: walk froms from position n to 0 (≤ n hops), emitting
     // (s, e] cuts front-to-back via prepend.
     val cuts = aggregate(sequence(lit(1), col("n")),
@@ -146,9 +160,12 @@ object Unigram {
       },
       acc => acc.getField("cuts"))
     withDp.select(col("word"), col("wc"),
-      transform(cuts, c =>
-        col("word").substr(c.getField("s") + 1,
-          c.getField("e") - c.getField("s"))).as("pieces"))
+      when(col("segmentable"),
+        transform(cuts, c =>
+          col("word").substr(c.getField("s") + 1,
+            c.getField("e") - c.getField("s"))))
+        .otherwise(expr("CAST(array() AS array<string>)")).as("pieces"),
+      col("segmentable"))
   }
 
   /** Piece-usage table after one E-step: `(piece, usage)`,
@@ -228,35 +245,53 @@ object Unigram {
     } finally words.unpersist(false)
   }
 
+  /** The piece emitted for a word the vocab cannot cover — same
+    * convention as SentencePiece's `<unk>` id-0 piece. */
+  val UnkPiece = "<unk>"
+
   /** Encode every document into its unigram-LM token stream — the
     * APPLY half (the [[Bpe.encodeDocs]] counterpart, same word-cache
     * shape): Viterbi segmentation runs once per DISTINCT word under
     * the trained `vocab(piece, cost)`; the corpus-sized side only
     * splits, explodes and equi-joins `word`, then one hash agg per
-    * doc reassembles order via `array_sort` structs. Output:
-    * (id, tokens, n_words, n_tokens); wordless docs keep empty
-    * arrays. */
+    * doc reassembles order via `array_sort` structs.
+    *
+    * Out-of-alphabet handling: a word the vocab cannot fully cover
+    * (characters absent from the training alphabet — possible whenever
+    * the vocab was trained on a different corpus) is NOT silently
+    * dropped: it encodes as the single [[UnkPiece]] token, still
+    * counts in `n_words`, and is tallied in `n_unk` — the
+    * SentencePiece `<unk>` contract. Output: (id, tokens, n_words,
+    * n_tokens, n_unk); wordless docs keep empty arrays. */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame, maxPieceLen: Int = 5): DataFrame = {
     val words = docs
       .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wc"))
+    // null pieces ⇔ unsegmentable (no full cover under this vocab);
+    // words with zero matching pieces are missing entirely — the
+    // left join below folds both cases into the same unk path
     val encoded = viterbiSegment(words, vocab, maxPieceLen)
-      .select(col("word"), col("pieces"))
+      .select(col("word"), when(col("segmentable"), col("pieces")).as("pieces"))
     val seq = docs.select(col(idCol),
       posexplode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
         w => w =!= "")).as(Seq("wpos", "word")))
-    val enc = seq.join(encoded, Seq("word"))
+    val enc = seq.join(encoded, Seq("word"), "left")
+      .select(col(idCol), col("wpos"),
+        col("pieces").isNull.cast("long").as("unk"),
+        coalesce(col("pieces"), array(lit(UnkPiece))).as("pieces"))
       .groupBy(col(idCol))
       .agg(flatten(transform(
           array_sort(collect_list(struct(col("wpos"), col("pieces")))),
           s => s.getField("pieces"))).as("tokens"),
-        count(lit(1)).as("n_words"))
+        count(lit(1)).as("n_words"),
+        sum(col("unk")).as("n_unk"))
     docs.select(col(idCol)).join(enc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("tokens"), array().cast("array<string>")).as("tokens"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"))
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 

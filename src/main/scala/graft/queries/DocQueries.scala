@@ -674,7 +674,7 @@ object DocQueries {
       .withColumn("q", (col("cc") + lit(1.0)) / (col("ct") + lit(256.0)))
       .groupBy(col("source"))
       .agg(TextFunctions.round4(sum(col("p") * log(col("p") / col("q"))))
-        .as("kl_bits"),
+        .as("kl_nats"),
         max(col("st")).as("n_tokens"))
   }
 
@@ -728,7 +728,12 @@ object DocQueries {
       .groupBy(col("source"), col("dim"))
       .agg(count(lit(1)).as("n"),
         sum(col("q")).as("sq"),
-        sum(col("q") * col("q")).as("sqq"))
+        // q² reaches ~1e12–1e14 per row; a BIGINT sum overflows (and
+        // under ANSI mode ERRORS) around 1e5–1e7 rows per (source,
+        // dim). DECIMAL(38,0) accumulation is exact to ~1e38 — safe
+        // past any corpus scale — and DuckDB's native sum(BIGINT) is
+        // HUGEINT, so both engines stay exact integers.
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
       .select(col("source"), col("dim").cast("bigint").as("dim"),
         TextFunctions.round4(col("sq").cast("double") / 1e6 / col("n"))
           .as("centroid"),
@@ -1611,7 +1616,8 @@ object DocQueries {
             MM.renderPpm(bright, 16, 16), "ppm", 16, 16, 1))
         else Seq(orig)
       }
-    val hashes = MM.imageHashes(media).toDF().filter(col("decoded"))
+    val hashes = MM.imageHashes(media, withAHash = true, withPHash = false)
+      .toDF().filter(col("decoded"))
     Dedup.hammingPairs(hashes, "media_id", "ahash", maxDist = 3)
   }
 
@@ -1640,7 +1646,8 @@ object DocQueries {
             MM.renderPpm(contrast, 16, 16), "ppm", 16, 16, 1))
         else Seq(orig)
       }
-    val hashes = MM.imageHashes(media).toDF().filter(col("decoded"))
+    val hashes = MM.imageHashes(media, withAHash = false, withPHash = true)
+      .toDF().filter(col("decoded"))
     Dedup.hammingPairs(hashes, "media_id", "phash", maxDist = 7)
   }
 
@@ -2488,7 +2495,7 @@ object DocQueries {
         |SELECT source,
         |  round(sum(((c + 1.0) / (st + 256.0)) *
         |            ln(((c + 1.0) / (st + 256.0)) /
-        |               ((cc + 1.0) / (ct + 256.0)))), 4) AS kl_bits,
+        |               ((cc + 1.0) / (ct + 256.0)))), 4) AS kl_nats,
         |  CAST(max(st) AS BIGINT) AS n_tokens
         |FROM grid GROUP BY source""".stripMargin,
     "q_doc_chat_turns" ->
@@ -2552,7 +2559,7 @@ object DocQueries {
         |        CAST(round(embedding[i] * 1000000.0) AS BIGINT) AS q
         |      FROM e, unnest(generate_series(1, len(embedding))) AS g(i)),
         |a AS (SELECT source, dim, CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+        |        CAST(sum(q) AS BIGINT) AS sq, sum(q * q) AS sqq
         |      FROM q GROUP BY source, dim)
         |SELECT source, CAST(dim AS BIGINT) AS dim,
         |  round(CAST(sq AS DOUBLE) / 1000000.0 / n, 4) + 0.0 AS centroid,

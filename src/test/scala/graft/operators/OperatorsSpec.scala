@@ -707,10 +707,14 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("C56: MMR displaces a near-duplicate in favor of a diverse item; λ=1 is pure relevance") {
-    // query along e1. Hand-computed at λ=0.4 after pick #1 (=id 1):
-    //   id 2 (near-copy):  0.4·0.999 − 0.6·sim(2,1)=0.999 → −0.1998
-    //   id 3 (diverse):    0.4·0.6   − 0.6·sim(3,1)=0.6   → −0.12  ← wins
-    //   id 4 (anti-query): 0.4·(−1)  − 0.6·0              → −0.4
+    // query along e1. Hand-computed at λ=0.4 after pick #1 (=id 1),
+    // with the TRUE SIGNED max-sim of Carbonell–Goldstein (an
+    // anti-correlated candidate's negative max-sim is a boost, not
+    // clamped to 0):
+    //   id 2 (near-copy):  0.4·0.999 − 0.6·sim(2,1)=1.0     → −0.2004
+    //   id 3 (diverse):    0.4·0.6   − 0.6·sim(3,1)=0.6354  → −0.1412
+    //   id 4 (anti-query): 0.4·(−1)  − 0.6·(−0.999)         → +0.1994 ← wins
+    // pick #3: id 3 (−0.1412) beats the near-copy (−0.2004).
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),           // query
       (1L, Array(0.999, 0.045, 0.0)),       // most relevant
@@ -721,9 +725,9 @@ class OperatorsSpec extends SparkSpec {
     val mmr = Similarity.mmrTopK(vecs, "vec_id", "embedding", queryId = 0L,
         k = 3, lambda = 0.4, poolSize = 10)
       .orderBy("rk").collect().map(_.getLong(1)).toSeq
-    // near-copy's margin dies to the diversity penalty; third pick is
-    // the copy again once diversity is already paid for
-    assert(mmr == Seq(1L, 3L, 2L), mmr.toString)
+    // the anti-query is maximal diversity under the signed formula;
+    // the near-copy's margin dies to the diversity penalty both rounds
+    assert(mmr == Seq(1L, 4L, 3L), mmr.toString)
     // λ=1: diversity term vanishes → exactly the relevance order
     val rel = Similarity.mmrTopK(vecs, "vec_id", "embedding", queryId = 0L,
         k = 4, lambda = 1.0, poolSize = 10)
@@ -769,6 +773,32 @@ class OperatorsSpec extends SparkSpec {
     info(f"mean pairwise cosine: relevance=$dRel%.3f mmr=$dMmr%.3f")
     assert(dMmr < dRel,
       f"MMR set must be more diverse: mmr=$dMmr%.3f vs relevance=$dRel%.3f")
+  }
+
+  test("C56: MMR over an ANN candidate pool matches brute force when the pool covers it") {
+    // the 100 TB retrieve stage: candidates from a probe instead of a
+    // full corpus scan. When the probe pool CONTAINS the brute-force
+    // top-poolSize (here: top-40 ids from the exact scan, MMR pool of
+    // 20), the re-rank must be identical — the probe only prunes rows
+    // the TakeOrdered would have dropped anyway.
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val probe = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 40).select(col("vec_id"))
+    val full = Similarity.mmrTopK(emb, "vec_id", "embedding", queryId = 0L,
+        k = 5, lambda = 0.5, poolSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probed = Similarity.mmrTopK(emb, "vec_id", "embedding", queryId = 0L,
+        k = 5, lambda = 0.5, poolSize = 20, candidates = Some(probe))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probed == full, s"$probed vs $full")
+    // a RESTRICTING pool is honored: only probe members can be ranked
+    val tiny = probe.limit(3)
+    val tinyIds = tiny.collect().map(_.getLong(0)).toSet
+    val ranked = Similarity.mmrTopK(emb, "vec_id", "embedding", queryId = 0L,
+        k = 5, lambda = 0.5, poolSize = 20, candidates = Some(tiny))
+      .collect().map(_.getLong(1)).toSet
+    assert(ranked.subsetOf(tinyIds) && ranked.size == 3)
   }
 
   test("C58: incremental exact dedup drops corpus-known hashes, collapses intra-delta copies") {

@@ -155,6 +155,7 @@ class UnigramSpec extends SparkSpec {
     val vocabDf = cost.toSeq.toDF("piece", "cost")
     val got = Unigram.encodeDocs(docs, "doc_id", "text", vocabDf,
         maxPieceLen = 4)
+      .select("doc_id", "tokens", "n_words", "n_tokens")
       .collect().map(r => r.getLong(0) ->
         ((r.getSeq[String](1), r.getLong(2), r.getLong(3)))).toMap
     corpus.zipWithIndex.foreach { case (t, i) =>
@@ -167,6 +168,31 @@ class UnigramSpec extends SparkSpec {
     }
     // wordless doc keeps its row with empty tokens
     assert(got(corpus.length.toLong) == ((Seq(), 0L, 0L)))
+  }
+
+  test("C53u: out-of-alphabet words encode as <unk> and are counted, never dropped") {
+    val usage = refTrain(corpus, vocabSize = 12, maxPieceLen = 4,
+      seedSize = 40, emIters = 2, pruneRounds = 1)
+    val tot = usage.values.sum.toDouble
+    val vocabDf = usage.map { case (p, u) => p -> -math.log(u / tot) }
+      .toSeq.toDF("piece", "cost")
+    // "ZZQX" shares no character with the training alphabet; "aZb"
+    // is partially matchable (a, b in-vocab) but has no full cover
+    val docs = Seq((1L, "aba ZZQX aba"), (2L, "aZb")).toDF("doc_id", "text")
+    val got = Unigram.encodeDocs(docs, "doc_id", "text", vocabDf,
+        maxPieceLen = 4)
+      .select("doc_id", "tokens", "n_words", "n_unk")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2), r.getLong(3)))).toMap
+    val (t1, nw1, nu1) = got(1L)
+    assert(nw1 == 3L, "every word counts, including the unk")
+    assert(nu1 == 1L)
+    assert(t1.count(_ == Unigram.UnkPiece) == 1)
+    assert(!t1.exists(p => p.contains("Z") || p.contains("Q")),
+      "no raw out-of-vocab bytes leak into the token stream")
+    val (t2, nw2, nu2) = got(2L)
+    assert((t2, nw2, nu2) == ((Seq(Unigram.UnkPiece), 1L, 1L)),
+      "a partially-matchable word must become <unk>, not a garbage backtrack")
   }
 
   test("C53: an entirely wordless corpus trains to an empty vocab, not a NaN cascade") {
