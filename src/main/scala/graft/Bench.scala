@@ -64,60 +64,60 @@ object Bench {
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    val colds = cold.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val coldTotal = cold.values.sum
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"sf":${jstr(sfDir)}}"""
-    // STDOUT LINE MUST FIT THE DRIVER'S 2000-CHAR TAIL. The round
-    // artifact (BENCH_r*.json) stores only the last 2000 chars of
-    // captured output; a flat full-name query map outgrew that at ~80
-    // queries, truncating the alphabetically-early entries and leaving
-    // `parsed` null. So stdout carries a COMPLETE but compacted map —
-    // query keys grouped by their shared prefix, times as integer
-    // milliseconds — while bench_out.json keeps the flat
-    // full-precision form. Reconstruction (stated in `qenc` too):
-    // group g + name n -> "q_" + g + "_" + n; root-group ("") names
-    // are the original key minus its leading 'q'. Values are ms.
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"cold_queries":$colds,"sf":${jstr(sfDir)}}"""
+    // STDOUT LINE MUST FIT THE DRIVER'S ~2000-CHAR TAIL, of which sbt
+    // noise eats ~80. A flat full-name query map outgrew that at ~80
+    // queries, and the centisecond-packed encoding that replaced it
+    // hit the same wall at 126 (1915 chars) while needing external
+    // prose to decode. So stdout now carries a SELF-DESCRIBING summary
+    // — per-group subtotals and the slowest queries under their full
+    // names, plain JSON, no custom encoding — and points at the file
+    // that holds the COMPLETE flat map with 3-decimal (millisecond)
+    // precision. This scales: the summary grows with group count, not
+    // query count. Values everywhere are seconds.
     val groupPrefixes =
       Seq("q_doc_", "q_events_", "q_emb_", "q_ocsf_lake_", "q_approx_", "q_mm_")
-    val grouped = scala.collection.mutable.LinkedHashMap[String,
-      scala.collection.mutable.LinkedHashMap[String, Double]]()
-    timings.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      val (g, n) = groupPrefixes.find(k.startsWith) match {
-        case Some(p) => (p.stripPrefix("q_").stripSuffix("_"), k.substring(p.length))
-        case None    => ("", k.stripPrefix("q"))
-      }
-      grouped.getOrElseUpdate(g,
-        scala.collection.mutable.LinkedHashMap[String, Double]())(n) = v
-    }
-    // each group is ONE joined string ("n1=cs,n2=cs") and values are
-    // CENTISECONDS — per-name quoting and ms precision outgrew the
-    // tail at 125 queries (2279 chars); this encoding fits with room
-    val qsCompact = grouped.toSeq.sortBy(_._1).map { case (g, m) =>
-      s"${jstr(g)}:" + jstr(m.map { case (n, v) =>
-        s"$n=${math.round(v * 100)}" }.mkString(","))
-    }.mkString("{", ",", "}")
+    val groups = timings.toSeq
+      .groupBy { case (k, _) =>
+        groupPrefixes.find(k.startsWith)
+          .map(_.stripPrefix("q_").stripSuffix("_")).getOrElse("rel") }
+      .toSeq.sortBy(_._1)
+      .map { case (g, kvs) =>
+        s"${jstr(g)}:" + "%.2f".formatLocal(java.util.Locale.ROOT,
+          kvs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val slowest = timings.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     // errors only when present — every char of a clean run is budget
     val esCompact = if (errors.isEmpty) "" else s""","errors":$es"""
-    // cold_total and sf live only in bench_out.json — every stdout
-    // char is tail budget (the driver stores sf itself). "qenc" states
-    // the key reconstruction + per-query value unit.
     val compact =
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","qenc":"cs;n=v;q_g_n|qn","queries":$qsCompact$esCompact}"""
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n_queries":${timings.size},"group_totals_sec":$groups,"slowest_sec":$slowest$esCompact,"full_map":"all ${timings.size} queries at ms precision: bench_out.json + bench_history/ (committed)"}"""
     if (compact.length > 1870)
       System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
-        "the driver tail holds ~1920 — tighten the encoding before adding queries")
+        "the driver tail holds ~1920 — drop slowest-N before adding groups")
     // Single line on stdout; driver greps for the {"metric": prefix.
     println(compact)
     // sbt prefixes stdout with [info], which has broken the driver's
-    // parse two rounds running — also write the bare FULL line to a file.
+    // parse every round — the bare FULL line goes to files: the
+    // fixed-name bench_out.json (latest run, overwritten) and a
+    // timestamped bench_history/ copy (the per-round artifact of
+    // record; the round-end commit picks it up).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath))
-      try w.println(line) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    val histPath = s"/root/repo/bench_history/bench_${System.currentTimeMillis / 1000}_sf${sfDir.split('/').last.stripPrefix("sf")}.json"
+    Seq(outPath, histPath).foreach { p =>
+      try {
+        val f = new java.io.File(p)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val w = new java.io.PrintWriter(f)
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

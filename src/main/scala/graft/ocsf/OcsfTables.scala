@@ -43,14 +43,47 @@ object OcsfTables {
            verifyAppends: Boolean = true,
            mergeSchemas: Boolean = false): DataFrame = {
     val (fs, tableDir) = tableFs(spark, baseDir, route)
-    if (IdempotentSink.hasCommitLog(fs, tableDir))
-      loadCommitted(spark, fs, tableDir,
+    if (IdempotentSink.hasCommitLog(fs, tableDir)) {
+      // big commit log + no stray guard (the documented at-scale
+      // setting): parse the manifests in EXECUTORS and hand the driver
+      // only the final path array Spark's planner needs anyway. The
+      // guard path must stay driver-side — it needs the in-flight
+      // manifest superset too.
+      if (!verifyAppends &&
+          manifestBytes(fs, tableDir) > distributedListingBytes(spark)) {
+        val files = IdempotentSink.committedFilesDF(spark, tableDir)
+          .select("file").collect()
+          .map(r => new Path(new java.net.URI(r.getString(0)))).toSeq
+        require(files.nonEmpty,
+          s"$tableDir has a batch-commit log but no committed data files")
+        val reader = spark.read.option("basePath", tableDir.toString)
+        (if (mergeSchemas) reader.option("mergeSchema", "true") else reader)
+          .parquet(files.map(_.toString): _*)
+      } else loadCommitted(spark, fs, tableDir,
         IdempotentSink.readContract(fs, tableDir), verifyAppends,
         mergeSchemas)
-    else if (mergeSchemas)
+    } else if (mergeSchemas)
       spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
     else spark.read.parquet(tableDir.toString)
   }
+
+  /** Total control-file bytes — the cheap proxy for commit-log entry
+    * count (one LIST, already paid by `hasCommitLog`'s existence
+    * probe). Above [[DistributedListingBytes]] (~100k+ file entries)
+    * the driver-side manifest parse is worth a Spark job to avoid. */
+  private def manifestBytes(fs: FileSystem, tableDir: Path): Long = {
+    val cb = new Path(tableDir, "_committed_batches")
+    if (!fs.exists(cb)) 0L
+    else fs.listStatus(cb).iterator
+      .filter(_.getPath.getName.endsWith(".manifest")).map(_.getLen).sum
+  }
+
+  /** ~100k file entries at typical path lengths; override with
+    * `spark.graft.distributedListingBytes` (0 forces the distributed
+    * path — how the spec pins load-path parity). */
+  private def distributedListingBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.distributedListingBytes")
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
 
   private def loadCommitted(spark: SparkSession, fs: FileSystem,
                             tableDir: Path,
@@ -167,11 +200,21 @@ object OcsfTables {
   }
 
   /** The file list [[loadWhere]] would open — exposed for maintenance
-    * jobs and tests to observe skipping. */
+    * jobs and tests to observe skipping. Fully distributed end-to-end:
+    * the committed universe is [[IdempotentSink.committedFilesDF]]
+    * (manifests parsed in executors, O(control pairs) on the driver)
+    * and the stats prune is [[StatsIndex.pruneDF]]'s join, so the ONLY
+    * O(files)-shaped driver materialization is this method's return —
+    * the SURVIVORS. At a million-file table with a selective predicate
+    * that is the difference between a driver OOM-and-minutes listing
+    * and a one-job metadata pass. */
   def prunedFiles(spark: SparkSession, fs: FileSystem, tableDir: Path,
-                  cond: String): Seq[Path] =
-    StatsIndex.prune(spark, fs, tableDir,
-      IdempotentSink.readContract(fs, tableDir)._1, cond)
+                  cond: String): Seq[Path] = {
+    val universe = IdempotentSink.committedFilesDF(spark, tableDir)
+      .select("file")
+    StatsIndex.pruneDF(spark, fs, tableDir, universe, cond)
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)))).toSeq
+  }
 
   private def tableFs(spark: SparkSession, baseDir: String,
                       route: String): (FileSystem, Path) = {
@@ -192,11 +235,15 @@ object OcsfTables {
       spark.read.option("basePath", tableDir.toString)
         .parquet(files.map(_.toString): _*)
     else {
-      val all = IdempotentSink.committedFiles(fs, tableDir)
-      require(all.nonEmpty,
+      // schema-only: ONE committed file suffices (Spark infers from
+      // the first footer absent mergeSchema anyway), so the empty
+      // selection never pulls the O(files) universe onto the driver
+      val one = IdempotentSink.committedFilesDF(spark, tableDir)
+        .select("file").limit(1).collect()
+      require(one.nonEmpty,
         s"$tableDir has a batch-commit log but no committed data files")
       spark.read.option("basePath", tableDir.toString)
-        .parquet(all.map(_.toString): _*).limit(0)
+        .parquet(one.head.getString(0)).limit(0)
     }
 
   /** Qualified data files at FINAL paths — everything outside the

@@ -126,35 +126,63 @@ object StatsIndex {
     * every committed file EXCEPT those whose stats prove no row can
     * match. Files without a stats row are kept. */
   def prune(spark: SparkSession, fs: FileSystem, tableDir: Path,
-            committed: Seq[Path], cond: String): Seq[Path] =
-    indexDf(spark, fs, tableDir) match {
-      case None => committed
-      case Some(idx) =>
-        val statTypes: Map[String, DataType] =
-          idx.schema.fields.collect {
-            case f if f.name.startsWith("min_") =>
-              f.name.stripPrefix("min_") -> f.dataType
-          }.toMap
-        val parsed = spark.sessionState.sqlParser.parseExpression(cond)
-        pruningFor(parsed, statTypes) match {
-          case None => committed // nothing prunable in cond
-          case Some(pruning) =>
-            // one distributed join: a committed file survives when it
-            // has NO stats row (unindexed → keep) or ANY of its rows
-            // passes the relaxed predicate. Only the SURVIVOR names are
-            // materialized on the driver — O(pruned result), which is
-            // the whole point of pruning; the index itself never
-            // round-trips through driver memory.
-            import spark.implicits._
-            val cdf = committed.map(p => normalize(fs, p)).toDF("c_file")
-            val survivors = cdf
-              .join(idx, cdf("c_file") === idx("file"), "left_outer")
-              .filter(idx("file").isNull || pruning)
-              .select("c_file").distinct()
-              .as[String].collect().toSet
-            committed.filter(p => survivors(normalize(fs, p)))
-        }
+            committed: Seq[Path], cond: String): Seq[Path] = {
+    import spark.implicits._
+    survivorCond(spark, fs, tableDir, cond) match {
+      case None => committed // no index / nothing prunable in cond
+      case Some((idx, pruning)) =>
+        val cdf = committed.map(p => normalize(fs, p)).toDF("c_file")
+        val survivors = joinSurvivors(cdf, idx, pruning)
+          .as[String].collect().toSet
+        committed.filter(p => survivors(normalize(fs, p)))
     }
+  }
+
+  /** [[prune]] over a DISTRIBUTED committed universe — the companion
+    * of [[IdempotentSink.committedFilesDF]]: `committed`'s FIRST
+    * column must hold canonical [[IdempotentSink.normalizePath]] file
+    * keys (what `committedFilesDF` emits as `file`). Returns the
+    * surviving keys as a one-column (`file`) DataFrame, still lazy —
+    * the universe, the index and the prune join all stay executor-side
+    * and the CALLER decides what to materialize (the loadWhere path
+    * collects only this output: O(survivors) driver memory, never
+    * O(files)). Same keep-semantics as [[prune]]: no index, an opaque
+    * predicate, or an unindexed file all keep. */
+  def pruneDF(spark: SparkSession, fs: FileSystem, tableDir: Path,
+              committed: DataFrame, cond: String): DataFrame = {
+    val cdf = committed.select(col(committed.columns.head).as("c_file"))
+    survivorCond(spark, fs, tableDir, cond) match {
+      case None => cdf.select(col("c_file").as("file"))
+      case Some((idx, pruning)) => joinSurvivors(cdf, idx, pruning)
+        .select(col("c_file").as("file"))
+    }
+  }
+
+  /** The (index relation, relaxed file-level predicate) pair a prune
+    * should join on, or None when pruning cannot help (no index, or
+    * nothing in `cond` is prunable). */
+  private def survivorCond(spark: SparkSession, fs: FileSystem,
+                           tableDir: Path, cond: String)
+      : Option[(DataFrame, Column)] =
+    indexDf(spark, fs, tableDir).flatMap { idx =>
+      val statTypes: Map[String, DataType] =
+        idx.schema.fields.collect {
+          case f if f.name.startsWith("min_") =>
+            f.name.stripPrefix("min_") -> f.dataType
+        }.toMap
+      val parsed = spark.sessionState.sqlParser.parseExpression(cond)
+      pruningFor(parsed, statTypes).map(idx -> _)
+    }
+
+  /** The one distributed prune join: a committed file survives when it
+    * has NO stats row (unindexed → keep) or ANY of its rows passes the
+    * relaxed predicate. The index never round-trips through driver
+    * memory. */
+  private def joinSurvivors(cdf: DataFrame, idx: DataFrame,
+                            pruning: Column): DataFrame =
+    cdf.join(idx, cdf("c_file") === idx("file"), "left_outer")
+      .filter(idx("file").isNull || pruning)
+      .select("c_file").distinct()
 
   /** The index relation, or None when absent. Torn part-files from a
     * crashed append are skipped, not fatal — their files simply read

@@ -238,4 +238,132 @@ class StatsIndexSpec extends SparkSpec {
     assert(StatsIndex.prune(spark, fs, tableDir, committed,
       s"pmod(severity, 7) = 3").size == committed.size)
   }
+
+  test("committedFilesDF matches the driver read contract, before and after compaction") {
+    val base = mkBase()
+    writeBatches(base, 3)
+    val (fs, tableDir) = fsOf(base)
+    def dfKeys: Set[String] = IdempotentSink.committedFilesDF(spark, tableDir)
+      .select("file").collect().map(_.getString(0)).toSet
+    def driverKeys: Set[String] = IdempotentSink.committedFiles(fs, tableDir)
+      .map(p => IdempotentSink.normalizePath(fs, p)).toSet
+    val before = dfKeys
+    assert(before == driverKeys && before.size == 3)
+    // lengths ride along and match the physical files
+    IdempotentSink.committedFilesDF(spark, tableDir).collect().foreach { r =>
+      assert(fs.getFileStatus(new Path(new java.net.URI(r.getString(0))))
+        .getLen == r.getLong(1))
+    }
+    // fold the per-batch pairs: the superseded manifests stay on disk
+    // until cleanup, so the anti-join must exclude their entries
+    assert(IdempotentSink.compactCommits(fs, tableDir) > 0)
+    assert(dfKeys == driverKeys, "post-compaction contract diverged")
+    assert(dfKeys == before, "a metadata-only fold must not change the files")
+  }
+
+  test("load's distributed-listing path returns the same rows as the driver path") {
+    val base = mkBase()
+    writeBatches(base, 3)
+    def uids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
+    val driverPath = uids(OcsfTables.load(spark, base, route))
+    spark.conf.set("spark.graft.distributedListingBytes", "0")
+    try {
+      val distributed = uids(OcsfTables.load(spark, base, route,
+        verifyAppends = false))
+      assert(distributed == driverPath && distributed.size == 3 * 64)
+      // partition columns must survive the explicit file list
+      val parts = OcsfTables.load(spark, base, route, verifyAppends = false)
+        .select("region", "accountId", "eventDay").distinct().collect()
+      assert(parts.nonEmpty && parts.forall(_.getString(0) == region))
+    } finally spark.conf.unset("spark.graft.distributedListingBytes")
+  }
+
+  test("committedFilesDF raises on an unreadable committed manifest") {
+    val base = mkBase()
+    writeBatches(base, 2)
+    val (fs, tableDir) = fsOf(base)
+    val cb = new Path(tableDir, "_committed_batches")
+    // torn manifest: body truncated past the header — parse yields None
+    val victim = new Path(cb, "1.manifest")
+    val os = fs.create(victim, true)
+    try os.write("#graft-manifest files=1\n".getBytes("UTF-8"))
+    finally os.close()
+    val e = intercept[Exception] {
+      IdempotentSink.committedFilesDF(spark, tableDir).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("committed manifest unreadable")),
+      s"unexpected failure: ${chain(e).mkString(" | ")}")
+  }
+
+  test("distributed listing+prune: a 120k-entry commit log reads with O(survivors) driver materialization") {
+    // the pre-Delta metadata bottleneck case: the file universe exists
+    // ONLY in manifests (no physical data files needed for the
+    // metadata path), the driver never parses a manifest body, and the
+    // only O(files)-shaped thing it ever holds is prunedFiles' return
+    val base = Files.createTempDirectory("dlist").toString
+    val tableDir = new Path(s"file:$base/t")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cb = new Path(tableDir, "_committed_batches")
+    fs.mkdirs(cb)
+    def put(p: Path, body: String): Unit = {
+      val os = fs.create(p, true)
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+    }
+    val nManifests = 12
+    val per = 10000
+    def rel(m: Int, i: Int) =
+      f"eventDay=2023-11-${m + 1}%02d/part-$m-$i%05d.parquet"
+    (0 until nManifests).foreach { m =>
+      val entries = (0 until per).map(i => s"g0/${rel(m, i)}\t100")
+      put(new Path(cb, s"$m.manifest"),
+        (s"#graft-manifest files=$per" +: entries :+ "#end").mkString("\n"))
+      put(new Path(cb, s"$m.committed"), "")
+    }
+    // a superseded pair whose files must NOT appear, and the fold that
+    // replaces it with 100 files of its own
+    val oldEntries = (0 until 500).map(i => s"g0/dead/f$i.parquet\t1")
+    put(new Path(cb, "50.manifest"),
+      ("#graft-manifest files=500" +: oldEntries :+ "#end").mkString("\n"))
+    put(new Path(cb, "50.committed"), "")
+    val foldEntries = (0 until 100).map(i => s"c/fold/f$i.parquet\t1")
+    put(new Path(cb, "compact-0.manifest"),
+      (Seq("#graft-manifest files=100", "#supersedes 50") ++
+        foldEntries :+ "#end").mkString("\n"))
+    put(new Path(cb, "compact-0.committed"), "")
+    val expectedN = nManifests * per + 100
+    val df = IdempotentSink.committedFilesDF(spark, tableDir)
+    assert(df.count() == expectedN)
+    assert(df.filter(col("file").contains("/dead/")).count() == 0,
+      "superseded pair's entries leaked into the contract")
+    // hand-written stats index covering EVERY file: per-file disjoint
+    // severity points; the fold's files sit at severity -1
+    val baseKey = IdempotentSink.normalizePath(fs, tableDir)
+    import spark.implicits._
+    val idxMain = spark.range(nManifests.toLong * per).select(
+      concat(lit(baseKey + "/"),
+        expr(s"printf('eventDay=2023-11-%02d/part-%d-%05d.parquet', " +
+          s"CAST(id / $per AS INT) + 1, CAST(id / $per AS INT), " +
+          s"CAST(id % $per AS INT))")).as("file"),
+      lit(1L).as("cnt"),
+      col("id").cast("int").as("min_severity"),
+      col("id").cast("int").as("max_severity"),
+      lit(0L).as("nulls_severity"))
+    val idxFold = spark.range(100).select(
+      concat(lit(baseKey + "/fold/f"), col("id").cast("string"),
+        lit(".parquet")).as("file"),
+      lit(1L).as("cnt"), lit(-1).as("min_severity"),
+      lit(-1).as("max_severity"), lit(0L).as("nulls_severity"))
+    idxMain.union(idxFold).write.parquet(s"$base/t/_stats/index")
+    val lo = nManifests * per - 2 // top 2 files only
+    val survivors = OcsfTables.prunedFiles(spark, fs, tableDir,
+      s"severity >= $lo")
+    assert(survivors.size == 2,
+      s"expected 2 survivors, got ${survivors.size}")
+    assert(survivors.map(_.getName).toSet ==
+      Set(f"part-${nManifests - 1}-${per - 1}%05d.parquet",
+        f"part-${nManifests - 1}-${per - 2}%05d.parquet"))
+  }
 }
