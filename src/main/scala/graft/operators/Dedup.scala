@@ -178,17 +178,34 @@ object Dedup {
       .filter(col("bucket_size") > maxBucket)
 
   /** C3 — 64-bit SimHash: per bit, sum +1/-1 votes of each distinct
-    * token's xxhash64 bit, then pack the sign vector into a Long.
-    * One shuffle (groupBy id); the 64 per-bit sums combine map-side. */
+    * token's hash bit, then pack the sign vector into a Long.
+    * One shuffle (groupBy id); the 64 per-bit sums combine map-side.
+    *
+    * The 64 token-hash bits are the first 16 hex digits of md5 —
+    * deliberately ENGINE-PORTABLE (md5 is identical everywhere, and
+    * the two 32-bit halves parse as exact integers in any SQL
+    * dialect), so the signature itself is oracle-checkable against an
+    * independent engine rather than being hash-family-private the way
+    * xxhash64 would make it. Ties (a zero vote sum) pack as bit 0 in
+    * every engine. Bit 63 is added as Long.MinValue — the only power
+    * of two that doesn't fit a signed 64-bit positive — which keeps
+    * the packing pure integer arithmetic with no unsigned types. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$k"))
-    val packed = (0 until 64)
+      .withColumn("hi",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo",
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val votes = (0 until 64).map { k =>
+      val h = if (k < 32) col("lo") else col("hi")
+      sum(when(shiftright(h, k % 32).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_$k")
+    }
+    val packed = (0 until 63)
       .map(k => when(col(s"v_$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
+      .bitwiseOR(when(col("v_63") > 0, lit(Long.MinValue)).otherwise(0L))
     tok.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), packed.as("simhash"))

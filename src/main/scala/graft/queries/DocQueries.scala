@@ -36,6 +36,10 @@ object DocQueries {
       numHashes = 32, bands = 8, ngram = 3)
 
   // ---------------------------------------------------------------- C3
+  /** 64-bit SimHash signatures — hash-green oracled: the signature is
+    * deterministic integer arithmetic over md5-derived token bits
+    * (see [[graft.operators.Dedup.simhash]]), so DuckDB recomputes it
+    * bit-for-bit from the same documents ([[simhashOracleSql]]). */
   def qDocSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "text", "doc_id")
 
@@ -1804,7 +1808,37 @@ object DocQueries {
   private def qualitySql(c: String): String =
     s"(least(1.0, len(string_split($c, ' ')) / 50.0) * ${alphaSql(c)})"
 
+  /** DuckDB mirror of [[graft.operators.Dedup.simhash]]'s md5-bit
+    * signature: same distinct-token set, same two 32-bit md5 halves,
+    * same +1/-1 vote sums, same Long.MinValue bit-63 packing — the
+    * generated 64-term CASE chains keep the two engines' bit rules in
+    * one place each rather than hand-transcribed twice. */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 64).map { k =>
+      val h = if (k < 32) "lo" else "hi"
+      s"sum(CASE WHEN (($h >> ${k % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v_$k"
+    }.mkString(",\n        ")
+    val packed = ((0 until 63).map(k =>
+      s"(CASE WHEN v_$k > 0 THEN ${1L << k} ELSE 0 END)") :+
+      "(CASE WHEN v_63 > 0 THEN -9223372036854775808 ELSE 0 END)")
+      .mkString(" +\n        ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, w
+      |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |                   FROM documents)),
+      |h AS (SELECT doc_id,
+      |        ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+      |        ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+      |      FROM tok),
+      |v AS (SELECT doc_id,
+      |        $votes
+      |      FROM h GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST($packed AS BIGINT) AS simhash
+      |FROM v""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_doc_simhash" -> simhashOracleSql,
     "q_doc_pipeline_web" ->
       s"""WITH c AS (SELECT doc_id, source, ${stripMarkupSql("text")} AS clean
         |           FROM documents),

@@ -105,15 +105,24 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("C3b: simhash pairs find exact+near dups within hamming 3, not the far doc") {
-    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+    // SimHash's near-dup radius needs enough tokens for one swap to
+    // flip only margin-zero bits (flip count ~ 64/sqrt(n)): at 200
+    // distinct tokens a single-token change lands at hamming 2 under
+    // the md5 bit family, while a disjoint-token doc sits ~32
+    val base = (0 until 200).map(i => s"w$i").mkString(" ")
+    val near = ("zzz" +: (1 until 200).map(i => s"w$i")).mkString(" ")
+    val far = (0 until 200).map(i => s"x$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(byPair.get((1L, 2L)).contains(0), pairs.mkString(",")) // exact dup
-    assert(byPair.contains((1L, 3L)) || byPair.contains((2L, 3L)),
+    assert(byPair.contains((1L, 3L)) && byPair.contains((2L, 3L)),
       s"near dup not found: ${pairs.mkString(",")}") // one-word change
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       s"unrelated doc matched: ${pairs.mkString(",")}")
-    val plan = Dedup.simhashPairs(docs, "text", "doc_id")
+    val plan = Dedup.simhashPairs(d, "text", "doc_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
