@@ -165,6 +165,60 @@ object OcsfSink {
   def cacheForFanOut(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Admission control for the fan-out (the `maxConcurrentRoutes = 0`
+    * auto-size): how many route WRITE JOBS may run at once before the
+    * next one queues on the bounded pool.
+    *
+    * Why it exists: every open parquet writer buffers up to a full row
+    * group (`parquet.block.size`, default 128 MB) of UNTRACKED heap —
+    * Spark's memory manager never sees it — and a fan-out runs
+    * `routes × filesPerDay` writers concurrently on top of a storage
+    * pool already pinned by the fan-out cache. On a small heap that is
+    * exactly where an oversized batch dies (BASELINE.md, 32M events @
+    * 8 g: the cache-unroll lever moved the boundary and the 13
+    * concurrent `ParquetWriteSupport`s then OOM'd). Staggering route
+    * jobs trades fan-out latency for a bounded write-buffer peak — the
+    * degraded-LINEAR failure mode, like the serialized cache before it.
+    *
+    * Sizing: a route's write-buffer peak is its writer-task count
+    * (`filesPerDay`) × the row-group cap — but a writer never buffers
+    * more than the route's actual data, so small batches are charged
+    * `~batchBytes / routes` instead of the cap (this is why a 1M-event
+    * batch still runs all 13 routes wide: its per-route slice is a few
+    * MB and admission control is a no-op). ×2 for encode transients
+    * (dictionary pages + the in-flight flush). The budget is half the
+    * heap minus what the storage pool ACTUALLY holds right now
+    * (`getRDDStorageInfo` — the fan-out cache the route jobs rescan),
+    * floored at heap/8 so at least one route is always admitted.
+    *
+    * A real cluster rarely needs this lever (each executor's writers
+    * share that executor's heap only), but the same arithmetic holds
+    * per-executor when `filesPerDay` is sized to the whole cluster. */
+  def autoConcurrentRoutes(classified: DataFrame, filesPerDay: Int,
+                           nRoutes: Int): Int = {
+    val sc = classified.sparkSession.sparkContext
+    admittedRoutes(
+      heapBytes = Runtime.getRuntime.maxMemory,
+      storageUsedBytes = sc.getRDDStorageInfo.map(_.memSize).sum,
+      rowGroupBytes = sc.hadoopConfiguration
+        .getLong("parquet.block.size", 128L << 20),
+      batchBytes = classified.queryExecution.optimizedPlan.stats.sizeInBytes,
+      filesPerDay = filesPerDay, nRoutes = nRoutes)
+  }
+
+  /** The pure admission arithmetic behind [[autoConcurrentRoutes]]
+    * (separated so the sizing policy is spec-pinnable without a
+    * telemetry harness). See that method's scaladoc for the model. */
+  private[ocsf] def admittedRoutes(heapBytes: Long, storageUsedBytes: Long,
+                                   rowGroupBytes: Long, batchBytes: BigInt,
+                                   filesPerDay: Int, nRoutes: Int): Int = {
+    val writers = math.max(1, filesPerDay).toLong
+    val perRoute = ((batchBytes / nRoutes).min(BigInt(writers * rowGroupBytes))
+      .max(BigInt(16L << 20)) * 2).toLong
+    val budget = math.max(heapBytes / 8, heapBytes / 2 - storageUsedBytes)
+    math.max(1L, math.min(nRoutes.toLong, budget / perRoute)).toInt
+  }
+
   /** A23 — 13-way fan-out: normalize every route off the same
     * classified scan and write each to its own table. The 13 writes
     * are independent Spark jobs and run CONCURRENTLY — sequential
@@ -191,13 +245,20 @@ object OcsfSink {
     * matters more than file count (tight streaming triggers, bench),
     * pass ~`cores / 13` so the concurrent route jobs can use the whole
     * machine; the day's files stay `filesPerDay × routes`, bounded. */
+  /** `maxConcurrentRoutes` is the write-buffer admission lever
+    * (0 = auto via [[autoConcurrentRoutes]]): route jobs past the cap
+    * queue on the bounded pool instead of stacking parquet buffers. */
   def fanOutTimed(classified: DataFrame, baseDir: String,
                   region: String, accountId: String,
-                  filesPerDay: Int = 0): Map[String, Double] = {
+                  filesPerDay: Int = 0,
+                  maxConcurrentRoutes: Int = 0): Map[String, Double] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val routed = Normalizers.normalizeAll(classified).toSeq
-    withFanOutPool(routed.size, "graft-fanout") { implicit ec =>
+    val width =
+      if (maxConcurrentRoutes > 0) math.min(routed.size, maxConcurrentRoutes)
+      else autoConcurrentRoutes(classified, filesPerDay, routed.size)
+    withFanOutPool(width, "graft-fanout") { implicit ec =>
       val jobs = routed.map { case (route, df) =>
         Future {
           val t0 = System.nanoTime()
@@ -226,11 +287,15 @@ object OcsfSink {
     * `compactCommits(foldWriters = Set(writerId))`. */
   def fanOutIdempotent(classified: DataFrame, baseDir: String,
                        region: String, accountId: String,
-                       runId: Long, writerId: String = ""): Unit = {
+                       runId: Long, writerId: String = "",
+                       maxConcurrentRoutes: Int = 0): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val routed = Normalizers.normalizeAll(classified).toSeq
-    withFanOutPool(routed.size, "graft-fanout-idem") { implicit ec =>
+    val width =
+      if (maxConcurrentRoutes > 0) math.min(routed.size, maxConcurrentRoutes)
+      else autoConcurrentRoutes(classified, filesPerDay = 1, routed.size)
+    withFanOutPool(width, "graft-fanout-idem") { implicit ec =>
       val jobs = routed.map { case (route, df) =>
         Future(IdempotentSink.writeBatch(df, baseDir, route, region,
           accountId, runId, writerId = writerId))

@@ -283,4 +283,31 @@ class OcsfPipelineSpec extends SparkSpec {
     // every route's plan is executable even when empty
     all.foreach { case (_, df) => df.count() }
   }
+
+  test("A23: fan-out admission control staggers only oversized batches") {
+    val G = 1L << 30; val M = 1L << 20
+    def admit(heap: Long, cached: Long, batch: Long, fpd: Int = 3) =
+      OcsfSink.admittedRoutes(heap, cached, rowGroupBytes = 128 * M,
+        batchBytes = BigInt(batch), filesPerDay = fpd, nRoutes = 13)
+    // the steady 1M-event bench shape: small batch, admission is a
+    // no-op — all 13 routes run wide (the 86-102k ev/s path must not
+    // regress from this lever existing)
+    assert(admit(8 * G, 200 * M, 150 * M) == 13)
+    // the 4M/8g serialized-cache shape (149k ev/s): still full width
+    assert(admit(8 * G, 600 * M, 600 * M) == 13)
+    // the 32M/8g cliff (BASELINE.md r12: OOM in ParquetWriteSupport):
+    // ~2.4 g pool-pinned cache + a multi-GB batch must stagger hard
+    val cliff = admit(8 * G, (2.4 * G).toLong, 6 * G)
+    assert(cliff >= 1 && cliff <= 3, s"cliff shape admitted $cliff routes")
+    // same corpus on a 24 g heap: wide again (the clean-run shape)
+    assert(admit(24 * G, 5 * G, 6 * G) >= 7)
+    // floors: a saturated storage pool still admits at least one route
+    assert(admit(8 * G, 8 * G, 32 * G) == 1)
+    // and the cap never exceeds the route count
+    assert(admit(512 * G, 0, 1 * M) == 13)
+    // the live wrapper agrees with the pure arithmetic on a real frame
+    val width = OcsfSink.autoConcurrentRoutes(classified, filesPerDay = 3,
+      nRoutes = 13)
+    assert(width >= 1 && width <= 13)
+  }
 }
