@@ -188,14 +188,86 @@ object Unigram {
         .as("piece"))
       .distinct()
 
+  /** One EM refinement of a working vocab `(piece, usage, cost)`:
+    * E-step Viterbi segmentation of the word table, M-step usage
+    * re-count with the alphabet floor (see [[charTable]]), re-costed.
+    * The building block [[train]] and [[trainLadder]] iterate. */
+  def emStep(words: DataFrame, alphabet: DataFrame, vocab: DataFrame,
+             maxPieceLen: Int): DataFrame = {
+    // union the alphabet at a usage floor of 1 (chars already present
+    // keep their real usage — max wins)
+    val floored = usageCounts(viterbiSegment(words, vocab, maxPieceLen))
+      .unionByName(alphabet.select(col("piece"), lit(1L).as("usage")))
+      .groupBy("piece").agg(max("usage").as("usage"))
+    withCosts(floored)
+  }
+
+  /** Prune multi-char pieces down to the `target` highest-usage ones
+    * (ties to the lexicographically smaller piece) and re-cost. The
+    * alphabet is immune — it IS the coverage guarantee. `target`
+    * counts the WHOLE vocab, so multi-char keep = target − |alphabet|
+    * (all-alphabet if the alphabet alone exceeds the target). */
+  def pruneTo(vocab: DataFrame, target: Int): DataFrame = {
+    val chars = vocab.where(length(col("piece")) === 1)
+    val multi = vocab.where(length(col("piece")) > 1)
+      .orderBy(col("usage").desc, col("piece"))
+      .limit(math.max(0, target - chars.count().toInt))
+    withCosts(chars.unionByName(multi).select(col("piece"), col("usage")))
+  }
+
   /** Train a unigram-LM vocabulary. Returns `(piece, usage, logprob)`
-    * — usage from the final E-step, logprob = ln(usage / Σ usage). */
+    * — usage from the final E-step, logprob = ln(usage / Σ usage).
+    * Equivalent to [[trainLadder]] with a constant
+    * `Seq.fill(pruneRounds)(vocabSize)` ladder. */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
             vocabSize: Int = 256, maxPieceLen: Int = 5,
             seedSize: Int = 512, emIters: Int = 2,
             pruneRounds: Int = 2): DataFrame = {
     require(vocabSize >= 1 && seedSize >= vocabSize,
       "need seedSize >= vocabSize >= 1")
+    val rounds = trainLadder(spark, docs, textCol,
+      ladder = Seq.fill(pruneRounds)(vocabSize),
+      maxPieceLen = maxPieceLen, seedSize = seedSize, emIters = emIters)
+    rounds.last.vocab.select(col("piece"), col("usage"),
+      graft.functions.TextFunctions.round4(-col("cost")).as("logprob"))
+  }
+
+  /** One ladder round's outcome: the (checkpointed) working vocab
+    * `(piece, usage, cost)` after that round's EM + prune, its row
+    * count, and the round's wall seconds. `target` is the prune target
+    * (0 for the final EM-only settling round). */
+  final case class LadderRound(round: Int, target: Int, vocabRows: Long,
+                               secs: Double, vocab: DataFrame)
+
+  /** Production-shaped prune LADDER (SURVEY.md §2 C53): SentencePiece
+    * shrinks an oversized seed toward the target over SEVERAL prune
+    * rounds (`--shrinking_factor`, default 0.75, re-running EM between
+    * prunes) rather than one cliff — pruning 20k → 1k in one step can
+    * evict a piece whose usage only looks low because a sibling it
+    * subsumes still holds the counts; intermediate EM re-attributes
+    * usage before the next cut. Each round here = `emIters` EM steps
+    * then a prune to `ladder(i)`; a final EM-only round settles usages
+    * on the last pruned vocab (so round count = ladder.size + 1, and a
+    * constant ladder reproduces [[train]] exactly — UnigramSpec pins
+    * that equivalence path via train itself).
+    *
+    * Returns every round's snapshot so callers — the 100k-word
+    * ScaleSpec ladder in particular — can pin per-round wall time and
+    * the coverage invariant (every corpus word still segmentable)
+    * BETWEEN rounds, not just at the end. Snapshots are
+    * localCheckpointed: corpus-sized lineage never accumulates across
+    * rounds, and each round's cost is one word-table EM pass —
+    * the whole ladder touches the corpus zero times after the
+    * initial [[wordTable]]. */
+  def trainLadder(spark: SparkSession, docs: DataFrame, textCol: String,
+                  ladder: Seq[Int], maxPieceLen: Int = 5,
+                  seedSize: Int = 512, emIters: Int = 2)
+      : Seq[LadderRound] = {
+    require(ladder.forall(_ >= 1), "need positive ladder targets")
+    require(ladder.zip(ladder.tail).forall { case (a, b) => a >= b },
+      s"ladder must be non-increasing, got $ladder")
+    require(ladder.headOption.forall(seedSize >= _),
+      "need seedSize >= ladder.head")
     val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val nWords = words.count()
     if (nWords == 0L) {
@@ -203,45 +275,31 @@ object Unigram {
       // cascade through withCosts' 0-total division
       words.unpersist(false)
       import docs.sparkSession.implicits._
-      return Seq.empty[(String, Long, Double)]
-        .toDF("piece", "usage", "logprob")
+      val empty = Seq.empty[(String, Long, Double)]
+        .toDF("piece", "usage", "cost")
+      return Seq(LadderRound(0, 0, 0L, 0.0, empty))
     }
     try {
       val alphabet = charTable(words).localCheckpoint(true)
-      // union the alphabet at a usage floor of 1 (chars already
-      // present keep their real usage — max wins)
-      def withAlphabetFloor(usage: DataFrame): DataFrame =
-        usage.unionByName(alphabet.select(col("piece"), lit(1L).as("usage")))
-          .groupBy("piece").agg(max("usage").as("usage"))
-      // seed costs from seed counts
       var vocab = withCosts(
         seedVocab(words, maxPieceLen, seedSize)
           .select(col("piece"), col("seed_count").as("usage")))
         .localCheckpoint(true)
-      var round = 0
-      while (round <= pruneRounds) {
+      // ladder rounds: EM × emIters, then prune to the round's target;
+      // a trailing target-0 entry marks the final EM-only settling pass
+      (ladder.zipWithIndex.map { case (t, i) => (t, i, true) } :+
+        ((0, ladder.size, false))).map { case (target, i, prune) =>
+        val t0 = System.nanoTime()
         var it = 0
         while (it < emIters) {
-          val seg = viterbiSegment(words, vocab, maxPieceLen)
-          vocab = withCosts(withAlphabetFloor(usageCounts(seg)))
+          vocab = emStep(words, alphabet, vocab, maxPieceLen)
             .localCheckpoint(true)
           it += 1
         }
-        if (round < pruneRounds) {
-          // prune multi-char pieces to the usage top; the alphabet is
-          // immune (it IS the coverage guarantee)
-          val chars = vocab.where(length(col("piece")) === 1)
-          val multi = vocab.where(length(col("piece")) > 1)
-            .orderBy(col("usage").desc, col("piece"))
-            .limit(math.max(0, vocabSize - chars.count().toInt))
-          vocab = withCosts(chars.unionByName(multi)
-              .select(col("piece"), col("usage")))
-            .localCheckpoint(true)
-        }
-        round += 1
+        if (prune) vocab = pruneTo(vocab, target).localCheckpoint(true)
+        LadderRound(i, target, vocab.count(),
+          (System.nanoTime() - t0) / 1e9, vocab)
       }
-      vocab.select(col("piece"), col("usage"),
-        graft.functions.TextFunctions.round4(-col("cost")).as("logprob"))
     } finally words.unpersist(false)
   }
 

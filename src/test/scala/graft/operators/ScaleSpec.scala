@@ -146,4 +146,52 @@ class ScaleSpec extends SparkSpec {
       .count()
     assert(bad == 0L, s"$bad docs failed lossless reconstruction")
   }
+
+  test("C53s: unigram prune ladder 20k→8k→3k→1k holds at 100k words") {
+    // Production SentencePiece shrinks an oversized seed to the target
+    // over SEVERAL prune rounds (shrinking_factor), re-running EM
+    // between cuts so usage re-attributes before the next prune. Pin
+    // the ladder shape at the 100k-distinct-word scale knob: per-round
+    // wall time stays bounded (each round is one word-table EM pass —
+    // NOT corpus-sized, NOT ladder-length-quadratic), the vocab
+    // tracks each target, and the coverage invariant (every corpus
+    // word still segmentable) holds BETWEEN rounds, not just at the
+    // end — a mid-ladder coverage hole is exactly the orphaned-word
+    // trap the alphabet floor defends against.
+    val word = (j: org.apache.spark.sql.Column) => concat(lit("w"), conv(j, 10, 36))
+    val docs = spark.range(10000L)
+      .select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(9)),
+          k => word(pmod(col("id") * 10 + k, lit(100000)))), " ").as("text"))
+    val words = Unigram.wordTable(docs, "text").localCheckpoint(true)
+    val nWords = words.count()
+    val nChars = Unigram.charTable(words).count()
+
+    val rounds = Unigram.trainLadder(spark, docs, "text",
+      ladder = Seq(8000, 3000, 1000), maxPieceLen = 4,
+      seedSize = 20000, emIters = 1)
+    assert(rounds.size == 4, "3 prune rounds + the final EM settle")
+    rounds.foreach { r =>
+      info(f"round ${r.round} target=${r.target}: vocab=${r.vocabRows}, ${r.secs}%.1f s")
+      // wall-time pin: a round that goes corpus-sized or re-seeds
+      // blows far past this; measured ~15-25 s/round on this box
+      assert(r.secs < 120.0,
+        f"round ${r.round} took ${r.secs}%.1f s — not word-table-sized")
+      // the vocab tracks the round's target (alphabet rides along;
+      // the final EM-only round keeps the last prune's bound)
+      val bound = (if (r.target > 0) r.target else 1000) + nChars
+      assert(r.vocabRows <= bound,
+        s"round ${r.round}: ${r.vocabRows} pieces > target $bound")
+      // coverage invariant AT THIS ROUND: every distinct corpus word
+      // has a full piece cover under the round's vocab
+      val covered = Unigram.viterbiSegment(words, r.vocab, maxPieceLen = 4)
+        .filter(col("segmentable")).count()
+      assert(covered == nWords,
+        s"round ${r.round}: ${nWords - covered} of $nWords words lost coverage")
+    }
+    // the ladder shrinks monotonically through the prune rounds
+    val sizes = rounds.init.map(_.vocabRows)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
+      s"vocab sizes not monotone down the ladder: $sizes")
+  }
 }
