@@ -173,6 +173,54 @@ object Multimodal {
     })
   }
 
+  /** Per-video sampled-frame perceptual hashes (SURVEY.md §2 C68) —
+    * the video leg of multimodal dedup: decode the concatenated-P6
+    * "ppmseq" container ([[Codec.decodePpmSeq]]), keep every
+    * `stride`-th frame (the [[sampleFrameIndexes]] contract applied
+    * at decode time), [[Codec.aHash]] each kept frame. `n_frames`
+    * counts ALL decoded frames, so the sampling is accounted, not
+    * silent. Payloads that decode to zero frames quarantine as
+    * `decoded = false` with an empty hash array — the same
+    * quarantine-not-drop stance as [[imageHashes]]. Feed to
+    * [[graft.operators.Dedup.hammingSetPairs]]: near-dup VIDEOS share
+    * most sampled-frame hashes within a few bits even when trimmed
+    * (frame sets, not frame sequences — alignment-free) or
+    * tone-shifted (per-frame aHash invariance). */
+  final case class VideoHashes(media_id: Long, format: String,
+                               n_frames: Int, fhashes: Array[Long],
+                               decoded: Boolean)
+
+  def videoHashes(ds: Dataset[MediaRow], stride: Int = 1): Dataset[VideoHashes] = {
+    import ds.sparkSession.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    ds.mapPartitions(_.map { r =>
+      val frames = try {
+        r.format match {
+          case "ppmseq" | "ppm" => Codec.decodePpmSeq(r.data)
+          case _ => Seq.empty[Codec.Image]
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty[Codec.Image] }
+      if (frames.isEmpty)
+        VideoHashes(r.media_id, r.format, 0, Array.empty[Long], decoded = false)
+      else {
+        val hs = frames.indices.collect {
+          case i if i % stride == 0 => Codec.aHash(frames(i))
+        }
+        VideoHashes(r.media_id, r.format, frames.size, hs.toArray,
+          decoded = true)
+      }
+    })
+  }
+
+  /** Deterministic seed-frames→video rendering: each seed renders one
+    * [[renderPpm]] frame and the frames concatenate into the "ppmseq"
+    * container [[Codec.decodePpmSeq]] parses — the video counterpart
+    * of [[renderPpm]]/[[renderWavPcm16]], letting q_mm_video_dups
+    * drive the real multi-frame decode path from the plain-text
+    * `documents` table. */
+  def renderPpmSeq(seeds: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] =
+    seeds.toArray.flatMap(renderPpm(_, w, h))
+
   /** Deterministic text→image rendering: the seed bytes are cycled
     * into a P6 raster. Real encoder — the decode side is the same
     * [[Codec.decodePpm]] path production media takes, which is what

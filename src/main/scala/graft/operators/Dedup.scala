@@ -284,6 +284,85 @@ object Dedup {
       .select(col("band"), col("bh"), size(col("xs")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
+  /** C68 — near-dup pairs between SETS of 64-bit perceptual hashes
+    * (e.g. a video's sampled-frame aHashes,
+    * [[graft.multimodal.Multimodal.videoHashes]]): candidates come
+    * from per-ELEMENT pigeonhole banding — two sets sharing ANY
+    * element within hamming `maxDist` collide on ≥1 band key, the
+    * [[hammingPairs]] guarantee applied per element — then each
+    * candidate pair is verified pair-locally by CONTAINMENT: the
+    * fraction of one side's hashes lying within `maxDist` of SOME hash
+    * of the other. `overlap` is the max of the two directions, which
+    * makes the relation trim-robust: a clipped copy still contains
+    * ~all of its own frames in the original while the reverse fraction
+    * shrinks with the clip. Output `(id_a, id_b, overlap)` rows with
+    * overlap ≥ `minOverlap`; a band collision between genuinely
+    * different sets dies in the verify (the band key matches 16 bits,
+    * the verify checks all 64).
+    *
+    * Scale shape: the candidate stage is a posting join on (band, bh)
+    * — Σ|bucket|², never |videos|² — with buckets > `maxBucket`
+    * dropped ([[hammingSetDroppedBuckets]] accounts, the C2/C4
+    * stance). The verify joins each side's hash ARRAY back by id: row
+    * width is bounded by the caller's frame sampling (stride), and the
+    * containment double loop is a codegen'd HOF over
+    * |a|·|b| ≤ (frames/stride)² longs — constant per pair,
+    * data-independent. */
+  def hammingSetPairs(sigs: DataFrame, idCol: String, sigsCol: String,
+                      maxDist: Int = 3, minOverlap: Double = 0.5,
+                      maxBucket: Int = 4096): DataFrame = {
+    val cands = hammingSetBuckets(sigs, idCol, sigsCol, maxDist)
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val hs = sigs.select(col(idCol).as("id"), col(sigsCol).as("hs"))
+    // containment of x in y: fraction of x's hashes within maxDist of
+    // some y hash (empty x ⇒ 0.0 — an undecoded side never pairs)
+    def contain(x: Column, y: Column): Column =
+      when(size(x) === 0, lit(0.0)).otherwise(
+        size(filter(x, a =>
+          exists(y, b => bit_count(a.bitwiseXOR(b)) <= maxDist)))
+          .cast("double") / size(x))
+    cands
+      .join(hs.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        greatest(contain(col("ha"), col("hb")),
+          contain(col("hb"), col("ha"))).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Dropped-bucket accounting for [[hammingSetPairs]]'s `maxBucket`
+    * cap — the same stance as [[minhashDroppedBuckets]]. */
+  def hammingSetDroppedBuckets(sigs: DataFrame, idCol: String,
+                               sigsCol: String, maxDist: Int = 3,
+                               maxBucket: Int = 4096): DataFrame =
+    hammingSetBuckets(sigs, idCol, sigsCol, maxDist)
+      .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** The per-element band-bucket relation behind [[hammingSetPairs]]:
+    * (band, bh, ids), ids sorted, each id listed once per bucket even
+    * when several of its elements share the band key. */
+  private def hammingSetBuckets(sigs: DataFrame, idCol: String,
+                                sigsCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && 64 % (maxDist + 1) == 0,
+      "maxDist+1 must divide 64 (e.g. 0, 1, 3, 7, 15)")
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * width).bitwiseAND(mask).as("bh"))
+    }
+    sigs
+      .select(col(idCol).as("id"), explode(col(sigsCol)).as("sh"))
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+  }
+
   /** C4 — n-gram Jaccard similarity pairs ≥ `threshold`. Candidate pairs
     * come from the shared-shingle join (gram is the shuffle key), so
     * complexity is Σ|posting list|², not |docs|².

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA / whitening over an embedding column (SURVEY.md §2
+  * C69) — the embedding-space normalization stage of a training-data
+  * pipeline: decorrelate and variance-normalize vectors before
+  * semantic dedup / ANN indexing (whitening measurably improves
+  * retrieval on anisotropic embedding spaces — the "all vectors point
+  * the same way" pathology of contrastive encoders), or project to a
+  * smaller k for cheap pre-filters.
+  *
+  * Scale shape (100 TB): [[fit]] is ONE data pass — per-dim sums and
+  * the upper TRIANGLE of Σ x·xᵀ computed as a posexploded pair-product
+  * relation with d(d+1)/2 grouping keys, partial-aggregated map-side,
+  * so the shuffle is model-sized (d=1024 → ~525k keys), never
+  * data-sized. The driver materializes exactly d + d(d+1)/2 doubles
+  * and eigensolves the d×d covariance by cyclic Jacobi — the
+  * IVF-centroid stance: driver state is MODEL-sized; the O(n·d²)
+  * products run where the data lives. [[project]] broadcasts the
+  * model as literals and is map-only codegen'd HOF arithmetic (one
+  * `zip_with`/`aggregate` dot product per component).
+  *
+  * Determinism: Jacobi rotations are cyclic (fixed visit order) and
+  * the eigenbasis is sign-fixed (largest-|component| positive) and
+  * sorted by descending eigenvalue (ties by first differing
+  * component), so a given covariance matrix yields ONE model.
+  * Float sums across partitions carry the usual re-association
+  * jitter, which is why PCA outputs are rows-only in the harness and
+  * spec-pinned with tolerances instead of hashed.
+  *
+  * Reference scope note: QOPCFDR delegates analytics to Athena
+  * (/root/reference/README.md:48) and has no embedding story; this
+  * operator belongs to the training-data extension surface.
+  */
+object Pca {
+
+  /** The fitted model: `components` holds k rows of d loadings
+    * (orthonormal, descending `eigvals` — population variances along
+    * each component). */
+  final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+                            eigvals: Array[Double],
+                            components: Array[Array[Double]],
+                            totalVariance: Double) {
+    /** Fraction of total variance the k kept components carry —
+      * the accounting relation for the lossy projection (the
+      * dropped-bucket stance: what a k-dim view discards is a
+      * number, not a surprise). */
+    def varianceExplained: Double =
+      if (totalVariance <= 0) 1.0 else eigvals.sum / totalVariance
+  }
+
+  /** Fit a k-component PCA on `df(vecCol)` (array<float|double>,
+    * fixed length). One data pass; driver work is the d×d Jacobi
+    * eigensolve. Rows whose vector length differs from the first
+    * row's are rejected (fail loud — a ragged embedding column is an
+    * upstream bug, the [[Similarity]] stance). */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val v = col(vecCol)
+    val first = df.select(size(v)).limit(1).collect()
+    require(first.nonEmpty, "cannot fit PCA on an empty table")
+    val d = first(0).getInt(0)
+    require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
+    val bad = df.filter(size(v) =!= d).count()
+    require(bad == 0L, s"$bad rows with vector length != $d")
+
+    // pass 1 of 1: per-dim sums + upper-triangle pair-product sums,
+    // both partial-agg'd; n rides along as count on dim 0
+    val sums = df.select(posexplode(v).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
+      .collect()
+    val n = sums.map(_.getLong(2)).max
+    val mean = new Array[Double](d)
+    sums.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
+
+    val tri = df.select(posexplode(flatten(
+        transform(sequence(lit(0), lit(d - 1)), i =>
+          transform(sequence(i, lit(d - 1)), j =>
+            element_at(v, i + 1).cast("double") *
+              element_at(v, j + 1).cast("double")))))
+        .as(Seq("pos", "xx")))
+      .groupBy("pos").agg(sum("xx").as("sxx"))
+      .collect()
+    // pos -> (i, j) of the row-major upper triangle
+    val cov = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      var pos = r.getInt(0); var i = 0
+      while (pos >= d - i) { pos -= d - i; i += 1 }
+      val j = i + pos
+      val c = r.getDouble(1) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+
+    val (vals, vecs) = jacobiEigen(cov)
+    // sort descending, sign-fix each vector (largest-|x| entry > 0)
+    val order = vals.indices.sortBy(c => -vals(c))
+    val comps = order.take(k).map { c =>
+      val vcol = Array.tabulate(d)(r => vecs(r)(c))
+      val m = vcol.indices.maxBy(i => math.abs(vcol(i)))
+      if (vcol(m) < 0) vcol.map(-_) else vcol
+    }.toArray
+    PcaModel(d, n, mean, order.take(k).map(vals(_)).toArray, comps,
+      totalVariance = vals.sum)
+  }
+
+  /** Project to the model's k components: `(idCol, proj array<double>)`
+    * — map-only, model broadcast as literals. `whiten = true` divides
+    * each component by √eigval so the projected dims have unit
+    * population variance (a zero-variance component projects to 0,
+    * not NaN). */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+              model: PcaModel, whiten: Boolean = false): DataFrame = {
+    val meanLit = typedLit(model.mean.toSeq)
+    val centered = zip_with(col(vecCol), meanLit,
+      (x, m) => x.cast("double") - m)
+    val projCols: Seq[Column] = model.components.toSeq.zipWithIndex.map {
+      case (comp, c) =>
+        val dot = aggregate(
+          zip_with(centered, typedLit(comp.toSeq), (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e)
+        val ev = model.eigvals(c)
+        if (whiten) { if (ev > 0) dot / math.sqrt(ev) else lit(0.0) } else dot
+    }
+    df.select(col(idCol), array(projCols: _*).as("proj"))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-COLUMNS), unsorted. Deterministic:
+    * fixed (p,q) sweep order, fixed sweep budget with an off-diagonal
+    * convergence exit. Driver-side by design — the input is the
+    * model-sized d×d covariance, never data. */
+  private[operators] def jacobiEigen(aIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < 64 && off > 1e-14) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            // 2x2 symmetric Schur rotation (Golub & Van Loan 8.4)
+            val tau = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(tau) match {
+              case 0.0 => 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+              case s   => s / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            }
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) {
+        if (i != j) s += a(i)(j) * a(i)(j); j += 1
+      }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}

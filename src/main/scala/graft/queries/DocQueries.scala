@@ -68,6 +68,30 @@ object DocQueries {
     graft.operators.Sq.topK(emb(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 20)
 
+  // ---------------------------------------------------------------- C69
+  /** PCA whitening of the embedding table ([[graft.operators.Pca]]):
+    * fit k=8 components in one partial-agg'd covariance pass (driver
+    * holds the 64×64 eigensolve only), project every vector with unit
+    * per-component variance, and report each vector's whitened-space
+    * squared norm alongside the model-level variance-explained
+    * accounting. Rows-only by design: the eigenbasis is
+    * engine-specific (no DuckDB eigensolver) and cross-partition float
+    * sums carry re-association jitter — PcaSpec pins orthonormality,
+    * eigenvalue order, whitened unit variance and the planted
+    * dominant direction with tolerances instead. */
+  def qEmbPca(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = graft.operators.Pca.fit(e, "embedding", k = 8)
+    graft.operators.Pca.project(e, "vec_id", "embedding", model,
+        whiten = true)
+      .select(col("vec_id"),
+        graft.functions.TextFunctions.round4(
+          aggregate(col("proj"), lit(0.0), (a, x) => a + x * x))
+          .as("whitened_sq_norm"),
+        graft.functions.TextFunctions.round4(
+          lit(model.varianceExplained)).as("variance_explained"))
+  }
+
   // ---------------------------------------------------------------- C35
   /** Cluster-balanced sample: ≤8 docs per k-means cell over the
     * embedding space — the topic-diversity mixing draw. Rows-only
@@ -1691,12 +1715,57 @@ object DocQueries {
     Dedup.hammingPairs(hashes, "media_id", "afp", maxDist = 3)
   }
 
+  // ---------------------------------------------------------------- C68
+  /** Perceptual VIDEO near-dup detection — the third leg of the
+    * multimodal dedup triad (C31/C57 images, C67 audio):
+    * [[graft.multimodal.Multimodal.videoHashes]] decodes each
+    * document's 8-frame "ppmseq" container (frames are the doc seed
+    * ROTATED per frame — structurally distinct frames, a real video,
+    * not 8 copies), and [[Dedup.hammingSetPairs]] finds videos whose
+    * sampled-frame hash SETS overlap: per-frame pigeonhole banding
+    * proposes, a pair-local containment HOF verifies. Every
+    * `doc_id % 10 == 0` plants a TRIMMED + BRIGHTNESS-SHIFTED copy
+    * (first 2 frames dropped, +16 on every byte): bytes, md5, frame
+    * count and frame alignment ALL differ, yet each surviving frame
+    * sits within a few aHash bits of its original — found via set
+    * containment (6/6 frames), which is exactly what sequence-aligned
+    * matching would miss. Rows-only by design (no DuckDB video
+    * decode); MultimodalSpec pins decode, trim/tone invariance,
+    * planted recall and band-collision rejection. */
+  def qMmVideoDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => MM}
+    def rot(a: Array[Byte], k: Int): Array[Byte] =
+      if (a.isEmpty) a else { val r = k % a.length; a.drop(r) ++ a.take(r) }
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val frames = (0 until 8).map(f => rot(seed, f * 5))
+        val orig = MM.MediaRow(id, MM.renderPpmSeq(frames, 16, 16),
+          "ppmseq", 16, 16, 8)
+        if (id % 10 == 0) {
+          val bright = frames.drop(2).map(_.map(b =>
+            math.min(255, (b & 0xff) + 16).toByte))
+          Seq(orig, MM.MediaRow(id + 1000000,
+            MM.renderPpmSeq(bright, 16, 16), "ppmseq", 16, 16, 6))
+        } else Seq(orig)
+      }
+    val hashes = MM.videoHashes(media, stride = 1).toDF()
+      .filter(col("decoded"))
+    Dedup.hammingSetPairs(hashes, "media_id", "fhashes",
+        maxDist = 3, minOverlap = 0.5)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextFunctions.round4(col("overlap")).as("overlap"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features"       -> (qMmFeatures _),
     "q_mm_image_dups"     -> (qMmImageDups _),
     "q_mm_phash_dups"     -> (qMmPhashDups _),
     "q_mm_audio_dups"     -> (qMmAudioDups _),
+    "q_mm_video_dups"     -> (qMmVideoDups _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),
@@ -1745,6 +1814,7 @@ object DocQueries {
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
+    "q_emb_pca"           -> (qEmbPca _),
     "q_emb_hard_negatives" -> (qEmbHardNegatives _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),

@@ -46,7 +46,9 @@ class ContractSpec extends AnyFunSuite {
       "q_mm_features",
       "q_mm_image_dups", // aHash needs image decode — no DuckDB oracle
       "q_mm_phash_dups", // DCT hash needs image decode — no DuckDB oracle
-      "q_mm_audio_dups") // energy fingerprint needs audio decode — no DuckDB oracle
+      "q_mm_audio_dups", // energy fingerprint needs audio decode — no DuckDB oracle
+      "q_mm_video_dups", // frame-set hashes need video decode — no DuckDB oracle
+      "q_emb_pca") // no DuckDB eigensolver; PcaSpec pins basis, whitening, accounting
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == rowsOnlyByDesign,
       s"rows-only drift: unexpected=${(actual -- rowsOnlyByDesign).toSeq.sorted} " +

@@ -164,6 +164,91 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("C68: videoHashes decodes, samples, hashes; quarantines junk") {
+    val seeds = (0 until 6).map(f =>
+      s"frame content number $f of the deterministic clip".getBytes("UTF-8"))
+    val vid = renderPpmSeq(seeds, 16, 16)
+    val rows = Seq(
+      MediaRow(1L, vid, "ppmseq", 16, 16, 6),
+      MediaRow(2L, Array[Byte](9, 9, 9), "ppmseq", 16, 16, 1),
+      MediaRow(3L, Array.emptyByteArray, "ppmseq", 16, 16, 0)).toDS()
+    val all = videoHashes(rows, stride = 1).collect()
+      .map(v => v.media_id -> v).toMap
+    assert(all(1L).decoded && all(1L).n_frames == 6)
+    // sampled hashes ARE the per-frame aHashes, in frame order
+    val expected = seeds.map(s =>
+      Codec.aHash(Codec.decodePpm(renderPpm(s, 16, 16)).get))
+    assert(all(1L).fhashes.toSeq == expected)
+    // stride keeps frames 0, 2, 4 but still counts all 6
+    val strided = videoHashes(rows.filter(_.media_id == 1L), stride = 2)
+      .head()
+    assert(strided.n_frames == 6 &&
+      strided.fhashes.toSeq == Seq(expected(0), expected(2), expected(4)))
+    // junk and empty payloads quarantine, never throw or vanish
+    assert(!all(2L).decoded && all(2L).fhashes.isEmpty)
+    assert(!all(3L).decoded && all(3L).fhashes.isEmpty)
+    intercept[IllegalArgumentException] { videoHashes(rows, stride = 0) }
+  }
+
+  test("C68: hammingSetPairs finds the trimmed+toned copy, rejects band collisions") {
+    import graft.operators.Dedup
+    // video 1: 8 frames; video 2: frames 2..7 brightness-shifted
+    // (trimmed + toned — no byte, md5, count or alignment equality);
+    // video 3: unrelated; video 4: CRAFTED band collision with 1 —
+    // shares one frame's low 16 bits exactly, differs on 40+ high bits
+    // (the banding proposes it; the containment verify must kill it)
+    def frame(tag: String) = s"distinct frame payload $tag".getBytes("UTF-8")
+    val fs1 = (0 until 8).map(f => frame(s"a$f"))
+    val fs2 = fs1.drop(2).map(_.map(b => math.min(255, (b & 0xff) + 16).toByte))
+    // genuinely different material: a different cycle period (length),
+    // not a one-character edit — cycled seeds differing in one char
+    // render near-identical rasters, which is exactly what the
+    // operator SHOULD pair
+    val fs3 = (0 until 8).map(f => Array.tabulate(3 * 16 * 16)(i =>
+      (((i / 3) % 16) * 16 + f * 5).toByte))
+    val h1 = videoHashes(Seq(
+        MediaRow(1L, renderPpmSeq(fs1, 16, 16), "ppmseq", 16, 16, 8)).toDS())
+      .head().fhashes
+    val collider = (h1(0) & 0xffffL) | (~h1(0) & ~0xffffL)
+    val sigs = Seq(
+      (1L, h1.toSeq),
+      (2L, videoHashes(Seq(MediaRow(2L, renderPpmSeq(fs2, 16, 16),
+        "ppmseq", 16, 16, 6)).toDS()).head().fhashes.toSeq),
+      (3L, videoHashes(Seq(MediaRow(3L, renderPpmSeq(fs3, 16, 16),
+        "ppmseq", 16, 16, 8)).toDS()).head().fhashes.toSeq),
+      (4L, Seq(collider))).toDF("media_id", "fhashes")
+    val pairs = Dedup.hammingSetPairs(sigs, "media_id", "fhashes",
+        maxDist = 3, minOverlap = 0.5)
+      .select("id_a", "id_b", "overlap")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected only the planted pair: $pairs")
+    // containment direction: all 6 trimmed frames match (6/6 = 1.0),
+    // while 1-in-2 is only 6/8 — max keeps the trim-robust direction
+    assert(pairs.head._3 == 1.0, s"overlap ${pairs.head._3}")
+    // the collider really did get PROPOSED (it reaches the verify with
+    // overlap 0 when the threshold is lifted) — (1,4)'s absence above
+    // is the verify killing it, not the banding missing it
+    val proposed = Dedup.hammingSetPairs(sigs, "media_id", "fhashes",
+        maxDist = 3, minOverlap = 0.0)
+      .filter(col("id_a") === 1L && col("id_b") === 4L)
+      .select("overlap").as[Double].collect().toSeq
+    assert(proposed == Seq(0.0),
+      s"crafted collision must be proposed then scored 0: $proposed")
+  }
+
+  test("C68: q_mm_video_dups recalls every planted trimmed copy at sf0.001") {
+    val pairs = graft.queries.DocQueries
+      .qMmVideoDups(spark, "/root/testdata/sf0.001")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(pairs),
+      s"missing planted pairs: ${planted -- pairs}")
+  }
+
   test("resize target metadata rides along the plan") {
     val r = withResizeTarget(media.toDF(), 224, 224)
       .select("resize_target.width", "resize_target.height").head()
