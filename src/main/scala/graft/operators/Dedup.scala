@@ -1035,4 +1035,87 @@ object Dedup {
             col("n_shared_spans").cast("double") / col("n_spans")))
           .as("dup_span_fraction"))
   }
+
+  /** Default prefix-key length for [[editDistancePairs]]. Shared with
+    * the generated DuckDB oracle so the two engines can never disagree
+    * on the grid. */
+  val EditKeyLen = 100
+  /** Default edit-distance threshold for [[editDistancePairs]]. */
+  val EditMaxDist = 4
+
+  /** C70 — edit-distance near-dup pairs (PassJoin-style pigeonhole
+    * segment blocking; Li, Deng & Feng, VLDB 2011). Character-level
+    * fuzzy matching is the dedup axis MinHash (token Jaccard, C2) and
+    * SimHash (token bit votes, C3) cannot see: a doc re-crawled with a
+    * handful of single-character typos keeps almost all its character
+    * identity but can lose whole token shingles. The key is the first
+    * `keyLen` chars of the text (prefix-key dedup: boilerplate
+    * templates and re-crawls diverge late, not early).
+    *
+    * Blocking: the key is cut into a FIXED grid of `maxDist + 1`
+    * contiguous segments of `keyLen / (maxDist + 1)` chars; by
+    * pigeonhole, two equal-length keys within `maxDist` substitutions
+    * of each other agree on at least one whole segment, so pairing on
+    * (segment index, segment text) equality is a COMPLETE candidate
+    * generator for substitution-only divergence — and a recall-only
+    * screen (never a false positive: every candidate is re-verified
+    * with the exact `levenshtein` before it is emitted). Insertions /
+    * deletions shift the grid and are the declared recall gap (C2/C3
+    * catch those; this operator exists for the substitution regime).
+    * Keys shorter than the grid contribute only their complete
+    * segments; keys shorter than one segment are unblockable and fall
+    * out (declared — choose keyLen ≤ the corpus's min length to avoid).
+    *
+    * Shape at 100 TB: segments explode ×(maxDist+1), ONE groupBy on
+    * the (i, seg) bucket key, pairs expanded bucket-locally with the
+    * same [[pairsWithin]] used by the LSH paths, exact `levenshtein`
+    * (codegen'd, O(keyLen²) on a bounded key — constant work per
+    * candidate) verifies inside the same stage; never all-pairs. Hot
+    * buckets (shared boilerplate prefixes) are exact-duplicate
+    * segments — capped at `maxBucket` with
+    * [[editDroppedBuckets]] accounting, same stance as the LSH caps. */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = EditMaxDist, keyLen: Int = EditKeyLen,
+                        maxBucket: Int = 4096): DataFrame = {
+    val dist = levenshtein(col("p.a.key"), col("p.b.key"))
+    editBuckets(docs, textCol, idCol, maxDist, keyLen)
+      .filter(size(col("xs")).between(2, maxBucket))
+      .withColumn("xs", array_sort(col("xs"))) // plain attribute for pairsWithin
+      .select(explode(pairsWithin(col("xs"))).as("p"))
+      .filter(abs(length(col("p.a.key")) - length(col("p.b.key"))) <= maxDist &&
+        dist <= maxDist)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        dist.cast("long").as("edit_dist"))
+      .distinct()
+  }
+
+  /** The segment-grid bucket relation behind [[editDistancePairs]]:
+    * (i, seg, xs) with xs = [{id, key}]. */
+  private def editBuckets(docs: DataFrame, textCol: String, idCol: String,
+                          maxDist: Int, keyLen: Int): DataFrame = {
+    require(maxDist >= 1 && keyLen % (maxDist + 1) == 0,
+      "maxDist+1 must divide keyLen")
+    val nSegs = maxDist + 1
+    val segLen = keyLen / nSegs
+    val segKeys = (0 until nSegs).map { i =>
+      struct(lit(i).as("i"),
+        substring(col("key"), 1 + i * segLen, segLen).as("seg"))
+    }
+    docs
+      .select(col(idCol).as("id"),
+        substring(col(textCol), 1, keyLen).as("key"))
+      .select(col("id"), col("key"), explode(array(segKeys: _*)).as("sk"))
+      .filter(length(col("sk.seg")) === segLen) // truncated tail segments
+      .groupBy(col("sk.i").as("i"), col("sk.seg").as("seg"))
+      .agg(collect_list(struct(col("id"), col("key"))).as("xs"))
+  }
+
+  /** Dropped-bucket accounting for [[editDistancePairs]]'s `maxBucket`
+    * cap — see [[minhashDroppedBuckets]]. */
+  def editDroppedBuckets(docs: DataFrame, textCol: String, idCol: String,
+                         maxDist: Int = EditMaxDist, keyLen: Int = EditKeyLen,
+                         maxBucket: Int = 4096): DataFrame =
+    editBuckets(docs, textCol, idCol, maxDist, keyLen)
+      .select(col("i"), col("seg"), size(col("xs")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 }

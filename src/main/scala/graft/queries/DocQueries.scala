@@ -53,6 +53,17 @@ object DocQueries {
   def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
 
+  // ---------------------------------------------------------------- C70
+  /** Character-level fuzzy near-dup pairs (PassJoin pigeonhole
+    * blocking + exact levenshtein verify — see
+    * [[graft.operators.Dedup.editDistancePairs]]). Hash-green oracled:
+    * blocking grid and verify predicate are deterministic string
+    * operations both engines share, and the final output is only the
+    * VERIFIED pairs, so the oracle reproduces it exactly from the same
+    * generated grid constants ([[fuzzyOracleSql]]). */
+  def qDocFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(docs(s, dir), "text", "doc_id")
+
   // ---------------------------------------------------------------- C5
   def qEmbCosineTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)
@@ -1812,6 +1823,7 @@ object DocQueries {
     "q_doc_simhash"       -> (qDocSimhash _),
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
+    "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),
@@ -1907,8 +1919,43 @@ object DocQueries {
       |FROM v""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.operators.Dedup.editDistancePairs]]:
+    * grid constants interpolated from the SAME Scala constants the
+    * operator uses (Dedup.EditKeyLen / EditMaxDist), so the two
+    * engines' segment grids cannot drift. The blocking is only a
+    * candidate screen — the emitted relation is the exact-verified
+    * pairs, which both engines compute with the identical
+    * `levenshtein` + length predicates. */
+  private def fuzzyOracleSql: String = {
+    val keyLen = Dedup.EditKeyLen
+    val k = Dedup.EditMaxDist
+    val nSegs = k + 1
+    val segLen = keyLen / nSegs
+    val maxBucket = 4096
+    s"""WITH kk AS (SELECT doc_id, substr(text, 1, $keyLen) AS key
+      |            FROM documents),
+      |seg AS (
+      |  SELECT doc_id, key, i, substr(key, 1 + i*$segLen, $segLen) AS seg
+      |  FROM kk, (SELECT unnest(range($nSegs)) AS i)
+      |  WHERE length(substr(key, 1 + i*$segLen, $segLen)) = $segLen),
+      |ok AS (SELECT i, seg FROM seg
+      |       GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.key AS ka, b.key AS kb
+      |  FROM seg a
+      |  JOIN seg b ON a.i = b.i AND a.seg = b.seg AND a.doc_id < b.doc_id
+      |  JOIN ok o ON o.i = a.i AND o.seg = a.seg)
+      |SELECT id_a, id_b,
+      |       CAST(levenshtein(ka, kb) AS BIGINT) AS edit_dist
+      |FROM cand
+      |WHERE abs(length(ka) - length(kb)) <= $k
+      |  AND levenshtein(ka, kb) <= $k""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_simhash" -> simhashOracleSql,
+    "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_pipeline_web" ->
       s"""WITH c AS (SELECT doc_id, source, ${stripMarkupSql("text")} AS clean
         |           FROM documents),

@@ -824,4 +824,75 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(101L -> 1L, 102L -> 2L, 104L -> 1L), out.toString)
   }
+
+  // ---- C70 edit-distance fuzzy pairs -------------------------------
+
+  /** 120-char base key (> Dedup.EditKeyLen) with edits at the given
+    * 0-based positions substituted to 'Z'. */
+  private def editedDoc(positions: Int*): String = {
+    val base = ("the quick brown fox jumps over the lazy dog while the " +
+      "spark engine shuffles partitions across executors at scale " +
+      "today ok").toCharArray
+    positions.foreach(p => base(p) = 'Z')
+    new String(base)
+  }
+
+  test("C70: substitution near-dups pair with exact distances; far docs never pair") {
+    val fuzz = Seq(
+      (1L, editedDoc()),            // base
+      (2L, editedDoc(7)),           // 1 substitution
+      (3L, editedDoc(3, 40, 77)),   // 3 substitutions, spread over 3 segments
+      (4L, editedDoc(2, 22, 42, 62, 82)), // 5 subs > maxDist=4 hits all 5 segments
+      (5L, "completely different content with no structural relation to " +
+           "the probe document family whatsoever in any of its characters")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(fuzz, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 1L && got((1L, 3L)) == 3L, got.toString)
+    assert(got((2L, 3L)) == 4L, got.toString) // edits at disjoint positions add
+    // 5 substitutions: beyond threshold AND touches every segment — absent
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+    val plan = Dedup.editDistancePairs(fuzz, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "blocking must not go all-pairs")
+  }
+
+  test("C70: pigeonhole blocking is complete for substitution-only edits (brute-force cross-check)") {
+    // every pair of docs differing by ≤ maxDist substitutions of the
+    // same base must be found — edits placed adversarially (segment
+    // boundaries, same segment, spread out)
+    val variants = Seq(
+      (10L, editedDoc()), (11L, editedDoc(19)), (12L, editedDoc(20)),
+      (13L, editedDoc(19, 20, 39, 40)), (14L, editedDoc(99)),
+      (15L, editedDoc(0, 1, 2, 3)), (16L, editedDoc(96, 97, 98, 99))
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(variants, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val keys = variants.collect().map(r => r.getLong(0) -> r.getString(1).take(Dedup.EditKeyLen)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (a <- keys.keys; b <- keys.keys if a < b) {
+      val truth = lev(keys(a), keys(b))
+      if (truth <= Dedup.EditMaxDist)
+        assert(got.get((a, b)).contains(truth.toLong),
+          s"pair ($a,$b) ed=$truth missing or wrong: ${got.get((a, b))}")
+      else assert(!got.contains((a, b)), s"pair ($a,$b) ed=$truth over threshold emitted")
+    }
+  }
+
+  test("C70: hot prefix buckets are capped with accounting, not silently") {
+    // 12 docs sharing segment 0 exactly; maxBucket=8 drops that bucket
+    val base = editedDoc()
+    val shared = (0 until 12).map(i =>
+      (100L + i, base.take(20) + s" tail variant number $i " + base.drop(44))).toDF("doc_id", "text")
+    val dropped = Dedup.editDroppedBuckets(shared, "text", "doc_id", maxBucket = 8)
+      .collect()
+    assert(dropped.exists(r => r.getInt(2) == 12), dropped.mkString(","))
+  }
 }
