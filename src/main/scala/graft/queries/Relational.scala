@@ -696,8 +696,79 @@ object Relational {
       .agg(count(lit(1)).as("n"),
            min("zval").as("min_z"), max("zval").as("max_z"))
 
+  // ---------------------------------------------------------------- C71
+  /** Integer-exact PageRank over the undirected customer↔supplier
+    * trade graph (distinct (o_custkey, l_suppkey) pairs, both
+    * directions) — see [[graft.operators.Graph.pageRank]]. Suppliers
+    * serving many well-connected customers outrank long-tail ones:
+    * the link-centrality quality prior web curation pipelines consume.
+    * Hash-green oracled: every step is bigint arithmetic, so DuckDB
+    * reproduces the ranks bit-for-bit from a generated
+    * iteration-unrolled mirror ([[pagerankOracleSql]]). */
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
+              concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
+      .distinct()
+    val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+    Graph.pageRank(edges, iters = 6)
+      .select(col("node"), col("rank").as("pr"))
+  }
+
+  /** DuckDB mirror of [[qGraphPagerank]]: the fixed-iteration loop
+    * unrolled into chained CTEs, every constant interpolated from the
+    * SAME [[graft.operators.Graph]] constants the operator uses —
+    * damping rational, init rank and floor divisions cannot drift
+    * between the engines. */
+  private def pagerankOracleSql: String = {
+    import graft.operators.Graph
+    val iters = 6
+    val init = Graph.PrInitRank
+    val num = Graph.PrDampNum
+    val den = Graph.PrDampDen
+    val base = init * (den - num) / den
+    val its = (1 to iters).map { i =>
+      val prev = s"it${i - 1}"
+      s"""it$i AS MATERIALIZED (
+        |  SELECT n.node,
+        |         CAST($base + (($num * (COALESCE(c.contrib, 0) + d.dshare))
+        |                       // $den) AS BIGINT) AS pr
+        |  FROM nodes n
+        |  LEFT JOIN (SELECT ee.dst AS node,
+        |                    SUM(r.pr // deg.outdeg) AS contrib
+        |             FROM ee
+        |             JOIN $prev r ON ee.src = r.node
+        |             JOIN deg ON deg.src = ee.src
+        |             GROUP BY 1) c ON c.node = n.node
+        |  CROSS JOIN (SELECT COALESCE((SELECT SUM(r.pr) FROM $prev r
+        |                               WHERE r.node NOT IN (SELECT src FROM deg)),
+        |                              0)
+        |              // (SELECT nn FROM ncnt) AS dshare) d)""".stripMargin
+    }.mkString(",\n")
+    // AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs, and
+    // each iteration reads its predecessor twice (contrib + dangling)
+    // — inlined, the chain re-evaluates 2^iters times
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+      |             'c' || CAST(o_custkey AS VARCHAR) AS cust,
+      |             's' || CAST(l_suppkey AS VARCHAR) AS supp
+      |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |ee AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM e
+      |       UNION SELECT supp AS src, cust AS dst FROM e),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ee),
+      |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ee GROUP BY 1),
+      |ncnt AS (SELECT count(*) AS nn FROM nodes),
+      |it0 AS MATERIALIZED (SELECT node, CAST($init AS BIGINT) AS pr FROM nodes),
+      |$its
+      |SELECT node, pr FROM it$iters""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank"    -> (qGraphPagerank _),
     "q_li_zorder"         -> (qLiZorder _),
     "q23_range"           -> (qRangeJoin _),
     "q22_asof"            -> (qAsofJoin _),
@@ -743,6 +814,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankOracleSql,
     "q_li_zorder" -> {
       val q0 = graft.operators.Zorder.quantizeSql("l_partkey", "lo0", "hi0", 16)
       val q1 = graft.operators.Zorder.quantizeSql("l_suppkey", "lo1", "hi1", 16)

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** C71 PageRank: the distributed integer-exact iteration must equal a
+  * sequential reference implementation of the same recurrence exactly
+  * (bit-for-bit — that is the operator's contract), on graphs that
+  * exercise dangling mass, asymmetric degrees and hub structure. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Sequential mirror of the documented recurrence. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+                          init: Long = Graph.PrInitRank,
+                          num: Long = Graph.PrDampNum,
+                          den: Long = Graph.PrDampDen): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outDeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = init * (den - num) / den
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / outDeg(s) }.sum
+      }
+      val dangMass = nodes.filterNot(outDeg.contains).map(rank).sum
+      val dshare = dangMass / n
+      rank = nodes.map(v =>
+        v -> (base + num * (contrib.getOrElse(v, 0L) + dshare) / den)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("C71: two-node cycle is a fixpoint at the initial rank") {
+    val got = run(Seq("a" -> "b", "b" -> "a"), iters = 4)
+    assert(got == Map("a" -> Graph.PrInitRank, "b" -> Graph.PrInitRank), got)
+  }
+
+  test("C71: directed graph with dangling node matches the sequential reference exactly") {
+    // a→b (b dangles), c→b, c→a: dangling redistribution + in-degree skew
+    val edges = Seq("a" -> "b", "c" -> "b", "c" -> "a")
+    val got = run(edges, iters = 5)
+    val want = refPageRank(edges, iters = 5)
+    assert(got == want, s"$got vs $want")
+    assert(got("b") > got("a") && got("a") > got("c"), got) // sink > middle > source
+  }
+
+  test("C71: undirected hub outranks leaves and matches the reference") {
+    val spokes = (1 to 8).map(i => s"leaf$i")
+    val edges = spokes.map(l => "hub" -> l) ++ spokes.map(l => l -> "hub")
+    val got = run(edges, iters = 6)
+    val want = refPageRank(edges, iters = 6)
+    assert(got == want, s"$got vs $want")
+    assert(spokes.forall(l => got("hub") > got(l)), got)
+    assert(spokes.map(got).distinct.size == 1, "symmetric leaves must tie")
+  }
+
+  test("C71: edge order and duplicate edges do not change a single rank bit") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val shuffled = (edges.reverse ++ edges) // dup + permuted
+    assert(run(edges, 4) == run(shuffled, 4))
+  }
+
+  test("C71: plan has no cartesian product and one edges-sized join per iteration") {
+    val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val plan = Graph.pageRank(edges, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row dangling aggregate may broadcast")
+  }
+}
