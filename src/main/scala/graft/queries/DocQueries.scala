@@ -1388,8 +1388,11 @@ object DocQueries {
   /** The per-document battery behind [[qDocGopher]], on any relation
     * with (`doc_id`, `text`). Separated so the spec can pin the edge
     * cases the synthetic corpus never produces (empty text, one-token
-    * docs, a fully-repeated document). */
-  def gopherMetrics(d: DataFrame): DataFrame = {
+    * docs, a fully-repeated document). `carry` names input columns to
+    * pass through the metric select unchanged, so composers
+    * ([[funnelReport]]) stay single-scan instead of joining the
+    * metrics back to the corpus on doc_id. */
+  def gopherMetrics(d: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val t = TextFunctions.tokens(col("text"))
     val n = size(t)
     // longest run of one token in the sorted array == max occurrence count
@@ -1407,7 +1410,7 @@ object DocQueries {
     val bigrams = zip_with(slice(t, lit(1), greatest(n - 1, lit(0))),
       slice(t, lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
-    val base = d.select(
+    val base = d.select(Seq(
       col("doc_id"),
       n.cast("bigint").as("n_tokens"),
       TextFunctions.round4(sumLen.cast("double") / greatest(n, lit(1)))
@@ -1419,13 +1422,71 @@ object DocQueries {
           lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1))
           .otherwise(lit(0.0))).as("dup_bigram_frac"),
       TextFunctions.distinctOverlap(col("text"), enStop).cast("bigint")
-        .as("stop_hits"))
+        .as("stop_hits")) ++ carry.map(col): _*)
     base.withColumn("keep",
       (col("n_tokens").between(50, 100000) &&
         col("mean_wlen").between(3.0, 10.0) &&
         col("top_frac") <= 0.2 &&
         col("dup_bigram_frac") <= 0.4 &&
         col("stop_hits") >= 2).cast("int"))
+  }
+
+  // ---------------------------------------------------------------- C72
+  /** Filter-funnel attrition report: the per-stage accounting every
+    * production curation pipeline publishes next to its output (how
+    * many documents/tokens each gate removed — the number data teams
+    * read FIRST, before any sample). Stages chain the already-oracled
+    * gate definitions: language gate (lang = 'en', the CCNet-style
+    * monolingual cut) → quality threshold (C8's score ≥ 0.3, the C43
+    * bar) → the full C52 Gopher battery verdict → exact dedup among
+    * the survivors (keeper = min doc_id per md5, computed over the
+    * post-filter population — deduping before filtering would credit
+    * the dedup stage with docs the filters were about to drop anyway).
+    *
+    * Shape at 100 TB: ONE corpus scan computes every per-doc flag
+    * (gopher metrics carried through the same select — no metric/flag
+    * join), one hash-partitioned window for the dedup keeper, one
+    * partial-agg'd global aggregate, and the 4 stage rows are an
+    * `explode` of a literal array over that 1-row aggregate. Nothing
+    * driver-sized; the report is 4 rows by construction. */
+  def qDocFilterFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelReport(docs(s, dir))
+
+  /** The staged-attrition report behind [[qDocFilterFunnel]], on any
+    * relation with (`doc_id`, `lang`, `text`). */
+  def funnelReport(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = gopherMetrics(d, carry = Seq("lang", "text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("lang") === "en").as("c1"),
+        (col("lang") === "en" &&
+          TextFunctions.round4(TextFunctions.qualityScore(col("text"))) >= 0.3)
+          .as("c2"),
+        col("keep"), md5(col("text")).as("h"))
+      .withColumn("c3", col("c2") && col("keep") === 1)
+    val keeper = min(when(col("c3"), col("doc_id")))
+      .over(Window.partitionBy(col("h")))
+    val c = f.withColumn("c4", col("c3") && keeper === col("doc_id"))
+    def kept(flag: String) = count(when(col(flag), lit(1))).as(s"n_$flag")
+    def toks(flag: String) =
+      coalesce(sum(when(col(flag), col("n_tokens"))), lit(0L)).as(s"t_$flag")
+    val a = c.agg(
+      count(lit(1)).as("n0"), sum(col("n_tokens")).as("t0"),
+      kept("c1"), toks("c1"), kept("c2"), toks("c2"),
+      kept("c3"), toks("c3"), kept("c4"), toks("c4"))
+    val stages = Seq(
+      (1, "lang_en", "n0", "n_c1", "t0", "t_c1"),
+      (2, "quality", "n_c1", "n_c2", "t_c1", "t_c2"),
+      (3, "gopher", "n_c2", "n_c3", "t_c2", "t_c3"),
+      (4, "exact_dedup", "n_c3", "n_c4", "t_c3", "t_c4"))
+    a.select(explode(array(stages.map { case (i, nm, in, kp, ti, tk) =>
+        struct(lit(i).as("stage_idx"), lit(nm).as("stage"),
+          col(in).as("docs_in"), col(kp).as("docs_kept"),
+          col(ti).as("tokens_in"), col(tk).as("tokens_kept"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
+      .withColumn("pct_kept", TextFunctions.round4(
+        col("docs_kept").cast("double") / greatest(col("docs_in"), lit(1L))))
   }
 
   // ---------------------------------------------------------------- C55
@@ -1791,6 +1852,7 @@ object DocQueries {
     "q_doc_secrets"       -> (qDocSecrets _),
     "q_doc_source_cap"    -> (qDocSourceCap _),
     "q_doc_gopher"        -> (qDocGopher _),
+    "q_doc_filter_funnel" -> (qDocFilterFunnel _),
     "q_doc_datasheet"     -> (qDocDatasheet _),
     "q_doc_decontam_scrub" -> (qDocDecontamScrub _),
     "q_doc_exact_incremental" -> (qDocExactIncremental _),
@@ -1951,6 +2013,78 @@ object DocQueries {
       |FROM cand
       |WHERE abs(length(ka) - length(kb)) <= $k
       |  AND levenshtein(ka, kb) <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of [[gopherMetrics]] — ONE generated definition
+    * shared by the standalone C52 oracle and every composition
+    * ([[funnelOracleSql]]), with the same `carry` pass-through the
+    * Scala side has, so the battery cannot drift between its uses. */
+  private def gopherOracleSql(from: String, carry: Seq[String] = Nil): String = {
+    val cc = carry.map(c => s", $c").mkString
+    s"""WITH toks AS (SELECT doc_id$cc, string_split(text, ' ') AS t FROM $from),
+      |m AS (SELECT doc_id$cc,
+      |        CAST(len(t) AS BIGINT) AS n_tokens,
+      |        round((SELECT sum(length(x)) FROM unnest(t) AS u(x)) * 1.0 /
+      |              greatest(len(t), 1), 4) AS mean_wlen,
+      |        round((SELECT max(c) FROM (SELECT count(*) AS c
+      |                                   FROM unnest(t) AS u(x) GROUP BY x)) * 1.0 /
+      |              greatest(len(t), 1), 4) AS top_frac,
+      |        round(CASE WHEN len(t) > 1 THEN
+      |                1.0 - (SELECT count(DISTINCT t[i] || ' ' || t[i+1])
+      |                       FROM unnest(generate_series(1, len(t) - 1)) AS g(i))
+      |                      * 1.0 / (len(t) - 1)
+      |              ELSE 0.0 END, 4) AS dup_bigram_frac,
+      |        CAST(len(list_intersect(list_distinct(t),
+      |                                ['the','a','of','and','to'])) AS BIGINT)
+      |          AS stop_hits
+      |      FROM toks)
+      |SELECT *,
+      |  CAST(n_tokens BETWEEN 50 AND 100000
+      |       AND mean_wlen BETWEEN 3.0 AND 10.0
+      |       AND top_frac <= 0.2
+      |       AND dup_bigram_frac <= 0.4
+      |       AND stop_hits >= 2 AS INT) AS keep
+      |FROM m""".stripMargin
+  }
+
+  /** DuckDB mirror of [[funnelReport]]: the same staged flags over the
+    * SAME generated gopher battery ([[gopherOracleSql]] with lang/text
+    * carried) and quality mirror, dedup keeper as the identical
+    * min-over-survivors window, stage rows unpivoted with UNION ALL. */
+  private def funnelOracleSql: String = {
+    val gopher = gopherOracleSql("documents", Seq("lang", "text"))
+    val qOk = s"round(${qualitySql("text")}, 4) >= 0.3"
+    s"""WITH f AS MATERIALIZED (
+      |  SELECT doc_id, n_tokens,
+      |         (lang = 'en') AS c1,
+      |         (lang = 'en' AND $qOk) AS c2,
+      |         (lang = 'en' AND $qOk AND keep = 1) AS c3,
+      |         md5(text) AS h
+      |  FROM ($gopher) g),
+      |k AS (SELECT *, (c3 AND doc_id = min(CASE WHEN c3 THEN doc_id END)
+      |                              OVER (PARTITION BY h)) AS c4 FROM f),
+      |a AS (SELECT count(*) AS n0, sum(n_tokens) AS t0,
+      |        count(*) FILTER (WHERE c1) AS n1,
+      |        COALESCE(sum(n_tokens) FILTER (WHERE c1), 0) AS t1,
+      |        count(*) FILTER (WHERE c2) AS n2,
+      |        COALESCE(sum(n_tokens) FILTER (WHERE c2), 0) AS t2,
+      |        count(*) FILTER (WHERE c3) AS n3,
+      |        COALESCE(sum(n_tokens) FILTER (WHERE c3), 0) AS t3,
+      |        count(*) FILTER (WHERE c4) AS n4,
+      |        COALESCE(sum(n_tokens) FILTER (WHERE c4), 0) AS t4
+      |      FROM k)
+      |SELECT stage_idx, stage,
+      |       CAST(docs_in AS BIGINT) AS docs_in,
+      |       CAST(docs_kept AS BIGINT) AS docs_kept,
+      |       CAST(tokens_in AS BIGINT) AS tokens_in,
+      |       CAST(tokens_kept AS BIGINT) AS tokens_kept,
+      |       round(docs_kept * 1.0 / greatest(docs_in, 1), 4) AS pct_kept
+      |FROM (
+      |  SELECT 1 AS stage_idx, 'lang_en' AS stage, n0 AS docs_in,
+      |         n1 AS docs_kept, t0 AS tokens_in, t1 AS tokens_kept FROM a
+      |  UNION ALL SELECT 2, 'quality', n1, n2, t1, t2 FROM a
+      |  UNION ALL SELECT 3, 'gopher', n2, n3, t2, t3 FROM a
+      |  UNION ALL SELECT 4, 'exact_dedup', n3, n4, t3, t4 FROM a)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -2305,31 +2439,8 @@ object DocQueries {
         |      FROM delta GROUP BY h)
         |SELECT doc_id, h, n_delta_copies FROM g
         |WHERE h NOT IN (SELECT h FROM corpus)""".stripMargin,
-    "q_doc_gopher" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |m AS (SELECT doc_id,
-        |        CAST(len(t) AS BIGINT) AS n_tokens,
-        |        round((SELECT sum(length(x)) FROM unnest(t) AS u(x)) * 1.0 /
-        |              greatest(len(t), 1), 4) AS mean_wlen,
-        |        round((SELECT max(c) FROM (SELECT count(*) AS c
-        |                                   FROM unnest(t) AS u(x) GROUP BY x)) * 1.0 /
-        |              greatest(len(t), 1), 4) AS top_frac,
-        |        round(CASE WHEN len(t) > 1 THEN
-        |                1.0 - (SELECT count(DISTINCT t[i] || ' ' || t[i+1])
-        |                       FROM unnest(generate_series(1, len(t) - 1)) AS g(i))
-        |                      * 1.0 / (len(t) - 1)
-        |              ELSE 0.0 END, 4) AS dup_bigram_frac,
-        |        CAST(len(list_intersect(list_distinct(t),
-        |                                ['the','a','of','and','to'])) AS BIGINT)
-        |          AS stop_hits
-        |      FROM toks)
-        |SELECT *,
-        |  CAST(n_tokens BETWEEN 50 AND 100000
-        |       AND mean_wlen BETWEEN 3.0 AND 10.0
-        |       AND top_frac <= 0.2
-        |       AND dup_bigram_frac <= 0.4
-        |       AND stop_hits >= 2 AS INT) AS keep
-        |FROM m""".stripMargin,
+    "q_doc_gopher" -> gopherOracleSql("documents"),
+    "q_doc_filter_funnel" -> funnelOracleSql,
     "q_doc_datasheet" ->
       """WITH t AS (SELECT source, lang, text,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

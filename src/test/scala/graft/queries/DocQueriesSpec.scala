@@ -191,4 +191,34 @@ class DocQueriesSpec extends SparkSpec {
     assert(r.getDouble(byName("dup_rate")) ==
       BigDecimal(1.0 - 5.0 / 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("C72: funnel stages chain (in_i == kept_{i-1}) and dedup counts only post-filter survivors") {
+    import spark.implicits._
+    // passes every gopher rule: 60 distinct tokens incl. 2 stopwords
+    val good = ((1 to 58).map(i => f"tok$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val d = Seq(
+      (1L, "en", good),               // survives all stages (keeper)
+      (2L, "en", good),               // exact dup of 1 → dropped at stage 4 only
+      (3L, "fr", good),               // dropped at stage 1 (lang)
+      (4L, "en", "short junk text"),  // dropped at quality (3 words → ~0.06)
+      (5L, "en", good + " extraone")  // distinct → survives
+    ).toDF("doc_id", "lang", "text")
+    val rows = DocQueries.funnelReport(d)
+      .collect().sortBy(_.getInt(0))
+    val byStage = rows.map(r => r.getString(1) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(byStage("lang_en") == (5L, 4L), byStage)
+    assert(byStage("quality") == (4L, 3L), byStage)   // drops the short doc
+    assert(byStage("gopher")._2 == 3L, byStage)
+    assert(byStage("exact_dedup") == (3L, 2L), byStage) // dup of keeper dropped
+    // the chain invariant: docs_in of stage i == docs_kept of stage i-1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3), s"chain broken at ${b.getString(1)}")
+    }
+    // tokens_kept ≤ tokens_in on every stage, pct in (0,1]
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
 }
