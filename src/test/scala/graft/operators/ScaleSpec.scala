@@ -114,6 +114,39 @@ class ScaleSpec extends SparkSpec {
     assert(labeled.count() == 1000100L, "every edge-incident vertex labeled")
   }
 
+  test("C71s: PageRank holds exactness on a 1M-node ring (closed-form fixpoint) plus hub skew") {
+    // Ring: node i ↔ i+1 mod N. Every node is 2-regular, so the exact
+    // integer recurrence has a closed-form fixpoint: contrib = 2·(r div 2)
+    // = r (initRank is even), rank' = 150e6 + (17·10⁹) div 20 = 10⁹ —
+    // every rank must stay EXACTLY initRank through every iteration.
+    // That checks the distributed arithmetic bit-for-bit over a million
+    // nodes without collecting anything: one filter-count oracle.
+    val n = 1000000L
+    val fwd = spark.range(n).select(col("id").as("src"),
+      pmod(col("id") + 1L, lit(n)).as("dst"))
+    val ring = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val t0 = System.nanoTime()
+    val ranks = Graph.pageRank(ring, iters = 3)
+    val offFixpoint = ranks.filter(col("rank") =!= Graph.PrInitRank).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(offFixpoint == 0L, s"$offFixpoint ring nodes drifted off the fixpoint")
+    assert(ranks.count() == n)
+    info(f"ring: $n%,d nodes / ${2 * n}%,d directed edges, 3 iters: $secs%.1f s")
+
+    // hub skew on the same operator: a 50k-leaf star (hot groupBy key)
+    // must rank the hub first with all leaves tied — checked distributed
+    val leaves = 50000L
+    val hubFwd = spark.range(leaves).select(lit(-1L).as("src"),
+      (col("id") + 1L).as("dst"))
+    val star = hubFwd.union(hubFwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sr = Graph.pageRank(star, iters = 3)
+    val hubRank = sr.filter(col("node") === -1L).head().getLong(1)
+    val leafRanks = sr.filter(col("node") =!= -1L)
+      .select(countDistinct(col("rank")).as("d"), max(col("rank")).as("m")).head()
+    assert(leafRanks.getLong(0) == 1L, "asymmetric leaf ranks")
+    assert(hubRank > leafRanks.getLong(1), "hub must outrank leaves")
+  }
+
   test("C53s: unigram trainer holds at a 100k-distinct-word table") {
     // The Zipf-bounded word table is the scale knob for tokenizer
     // training (10⁷-10⁸ distinct words at 100 TB). 100k synthetic
