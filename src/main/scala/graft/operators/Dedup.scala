@@ -1118,4 +1118,140 @@ object Dedup {
     editBuckets(docs, textCol, idCol, maxDist, keyLen)
       .select(col("i"), col("seg"), size(col("xs")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
+
+  /** [[maximalSpans]] grid: anchor gram width (tokens), content-defined
+    * sampling modulus and the per-side extension bound. Shared with
+    * the generated DuckDB oracle. */
+  val SpanAnchorK = 8
+  val SpanModP = 4
+  val SpanMaxExt = 1024
+
+  /** C73 — EXACT maximal duplicated token spans (the ExactSubstr
+    * artifact of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for every document pair sharing a run
+    * of ≥ `minTokens` identical consecutive tokens, the maximal extent
+    * of that run in BOTH documents — where [[spanDuplication]]/
+    * [[spanScrub]] quantize to fixed tiles, this reports the precise
+    * token-aligned boundaries a surgical dedup pass removes.
+    *
+    * Seed-and-extend, the suffix-array-free distributed shape:
+    *  1. ANCHORS: every `anchorK`-token gram whose md5 ≡ 0 (mod
+    *     `modP`) — content-defined sampling (the rsync/CDC stance), so
+    *     two copies of a substring select the SAME anchors regardless
+    *     of their offsets; expected anchor density 1/modP, so a shared
+    *     run of ≥ anchorK + modP·c tokens is seeded with probability
+    *     ≥ 1 − e^(−c) (probabilistic recall, tunable; [[winnowPairs]]
+    *     is the worst-case-guaranteed screen when presence, not
+    *     extent, is the question). Boilerplate anchors over
+    *     `maxDocFreq` occurrences are dropped with
+    *     [[spanDroppedAnchors]] accounting.
+    *  2. CANDIDATES: one equi-join on the gram hash — never all-pairs.
+    *  3. EXTEND: per candidate, the maximal equal extension left and
+    *     right of the anchor as a CLOSED-FORM longest-common-prefix:
+    *     `zip_with` token equality over the clamped slices, first
+    *     mismatch via `array_position(…, false)` — one codegen'd
+    *     expression per side, work linear in the actual extent (an
+    *     iterative binary-search formulation was measured to explode
+    *     Catalyst's collapsed projection ~4^steps — OOM at plan time);
+    *     bounds clamp to the arrays and `maxExt`, and an extent
+    *     hitting `maxExt` is flagged `truncated`, never silently
+    *     clipped.
+    *  4. Same-diagonal anchors inside one run extend to the SAME
+    *     maximal span — a final `distinct` collapses them; different
+    *     diagonals (shifted re-use) stay separate, as they should.
+    *
+    * Scale shape: anchors are a map-only transform (≈ tokens/modP
+    * rows), the candidate join keys on uniformly-distributed md5, the
+    * extension is O(log maxExt) slice compares per candidate inside
+    * one stage (token arrays fetched by TWO id equi-joins, corpus
+    * scanned not collected), and the output distinct is
+    * candidate-sized. Intra-doc repeats are [[spanScrub]]'s job;
+    * pairs here are inter-document (`id_a < id_b`). */
+  def maximalSpans(docs: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int = 12, anchorK: Int = SpanAnchorK,
+                   modP: Int = SpanModP, maxExt: Int = SpanMaxExt,
+                   maxDocFreq: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val kept = spanAnchors(toks, anchorK, modP, maxDocFreq)
+    val cand = kept.select(col("id").as("id_a"), col("pos").as("pa"), col("g"))
+      .join(kept.select(col("id").as("id_b"), col("pos").as("pb"), col("g")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("pa"), col("id_b"), col("pb"))
+      .distinct()
+    // clamped slices have EQUAL lengths on both sides, so zip_with
+    // never null-pads and the first `false` is the true first mismatch
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("avail_r", greatest(least(
+        size(col("ta")) - col("pa") - anchorK + 1,
+        size(col("tb")) - col("pb") - anchorK + 1, lit(maxExt)), lit(0)))
+      .withColumn("avail_l", greatest(least(
+        col("pa") - 1, col("pb") - 1, lit(maxExt)), lit(0)))
+      .withColumn("m_r", zip_with(
+        slice(col("ta"), col("pa") + anchorK, col("avail_r")),
+        slice(col("tb"), col("pb") + anchorK, col("avail_r")),
+        (x, y) => x === y))
+      .withColumn("m_l", zip_with(
+        reverse(slice(col("ta"), col("pa") - col("avail_l"), col("avail_l"))),
+        reverse(slice(col("tb"), col("pb") - col("avail_l"), col("avail_l"))),
+        (x, y) => x === y))
+      .withColumn("rext", when(array_position(col("m_r"), false) > 0,
+        array_position(col("m_r"), false) - 1).otherwise(col("avail_r"))
+        .cast("int"))
+      .withColumn("lext", when(array_position(col("m_l"), false) > 0,
+        array_position(col("m_l"), false) - 1).otherwise(col("avail_l"))
+        .cast("int"))
+      .filter(col("lext") + anchorK + col("rext") >= minTokens)
+      .select(col("id_a"), col("id_b"),
+        (col("pa") - col("lext")).as("start_a"),
+        (col("pb") - col("lext")).as("start_b"),
+        (col("lext") + anchorK + col("rext")).cast("long").as("n_tokens"),
+        (col("lext") === maxExt || col("rext") === maxExt).cast("int")
+          .as("truncated"))
+      .distinct()
+  }
+
+  /** The content-defined anchor relation behind [[maximalSpans]]:
+    * (id, pos, g) — 1-based gram start, md5 of the anchorK-token gram,
+    * sampled at md5 mod modP = 0, boilerplate-capped. */
+  private def spanAnchors(toks: DataFrame, anchorK: Int, modP: Int,
+                          maxDocFreq: Int): DataFrame = {
+    val anchors = toks
+      .filter(size(col("toks")) >= anchorK)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - anchorK + 1),
+          p => md5(concat_ws(" ", slice(col("toks"), p, lit(anchorK))))))
+        .as(Seq("pidx", "g")))
+      .select(col("id"), (col("pidx") + 1).as("pos"), col("g"))
+      .filter(conv(substring(col("g"), 1, 8), 16, 10).cast("long")
+        % modP === 0)
+    val hot = anchors.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("g"))
+    anchors.join(hot, Seq("g"), "left_anti")
+  }
+
+  /** Anchors [[maximalSpans]]' `maxDocFreq` cap dropped, with their
+    * occurrence counts — every lossy cap gets an accounting
+    * relation. */
+  def spanDroppedAnchors(docs: DataFrame, textCol: String, idCol: String,
+                         anchorK: Int = SpanAnchorK, modP: Int = SpanModP,
+                         maxDocFreq: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= anchorK)
+    toks
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - anchorK + 1),
+          p => md5(concat_ws(" ", slice(col("toks"), p, lit(anchorK))))))
+        .as(Seq("pidx", "g")))
+      .filter(conv(substring(col("g"), 1, 8), 16, 10).cast("long")
+        % modP === 0)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+  }
 }

@@ -53,6 +53,16 @@ object DocQueries {
   def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
 
+  // ---------------------------------------------------------------- C73
+  /** Exact maximal duplicated token spans (ExactSubstr — see
+    * [[graft.operators.Dedup.maximalSpans]]). Hash-green oracled: the
+    * anchor sampling, binary-search extension and span arithmetic are
+    * all integer/md5 operations, mirrored by a generated
+    * iteration-unrolled DuckDB twin sharing the operator's grid
+    * constants ([[maxSpansOracleSql]]). */
+  def qDocMaxSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.maximalSpans(docs(s, dir), "text", "doc_id")
+
   // ---------------------------------------------------------------- C70
   /** Character-level fuzzy near-dup pairs (PassJoin pigeonhole
     * blocking + exact levenshtein verify — see
@@ -1886,6 +1896,7 @@ object DocQueries {
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
+    "q_doc_max_spans"     -> (qDocMaxSpans _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),
@@ -2087,9 +2098,63 @@ object DocQueries {
       |  UNION ALL SELECT 4, 'exact_dedup', n3, n4, t3, t4 FROM a)""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.operators.Dedup.maximalSpans]]: the same
+    * anchor grid and candidate join, extension as the same closed-form
+    * first-mismatch scan (`list_position` of the per-offset equality
+    * list — NULL when every clamped offset matches, i.e. extension ran
+    * to the bound). All constants interpolated from the operator's
+    * own. */
+  private def maxSpansOracleSql: String = {
+    val k = Dedup.SpanAnchorK
+    val p = Dedup.SpanModP
+    val maxE = Dedup.SpanMaxExt
+    val df = 20
+    val minT = 12
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id AS id,
+      |             string_split(text, ' ') AS toks FROM documents),
+      |anch AS MATERIALIZED (
+      |  SELECT id, i AS pos, md5(array_to_string(toks[i : i+$k-1], ' ')) AS g
+      |  FROM tk, LATERAL unnest(generate_series(1, len(toks) - $k + 1)) AS s(i)
+      |  WHERE len(toks) >= $k
+      |    AND ('0x' || substr(md5(array_to_string(toks[i : i+$k-1], ' ')),
+      |                        1, 8))::BIGINT % $p = 0),
+      |kept AS MATERIALIZED (
+      |  SELECT a.id, a.pos, a.g FROM anch a
+      |  JOIN (SELECT g FROM anch GROUP BY g HAVING count(*) <= $df) h USING (g)),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.id AS id_a, a.pos AS pa, b.id AS id_b, b.pos AS pb
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id),
+      |ext AS MATERIALIZED (
+      |  SELECT c.id_a, c.pa, c.id_b, c.pb,
+      |         greatest(least(len(x.toks) - c.pa - $k + 1,
+      |                        len(y.toks) - c.pb - $k + 1, $maxE), 0) AS avail_r,
+      |         greatest(least(c.pa - 1, c.pb - 1, $maxE), 0) AS avail_l,
+      |         x.toks AS ta, y.toks AS tb
+      |  FROM cand c JOIN tk x ON x.id = c.id_a JOIN tk y ON y.id = c.id_b),
+      |pos AS MATERIALIZED (
+      |  SELECT id_a, id_b, pa, pb, avail_r, avail_l,
+      |    list_position(list_transform(generate_series(1, avail_r),
+      |        i -> ta[pa + $k + i - 1] = tb[pb + $k + i - 1]), false) AS pr,
+      |    list_position(list_transform(generate_series(1, avail_l),
+      |        i -> ta[pa - i] = tb[pb - i]), false) AS pl
+      |  FROM ext),
+      |lcp AS MATERIALIZED (
+      |  SELECT id_a, id_b, pa, pb,
+      |    CASE WHEN pr > 0 THEN pr - 1 ELSE avail_r END AS rext,
+      |    CASE WHEN pl > 0 THEN pl - 1 ELSE avail_l END AS lext
+      |  FROM pos)
+      |SELECT DISTINCT id_a, id_b,
+      |       pa - lext AS start_a, pb - lext AS start_b,
+      |       CAST(lext + $k + rext AS BIGINT) AS n_tokens,
+      |       CAST(lext = $maxE OR rext = $maxE AS INT) AS truncated
+      |FROM lcp
+      |WHERE lext + $k + rext >= $minT""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
+    "q_doc_max_spans" -> maxSpansOracleSql,
     "q_doc_pipeline_web" ->
       s"""WITH c AS (SELECT doc_id, source, ${stripMarkupSql("text")} AS clean
         |           FROM documents),

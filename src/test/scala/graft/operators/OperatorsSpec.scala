@@ -886,6 +886,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ---- C73 maximal duplicated token spans --------------------------
+
+  // run00..run19 carries content-defined anchors at gram starts 3 and
+  // 5 (md5 mod 4 — verified offline), so recall is deterministic here
+  private val run20 = (0 until 20).map(i => f"run$i%02d")
+  private def doc(pre: Seq[String], post: Seq[String]): String =
+    (pre ++ run20 ++ post).mkString(" ")
+
+  test("C73: shared runs report exact maximal extents at each offset pair") {
+    val d = Seq(
+      (1L, doc(Seq("p1a", "p1b", "p1c", "p1d", "p1e"), Seq("s1a", "s1b"))),
+      (2L, doc((1 to 9).map(i => s"p2$i"), Seq("s2a"))),
+      (3L, doc(Nil, Seq("s3a", "s3b", "s3c")))
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalSpans(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    // exact extents: the run is 20 tokens, boundaries differ — and the
+    // two same-diagonal anchors collapse to ONE span per pair
+    assert(got.size == 3, got.toString)
+    assert(got((1L, 2L)) == (6, 10, 20L, 0), got.toString)
+    assert(got((1L, 3L)) == (6, 1, 20L, 0), got.toString)
+    assert(got((2L, 3L)) == (10, 1, 20L, 0), got.toString)
+    val plan = Dedup.maximalSpans(d, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("C73: maxExt-bounded extents are flagged truncated, never silently clipped") {
+    val d = Seq(
+      (1L, doc(Seq("p1a", "p1b", "p1c"), Seq("s1a"))),
+      (2L, doc(Seq("q2a", "q2b", "q2c", "q2d"), Seq("s2a")))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.maximalSpans(d, "text", "doc_id",
+      minTokens = 8, maxExt = 4).collect()
+    assert(rows.nonEmpty)
+    // every reported span hit the bound: flagged, and shorter than the
+    // true 20-token run it sits inside
+    rows.foreach { r =>
+      assert(r.getInt(5) == 1, s"unflagged clipped span: $r")
+      assert(r.getLong(4) < 20L)
+    }
+    // the unbounded call recovers the full run
+    val full = Dedup.maximalSpans(d, "text", "doc_id").collect()
+    assert(full.length == 1 && full.head.getLong(4) == 20L)
+  }
+
+  test("C73: boilerplate anchors are capped with accounting, and the cap is visible") {
+    // 21 docs share the run → every run anchor has df 21 > maxDocFreq 20
+    val d = (1 to 21).map(i =>
+      (i.toLong, doc(Seq(s"pre${i}a", s"pre${i}b"), Seq(s"post$i"))))
+      .toDF("doc_id", "text")
+    val spans = Dedup.maximalSpans(d, "text", "doc_id")
+    assert(spans.isEmpty, "capped anchors must drop their candidates")
+    val dropped = Dedup.spanDroppedAnchors(d, "text", "doc_id")
+      .collect().map(r => r.getLong(1))
+    assert(dropped.length == 2 && dropped.forall(_ == 21L),
+      s"expected the 2 run anchors dropped at df=21: ${dropped.mkString(",")}")
+  }
+
   test("C70: hot prefix buckets are capped with accounting, not silently") {
     // 12 docs sharing segment 0 exactly; maxBucket=8 drops that bucket
     val base = editedDoc()
