@@ -1235,6 +1235,53 @@ object Dedup {
     anchors.join(hot, Seq("g"), "left_anti")
   }
 
+  /** C74 — exact-extent duplicate REMOVAL (the action half of
+    * ExactSubstr; [[maximalSpans]] is the detection half): every
+    * maximal duplicated run keeps its first occurrence (the smaller
+    * doc id — [[maximalSpans]] orients pairs `id_a < id_b`, so the
+    * extent is removed from the `id_b` side only) and the covered
+    * tokens are dropped from every later copy, documents surviving
+    * with their unique content — the Lee et al. "remove the duplicated
+    * substring, not the page" stance at exact token boundaries, where
+    * [[spanScrub]] (C49) approximates with fixed tiles.
+    *
+    * Chains are safe without transitivity bookkeeping: in a
+    * duplicate chain a < b < c, b's copy is removed via (a,b) and c's
+    * via (a,c) (and (b,c) re-covers the same tokens — coverage is a
+    * union, removing twice is removing once).
+    *
+    * Shape at 100 TB: spans are candidate-sized (C73), ONE groupBy
+    * collects each doc's removal intervals (bounded by that doc's
+    * pair count), ONE left equi-join hands them to the corpus scan,
+    * and the removal itself is a map-only indexed `filter` HOF over
+    * the token array — a token survives iff no interval covers its
+    * position. No explode of corpus tokens, no window over the
+    * corpus. */
+  def maximalSpanScrub(docs: DataFrame, textCol: String, idCol: String,
+                       minTokens: Int = 12, anchorK: Int = SpanAnchorK,
+                       modP: Int = SpanModP, maxExt: Int = SpanMaxExt,
+                       maxDocFreq: Int = 20): DataFrame = {
+    val spans = maximalSpans(docs, textCol, idCol, minTokens, anchorK,
+      modP, maxExt, maxDocFreq)
+    val ivl = spans
+      .select(col("id_b").as("id"),
+        struct(col("start_b").cast("int").as("s"),
+          (col("start_b") + col("n_tokens") - 1).cast("int").as("e")).as("iv"))
+      .groupBy(col("id")).agg(collect_list(col("iv")).as("ivl"))
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(ivl, Seq("id"), "left")
+      .withColumn("ivl", coalesce(col("ivl"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("ivl"), v =>
+          v.getField("s") <= i + 1 && i + 1 <= v.getField("e"))))
+      .select(col("id").as(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Anchors [[maximalSpans]]' `maxDocFreq` cap dropped, with their
     * occurrence counts — every lossy cap gets an accounting
     * relation. */

@@ -63,6 +63,15 @@ object DocQueries {
   def qDocMaxSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.maximalSpans(docs(s, dir), "text", "doc_id")
 
+  // ---------------------------------------------------------------- C74
+  /** Exact-extent duplicate removal (the ExactSubstr scrub — see
+    * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
+    * the span relation is C73's (already mirrored) and the removal is
+    * integer interval-coverage filtering, mirrored position-for-
+    * position ([[maxScrubOracleSql]]). */
+  def qDocMaxScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.maximalSpanScrub(docs(s, dir), "text", "doc_id")
+
   // ---------------------------------------------------------------- C70
   /** Character-level fuzzy near-dup pairs (PassJoin pigeonhole
     * blocking + exact levenshtein verify — see
@@ -1897,6 +1906,7 @@ object DocQueries {
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
     "q_doc_max_spans"     -> (qDocMaxSpans _),
+    "q_doc_max_scrub"     -> (qDocMaxScrub _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),
@@ -2151,10 +2161,37 @@ object DocQueries {
       |WHERE lext + $k + rext >= $minT""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.operators.Dedup.maximalSpanScrub]]: the
+    * C73 span mirror embedded as a subquery, interval coverage as the
+    * same position-indexed filter. */
+  private def maxScrubOracleSql: String =
+    s"""WITH spans AS MATERIALIZED ($maxSpansOracleSql),
+      |iv AS MATERIALIZED (
+      |  SELECT id_b AS id, list({'s': start_b,
+      |                           'e': start_b + n_tokens - 1}) AS ivl
+      |  FROM spans GROUP BY id_b),
+      |base AS (
+      |  SELECT d.doc_id, string_split(d.text, ' ') AS toks,
+      |         COALESCE(iv.ivl, []) AS ivl
+      |  FROM documents d LEFT JOIN iv ON iv.id = d.doc_id),
+      |k AS (
+      |  SELECT doc_id, toks, ivl,
+      |         list_filter(generate_series(1, len(toks)), i ->
+      |           len(list_filter(ivl, v -> v.s <= i AND i <= v.e)) = 0)
+      |           AS kept
+      |  FROM base)
+      |SELECT doc_id,
+      |       COALESCE(array_to_string(list_transform(kept, i -> toks[i]),
+      |                                ' '), '') AS clean_text,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+      |FROM k""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_max_spans" -> maxSpansOracleSql,
+    "q_doc_max_scrub" -> maxScrubOracleSql,
     "q_doc_pipeline_web" ->
       s"""WITH c AS (SELECT doc_id, source, ${stripMarkupSql("text")} AS clean
         |           FROM documents),

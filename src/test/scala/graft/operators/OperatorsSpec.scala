@@ -946,6 +946,28 @@ class OperatorsSpec extends SparkSpec {
       s"expected the 2 run anchors dropped at df=21: ${dropped.mkString(",")}")
   }
 
+  test("C74: scrub keeps the first occurrence, removes every later copy, and is idempotent") {
+    val d = Seq(
+      (1L, doc(Seq("p1a", "p1b", "p1c", "p1d", "p1e"), Seq("s1a", "s1b"))),
+      (2L, doc((1 to 9).map(i => s"p2$i"), Seq("s2a"))),
+      (3L, doc(Nil, Seq("s3a", "s3b", "s3c")))
+    ).toDF("doc_id", "text")
+    val out = Dedup.maximalSpanScrub(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // first occurrence (min doc id) survives untouched
+    assert(out(1L)._3 == 0L && out(1L)._1.contains("run00"), out(1L))
+    // later copies lose exactly the 20-token run, keep their unique frame
+    assert(out(2L) == ((1 to 9).map(i => s"p2$i").mkString(" ") + " s2a", 30L, 20L))
+    assert(out(3L) == ("s3a s3b s3c", 23L, 20L))
+    // idempotent: a second pass over the scrubbed corpus removes nothing
+    val again = Dedup.maximalSpanScrub(
+      Dedup.maximalSpanScrub(d, "text", "doc_id")
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "text", "doc_id")
+    assert(again.filter(col("n_removed") > 0).isEmpty, "scrub must be idempotent")
+  }
+
   test("C70: hot prefix buckets are capped with accounting, not silently") {
     // 12 docs sharing segment 0 exactly; maxBucket=8 drops that bucket
     val base = editedDoc()
