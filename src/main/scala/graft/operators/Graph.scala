@@ -72,6 +72,11 @@ object Graph {
     // edges with the sender's degree attached once, reused every round
     val eDeg = e.join(outDeg, "src").localCheckpoint()
     val base = initRank * (dampDen - dampNum) / dampDen
+    // WHICH nodes dangle is a static property; whether any exist
+    // decides the whole iteration shape below
+    val danglingNodes = nodes.join(outDeg.withColumnRenamed("src", "node"),
+      Seq("node"), "left_anti").localCheckpoint()
+    val hasDangling = !danglingNodes.isEmpty
 
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
       .localCheckpoint()
@@ -80,21 +85,37 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      // dangling mass: ranks of nodes with no out-edges, spread evenly
-      val dangling = ranks.join(outDeg.withColumnRenamed("src", "node"),
-          Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
-        .select(expr(s"dmass div ${n}L").as("dshare"))
-      // `div` (not `/` + cast): double division of near-boundary
-      // quotients can round up across the floor and break exactness
-      ranks = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          expr(s"${base}L + ((${dampNum}L * (coalesce(contrib, 0L) + dshare))" +
-            s" div ${dampDen}L)").as("rank"))
-        .localCheckpoint()
+      val next =
+        if (hasDangling) {
+          // dangling mass: ranks of nodes with no out-edges, spread
+          // evenly via a 1-row broadcast
+          val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+            .select(expr(s"dmass div ${n}L").as("dshare"))
+          // `div` (not `/` + cast): double division of near-boundary
+          // quotients can round up across the floor and break exactness
+          nodes
+            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"),
+              expr(s"${base}L + ((${dampNum}L * " +
+                s"(coalesce(contrib, 0L) + dshare)) div ${dampDen}L)")
+                .as("rank"))
+        } else {
+          // no dangling nodes → dshare is identically 0, the per-round
+          // mass aggregate is dead weight, and `ranks` is referenced
+          // exactly once — the whole loop pipelines as one linear plan
+          nodes
+            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .select(col("node"),
+              expr(s"${base}L + ((${dampNum}L * coalesce(contrib, 0L))" +
+                s" div ${dampDen}L)").as("rank"))
+        }
+      // double-referenced ranks (dangling path) must materialize per
+      // round or the lineage re-executes 2^iters times; the linear
+      // path only needs periodic truncation
+      ranks = if (hasDangling) next.localCheckpoint() else next
     }
-    ranks
+    if (hasDangling) ranks else ranks.localCheckpoint()
   }
 }
