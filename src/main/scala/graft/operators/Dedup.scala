@@ -1219,6 +1219,9 @@ object Dedup {
     * sampled at md5 mod modP = 0, boilerplate-capped. */
   private def spanAnchors(toks: DataFrame, anchorK: Int, modP: Int,
                           maxDocFreq: Int): DataFrame = {
+    // materialize once: the relation feeds both the df cap and the
+    // candidate join — unchecked, the explode+md5 pipeline runs twice
+    // (the winnowPairs fingerprint stance; ~tokens/modP rows)
     val anchors = toks
       .filter(size(col("toks")) >= anchorK)
       .select(col("id"), posexplode(
@@ -1228,6 +1231,7 @@ object Dedup {
       .select(col("id"), (col("pidx") + 1).as("pos"), col("g"))
       .filter(conv(substring(col("g"), 1, 8), 16, 10).cast("long")
         % modP === 0)
+      .localCheckpoint()
     val hot = anchors.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
