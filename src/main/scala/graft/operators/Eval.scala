@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Filter/classifier evaluation metrics (C75).
+  *
+  * Every model-based curation gate (the C37 quality classifier, DSIR
+  * weights, perplexity cuts) needs its operating curve measured
+  * against a reference labeling before anyone trusts it on 100 TB —
+  * this operator computes tie-corrected ROC-AUC and the
+  * precision/recall operating points, engine-exactly.
+  *
+  * Scale shape: scores are expected ROUNDED (the repo's round4
+  * stance), so the per-score histogram `groupBy` has ≤ 10⁴ groups
+  * regardless of corpus size — ONE partial-agg'd corpus pass, then
+  * every rank/cumulative trick runs on the tiny histogram (the
+  * windows below sort ≤ 10⁴ rows, never the corpus). AUC uses the
+  * Mann–Whitney rank-sum with midranks for ties, kept in INTEGER
+  * arithmetic (doubled ranks) until the single final division.
+  */
+object Eval {
+
+  /** Tie-corrected ROC-AUC of `scoreCol` predicting `labelCol`
+    * (0/1 int): one row (auc, n_pos, n_neg).
+    *
+    * Midrank identity in doubled-integer space: for a score group g
+    * with n_g rows (p_g positive) and c_g rows strictly below,
+    * 2·midrank_g = 2·c_g + n_g + 1, so
+    * 2·Σ ranks⁺ = Σ p_g·(2c_g + n_g + 1) and
+    * AUC = (2·Σ ranks⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val h = scoreHist(df, scoreCol, labelCol)
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.select(col("score"), col("n"), col("np"),
+        coalesce(sum(col("n")).over(w), lit(0L)).as("c"))
+      .agg(
+        sum(col("np") * (lit(2) * col("c") + col("n") + 1)).as("s2"),
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"))
+      .select(
+        TextFunctions.round4(
+          (col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            greatest(lit(2.0) * col("n_pos") * col("n_neg"), lit(1.0)))
+          .as("auc"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"))
+  }
+
+  /** Operating points at the given thresholds (keep = score ≥ t): one
+    * row per threshold with the confusion counts and rounded
+    * precision/recall/F1. Computed from the same histogram — the
+    * threshold sweep is a ≤ |thresholds|×10⁴ join on the tiny side. */
+  def prAtThresholds(df: DataFrame, scoreCol: String, labelCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    val h = scoreHist(df, scoreCol, labelCol).localCheckpoint()
+    val t = h.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("thr")
+    t.crossJoin(h)
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("score") >= col("thr"), col("np"))
+          .otherwise(lit(0L))).as("tp"),
+        sum(when(col("score") >= col("thr"), col("n") - col("np"))
+          .otherwise(lit(0L))).as("fp"),
+        sum(when(col("score") < col("thr"), col("np"))
+          .otherwise(lit(0L))).as("fn"),
+        sum(when(col("score") < col("thr"), col("n") - col("np"))
+          .otherwise(lit(0L))).as("tn"))
+      .select(TextFunctions.round4(col("thr")).as("thr"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+        TextFunctions.round4(col("tp").cast("double") /
+          greatest(col("tp") + col("fp"), lit(1L))).as("precision"),
+        TextFunctions.round4(col("tp").cast("double") /
+          greatest(col("tp") + col("fn"), lit(1L))).as("recall"))
+  }
+
+  /** The per-score histogram both metrics run on: (score, n, np). */
+  private def scoreHist(df: DataFrame, scoreCol: String,
+                        labelCol: String): DataFrame =
+    df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("np"))
+}

@@ -63,6 +63,27 @@ object DocQueries {
   def qDocMaxSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.maximalSpans(docs(s, dir), "text", "doc_id")
 
+  // ---------------------------------------------------------------- C75
+  /** Filter-evaluation operating curve (see
+    * [[graft.operators.Eval]]): tie-corrected ROC-AUC plus the
+    * precision/recall confusion table of the C8 quality score
+    * predicting the C52 Gopher keep verdict at nine thresholds — the
+    * "does the cheap score reproduce the expensive battery" question
+    * every staged pipeline asks before replacing the battery with the
+    * score at 100 TB. Hash-green oracled: midrank AUC stays in
+    * doubled-integer space until one final division, and both stage
+    * definitions reuse their existing generated mirrors. */
+  def qDocFilterEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val g = gopherMetrics(docs(s, dir), carry = Seq("text"))
+      .select(TextFunctions.round4(
+          TextFunctions.qualityScore(col("text"))).as("score"),
+        col("keep").as("label"))
+    Eval.prAtThresholds(g, "score", "label", (1 to 9).map(_ / 10.0))
+      .crossJoin(broadcast(
+        Eval.rocAuc(g, "score", "label").select(col("auc"))))
+  }
+
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
     * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
@@ -1907,6 +1928,7 @@ object DocQueries {
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
     "q_doc_max_spans"     -> (qDocMaxSpans _),
     "q_doc_max_scrub"     -> (qDocMaxScrub _),
+    "q_doc_filter_eval"   -> (qDocFilterEval _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),
@@ -2187,7 +2209,44 @@ object DocQueries {
       |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
       |FROM k""".stripMargin
 
+  /** DuckDB mirror of [[qDocFilterEval]]: same per-score histogram,
+    * same doubled-integer midrank AUC, same threshold sweep — quality
+    * and Gopher stages reuse their generated mirrors. */
+  private def filterEvalOracleSql: String = {
+    val gopher = gopherOracleSql("documents", Seq("text"))
+    val thrs = (1 to 9).map(i => (i / 10.0).toString).mkString(", ")
+    s"""WITH g AS MATERIALIZED (
+      |  SELECT round(${qualitySql("text")}, 4) AS score, keep AS label
+      |  FROM ($gopher) gm),
+      |h AS MATERIALIZED (
+      |  SELECT score, count(*) AS n, sum(label) AS np FROM g GROUP BY 1),
+      |r AS (SELECT score, n, np,
+      |        COALESCE(sum(n) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      |      FROM h),
+      |a AS (SELECT round(
+      |        (sum(np * (2*c + n + 1)) - sum(np) * (sum(np) + 1)) * 1.0 /
+      |        greatest(2.0 * sum(np) * sum(n - np), 1.0), 4) AS auc
+      |      FROM r),
+      |t AS (SELECT CAST(unnest([$thrs]) AS DOUBLE) AS thr),
+      |pr AS (
+      |  SELECT thr,
+      |    sum(CASE WHEN score >= thr THEN np ELSE 0 END) AS tp,
+      |    sum(CASE WHEN score >= thr THEN n - np ELSE 0 END) AS fp,
+      |    sum(CASE WHEN score <  thr THEN np ELSE 0 END) AS fn,
+      |    sum(CASE WHEN score <  thr THEN n - np ELSE 0 END) AS tn
+      |  FROM t CROSS JOIN h GROUP BY thr)
+      |SELECT round(thr, 4) AS thr,
+      |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  round(tp * 1.0 / greatest(tp + fp, 1), 4) AS precision,
+      |  round(tp * 1.0 / greatest(tp + fn, 1), 4) AS recall,
+      |  a.auc
+      |FROM pr, a""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_doc_filter_eval" -> filterEvalOracleSql,
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_max_spans" -> maxSpansOracleSql,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** C75 filter-evaluation metrics: midrank AUC against hand-computed
+  * values (including the tie case the midrank correction exists for)
+  * and exact confusion counts at the threshold sweep. */
+class EvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("C75: AUC is 1.0 on perfect separation, 0.0 reversed, 0.5 on a constant score") {
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)).toDF("score", "label")
+    assert(Eval.rocAuc(perfect, "score", "label").head().getDouble(0) == 1.0)
+    val reversed = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)).toDF("score", "label")
+    assert(Eval.rocAuc(reversed, "score", "label").head().getDouble(0) == 0.0)
+    val constant = Seq((0.5, 0), (0.5, 0), (0.5, 1)).toDF("score", "label")
+    assert(Eval.rocAuc(constant, "score", "label").head().getDouble(0) == 0.5)
+  }
+
+  test("C75: midrank tie correction matches the hand-computed rank sum") {
+    // scores: 0.1(n), 0.5(n), 0.5(p), 0.9(p)
+    // midranks: 1, 2.5, 2.5, 4 → Σranks⁺ = 6.5
+    // AUC = (6.5 − 2·3/2) / (2·2) = 3.5/4 = 0.875
+    val d = Seq((0.1, 0), (0.5, 0), (0.5, 1), (0.9, 1)).toDF("score", "label")
+    val r = Eval.rocAuc(d, "score", "label").head()
+    assert(r.getDouble(0) == 0.875, r.toString)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
+  test("C75: threshold sweep emits exact confusion counts (keep = score >= t)") {
+    val d = Seq((0.2, 0), (0.4, 1), (0.6, 0), (0.8, 1)).toDF("score", "label")
+    val rows = Eval.prAtThresholds(d, "score", "label", Seq(0.5))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // ≥0.5 keeps 0.6(n) and 0.8(p): tp=1 fp=1 fn=1 tn=1, P=R=0.5
+    assert(rows.toSeq == Seq((1L, 1L, 1L, 1L, 0.5, 0.5)), rows.mkString(","))
+  }
+
+  test("C75: the histogram path never sorts the corpus — window input is score-distinct-sized") {
+    // 100k rows but only 3 distinct scores: the orderBy window must sit
+    // on the 3-row aggregate, which execution proves by not erroring on
+    // a single-partition corpus-wide sort of this size in sub-seconds;
+    // correctness is the assertable part
+    val big = spark.range(90000L)
+      .select((pmod(col("id"), lit(3L)) * 0.1).as("score"),
+        (col("id") % 2L).cast("int").as("label"))
+    val auc = Eval.rocAuc(big, "score", "label").head().getDouble(0)
+    assert(auc == 0.5, s"balanced labels per score must give 0.5, got $auc")
+  }
+}
