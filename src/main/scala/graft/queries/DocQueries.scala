@@ -45,7 +45,10 @@ object DocQueries {
 
   // ---------------------------------------------------------------- C3b
   /** SimHash near-dup pairs (hamming ≤ 3 via pigeonhole banding).
-    * Rows-only: the signature is hash-family specific. */
+    * Hash-green since the signature itself is oracled (C3): banding is
+    * shift/mask arithmetic and the verify is `bit_count(xor)` — both
+    * plain integer ops DuckDB reproduces from the same mirrored
+    * signatures ([[simhashPairsOracleSql]]). */
   def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
 
@@ -2245,9 +2248,36 @@ object DocQueries {
       |FROM pr, a""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.operators.Dedup.simhashPairs]] at
+    * maxDist = 3: the mirrored C3 signatures banded into 4×16-bit
+    * pigeonhole keys (shift-then-mask reads the same bit window
+    * whether the engine's shift sign-extends or not), maxBucket
+    * mirrored, `bit_count(xor)` verify. */
+  private def simhashPairsOracleSql: String = {
+    val bands = 4
+    val width = 16
+    val mask = (1 << width) - 1
+    s"""WITH sig AS MATERIALIZED ($simhashOracleSql),
+      |b AS MATERIALIZED (
+      |  SELECT doc_id, simhash, band,
+      |         (simhash >> (band * $width)) & $mask AS bh
+      |  FROM sig, (SELECT unnest(range($bands)) AS band)),
+      |ok AS (SELECT band, bh FROM b
+      |       GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4096),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+      |                  c.doc_id AS id_b, c.simhash AS sb
+      |  FROM b a
+      |  JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+      |  JOIN ok o ON o.band = a.band AND o.bh = a.bh)
+      |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_doc_filter_eval" -> filterEvalOracleSql,
     "q_doc_simhash" -> simhashOracleSql,
+    "q_doc_simhash_pairs" -> simhashPairsOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_max_spans" -> maxSpansOracleSql,
     "q_doc_max_scrub" -> maxScrubOracleSql,
