@@ -118,4 +118,57 @@ object Graph {
     }
     if (hasDangling) ranks else ranks.localCheckpoint()
   }
+
+  /** C76 — seed-label expansion (semi-supervised label propagation):
+    * a handful of trusted labels (curated seed domains, hand-audited
+    * docs) spread over a similarity graph — here the near-dup pair
+    * relation the dedup screens already produce — to label the
+    * unlabeled mass, the weak-supervision bootstrap every
+    * quality-classifier training set starts from (cf. fastText web
+    * classifiers seeded from curated domain lists).
+    *
+    * DETERMINISTIC by construction, so it carries a SQL oracle where
+    * classic float-weighted propagation cannot: votes are integer
+    * neighbor counts, each unlabeled node takes the majority label
+    * among its labeled neighbors with ties broken by the
+    * lexicographically smallest label, and seeds are clamped (never
+    * relabeled). Fixed `rounds`, so reachability is exactly
+    * "within `rounds` hops of a seed" — a reproducible artifact.
+    *
+    * Shape at 100 TB: per round ONE edges⋈labels equi-join + ONE
+    * (node, label) groupBy + ONE per-node window (vote-relation
+    * sized, grouped by node — no global sort); the label relation is
+    * node-sized; `localCheckpoint` per round truncates the lineage
+    * (labels are read twice per round: votes + the already-labeled
+    * anti-join).
+    *
+    * `edges` (src, dst) is treated as DIRECTED votes src→dst — pass
+    * both directions for the usual undirected similarity graph.
+    * Output: (node, label, round) with round = the hop at which the
+    * label arrived (0 for seeds); nodes unreachable from any seed are
+    * absent — count them as the accounting relation via an anti-join
+    * of the node universe. */
+  def labelSpread(edges: DataFrame, seeds: DataFrame,
+                  rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var lab = seeds.select(col("node"), col("label"), lit(0).as("round"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val votes = e
+        .join(lab.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("votes").desc, col("label").asc)
+      val newly = votes
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("node"), col("label"), lit(r).as("round"))
+        .join(lab.select(col("node")), Seq("node"), "left_anti")
+      lab = lab.union(newly).localCheckpoint()
+    }
+    lab
+  }
 }

@@ -66,6 +66,26 @@ object DocQueries {
   def qDocMaxSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.maximalSpans(docs(s, dir), "text", "doc_id")
 
+  // ---------------------------------------------------------------- C76
+  /** Seed-label expansion over the near-dup graph (see
+    * [[graft.operators.Graph.labelSpread]]): every 10th doc is a
+    * trusted seed labeled with its source, spread 3 hops over the C3b
+    * simhash-pair edges — the weak-supervision bootstrap a
+    * quality-classifier training set starts from. Hash-green oracled:
+    * integer votes + smallest-label tie-break over the already-
+    * mirrored pair relation, rounds unrolled
+    * ([[labelSpreadOracleSql]]). */
+  def qDocLabelSpread(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val pairs = Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("node"), col("source").as("label"))
+    Graph.labelSpread(edges, seeds, rounds = 3)
+      .select(col("node").as("doc_id"), col("label"), col("round"))
+  }
+
   // ---------------------------------------------------------------- C75
   /** Filter-evaluation operating curve (see
     * [[graft.operators.Eval]]): tie-corrected ROC-AUC plus the
@@ -1932,6 +1952,7 @@ object DocQueries {
     "q_doc_max_spans"     -> (qDocMaxSpans _),
     "q_doc_max_scrub"     -> (qDocMaxScrub _),
     "q_doc_filter_eval"   -> (qDocFilterEval _),
+    "q_doc_label_spread"  -> (qDocLabelSpread _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),
@@ -2274,7 +2295,39 @@ object DocQueries {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   }
 
+  /** DuckDB mirror of [[qDocLabelSpread]]: the C3b pair mirror
+    * symmetrized into directed votes, 3 rounds unrolled (each label
+    * relation is read three times per round — votes, the
+    * already-labeled screen, and the union — so every round CTE is
+    * MATERIALIZED against the usual inline re-evaluation blowup). */
+  private def labelSpreadOracleSql: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""v$r AS (
+        |  SELECT e.dst, l.label, count(*) AS votes
+        |  FROM ee e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+        |n$r AS (
+        |  SELECT dst AS node, label, $r AS round
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY dst
+        |          ORDER BY votes DESC, label ASC) AS rk FROM v$r)
+        |  WHERE rk = 1 AND dst NOT IN (SELECT node FROM $prev)),
+        |l$r AS MATERIALIZED (
+        |  SELECT * FROM $prev UNION ALL SELECT * FROM n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($simhashPairsOracleSql),
+      |ee AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |l0 AS MATERIALIZED (
+      |  SELECT doc_id AS node, source AS label, 0 AS round
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |$roundCtes
+      |SELECT node AS doc_id, label, round FROM l$rounds""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_doc_label_spread" -> labelSpreadOracleSql,
     "q_doc_filter_eval" -> filterEvalOracleSql,
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_simhash_pairs" -> simhashPairsOracleSql,

@@ -68,6 +68,38 @@ class GraphSpec extends SparkSpec {
     assert(run(edges, 4) == run(shuffled, 4))
   }
 
+  test("C76: labels spread hop-by-hop with clamped seeds, smallest-label ties, absent unreachables") {
+    def sym(p: (Long, Long)*) =
+      (p ++ p.map(e => (e._2, e._1))).toDF("src", "dst")
+    // two chains meeting nowhere + a contested node 7 + isolated 8-9
+    val edges = sym((1L, 2L), (2L, 3L), (6L, 5L), (5L, 4L), (4L, 3L),
+      (1L, 7L), (6L, 7L), (8L, 9L))
+    val seeds = Seq((1L, "red"), (6L, "blue")).toDF("node", "label")
+    val got = Graph.labelSpread(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) == ("red", 0) && got(6L) == ("blue", 0)) // clamped seeds
+    assert(got(2L) == ("red", 1) && got(5L) == ("blue", 1)) // 1 hop
+    assert(got(3L) == ("red", 2) && got(4L) == ("blue", 2)) // 2 hops
+    assert(got(7L) == ("blue", 1), "equal votes must break to the smallest label")
+    assert(!got.contains(8L) && !got.contains(9L), "unreachable nodes stay absent")
+    assert(got.size == 7)
+  }
+
+  test("C76: a labeled node is never relabeled even when later votes disagree") {
+    // node 2 gets red at round 1; at round 2 three blue neighbors vote
+    val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (5L, 2L),
+      (1L, 3L), (1L, 4L), (1L, 5L)).flatMap(e => Seq(e, e.swap))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, "red"), (3L, "blue"), (4L, "blue"), (5L, "blue"))
+      .toDF("node", "label")
+    val got = Graph.labelSpread(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // round 1: node 2 sees red(1) + blue(3) → blue wins the vote; the
+    // point is the SEEDS never flip despite their disagreeing neighbors
+    assert(got(1L) == "red" && got(3L) == "blue")
+    assert(got(2L) == "blue")
+  }
+
   test("C71: plan has no cartesian product and one edges-sized join per iteration") {
     val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
     val plan = Graph.pageRank(edges, iters = 2)
