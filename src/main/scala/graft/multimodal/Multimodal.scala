@@ -212,6 +212,44 @@ object Multimodal {
     })
   }
 
+  /** C77 — scene-change segmentation over a [[videoHashes]] relation:
+    * a cut falls between consecutive sampled frames whose perceptual
+    * hashes differ by more than `threshold` bits (hard-cut detection
+    * by frame-signature delta — the classical shot-boundary heuristic;
+    * aHash is tone/brightness-robust, so gradual lighting drift does
+    * NOT cut while a content change does). Emits per video the scene
+    * count, the 1-based frame index where each scene starts, and each
+    * scene's KEYFRAME hash (its first frame) — the scene-granular
+    * fingerprint that catches clip reuse inside longer videos, where
+    * whole-video set containment (C68) dilutes.
+    *
+    * Shape at 100 TB: pure codegen'd Catalyst over the per-video hash
+    * array — `transform`/`filter` HOFs, zero shuffles, zero UDFs; the
+    * expensive step (decode) already happened once in
+    * [[videoHashes]]. Undecoded rows pass through with empty scenes,
+    * preserved by the quarantine stance. */
+  def sceneCuts(hashes: org.apache.spark.sql.DataFrame,
+                threshold: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = size(col("fhashes"))
+    // cut after frame i (1-based) ⇔ hamming(h_i, h_{i+1}) > threshold.
+    // n ≤ 1 guard: Spark's sequence(1, 0) DESCENDS instead of emptying
+    val cuts = when(n <= 1, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), n - 1), i =>
+        bit_count(element_at(col("fhashes"), i)
+          .bitwiseXOR(element_at(col("fhashes"), i + 1))) > threshold))
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(concat(array(lit(1)),
+        transform(cuts, c => (c + 1).cast("int"))))
+    hashes
+      .withColumn("scene_starts", starts)
+      .withColumn("n_scenes", size(col("scene_starts")))
+      .withColumn("keyframes",
+        transform(col("scene_starts"), i => element_at(col("fhashes"), i)))
+      .select(col("media_id"), col("n_frames"), size(col("fhashes")).as("n_hashed"),
+        col("n_scenes"), col("scene_starts"), col("keyframes"), col("decoded"))
+  }
+
   /** Deterministic seed-frames→video rendering: each seed renders one
     * [[renderPpm]] frame and the frames concatenate into the "ppmseq"
     * container [[Codec.decodePpmSeq]] parses — the video counterpart

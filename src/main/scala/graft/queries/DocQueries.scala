@@ -1867,6 +1867,32 @@ object DocQueries {
     * matching would miss. Rows-only by design (no DuckDB video
     * decode); MultimodalSpec pins decode, trim/tone invariance,
     * planted recall and band-collision rejection. */
+  // ---------------------------------------------------------------- C77
+  /** Scene-change segmentation (see
+    * [[graft.multimodal.Multimodal.sceneCuts]]): synthetic 3-scene
+    * videos (3 jittered frames per scene — intra-scene brightness
+    * jitter must NOT cut, inter-scene content change must) rendered
+    * from the documents table through the real multi-frame decode.
+    * Rows-only (video decode has no SQL oracle); MultimodalSpec pins
+    * the cut positions. */
+  def qMmScenes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => MM}
+    def rot(a: Array[Byte], k: Int): Array[Byte] =
+      if (a.isEmpty) a else { val r = k % a.length; a.drop(r) ++ a.take(r) }
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val frames = (0 until 3).flatMap { sc =>
+          val base = rot(seed, sc * 11)
+          (0 until 3).map(j => base.map(b => (b + j).toByte))
+        }
+        MM.MediaRow(id, MM.renderPpmSeq(frames, 16, 16), "ppmseq", 16, 16, 9)
+      }
+    MM.sceneCuts(MM.videoHashes(media, stride = 1).toDF())
+  }
+
   def qMmVideoDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
@@ -1901,6 +1927,7 @@ object DocQueries {
     "q_mm_phash_dups"     -> (qMmPhashDups _),
     "q_mm_audio_dups"     -> (qMmAudioDups _),
     "q_mm_video_dups"     -> (qMmVideoDups _),
+    "q_mm_scenes"         -> (qMmScenes _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),

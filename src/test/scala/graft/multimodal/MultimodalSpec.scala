@@ -298,4 +298,39 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).getString(3) ==
       sig(decodeFeature("wav", renderWavPcm16(seed, 800))))
   }
+
+  test("C77: scene cuts land at content changes, not at brightness jitter; edges quarantine") {
+    import spark.implicits._
+    val seed = "scene segmentation drives shot boundary detection".getBytes
+    def rot(a: Array[Byte], k: Int): Array[Byte] =
+      { val r = k % a.length; a.drop(r) ++ a.take(r) }
+    // 3 scenes × 3 frames; intra-scene frames differ by +1 brightness
+    val sceneFrames = (0 until 3).flatMap { sc =>
+      val base = rot(seed, sc * 13)
+      (0 until 3).map(j => base.map(b => (b + j).toByte))
+    }
+    val media = Seq(
+      MediaRow(1L, Multimodal.renderPpmSeq(sceneFrames, 16, 16), "ppmseq", 16, 16, 9),
+      // single-frame video: exactly one scene
+      MediaRow(2L, Multimodal.renderPpmSeq(Seq(seed), 16, 16), "ppmseq", 16, 16, 1),
+      // junk payload: quarantined with empty scenes
+      MediaRow(3L, Array[Byte](1, 2, 3), "mp4", 0, 0, 0)
+    ).toDS()
+    val out = Multimodal.sceneCuts(
+        Multimodal.videoHashes(media, stride = 1).toDF())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val v1 = out(1L)
+    assert(v1.getAs[Int]("n_scenes") == 3, v1.toString)
+    assert(v1.getAs[collection.Seq[Int]]("scene_starts").toSeq == Seq(1, 4, 7), v1.toString)
+    // keyframes are the hashes at the scene-start frames
+    val hs = sceneFrames.map(f =>
+      Codec.aHash(Codec.decodePpm(Multimodal.renderPpm(f, 16, 16)).get))
+    assert(v1.getAs[collection.Seq[Long]]("keyframes").toSeq == Seq(hs(0), hs(3), hs(6)))
+    assert(out(2L).getAs[Int]("n_scenes") == 1 &&
+      out(2L).getAs[collection.Seq[Int]]("scene_starts").toSeq == Seq(1))
+    val junk = out(3L)
+    assert(!junk.getAs[Boolean]("decoded") &&
+      junk.getAs[Int]("n_scenes") == 0 &&
+      junk.getAs[collection.Seq[Int]]("scene_starts").isEmpty)
+  }
 }
