@@ -1286,6 +1286,57 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** C78 — measured LSH operating curve: the minhash screen's recall
+    * against EXACT n-gram Jaccard truth, bucketed by similarity — the
+    * empirical S-curve (theory: P(candidate) = 1 − (1 − j^r)^b for b
+    * bands of r rows) measured on the actual corpus with the actual
+    * banding configuration. The number that justifies a screen before
+    * anyone trusts it to gate 100 TB: recall must be ~1 above the
+    * dedup threshold and is EXPECTED to fall away below it (that
+    * fall-off is the screen's selectivity, not a defect).
+    *
+    * Truth = [[ngramJaccardPairs]] at `truthThreshold` (exact, itself
+    * SQL-oracled); screen = [[minhashCandidatePairs]] with the given
+    * banding. Output: one row per 0.1-wide Jaccard bucket —
+    * (j_lo, n_true, n_hit, recall) — plus the candidate-efficiency
+    * row (`j_lo = -1`): candidates emitted vs candidates that are
+    * true pairs (the verify stage's workload).
+    *
+    * Shape: both relations are the operators' own (bucket joins,
+    * never all-pairs); the evaluation adds ONE pair-keyed left join
+    * truth⋈screen + ONE ≤11-group aggregate. Rows-only by
+    * construction (the screen is hash-family-specific); the planted
+    * spec pins exact-dup recall = 1. */
+  def screenEval(docs: DataFrame, textCol: String, idCol: String,
+                 truthThreshold: Double = 0.5, ngram: Int = 3,
+                 numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val truth = ngramJaccardPairs(docs, textCol, idCol, ngram,
+      truthThreshold)
+    val screen = minhashCandidatePairs(docs, textCol, idCol, numHashes,
+        bands, ngram)
+      .select(col("id_a").as("doc1"), col("id_b").as("doc2"),
+        lit(1L).as("hit"))
+      .localCheckpoint()
+    val joined = truth.join(screen, Seq("doc1", "doc2"), "left")
+    val buckets = joined
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("j_lo10"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(TextFunctions.round4(col("j_lo10") / 10.0).as("j_lo"),
+        col("n_true"), col("n_hit"),
+        TextFunctions.round4(col("n_hit").cast("double") /
+          greatest(col("n_true"), lit(1L))).as("recall"))
+    val efficiency = screen
+      .join(truth.select(col("doc1"), col("doc2"), lit(1L).as("t")),
+        Seq("doc1", "doc2"), "left")
+      .agg(count(lit(1)).as("n_true"), // candidates emitted
+        coalesce(sum(col("t")), lit(0L)).as("n_hit")) // of them, true
+      .select(lit(-1.0).as("j_lo"), col("n_true"), col("n_hit"),
+        TextFunctions.round4(col("n_hit").cast("double") /
+          greatest(col("n_true"), lit(1L))).as("recall"))
+    buckets.unionByName(efficiency)
+  }
+
   /** Anchors [[maximalSpans]]' `maxDocFreq` cap dropped, with their
     * occurrence counts — every lossy cap gets an accounting
     * relation. */

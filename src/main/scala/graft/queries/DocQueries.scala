@@ -66,6 +66,15 @@ object DocQueries {
   def qDocMaxSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.maximalSpans(docs(s, dir), "text", "doc_id")
 
+  // ---------------------------------------------------------------- C78
+  /** Measured LSH S-curve (see
+    * [[graft.operators.Dedup.screenEval]]): the C2 minhash screen's
+    * recall per exact-Jaccard bucket on the real corpus, plus the
+    * candidate-efficiency row. Rows-only (the screen is
+    * hash-family-specific); OperatorsSpec pins planted-dup recall. */
+  def qDocScreenEval(s: SparkSession, dir: String): DataFrame =
+    Dedup.screenEval(docs(s, dir), "text", "doc_id")
+
   // ---------------------------------------------------------------- C76
   /** Seed-label expansion over the near-dup graph (see
     * [[graft.operators.Graph.labelSpread]]): every 10th doc is a
@@ -1980,6 +1989,7 @@ object DocQueries {
     "q_doc_max_scrub"     -> (qDocMaxScrub _),
     "q_doc_filter_eval"   -> (qDocFilterEval _),
     "q_doc_label_spread"  -> (qDocLabelSpread _),
+    "q_doc_screen_eval"   -> (qDocScreenEval _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),

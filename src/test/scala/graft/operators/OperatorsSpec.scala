@@ -968,6 +968,29 @@ class OperatorsSpec extends SparkSpec {
     assert(again.filter(col("n_removed") > 0).isEmpty, "scrub must be idempotent")
   }
 
+  test("C78: screen eval recalls planted exact dups at 1.0 and accounts candidate efficiency") {
+    val base = (1 to 40).map(i => f"tok$i%02d").mkString(" ")
+    val d = Seq(
+      (1L, base), (2L, base),                       // exact dup: jaccard 1.0
+      (3L, base.replace("tok05", "zzz05")
+        .replace("tok25", "zzz25")),                // near dup of 1
+      (4L, (1 to 40).map(i => f"oth$i%02d").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val rows = Dedup.screenEval(d, "text", "doc_id")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the jaccard-1.0 bucket (j_lo = 1.0) must be fully recalled
+    assert(rows(1.0)._1 >= 1L && rows(1.0)._3 == 1.0, rows.toString)
+    // every true pair above the dedup threshold was found here
+    val truthBuckets = rows.filterKeys(_ >= 0).values
+    assert(truthBuckets.map(_._1).sum >= 2L)
+    assert(truthBuckets.forall { case (t, h, _) => h <= t })
+    // efficiency row: hits never exceed candidates, and the exact dup
+    // (identical signature → every band collides) is always among them
+    val eff = rows(-1.0)
+    assert(eff._1 >= eff._2 && eff._2 >= 1L, eff.toString)
+  }
+
   test("C70: hot prefix buckets are capped with accounting, not silently") {
     // 12 docs sharing segment 0 exactly; maxBucket=8 drops that bucket
     val base = editedDoc()
