@@ -66,6 +66,38 @@ object DocQueries {
   def qDocMaxSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.maximalSpans(docs(s, dir), "text", "doc_id")
 
+  // ---------------------------------------------------------------- C79
+  /** Cross-source duplication matrix: how much each source pair
+    * copies from each other — per unordered (source_a, source_b), the
+    * count of C3b simhash near-dup pairs whose two docs come from
+    * those sources, and how many distinct docs of each side are
+    * involved. The report behind source-level dedup decisions (a
+    * mirror site shows up as an off-diagonal hot cell; boilerplate-
+    * heavy sources light their diagonal). Rides the already-oracled
+    * pair relation: ONE join to the (doc_id, source) projection per
+    * pair side + ONE small groupBy — hash-green end-to-end. */
+  def qDocSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select( // orient docs WITH their sources so the per-side
+        // distinct counts stay attached to the right source
+        when(col("sa") <= col("sb"), col("sa")).otherwise(col("sb"))
+          .as("source_a"),
+        when(col("sa") <= col("sb"), col("sb")).otherwise(col("sa"))
+          .as("source_b"),
+        when(col("sa") <= col("sb"), col("id_a")).otherwise(col("id_b"))
+          .as("doc_a"),
+        when(col("sa") <= col("sb"), col("id_b")).otherwise(col("id_a"))
+          .as("doc_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+  }
+
   // ---------------------------------------------------------------- C78
   /** Measured LSH S-curve (see
     * [[graft.operators.Dedup.screenEval]]): the C2 minhash screen's
@@ -1990,6 +2022,7 @@ object DocQueries {
     "q_doc_filter_eval"   -> (qDocFilterEval _),
     "q_doc_label_spread"  -> (qDocLabelSpread _),
     "q_doc_screen_eval"   -> (qDocScreenEval _),
+    "q_doc_source_overlap" -> (qDocSourceOverlap _),
     "q_emb_cosine_topk"   -> (qEmbCosineTopk _),
     "q_emb_cluster_sample" -> (qEmbClusterSample _),
     "q_emb_pca"           -> (qEmbPca _),
@@ -2363,7 +2396,30 @@ object DocQueries {
       |SELECT node AS doc_id, label, round FROM l$rounds""".stripMargin
   }
 
+  /** DuckDB mirror of [[qDocSourceOverlap]]: the C3b pair mirror
+    * joined to the (doc_id, source) projection per side, oriented
+    * docs-with-sources, same small groupBy. */
+  private def sourceOverlapOracleSql: String =
+    s"""WITH pairs AS MATERIALIZED ($simhashPairsOracleSql),
+      |j AS (
+      |  SELECT da.source AS sa, db.source AS sb, p.id_a, p.id_b
+      |  FROM pairs p
+      |  JOIN documents da ON da.doc_id = p.id_a
+      |  JOIN documents db ON db.doc_id = p.id_b),
+      |o AS (
+      |  SELECT CASE WHEN sa <= sb THEN sa ELSE sb END AS source_a,
+      |         CASE WHEN sa <= sb THEN sb ELSE sa END AS source_b,
+      |         CASE WHEN sa <= sb THEN id_a ELSE id_b END AS doc_a,
+      |         CASE WHEN sa <= sb THEN id_b ELSE id_a END AS doc_b
+      |  FROM j)
+      |SELECT source_a, source_b,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+      |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+      |FROM o GROUP BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_doc_source_overlap" -> sourceOverlapOracleSql,
     "q_doc_label_spread" -> labelSpreadOracleSql,
     "q_doc_filter_eval" -> filterEvalOracleSql,
     "q_doc_simhash" -> simhashOracleSql,
