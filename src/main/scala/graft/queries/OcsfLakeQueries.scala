@@ -110,8 +110,41 @@ object OcsfLakeQueries {
   private def fmtTime(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** B34 — the audited (table, field) inventory, defined ONCE so the
+    * Spark program and the generated DuckDB mirror cannot drift: the
+    * OCSF core leaves a consumer checks before trusting a feed
+    * (process identity, DNS query keys, auth principals). */
+  private val CompletenessFields: Seq[(String, String, Seq[String])] = Seq(
+    ("Process Activity", "process_activity",
+      Seq("process.pid", "process.file.name", "device.os.type")),
+    ("DNS Activity", "dns_activity",
+      Seq("query.hostname", "rcode", "src_endpoint.uid")),
+    ("Authentication", "authentication",
+      Seq("user.name", "logon_type_id", "status")))
+
   // B-series style registration: name -> (spark, sfDir) => DataFrame
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B34 — normalization completeness audit: per OCSF core leaf, how
+    // many rows carry it (count(col) = non-null count in both
+    // engines). ONE scan + ONE 1-row aggregate per table, field rows
+    // exploded from a literal array — the funnel-report shape
+    "q_ocsf_lake_completeness" -> ((s, _) => {
+      CompletenessFields.map { case (tbl, _, fields) =>
+        val flat = fields.map(_.replace('.', '_'))
+        val aggs = count(lit(1)).as("n_rows") +:
+          fields.zip(flat).map { case (f, a) => count(col(f)).as(a) }
+        OcsfLake.table(s, tbl)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(fields.zip(flat).map { case (f, a) =>
+            struct(lit(tbl).as("table_name"), lit(f).as("field"),
+              col("n_rows"), col(a).as("n_nonnull"))
+          }: _*)).as("x"))
+          .select(col("x.*"))
+      }.reduce(_ unionByName _)
+        .withColumn("pct_nonnull",
+          round(col("n_nonnull") * 10000d / greatest(col("n_rows"), lit(1L)))
+            / 10000d)
+    }),
     // nested-leaf predicates (device.os.type, parent process name) +
     // group-by on the partition column; the filter prunes nothing on
     // this corpus (all Windows/explorer) but MUST push to the scan
@@ -190,7 +223,24 @@ object OcsfLakeQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("http_request.url.path")).as("n_paths"))))
 
+  /** Generated DuckDB mirror of q_ocsf_lake_completeness — one UNION
+    * branch per (table, field) from the SAME [[CompletenessFields]]
+    * inventory. Every path segment is double-quoted (query/user are
+    * reserved words). */
+  private def completenessOracleSql: String =
+    CompletenessFields.flatMap { case (tbl, duckTbl, fields) =>
+      fields.map { f =>
+        val qf = f.split('.').map(seg => "\"" + seg + "\"").mkString(".")
+        s"""SELECT '$tbl' AS table_name, '$f' AS field,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count($qf) AS BIGINT) AS n_nonnull,
+          |  round(count($qf) * 1.0 / greatest(count(*), 1), 4) AS pct_nonnull
+          |FROM ${OcsfLake.duck(duckTbl)}""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+
   def oracleSql: Map[String, String] = Map(
+    "q_ocsf_lake_completeness" -> completenessOracleSql,
     "q_ocsf_lake_proc_days" ->
       s"""SELECT CAST(eventDay AS VARCHAR) AS event_day,
         |       CAST(count(*) AS BIGINT) AS n_events,

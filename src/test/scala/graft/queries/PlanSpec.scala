@@ -268,6 +268,25 @@ class PlanSpec extends SparkSpec {
     assert(winLine.contains("doc_id"), s"window not doc-partitioned: $winLine")
   }
 
+  test("C72: the funnel report joins nothing — one scan feeds every stage flag") {
+    // the gopher battery is carried through the same select (the
+    // `carry` pass-through), so the only plan nodes between scan and
+    // the 1-row aggregate are projections, a hash-partitioned window
+    // and the aggregate itself — a join here would mean the metric
+    // relation got recomputed and joined back on doc_id
+    val p = plan("q_doc_filter_funnel")
+    assert(!p.contains("Join"), s"funnel must stay single-scan:\n$p")
+    assert(p.contains("Window"), "dedup keeper window missing")
+  }
+
+  test("C70/C73: fuzzy and span candidate generation shuffle on content keys, never all-pairs") {
+    Seq("q_doc_fuzzy_pairs", "q_doc_max_spans").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q goes all-pairs:\n$p")
+    }
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
