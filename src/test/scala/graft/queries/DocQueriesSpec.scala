@@ -192,6 +192,40 @@ class DocQueriesSpec extends SparkSpec {
       BigDecimal(1.0 - 5.0 / 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("C79: overlap matrix orients docs with their sources in both join directions") {
+    import spark.implicits._
+    // near-identical docs across sources; pair ids land on BOTH sides
+    // of the a<b orientation so a swapped-source bug would miscount
+    val base = (1 to 40).map(i => f"tok$i%02d").mkString(" ")
+    val d = Seq(
+      (1L, "zeta", base), (2L, "alpha", base),  // alpha<zeta, id_a=1 is zeta
+      (3L, "alpha", base + " x"), (4L, "zeta", base + " x")
+    ).toDF("doc_id", "source", "text")
+    val docsDf = d.select(col("doc_id"), col("text"), col("source"),
+      length(col("text")).as("n_chars"), lit("en").as("lang"))
+    // drive the same program the query runs, against this corpus
+    val pairs = graft.operators.Dedup.simhashPairs(docsDf, "text", "doc_id", maxDist = 3)
+    val src = docsDf.select(col("doc_id"), col("source"))
+    val out = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(
+        when(col("sa") <= col("sb"), col("sa")).otherwise(col("sb")).as("source_a"),
+        when(col("sa") <= col("sb"), col("sb")).otherwise(col("sa")).as("source_b"),
+        when(col("sa") <= col("sb"), col("id_a")).otherwise(col("id_b")).as("doc_a"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // all four docs are near-dups of each other → 4 cross pairs, 1+1 intra
+    val cross = out(("alpha", "zeta"))
+    assert(cross._1 == 4L, out.toString)
+    // doc_a carries the alpha side: docs 2 and 3 → 2 distinct
+    assert(cross._2 == 2L, out.toString)
+    assert(out(("alpha", "alpha"))._1 == 1L && out(("zeta", "zeta"))._1 == 1L)
+  }
+
   test("C72: funnel stages chain (in_i == kept_{i-1}) and dedup counts only post-filter survivors") {
     import spark.implicits._
     // passes every gopher rule: 60 distinct tokens incl. 2 stopwords
