@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{EventStream, StreamMetrics}
+
+/** Streaming-ingest throughput benchmark (SURVEY.md §2 A24): the
+  * batch EtlBench's missing twin. Pre-lands a synthetic FDR gz corpus
+  * (the same [[EtlBench.line]] shapes), then drives the REAL
+  * production entry point — [[EventStream.start]]'s single-pass
+  * 13-way exactly-once fan-out — until the landing prefix drains, and
+  * reports events/second plus per-trigger latency from the
+  * [[StreamMetrics]] listener. This is the number a user sizing a
+  * production stream needs next to the reference loader's 32.2k ev/s
+  * (tools/ref_etl_bench.py): how fast does the STREAMING path ingest,
+  * trigger overhead and commit-log writes included, not just the
+  * batch fan-out.
+  *
+  * `Trigger.AvailableNow` drains the corpus through the normal
+  * micro-batch machinery (maxFilesPerTrigger = 64 per
+  * EventStream.readNamed) and stops — so the run is finite and the
+  * measured triggers are exactly the production batch shape. Batch 0
+  * carries codegen/JIT cold cost; the JSON separates it the way
+  * Bench.scala separates cold_total.
+  *
+  * Usage: runMain graft.StreamBench [nEvents] [nFiles]
+  *   nFiles controls triggers: ceil(nFiles / 64) micro-batches.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toLong else 1000000L
+    val nFiles = if (args.length > 1) args(1).toInt else 256
+    val spark = GraftSession.get()
+    sys.env.get("SPARK_GRAFT_CACHE_BATCH").foreach(b =>
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", b))
+    sys.env.get("SPARK_GRAFT_PARQUET_BLOCK").foreach(b =>
+      spark.sparkContext.hadoopConfiguration.set("parquet.block.size", b))
+
+    val landing = Files.createTempDirectory("stream-bench-landing")
+    val out = Files.createTempDirectory("stream-bench-out")
+    val ckpt = Files.createTempDirectory("stream-bench-ckpt")
+    EtlBench.writeCorpus(landing, nEvents, nFiles)
+
+    val metrics = new StreamMetrics(capacity = 4096,
+      queryName = Some("ocsf-fanout")).attach(spark)
+
+    val t0 = System.nanoTime()
+    val q = EventStream.start(spark, landing.toString, out.toString,
+      ckpt.toString, "us-east-1", "123456789012",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val m = metrics.metrics(spark)
+      .select(col("batchId"), col("numInputRows"), col("triggerMs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val rows = m.map(_._2).sum
+    val warm = m.drop(1) // batch 0 pays codegen/JIT
+    val warmSec = warm.map(_._3).sum / 1e3
+    val warmRows = warm.map(_._2).sum
+    val trigMs = m.map(_._3)
+    def jnum(v: Double): String =
+      if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+    // sanity: the stream must have ingested the whole corpus
+    // (writeCorpus floors to nFiles * (nEvents/nFiles) lines)
+    val written = (nEvents / nFiles) * nFiles
+    require(rows == written, s"ingested $rows of $written events")
+    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(if (warmSec > 0) warmRows / warmSec else Double.NaN)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"files":$nFiles}""")
+    spark.stop()
+  }
+}

@@ -31,8 +31,11 @@ object OcsfTables {
     * MISCONFIGURATION detector, not a runtime invariant, and it costs
     * a recursive listing of every data file in the table — fine at
     * test scale and on fresh tables, an O(10⁵–10⁶ objects) LIST tax on
-    * a months-old streaming table. At scale pass false here and run
-    * the guard from a maintenance job instead. */
+    * a months-old streaming table. OFF by default (r14): the default
+    * read path is the scale path — big commit logs parse their
+    * manifests in executors — and the guard is the opt-in maintenance
+    * check (pass true from an audit job, or after suspecting an
+    * out-of-band append). */
   /** `mergeSchemas` crosses an ADDITIVE schema-evolution boundary
     * ([[SchemaEvolution]]): batches written before a column was added
     * serve null for it. It costs a footer read per file (Spark's
@@ -40,7 +43,7 @@ object OcsfTables {
     * `spark.read.schema(evolvedSchema)` over the same file list — this
     * flag is the zero-setup path for occasional readers. */
   def load(spark: SparkSession, baseDir: String, route: String,
-           verifyAppends: Boolean = true,
+           verifyAppends: Boolean = false,
            mergeSchemas: Boolean = false): DataFrame = {
     val (fs, tableDir) = tableFs(spark, baseDir, route)
     if (IdempotentSink.hasCommitLog(fs, tableDir)) {
@@ -269,20 +272,28 @@ object OcsfTables {
     * Probing goes through the Hadoop FileSystem API so the same call
     * works against `s3a://` / `hdfs://` lakes, not just the local FS. */
   def registerAll(spark: SparkSession, baseDir: String,
-                  verifyAppends: Boolean = true): Seq[String] = {
+                  verifyAppends: Boolean = false): Seq[String] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     OcsfMappings.routes.flatMap { route =>
       val name = OcsfSink.tableName(route)
       val dir = new Path(s"$baseDir/$name")
       val fs = dir.getFileSystem(hadoopConf)
-      // one contract parse per table: the probe and the load share it
       if (IdempotentSink.hasCommitLog(fs, dir)) {
-        val contract = IdempotentSink.readContract(fs, dir)
-        if (contract._1.nonEmpty) {
-          loadCommitted(spark, fs, dir, contract, verifyAppends)
-            .createOrReplaceTempView(s"ocsf_$name")
+        if (!verifyAppends &&
+            manifestBytes(fs, dir) > distributedListingBytes(spark)) {
+          // big commit log: delegate to load's executor-side manifest
+          // parse; emptiness is implied (committed manifests ⇒ files)
+          load(spark, baseDir, route).createOrReplaceTempView(s"ocsf_$name")
           Some(s"ocsf_$name")
-        } else None
+        } else {
+          // one contract parse per table: the probe and the load share it
+          val contract = IdempotentSink.readContract(fs, dir)
+          if (contract._1.nonEmpty) {
+            loadCommitted(spark, fs, dir, contract, verifyAppends)
+              .createOrReplaceTempView(s"ocsf_$name")
+            Some(s"ocsf_$name")
+          } else None
+        }
       } else if (fs.exists(dir) && hasAnyParquet(fs, dir)) {
         spark.read.parquet(dir.toString).createOrReplaceTempView(s"ocsf_$name")
         Some(s"ocsf_$name")

@@ -54,15 +54,69 @@ object Dedup {
   /** C2 — MinHash signatures: `numHashes` independent min-hashes per
     * document. Hash family i is xxhash64 salted with the function index
     * (single shuffle: one groupBy over the exploded shingle relation,
-    * all mins computed map-side first). */
+    * all mins computed map-side first).
+    *
+    * `portableHash = true` swaps the family for ONE md5 per gram with
+    * 32 independent multiply-mod derivations over the digest's four
+    * 32-bit words: `hash_i = (a_i·x1 + b_i·x2 + c_i·x3 + d_i·x4) mod
+    * (2^61 − 1)` with per-function random 28-bit coefficients
+    * ([[minhashPortableCoef]]), so every product stays < 2^60 and the
+    * sum < 2^62 — no signed overflow in ANY engine. This is the C3
+    * recipe that makes the signature ENGINE-PORTABLE: md5 is
+    * identical everywhere and the derivation is plain positive-long
+    * arithmetic, so an independent SQL engine recomputes the exact
+    * mins and the banded pairs become hash-oracle-checkable. The
+    * coefficients must be INDEPENDENT per function — the cheaper
+    * `(h1 + i·h2) mod p` family was measured to correlate argmins
+    * across functions (whole bands agree when two docs share one
+    * low-hash gram: 15,189 candidates at sf0.1 vs 256 for xxhash64 —
+    * a 59× false-candidate blowup this family removes). xxhash64
+    * stays the default: one codegen'd op per (function, gram) with no
+    * hex render/parse. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 32, ngram: Int = 3): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(concat(lit(s"mh$i|"), col("gram")))).as(s"mh_$i"))
+                        numHashes: Int = 32, ngram: Int = 3,
+                        portableHash: Boolean = false): DataFrame = {
+    val grams = shingles(docs, textCol, idCol, ngram, dedupGrams = false)
     // min() is idempotent over duplicate grams → skip the distinct shuffle
-    shingles(docs, textCol, idCol, ngram, dedupGrams = false)
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
+    if (portableHash) {
+      val xs = (0 until 4).map(k =>
+        conv(substring(col("g128"), 1 + 8 * k, 8), 16, 10).cast("long"))
+      val mins = (0 until numHashes).map { i =>
+        val mix = (0 until 4).map(k =>
+          lit(minhashPortableCoef(i, k)) * xs(k)).reduce(_ + _)
+        min(mix % lit(MinhashPortableP)).as(s"mh_$i")
+      }
+      grams
+        .withColumn("g128", md5(col("gram")))
+        .groupBy(col(idCol))
+        .agg(mins.head, mins.tail: _*)
+    } else {
+      val mins = (0 until numHashes).map(i =>
+        min(xxhash64(concat(lit(s"mh$i|"), col("gram")))).as(s"mh_$i"))
+      grams.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    }
+  }
+
+  /** Modulus of the portable minhash family: the Mersenne prime
+    * 2^31 − 1 — shared with the generated DuckDB oracle. The modulus
+    * must be MUCH smaller than the pre-mod sum (< 2^62) so the form
+    * wraps ~2^31 times: with a near-2^62 modulus the form is almost
+    * monotone in the md5 words and the gram with the smallest digest
+    * becomes every function's argmin (measured: 9× candidate
+    * inflation at sf0.1 with 2^61−1 vs this). 31-bit outputs keep
+    * per-gram-pair collision odds at 2^-31 — noise for min
+    * statistics. */
+  val MinhashPortableP: Long = (1L << 31) - 1
+
+  /** Coefficient (function `i`, word `k`) of the portable family: the
+    * first 28 bits of md5("mh-i-k"), computed HERE once so the Spark
+    * plan and the generated DuckDB oracle interpolate the same
+    * literals and can never drift. */
+  def minhashPortableCoef(i: Int, k: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mh-$i-$k".getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
   }
 
   /** All ordered pairs (a < b in array order) within one bucket's id
@@ -91,8 +145,9 @@ object Dedup {
     * [[exactDedup]] already handles for a fraction of the cost. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 32, bands: Int = 8,
-                            ngram: Int = 3, maxBucket: Int = 4096): DataFrame =
-    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+                            ngram: Int = 3, maxBucket: Int = 4096,
+                            portableHash: Boolean = false): DataFrame =
+    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
       .filter(size(col("ids")).between(2, maxBucket))
       .withColumn("ids", array_sort(col("ids"))) // plain attribute for pairsWithin
       .select(explode(pairsWithin(col("ids"))).as("p"))
@@ -102,13 +157,23 @@ object Dedup {
   /** The band-bucket relation behind [[minhashCandidatePairs]]:
     * (band, bh, ids). */
   private def minhashBuckets(docs: DataFrame, textCol: String, idCol: String,
-                             numHashes: Int, bands: Int, ngram: Int): DataFrame = {
+                             numHashes: Int, bands: Int, ngram: Int,
+                             portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, textCol, idCol, numHashes, ngram)
+    val sig =
+      minhashSignatures(docs, textCol, idCol, numHashes, ngram, portableHash)
     val bandKeys = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      // portable band key: md5 over the comma-joined decimal mins —
+      // longs render identically in every SQL engine, so the bucket
+      // assignment (not just the signature) is oracle-reproducible
+      val bh =
+        if (portableHash)
+          conv(substring(md5(concat_ws(",", cols: _*)), 1, 15), 16, 10)
+            .cast("long")
+        else xxhash64(cols: _*)
+      struct(lit(b).as("band"), bh.as("bh"))
     }
     sig
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
@@ -122,8 +187,9 @@ object Dedup {
     * deltas dedup against 100 TB without recomputing the corpus. */
   def minhashBandBuckets(docs: DataFrame, textCol: String, idCol: String,
                          numHashes: Int = 32, bands: Int = 8,
-                         ngram: Int = 3): DataFrame =
-    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+                         ngram: Int = 3,
+                         portableHash: Boolean = false): DataFrame =
+    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
 
   /** C2e — INCREMENTAL near-dup candidates: a new delta screened
     * against an existing corpus using the corpus's persisted
@@ -140,8 +206,10 @@ object Dedup {
   def incrementalMinhashPairs(corpusBuckets: DataFrame, docs: DataFrame,
                               textCol: String, idCol: String,
                               numHashes: Int = 32, bands: Int = 8,
-                              ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val newOld = minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+                              ngram: Int = 3, maxBucket: Int = 4096,
+                              portableHash: Boolean = false): DataFrame = {
+    val newOld =
+      minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
       .withColumnRenamed("ids", "new_ids")
       .join(corpusBuckets.withColumnRenamed("ids", "old_ids"),
         Seq("band", "bh"), "left")
@@ -172,8 +240,9 @@ object Dedup {
     * Count it, histogram `bucket_size`, or join `ids` back for replay. */
   def minhashDroppedBuckets(docs: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 32, bands: Int = 8,
-                            ngram: Int = 3, maxBucket: Int = 4096): DataFrame =
-    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram)
+                            ngram: Int = 3, maxBucket: Int = 4096,
+                            portableHash: Boolean = false): DataFrame =
+    minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
       .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
@@ -1054,17 +1123,24 @@ object Dedup {
     *
     * Blocking: the key is cut into a FIXED grid of `maxDist + 1`
     * contiguous segments of `keyLen / (maxDist + 1)` chars; by
-    * pigeonhole, two equal-length keys within `maxDist` substitutions
-    * of each other agree on at least one whole segment, so pairing on
-    * (segment index, segment text) equality is a COMPLETE candidate
-    * generator for substitution-only divergence — and a recall-only
-    * screen (never a false positive: every candidate is re-verified
-    * with the exact `levenshtein` before it is emitted). Insertions /
-    * deletions shift the grid and are the declared recall gap (C2/C3
-    * catch those; this operator exists for the substitution regime).
-    * Keys shorter than the grid contribute only their complete
-    * segments; keys shorter than one segment are unblockable and fall
-    * out (declared — choose keyLen ≤ the corpus's min length to avoid).
+    * pigeonhole, two equal-length FULL-GRID keys (length = `keyLen`,
+    * so all `maxDist + 1` segments exist) within `maxDist`
+    * substitutions of each other agree on at least one whole segment,
+    * so pairing on (segment index, segment text) equality is a
+    * COMPLETE candidate generator for substitution-only divergence
+    * over full-length keys — and a recall-only screen (never a false
+    * positive: every candidate is re-verified with the exact
+    * `levenshtein` before it is emitted). Two DECLARED recall gaps:
+    * (1) insertions/deletions shift the grid (C2/C3 catch those; this
+    * operator exists for the substitution regime — measured per
+    * distance bucket by [[screenEval]]'s edit screen row); (2) keys
+    * SHORTER than the grid contribute only their complete segments,
+    * so a pair of equal-length short keys has fewer pigeonholes than
+    * `maxDist + 1` and can diverge in every segment it does have
+    * (e.g. 50-char keys = 2 complete 20-char segments; distance 3
+    * spread across both is missed). Choose keyLen ≤ the corpus's min
+    * length to restore the full-grid guarantee; keys shorter than one
+    * segment are unblockable and fall out entirely.
     *
     * Shape at 100 TB: segments explode ×(maxDist+1), ONE groupBy on
     * the (i, seg) bucket key, pairs expanded bucket-locally with the
@@ -1162,10 +1238,11 @@ object Dedup {
     *
     * Scale shape: anchors are a map-only transform (≈ tokens/modP
     * rows), the candidate join keys on uniformly-distributed md5, the
-    * extension is O(log maxExt) slice compares per candidate inside
-    * one stage (token arrays fetched by TWO id equi-joins, corpus
-    * scanned not collected), and the output distinct is
-    * candidate-sized. Intra-doc repeats are [[spanScrub]]'s job;
+    * extension is ONE closed-form first-mismatch scan per candidate —
+    * a zip_with equality map + array_position, work linear in the
+    * clamped extent, inside the same stage (token arrays fetched by
+    * TWO id equi-joins, corpus scanned not collected) — and the
+    * output distinct is candidate-sized. Intra-doc repeats are [[spanScrub]]'s job;
     * pairs here are inter-document (`id_a < id_b`). */
   def maximalSpans(docs: DataFrame, textCol: String, idCol: String,
                    minTokens: Int = 12, anchorK: Int = SpanAnchorK,
@@ -1222,7 +1299,23 @@ object Dedup {
     // materialize once: the relation feeds both the df cap and the
     // candidate join — unchecked, the explode+md5 pipeline runs twice
     // (the winnowPairs fingerprint stance; ~tokens/modP rows)
-    val anchors = toks
+    val anchors = preCapSpanAnchors(toks, anchorK, modP).localCheckpoint()
+    val hot = anchors.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("g"))
+    anchors.join(hot, Seq("g"), "left_anti")
+  }
+
+  /** The PRE-CAP content-defined anchor relation (id, pos, g): every
+    * anchorK-token gram start whose md5 mod modP == 0. The single
+    * definition consumed by BOTH [[spanAnchors]] (candidate side) and
+    * [[spanDroppedAnchors]] (accounting side) — shared so a change to
+    * the sampling can never desynchronize the accounting relation
+    * from what [[maximalSpans]] actually drops. */
+  private def preCapSpanAnchors(toks: DataFrame, anchorK: Int,
+                                modP: Int): DataFrame =
+    toks
       .filter(size(col("toks")) >= anchorK)
       .select(col("id"), posexplode(
         transform(sequence(lit(1), size(col("toks")) - anchorK + 1),
@@ -1231,13 +1324,6 @@ object Dedup {
       .select(col("id"), (col("pidx") + 1).as("pos"), col("g"))
       .filter(conv(substring(col("g"), 1, 8), 16, 10).cast("long")
         % modP === 0)
-      .localCheckpoint()
-    val hot = anchors.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select(col("g"))
-    anchors.join(hot, Seq("g"), "left_anti")
-  }
 
   /** C74 — exact-extent duplicate REMOVAL (the action half of
     * ExactSubstr; [[maximalSpans]] is the detection half): every
@@ -1297,10 +1383,15 @@ object Dedup {
     *
     * Truth = [[ngramJaccardPairs]] at `truthThreshold` (exact, itself
     * SQL-oracled); screen = [[minhashCandidatePairs]] with the given
-    * banding. Output: one row per 0.1-wide Jaccard bucket —
-    * (j_lo, n_true, n_hit, recall) — plus the candidate-efficiency
-    * row (`j_lo = -1`): candidates emitted vs candidates that are
-    * true pairs (the verify stage's workload).
+    * banding. Output schema is SELF-DESCRIBING per row kind — every
+    * row is (screen, kind, bucket, n_denom, n_num, ratio):
+    * `kind = 'recall'` rows carry one 0.1-wide Jaccard bucket
+    * (bucket = j_lo, ratio = true pairs recalled); the
+    * `kind = 'precision'` row (bucket = -1) is the candidate
+    * efficiency — n_denom candidates emitted, n_num of them true
+    * (the verify stage's workload). The kinds denominate over
+    * DIFFERENT universes (truth pairs vs emitted candidates), which
+    * is why they are labeled instead of sharing recall-named columns.
     *
     * Shape: both relations are the operators' own (bucket joins,
     * never all-pairs); the evaluation adds ONE pair-keyed left join
@@ -1320,21 +1411,72 @@ object Dedup {
     val joined = truth.join(screen, Seq("doc1", "doc2"), "left")
     val buckets = joined
       .groupBy(floor(col("jaccard") * 10).cast("int").as("j_lo10"))
-      .agg(count(lit(1)).as("n_true"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
-      .select(TextFunctions.round4(col("j_lo10") / 10.0).as("j_lo"),
-        col("n_true"), col("n_hit"),
-        TextFunctions.round4(col("n_hit").cast("double") /
-          greatest(col("n_true"), lit(1L))).as("recall"))
+      .agg(count(lit(1)).as("n_denom"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_num"))
+      .select(lit("minhash").as("screen"), lit("recall").as("kind"),
+        TextFunctions.round4(col("j_lo10") / 10.0).as("bucket"),
+        col("n_denom"), col("n_num"),
+        TextFunctions.round4(col("n_num").cast("double") /
+          greatest(col("n_denom"), lit(1L))).as("ratio"))
     val efficiency = screen
       .join(truth.select(col("doc1"), col("doc2"), lit(1L).as("t")),
         Seq("doc1", "doc2"), "left")
-      .agg(count(lit(1)).as("n_true"), // candidates emitted
-        coalesce(sum(col("t")), lit(0L)).as("n_hit")) // of them, true
-      .select(lit(-1.0).as("j_lo"), col("n_true"), col("n_hit"),
-        TextFunctions.round4(col("n_hit").cast("double") /
-          greatest(col("n_true"), lit(1L))).as("recall"))
+      .agg(count(lit(1)).as("n_denom"), // candidates emitted
+        coalesce(sum(col("t")), lit(0L)).as("n_num")) // of them, true
+      .select(lit("minhash").as("screen"), lit("precision").as("kind"),
+        lit(-1.0).as("bucket"), col("n_denom"), col("n_num"),
+        TextFunctions.round4(col("n_num").cast("double") /
+          greatest(col("n_denom"), lit(1L))).as("ratio"))
     buckets.unionByName(efficiency)
+  }
+
+  /** C70 eval — the edit-distance screen's measured recall against
+    * EXACT levenshtein truth, per distance bucket: the PassJoin
+    * grid's declared indel/short-key recall gap as a NUMBER (one row
+    * per distance 0..maxDist in the [[screenEval]] schema —
+    * screen = 'edit', kind = 'recall', bucket = distance). Screen
+    * precision is 1 by construction ([[editDistancePairs]]
+    * exact-verifies every candidate), so no precision row.
+    *
+    * Truth is complete by construction without a cross join: two keys
+    * within `maxDist` edits differ by ≤ maxDist in length, so the
+    * SHORTER key probes each length len..len+maxDist and pairs come
+    * from an equi-join on (probed length = other key's length), with
+    * equal-length pairs kept once via id order. COST: exact truth is
+    * inherently quadratic in the largest same-length key cohort
+    * (full-length keys all share length = keyLen) — this is an EVAL
+    * operator for sampled / planted corpora; the screen itself is the
+    * scale path. */
+  def editScreenEval(docs: DataFrame, textCol: String, idCol: String,
+                     maxDist: Int = EditMaxDist,
+                     keyLen: Int = EditKeyLen): DataFrame = {
+    val keys = docs.select(col(idCol).as("id"),
+        substring(col(textCol), 1, keyLen).as("key"))
+      .withColumn("len", length(col("key")))
+    val probes = keys.select(col("id").as("id_a"), col("key").as("ka"),
+      col("len").as("la"),
+      explode(sequence(col("len"), col("len") + maxDist)).as("lb"))
+    val dist = levenshtein(col("ka"), col("kb"))
+    val truth = probes
+      .join(keys.select(col("id").as("id_b"), col("key").as("kb"),
+        col("len").as("lb")), "lb")
+      .filter(col("la") < col("lb") ||
+        (col("la") === col("lb") && col("id_a") < col("id_b")))
+      .filter(dist <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        dist.cast("int").as("dist"))
+    val screen = editDistancePairs(docs, textCol, idCol, maxDist, keyLen)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    truth.join(screen, Seq("id_a", "id_b"), "left")
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_denom"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_num"))
+      .select(lit("edit").as("screen"), lit("recall").as("kind"),
+        col("dist").cast("double").as("bucket"),
+        col("n_denom"), col("n_num"),
+        TextFunctions.round4(col("n_num").cast("double") /
+          greatest(col("n_denom"), lit(1L))).as("ratio"))
   }
 
   /** Anchors [[maximalSpans]]' `maxDocFreq` cap dropped, with their
@@ -1345,14 +1487,7 @@ object Dedup {
                          maxDocFreq: Int = 20): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= anchorK)
-    toks
-      .select(col("id"), posexplode(
-        transform(sequence(lit(1), size(col("toks")) - anchorK + 1),
-          p => md5(concat_ws(" ", slice(col("toks"), p, lit(anchorK))))))
-        .as(Seq("pidx", "g")))
-      .filter(conv(substring(col("g"), 1, 8), 16, 10).cast("long")
-        % modP === 0)
+    preCapSpanAnchors(toks, anchorK, modP)
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
   }

@@ -64,19 +64,30 @@ object Graph {
                dampDen: Long = PrDampDen): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // ONE checkpointed node relation with outdeg attached feeds the
+    // node count, the dangling probe AND the per-round dangling
+    // semi-join — r13 ran nodes-checkpoint, count, dangling-checkpoint
+    // and isEmpty as four separate pre-loop jobs; this is two (the
+    // checkpoint + one aggregate)
+    val nodesDeg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .localCheckpoint()
+    val probe = nodesDeg.agg(count(lit(1)).as("n"),
+      sum(when(col("outdeg").isNull, 1L).otherwise(0L)).as("nd"))
+      .collect()(0)
+    val n = probe.getLong(0)
+    // WHICH nodes dangle is a static property; whether any exist
+    // decides the whole iteration shape below
+    val hasDangling = probe.getLong(1) > 0
+    val nodes = nodesDeg.select(col("node"))
+    val danglingNodes = nodesDeg.filter(col("outdeg").isNull)
+      .select(col("node"))
     // edges with the sender's degree attached once, reused every round
     val eDeg = e.join(outDeg, "src").localCheckpoint()
     val base = initRank * (dampDen - dampNum) / dampDen
-    // WHICH nodes dangle is a static property; whether any exist
-    // decides the whole iteration shape below
-    val danglingNodes = nodes.join(outDeg.withColumnRenamed("src", "node"),
-      Seq("node"), "left_anti").localCheckpoint()
-    val hasDangling = !danglingNodes.isEmpty
 
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
       .localCheckpoint()

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * the same way" pathology of contrastive encoders), or project to a
   * smaller k for cheap pre-filters.
   *
-  * Scale shape (100 TB): [[fit]] is ONE data pass — per-dim sums and
-  * the upper TRIANGLE of Σ x·xᵀ computed as a posexploded pair-product
-  * relation with d(d+1)/2 grouping keys, partial-aggregated map-side,
-  * so the shuffle is model-sized (d=1024 → ~525k keys), never
-  * data-sized. The driver materializes exactly d + d(d+1)/2 doubles
+  * Scale shape (100 TB): [[fit]] is ONE data pass (plus a 1-row
+  * limit(1) probe for d) — per-dim sums AND the upper TRIANGLE of
+  * Σ x·xᵀ ride one posexploded relation with d + d(d+1)/2 grouping
+  * keys, partial-aggregated map-side, so the shuffle is model-sized
+  * (d=1024 → ~525k keys), never data-sized; the ragged-row guard
+  * falls out of the same pass's per-position counts for free. The
+  * driver materializes exactly d + d(d+1)/2 doubles
   * and eigensolves the d×d covariance by cyclic Jacobi — the
   * IVF-centroid stance: driver state is MODEL-sized; the O(n·d²)
   * products run where the data lives. [[project]] broadcasts the
@@ -62,34 +64,47 @@ object Pca {
     require(first.nonEmpty, "cannot fit PCA on an empty table")
     val d = first(0).getInt(0)
     require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
-    val bad = df.filter(size(v) =!= d).count()
-    require(bad == 0L, s"$bad rows with vector length != $d")
 
-    // pass 1 of 1: per-dim sums + upper-triangle pair-product sums,
-    // both partial-agg'd; n rides along as count on dim 0
-    val sums = df.select(posexplode(v).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
-      .collect()
-    val n = sums.map(_.getLong(2)).max
-    val mean = new Array[Double](d)
-    sums.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
-
-    val tri = df.select(posexplode(flatten(
-        transform(sequence(lit(0), lit(d - 1)), i =>
-          transform(sequence(i, lit(d - 1)), j =>
+    // THE one data pass: each row explodes into d raw values
+    // (positions 0..d-1 → per-dim sums) followed by its d(d+1)/2
+    // upper-triangle pair products (positions d.. → covariance sums),
+    // all partial-agg'd map-side. The explode width follows size(v),
+    // not lit(d), which makes raggedness DETECTABLE from the
+    // model-sized result instead of costing a separate guard pass: a
+    // longer vector mints positions beyond the expected universe, a
+    // shorter one leaves tail positions undercounted — so "every
+    // expected position present, no extras, all counts equal" is
+    // exactly "no ragged rows" (fail loud, the [[Similarity]] stance).
+    val nTri = d * (d + 1) / 2
+    val stats = df.select(posexplode(concat(
+        transform(v, x => x.cast("double")),
+        flatten(transform(sequence(lit(0), size(v) - 1), i =>
+          transform(sequence(i, size(v) - 1), j =>
             element_at(v, i + 1).cast("double") *
-              element_at(v, j + 1).cast("double")))))
-        .as(Seq("pos", "xx")))
-      .groupBy("pos").agg(sum("xx").as("sxx"))
+              element_at(v, j + 1).cast("double"))))))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
       .collect()
-    // pos -> (i, j) of the row-major upper triangle
+    require(stats.length == d + nTri &&
+        stats.forall(r => r.getInt(0) < d + nTri) &&
+        stats.map(_.getLong(2)).distinct.length == 1,
+      s"ragged $vecCol: vector lengths differ from first row's $d")
+    val n = stats(0).getLong(2)
+    val mean = new Array[Double](d)
+    val triSum = new Array[Double](nTri)
+    stats.foreach { r =>
+      val pos = r.getInt(0)
+      if (pos < d) mean(pos) = r.getDouble(1) / n
+      else triSum(pos - d) = r.getDouble(1)
+    }
+    // tri pos -> (i, j) of the row-major upper triangle
     val cov = Array.ofDim[Double](d, d)
-    tri.foreach { r =>
-      var pos = r.getInt(0); var i = 0
+    (0 until nTri).foreach { p =>
+      var pos = p; var i = 0
       while (pos >= d - i) { pos -= d - i; i += 1 }
       val j = i + pos
-      val c = r.getDouble(1) / n - mean(i) * mean(j)
+      val c = triSum(p) / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c
     }
 

@@ -31,9 +31,17 @@ object DocQueries {
       .select(col("doc_id"), col("n_copies"))
 
   // ---------------------------------------------------------------- C2
+  /** MinHash LSH candidate pairs — hash-green oracled since r14: the
+    * gate registration runs the ENGINE-PORTABLE md5 hash family
+    * (`portableHash = true`, see
+    * [[graft.operators.Dedup.minhashSignatures]]), so DuckDB
+    * recomputes the exact per-function mins, band keys and banded
+    * pairs from the same documents ([[minhashPairsOracleSql]]) — the
+    * C3b recipe applied to C2. Production callers keep the default
+    * xxhash64 family (one codegen'd op per gram). */
   def qDocMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(docs(s, dir), "text", "doc_id",
-      numHashes = 32, bands = 8, ngram = 3)
+      numHashes = 32, bands = 8, ngram = 3, portableHash = true)
 
   // ---------------------------------------------------------------- C3
   /** 64-bit SimHash signatures — hash-green oracled: the signature is
@@ -99,13 +107,24 @@ object DocQueries {
   }
 
   // ---------------------------------------------------------------- C78
-  /** Measured LSH S-curve (see
-    * [[graft.operators.Dedup.screenEval]]): the C2 minhash screen's
-    * recall per exact-Jaccard bucket on the real corpus, plus the
-    * candidate-efficiency row. Rows-only (the screen is
-    * hash-family-specific); OperatorsSpec pins planted-dup recall. */
+  /** Measured screen operating curves (see
+    * [[graft.operators.Dedup.screenEval]] /
+    * [[graft.operators.Dedup.editScreenEval]]): the C2 minhash
+    * screen's recall per exact-Jaccard bucket plus its
+    * candidate-efficiency row, and (since r14) the C70 edit screen's
+    * recall per exact-levenshtein distance bucket — every lossy
+    * screen's gap as a measured number in one self-describing
+    * relation. Rows-only (the minhash screen is hash-family-specific
+    * and the edit truth universe is corpus-shaped); OperatorsSpec
+    * pins planted-dup recall for both screens. */
   def qDocScreenEval(s: SparkSession, dir: String): DataFrame =
     Dedup.screenEval(docs(s, dir), "text", "doc_id")
+      // edit truth is quadratic in the same-length cohort by design
+      // (see editScreenEval) — the gate registration evaluates a FIXED
+      // 1000-doc window so the query's cost does not grow with the
+      // corpus; within-window true pairs are a valid recall sample
+      .unionByName(Dedup.editScreenEval(
+        docs(s, dir).filter(col("doc_id") < 1000), "text", "doc_id"))
 
   // ---------------------------------------------------------------- C76
   /** Seed-label expansion over the near-dup graph (see
@@ -1393,9 +1412,9 @@ object DocQueries {
   def qDocMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val corpusIdx = Dedup.minhashBandBuckets(
-      d.filter(col("doc_id") < 250), "text", "doc_id")
+      d.filter(col("doc_id") < 250), "text", "doc_id", portableHash = true)
     Dedup.incrementalMinhashPairs(corpusIdx,
-      d.filter(col("doc_id") >= 250), "text", "doc_id")
+      d.filter(col("doc_id") >= 250), "text", "doc_id", portableHash = true)
   }
 
   // ---------------------------------------------------------------- C19
@@ -1915,7 +1934,11 @@ object DocQueries {
     * jitter must NOT cut, inter-scene content change must) rendered
     * from the documents table through the real multi-frame decode.
     * Rows-only (video decode has no SQL oracle); MultimodalSpec pins
-    * the cut positions. */
+    * the cut positions. The gate projection stringifies the
+    * array-valued `scene_starts`/`keyframes` columns (the operator
+    * keeps the array API) — the driver's correctness harness sorts
+    * result columns through pandas, which cannot order array cells,
+    * so the GATE CONTRACT is scalar columns only. */
   def qMmScenes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
@@ -1932,6 +1955,12 @@ object DocQueries {
         MM.MediaRow(id, MM.renderPpmSeq(frames, 16, 16), "ppmseq", 16, 16, 9)
       }
     MM.sceneCuts(MM.videoHashes(media, stride = 1).toDF())
+      .select(
+        col("media_id"), col("n_frames"), col("n_hashed"), col("n_scenes"),
+        concat_ws(",", col("scene_starts")).as("scene_starts_csv"),
+        concat_ws(",", transform(col("keyframes"), k => hex(k)))
+          .as("keyframes_csv"),
+        col("decoded"))
   }
 
   def qMmVideoDups(s: SparkSession, dir: String): DataFrame = {
@@ -2339,6 +2368,86 @@ object DocQueries {
       |FROM pr, a""".stripMargin
   }
 
+  /** Shared generator for the PORTABLE-minhash bucket relation
+    * `b$tag(doc_id, band, bh)` over `documents` rows matching `pred`
+    * — the DuckDB twin of [[graft.operators.Dedup.minhashSignatures]]
+    * + banding with `portableHash = true`: per-function min of the
+    * first-15-md5-hex-digits hash of the salted 3-gram, band key =
+    * md5 of the comma-joined decimal mins. Constants (32 hashes, 8
+    * bands) mirror the registered queries. */
+  private def minhashBucketCtes(tag: String, pred: String): String = {
+    val nh = 32; val bands = 8; val rows = nh / bands
+    val p = Dedup.MinhashPortableP
+    val mins = (0 until nh).map { i =>
+      val mix = (0 until 4).map(k =>
+        s"${Dedup.minhashPortableCoef(i, k)} * x$k").mkString(" + ")
+      s"min(($mix) % $p) AS mh_$i"
+    }.mkString(", ")
+    val bandSel = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"mh_$i")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ('0x' || substr(md5(concat_ws(',', " +
+        s"$cols)), 1, 15))::BIGINT AS bh FROM m$tag"
+    }.mkString("\n  UNION ALL ")
+    s"""g$tag AS (
+      |  SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE $pred))),
+      |h$tag AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS x0,
+      |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS x1,
+      |    ('0x' || substr(md5(gram), 17, 8))::BIGINT AS x2,
+      |    ('0x' || substr(md5(gram), 25, 8))::BIGINT AS x3
+      |  FROM g$tag),
+      |m$tag AS MATERIALIZED (
+      |  SELECT doc_id, $mins FROM h$tag GROUP BY doc_id),
+      |b$tag AS MATERIALIZED (
+      |  $bandSel)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.operators.Dedup.minhashCandidatePairs]]
+    * with the portable md5 hash family: same banded buckets, same
+    * 2..maxBucket size gate, same ordered-distinct pair emission. */
+  private def minhashPairsOracleSql: String =
+    s"""WITH ${minhashBucketCtes("", "TRUE")},
+      |ok AS (SELECT band, bh FROM b
+      |       GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4096)
+      |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |FROM b a
+      |JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+      |JOIN ok o ON o.band = a.band AND o.bh = a.bh""".stripMargin
+
+  /** DuckDB mirror of [[graft.operators.Dedup.incrementalMinhashPairs]]
+    * over the registered split (corpus = doc_id < 250, delta ≥ 250):
+    * delta↔delta and delta↔corpus pairs only, bucket admission on the
+    * COMBINED size exactly like the operator. */
+  private def minhashIncrementalOracleSql: String =
+    s"""WITH ${minhashBucketCtes("_new", "doc_id >= 250")},
+      |${minhashBucketCtes("_old", "doc_id < 250")},
+      |cnt AS (SELECT band, bh, count(*) AS n_new FROM b_new GROUP BY 1, 2),
+      |oldcnt AS (SELECT band, bh, count(*) AS n_old FROM b_old GROUP BY 1, 2),
+      |okb AS (
+      |  SELECT c.band, c.bh
+      |  FROM cnt c LEFT JOIN oldcnt o ON o.band = c.band AND o.bh = c.bh
+      |  WHERE c.n_new + COALESCE(o.n_old, 0) BETWEEN 2 AND 4096),
+      |nn AS (
+      |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM b_new a
+      |  JOIN b_new c ON a.band = c.band AND a.bh = c.bh
+      |    AND a.doc_id < c.doc_id
+      |  JOIN okb o ON o.band = a.band AND o.bh = a.bh),
+      |xo AS (
+      |  SELECT least(n.doc_id, o.doc_id) AS id_a,
+      |         greatest(n.doc_id, o.doc_id) AS id_b
+      |  FROM b_new n
+      |  JOIN b_old o ON o.band = n.band AND o.bh = n.bh
+      |    AND n.doc_id <> o.doc_id
+      |  JOIN okb k ON k.band = n.band AND k.bh = n.bh)
+      |SELECT DISTINCT id_a, id_b
+      |FROM (SELECT * FROM nn UNION ALL SELECT * FROM xo)""".stripMargin
+
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairs]] at
     * maxDist = 3: the mirrored C3 signatures banded into 4×16-bit
     * pigeonhole keys (shift-then-mask reads the same bit window
@@ -2419,6 +2528,8 @@ object DocQueries {
       |FROM o GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_minhash_pairs" -> minhashPairsOracleSql,
+    "q_doc_minhash_incremental" -> minhashIncrementalOracleSql,
     "q_doc_source_overlap" -> sourceOverlapOracleSql,
     "q_doc_label_spread" -> labelSpreadOracleSql,
     "q_doc_filter_eval" -> filterEvalOracleSql,
@@ -3347,7 +3458,9 @@ object DocQueries {
         |  FROM documents d
         |  WHERE d.doc_id IN (SELECT doc_id FROM survivors))
         |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin
-    // q_doc_minhash_pairs / q_doc_simhash / q_emb_lsh_ann: hash-family
-    // dependent → rows-only checks; semantics pinned by ScalaTest specs.
+    // q_emb_lsh_ann: hash-family dependent → rows-only check;
+    // semantics pinned by ScalaTest specs. (q_doc_minhash_pairs and
+    // q_doc_simhash graduated to portable-hash mirrors — see
+    // minhashPairsOracleSql / simhashOracleSql.)
   )
 }

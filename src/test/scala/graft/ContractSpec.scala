@@ -26,8 +26,11 @@ class ContractSpec extends AnyFunSuite {
     // hole. Update this set ONLY together with a SURVEY.md rationale.
     val rowsOnlyByDesign = Set(
       "q_approx_distinct", "q_approx_distinct_rollup", "q_approx_percentile",
-      "q_doc_contamination_bloom", "q_doc_minhash_incremental",
-      "q_doc_minhash_pairs", "q_doc_pipeline_scale",
+      "q_doc_contamination_bloom", "q_doc_pipeline_scale",
+      // q_doc_minhash_pairs AND q_doc_minhash_incremental graduated to
+      // hash-green in r14: the gate registrations run the portable
+      // md5 hash family (Dedup.minhashSignatures portableHash=true)
+      // mirrored by generated DuckDB twins — the C3b recipe
       "q_doc_quality_classifier", // distributed-GD weights are float-order-sensitive; ClassifierSpec pins learning
       "q_doc_bpe", // iterative argmax isn't one SQL statement; BpeSpec pins the trainer
       "q_doc_bpe_encode", // rules come from the iterative trainer; BpeSpec pins encoder parity

@@ -49,7 +49,8 @@ class DeleteWhereSpec extends SparkSpec {
       route, region, acct, batchId = b.toLong, filesPerDay = 1))
 
   private def uids(base: String): Seq[String] =
-    OcsfTables.load(spark, base, route)
+    // guarded read: delete/rewrite tests assert no stray file survives
+    OcsfTables.load(spark, base, route, verifyAppends = true)
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
 
   test("delete rewrites only affected files; counts and survivors exact") {

@@ -372,13 +372,20 @@ class IdempotentSinkSpec extends SparkSpec {
       .filterNot(_.toString.contains("/_")).toSeq.head
     val stray = committed.getParent.resolve("part-stray-append.parquet")
     Files.copy(committed, stray)
+    // the guard is opt-in maintenance since r14 (default read is the
+    // scale path): armed, it must reject the mixed table
     val e = intercept[IllegalArgumentException] {
-      OcsfTables.load(spark, base.toString, "DNS Activity").count()
+      OcsfTables.load(spark, base.toString, "DNS Activity",
+        verifyAppends = true).count()
     }
     assert(e.getMessage.contains("mixes plain appends"))
-    // removing the stray restores the table
-    Files.delete(stray)
+    // the default (unguarded) read serves the COMMITTED rows only —
+    // the stray is invisible, never double-counted
     assert(OcsfTables.load(spark, base.toString, "DNS Activity").count() == 1)
+    // removing the stray restores the guarded read too
+    Files.delete(stray)
+    assert(OcsfTables.load(spark, base.toString, "DNS Activity",
+      verifyAppends = true).count() == 1)
   }
 
   test("concurrent attempts for the same batch land the rows exactly once") {

@@ -95,7 +95,9 @@ class ObjectStoreSinkSpec extends SparkSpec {
   }
 
   private def committedUids(base: String): Seq[String] =
-    OcsfTables.load(spark, base, route)
+    // guarded read: this suite asserts table HEALTH (no orphans /
+    // strays survive the fault), so it opts into the maintenance check
+    OcsfTables.load(spark, base, route, verifyAppends = true)
       .select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
 
   private def fsOf(base: String) = {

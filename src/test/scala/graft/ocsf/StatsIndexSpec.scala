@@ -261,21 +261,28 @@ class StatsIndexSpec extends SparkSpec {
     assert(dfKeys == before, "a metadata-only fold must not change the files")
   }
 
-  test("load's distributed-listing path returns the same rows as the driver path") {
+  test("load's distributed-listing path is the DEFAULT above the size threshold and matches the driver path") {
     val base = mkBase()
     writeBatches(base, 3)
     def uids(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.select("metadata.uid").collect().map(_.getString(0)).sorted.toSeq
-    val driverPath = uids(OcsfTables.load(spark, base, route))
+    // guarded read = the driver-side maintenance path
+    val driverPath = uids(OcsfTables.load(spark, base, route,
+      verifyAppends = true))
     spark.conf.set("spark.graft.distributedListingBytes", "0")
     try {
-      val distributed = uids(OcsfTables.load(spark, base, route,
-        verifyAppends = false))
+      // a "big" manifest (threshold 0) must take the executor-side
+      // listing with DEFAULT arguments — no opt-in flag required
+      val distributed = uids(OcsfTables.load(spark, base, route))
       assert(distributed == driverPath && distributed.size == 3 * 64)
       // partition columns must survive the explicit file list
-      val parts = OcsfTables.load(spark, base, route, verifyAppends = false)
+      val parts = OcsfTables.load(spark, base, route)
         .select("region", "accountId", "eventDay").distinct().collect()
       assert(parts.nonEmpty && parts.forall(_.getString(0) == region))
+      // registerAll inherits the same default scale path
+      val views = OcsfTables.registerAll(spark, base)
+      assert(views.contains("ocsf_dns_activity"))
+      assert(spark.table("ocsf_dns_activity").count() == 3 * 64)
     } finally spark.conf.unset("spark.graft.distributedListingBytes")
   }
 

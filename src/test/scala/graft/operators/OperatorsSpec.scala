@@ -976,19 +976,53 @@ class OperatorsSpec extends SparkSpec {
         .replace("tok25", "zzz25")),                // near dup of 1
       (4L, (1 to 40).map(i => f"oth$i%02d").mkString(" ")) // unrelated
     ).toDF("doc_id", "text")
-    val rows = Dedup.screenEval(d, "text", "doc_id")
-      .collect().map(r => r.getDouble(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    // the jaccard-1.0 bucket (j_lo = 1.0) must be fully recalled
-    assert(rows(1.0)._1 >= 1L && rows(1.0)._3 == 1.0, rows.toString)
+    val out = Dedup.screenEval(d, "text", "doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // the jaccard-1.0 bucket must be fully recalled
+    val top = out(("minhash", "recall", 1.0))
+    assert(top._1 >= 1L && top._3 == 1.0, out.toString)
     // every true pair above the dedup threshold was found here
-    val truthBuckets = rows.filterKeys(_ >= 0).values
+    val truthBuckets = out.collect { case (("minhash", "recall", b), v)
+      if b >= 0 => v }
     assert(truthBuckets.map(_._1).sum >= 2L)
     assert(truthBuckets.forall { case (t, h, _) => h <= t })
-    // efficiency row: hits never exceed candidates, and the exact dup
-    // (identical signature → every band collides) is always among them
-    val eff = rows(-1.0)
+    // precision row: true candidates never exceed candidates emitted,
+    // and the exact dup (identical signature → every band collides)
+    // is always among them
+    val eff = out(("minhash", "precision", -1.0))
     assert(eff._1 >= eff._2 && eff._2 >= 1L, eff.toString)
+  }
+
+  test("C70 eval: edit screen recall is 1.0 on planted substitutions and the indel gap is measured") {
+    // 120-char keys (> EditKeyLen=100, so full grid), distance via
+    // substitutions at spread positions vs a 1-char deletion
+    val base = ('a' to 'z').mkString * 5 // 130 chars
+    def sub(s: String, at: Int, c: Char) = s.updated(at, c)
+    val d = Seq(
+      (1L, base),
+      (2L, sub(base, 10, 'Z')),                      // dist 1 (sub)
+      (3L, sub(sub(sub(base, 5, 'X'), 50, 'Y'), 95, 'Q')), // dist 3 vs 1 (subs)
+      (4L, base.patch(60, "", 1)),                   // dist 1 vs 1 (deletion)
+      (5L, "short unrelated text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editScreenEval(d, "text", "doc_id").collect()
+      .map(r => r.getDouble(2) -> (r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // substitution-regime truth exists at several distances and every
+    // sub-only pair is recalled (the pigeonhole guarantee)
+    assert(out.nonEmpty, "no truth buckets")
+    // dist-3 bucket holds (1,3): pure substitutions → recalled
+    assert(out(3.0)._1 >= 1L, out.toString)
+    // the deletion pair (1,4) lands in the dist-1 truth bucket; grid
+    // shift means it MAY be missed — the gap must be measured, never
+    // a crash: n_num <= n_denom and ratio consistent
+    assert(out.values.forall { case (t, h, r0) =>
+      h <= t && math.abs(r0 - math.rint(h.toDouble / t * 10000) / 10000) < 1e-9 })
+    // screen precision is 1 by construction: every screen pair is in truth
+    val screenPairs = Dedup.editDistancePairs(d, "text", "doc_id").count()
+    assert(out.values.map(_._2).sum <= out.values.map(_._1).sum)
+    assert(screenPairs >= out(3.0)._2, "screen lost verified pairs")
   }
 
   test("C70: hot prefix buckets are capped with accounting, not silently") {
