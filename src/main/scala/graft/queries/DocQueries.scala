@@ -905,6 +905,61 @@ object DocQueries {
             (col("sq").cast("double") / col("n"))) / 1e12).as("variance"))
   }
 
+  // ---------------------------------------------------------------- C81
+  /** Embedding outlier scoring — cosine of every vector against its
+    * LABEL centroid, the SemDedup-companion curation pass: where C26
+    * removes points too CLOSE to each other, this flags points too FAR
+    * from their own cluster center (mislabeled, noise, off-topic — the
+    * CLIP-style "distance to class centroid" filter; DataComp prunes
+    * on exactly this signal). `is_outlier` = the vector points AWAY
+    * from its class mean (rounded cosine < 0).
+    *
+    * Engine-exactness is the C62 recipe extended to a bilinear form:
+    * coordinates quantize to 1e-6 integers, the centroid keeps its
+    * un-normalized per-dim SUM `sq` (the 1/n cancels in the cosine:
+    * cos(v, Σw/n) = Σx·sq / (√Σx²·√Σsq²)), and all three quadratic
+    * sums accumulate as decimal(38,0) (operands pre-widened — x·sq
+    * reaches 1e6·1e6·rows_per_label, past int64 at ~1e6 rows/label)
+    * so both engines derive the SAME doubles for the one final
+    * division. Zero vectors (and empty centroids) score 0.0 by guard
+    * rather than NaN.
+    *
+    * Scale shape: one posexplode scan → dim-keyed partial aggs (the
+    * centroid relation is labels×dims — MODEL-sized); the score join
+    * is an equi-join on (label, dim) against that model relation
+    * (broadcastable), then one per-vec partial agg. No window, no
+    * all-pairs, nothing corpus-sized on the driver. */
+  def qEmbOutliers(s: SparkSession, dir: String): DataFrame =
+    centroidOutliers(emb(s, dir))
+
+  /** The C81 scorer on any (vec_id, embedding, label) relation —
+    * separated so specs can feed hand-computable vectors. */
+  def centroidOutliers(e: DataFrame): DataFrame = {
+    val q = e
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "xf")))
+      .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+        round(col("xf").cast("double") * 1e6, 0).cast("bigint").as("x"))
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("sq"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum((col("sq").cast("decimal(19,0)") * col("sq")))
+        .cast("decimal(38,0)").as("c2n"))
+    val cos = col("dot_num").cast("double") /
+      (sqrt(col("v2").cast("double")) * sqrt(col("c2n").cast("double")))
+    q.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x").cast("decimal(19,0)") * col("sq"))
+          .cast("decimal(38,0)").as("dot_num"),
+        sum(col("x").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("v2"))
+      .join(cnorm, "label")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        when(col("v2") === 0 || col("c2n") === 0, lit(0.0))
+          .otherwise(TextFunctions.round4(cos)).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < 0.0)
+  }
+
   // ---------------------------------------------------------------- C63
   /** SFT chat-data preparation: each document becomes a synthetic
     * multi-turn conversation (16-token turns, alternating
@@ -1338,6 +1393,57 @@ object DocQueries {
            count(lit(1)).as("occurrences"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(20)
+
+  // ---------------------------------------------------------------- C80
+  /** Collocation / phrase mining: pointwise mutual information of every
+    * adjacent token bigram with corpus support ≥ `minCount` — the
+    * statistic behind phrase-vocabulary augmentation (Mikolov et al.'s
+    * word2vec phrase pass scores `(c12−δ)/(c1·c2)`, a PMI variant),
+    * multi-word stopword lists, and boilerplate-phrase detection.
+    * PMI = ln( p(w1w2) / (p(w1)·p(w2)) ) with bigram probability over
+    * the bigram total and unigram probabilities over the token total;
+    * PMI ≫ 0 means the pair co-occurs far above chance (a phrase),
+    * PMI < 0 an anti-collocation. The support threshold is the
+    * standard guard against PMI's low-count bias (a hapax pair has
+    * maximal PMI by construction).
+    *
+    * Scale shape: two partial-agg'd aggregations (per-gram, per-token
+    * — a hot gram combines map-side, never in a window), the two
+    * totals ride 1-row broadcasts, and the unigram attachment is two
+    * ordinary equi-joins on the MODEL-sized (thresholded) bigram
+    * relation, not the corpus. Output is model-sized: every surviving
+    * bigram with its counts and PMI — no top-k cut, so there is no
+    * float-tie selection boundary and the relation is hash-oracled.
+    * At 100 TB the thresholded bigram table is vocabulary-shaped
+    * (Heaps-law sublinear), and raising `minCount` with corpus size
+    * keeps it so. */
+  def qDocCollocations(s: SparkSession, dir: String,
+                       minCount: Long = 5L): DataFrame =
+    collocations(docs(s, dir), minCount)
+
+  /** The C80 scorer on any (text) relation — separated so specs can
+    * feed hand-computable corpora. */
+  def collocations(d: DataFrame, minCount: Long): DataFrame = {
+    val uni = d
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val biAll = Dedup.shingles(d, "text", "doc_id", n = 2, dedupGrams = false)
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+    val nBi = biAll.agg(sum(col("c12")).as("n_bi"))
+    biAll.filter(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nUni))
+      .select(col("gram"), col("c12"), col("c1"), col("c2"),
+        TextFunctions.round4(
+          log((col("c12").cast("double") / col("n_bi")) /
+            ((col("c1").cast("double") / col("n_uni")) *
+             (col("c2").cast("double") / col("n_uni"))))).as("pmi"))
+  }
 
   // ---------------------------------------------------------------- C24
   /** Heavy-hitter vocabulary — the sketch-then-verify variant of
@@ -2007,6 +2113,7 @@ object DocQueries {
     "q_doc_span_scrub"    -> (qDocSpanScrub _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
+    "q_doc_collocations"  -> ((s, d) => qDocCollocations(s, d)),
     "q_doc_bpe"           -> (qDocBpe _),
     "q_doc_bpe_encode"    -> (qDocBpeEncode _),
     "q_doc_secrets"       -> (qDocSecrets _),
@@ -2032,6 +2139,7 @@ object DocQueries {
     "q_doc_badwords"      -> (qDocBadwords _),
     "q_doc_preference_pairs" -> (qDocPreferencePairs _),
     "q_emb_source_centroids" -> (qEmbSourceCentroids _),
+    "q_emb_outliers"      -> (qEmbOutliers _),
     "q_doc_winnow"        -> (qDocWinnow _),
     "q_doc_pipeline_web"  -> (qDocPipelineWeb _),
     "q_doc_keep_best"     -> (qDocKeepBest _),
@@ -2632,6 +2740,53 @@ object DocQueries {
         |       ((start_offset + n_tokens - 1) // 2048) >
         |         (start_offset // 2048) AS spans_boundary
         |FROM c""".stripMargin,
+    "q_emb_outliers" ->
+      """WITH q AS (SELECT vec_id, label, i AS dim,
+        |            CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+        |           FROM embeddings,
+        |                unnest(generate_series(1, len(embedding))) AS t(i)),
+        |cent AS (SELECT label, dim, CAST(sum(x) AS BIGINT) AS sq
+        |         FROM q GROUP BY label, dim),
+        |cnorm AS (SELECT label, sum(CAST(sq AS HUGEINT) * sq) AS c2n
+        |          FROM cent GROUP BY label),
+        |dots AS (SELECT q.vec_id, q.label,
+        |           sum(CAST(q.x AS HUGEINT) * cent.sq) AS dot_num,
+        |           sum(CAST(q.x AS HUGEINT) * q.x) AS v2
+        |         FROM q JOIN cent USING (label, dim)
+        |         GROUP BY q.vec_id, q.label)
+        |SELECT vec_id, CAST(d.label AS BIGINT) AS label,
+        |       CASE WHEN v2 = 0 OR c2n = 0 THEN 0.0
+        |            ELSE round(CAST(dot_num AS DOUBLE) /
+        |                   (sqrt(CAST(v2 AS DOUBLE)) *
+        |                    sqrt(CAST(c2n AS DOUBLE))), 4) + 0.0
+        |       END AS cos_centroid,
+        |       (CASE WHEN v2 = 0 OR c2n = 0 THEN 0.0
+        |             ELSE round(CAST(dot_num AS DOUBLE) /
+        |                    (sqrt(CAST(v2 AS DOUBLE)) *
+        |                     sqrt(CAST(c2n AS DOUBLE))), 4)
+        |        END) < 0.0 AS is_outlier
+        |FROM dots d JOIN cnorm USING (label)""".stripMargin,
+    "q_doc_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT t[i] || ' ' || t[i+1] AS gram,
+        |              min(t[i]) AS w1, min(t[i+1]) AS w2,
+        |              CAST(count(*) AS BIGINT) AS c12
+        |       FROM idx GROUP BY 1),
+        |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM bc)
+        |SELECT gram, c12, u1.c AS c1, u2.c AS c2,
+        |       round(ln((c12 / CAST(n_bi AS DOUBLE)) /
+        |                ((u1.c / CAST(n_uni AS DOUBLE)) *
+        |                 (u2.c / CAST(n_uni AS DOUBLE)))), 4) + 0.0 AS pmi
+        |FROM bc, nb, nu
+        |JOIN uc u1 ON bc.w1 = u1.w
+        |JOIN uc u2 ON bc.w2 = u2.w
+        |WHERE c12 >= 5""".stripMargin,
     "q_doc_vocab" ->
       """SELECT term,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

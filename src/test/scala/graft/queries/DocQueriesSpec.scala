@@ -255,4 +255,51 @@ class DocQueriesSpec extends SparkSpec {
       assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
     }
   }
+
+  test("C80: PMI collocations — hand-computed values, support threshold, phrase ranking") {
+    import spark.implicits._
+    // 11 tokens, 9 bigrams. "new york" repeats (a phrase), "the cat"
+    // repeats but 'the' is frequent so its PMI is lower, every other
+    // bigram is a hapax and must fall under minCount = 2.
+    val d = Seq(
+      (1L, "new york new york city"),
+      (2L, "the cat the dog the cat")
+    ).toDF("doc_id", "text")
+    val out = DocQueries.collocations(d, minCount = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("new york", "the cat"), out.keySet)
+    def pmi4(c12: Long, c1: Long, c2: Long): Double = {
+      val v = math.log((c12 / 9.0) / ((c1 / 11.0) * (c2 / 11.0)))
+      // mirrors round4: round(x·10⁴)/10⁴ with Spark's HALF_UP
+      BigDecimal(v * 10000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000d
+    }
+    assert(out("new york") == ((2L, 2L, 2L, pmi4(2, 2, 2))), out("new york"))
+    assert(out("the cat") == ((2L, 3L, 2L, pmi4(2, 3, 2))), out("the cat"))
+    // the phrase outranks the stopword-led pair: p(new)·p(york) is the
+    // smaller denominator
+    assert(out("new york")._4 > out("the cat")._4)
+  }
+
+  test("C81: centroid outliers — hand-computed cosines, away-pointing flagged, zero-vector guard") {
+    import spark.implicits._
+    // label 0 centroid-sum = (1,1); label 1 = (1,0) (the zero vector
+    // contributes nothing)
+    val e = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 1f), 0),
+      (3L, Array(-1f, 0f), 0),
+      (4L, Array(0f, 0f), 1),
+      (5L, Array(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = DocQueries.centroidOutliers(e)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(1L) == ((0.7071, false)), out(1L)) // 1/√2
+    assert(out(2L) == ((1.0, false)), out(2L))    // along the centroid
+    assert(out(3L) == ((-0.7071, true)), out(3L)) // points away → outlier
+    assert(out(4L) == ((0.0, false)), out(4L))    // zero vector: guarded
+    assert(out(5L) == ((1.0, false)), out(5L))
+  }
 }
