@@ -1414,11 +1414,12 @@ object Dedup {
     * spec pins exact-dup recall = 1. */
   def screenEval(docs: DataFrame, textCol: String, idCol: String,
                  truthThreshold: Double = 0.5, ngram: Int = 3,
-                 numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                 numHashes: Int = 32, bands: Int = 8,
+                 portableHash: Boolean = false): DataFrame = {
     val truth = ngramJaccardPairs(docs, textCol, idCol, ngram,
       truthThreshold)
     val screen = minhashCandidatePairs(docs, textCol, idCol, numHashes,
-        bands, ngram)
+        bands, ngram, portableHash = portableHash)
       .select(col("id_a").as("doc1"), col("id_b").as("doc2"),
         lit(1L).as("hit"))
       .localCheckpoint()

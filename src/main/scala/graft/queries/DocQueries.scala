@@ -118,7 +118,12 @@ object DocQueries {
     * and the edit truth universe is corpus-shaped); OperatorsSpec
     * pins planted-dup recall for both screens. */
   def qDocScreenEval(s: SparkSession, dir: String): DataFrame =
-    Dedup.screenEval(docs(s, dir), "text", "doc_id")
+    // portableHash so the measured screen is the md5 family the
+    // DuckDB mirror recomputes — with it, every relation this
+    // evaluation rides (screen pairs, Jaccard truth, edit screen,
+    // levenshtein truth) has an exact twin and the whole operating
+    // curve is HASH-ORACLED instead of rows-only
+    Dedup.screenEval(docs(s, dir), "text", "doc_id", portableHash = true)
       // edit truth is quadratic in the same-length cohort by design
       // (see editScreenEval) — the gate registration evaluates a FIXED
       // 1000-doc window so the query's cost does not grow with the
@@ -1889,6 +1894,20 @@ object DocQueries {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  /** The media-derivation window shared by every q_mm_* gate
+    * registration: decode corpora are FIXED-SIZE samples — doc_id <
+    * 5000 is the WHOLE corpus at every driver SF (sf0.1 tops out at
+    * 4999) and a cap at synthetic scale-up factors. The
+    * [[qDocScreenEval]] stance: a decode-bound query's gate cost must
+    * not grow with the corpus — at a 50k-doc scale-up the unwindowed
+    * video-pair verify ground a single writer task for 30+ minutes
+    * (exact-copy families collide frame hashes across the whole
+    * corpus). Production media pipelines window by partition/day, not
+    * by decoding the full lake per run. */
+  private def mmDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") < 5000)
+      .select(col("doc_id"), col("text"))
+
   // ---------------------------------------------------------------- C11
   /** Multimodal feature extraction, end-to-end through the REAL
     * codecs: each document's text is rendered into a P6 image and a
@@ -1907,7 +1926,7 @@ object DocQueries {
   def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
-    val media = docs(s, dir).select(col("doc_id"), col("text"))
+    val media = mmDocs(s, dir)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
@@ -1934,7 +1953,7 @@ object DocQueries {
   def qMmImageDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
-    val media = docs(s, dir).select(col("doc_id"), col("text"))
+    val media = mmDocs(s, dir)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
@@ -1961,7 +1980,7 @@ object DocQueries {
   def qMmPhashDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
-    val media = docs(s, dir).select(col("doc_id"), col("text"))
+    val media = mmDocs(s, dir)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
@@ -1994,7 +2013,7 @@ object DocQueries {
   def qMmAudioDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
-    val media = docs(s, dir).select(col("doc_id"), col("text"))
+    val media = mmDocs(s, dir)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val wav = MM.renderWavPcm16(text.getBytes("UTF-8"), 800)
@@ -2050,7 +2069,7 @@ object DocQueries {
     import graft.multimodal.{Multimodal => MM}
     def rot(a: Array[Byte], k: Int): Array[Byte] =
       if (a.isEmpty) a else { val r = k % a.length; a.drop(r) ++ a.take(r) }
-    val media = docs(s, dir).select(col("doc_id"), col("text"))
+    val media = mmDocs(s, dir)
       .as[(Long, String)]
       .map { case (id, text) =>
         val seed = text.getBytes("UTF-8")
@@ -2074,7 +2093,7 @@ object DocQueries {
     import graft.multimodal.{Multimodal => MM}
     def rot(a: Array[Byte], k: Int): Array[Byte] =
       if (a.isEmpty) a else { val r = k % a.length; a.drop(r) ++ a.take(r) }
-    val media = docs(s, dir).select(col("doc_id"), col("text"))
+    val media = mmDocs(s, dir)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val seed = text.getBytes("UTF-8")
@@ -2262,14 +2281,19 @@ object DocQueries {
     * candidate screen — the emitted relation is the exact-verified
     * pairs, which both engines compute with the identical
     * `levenshtein` + length predicates. */
-  private def fuzzyOracleSql: String = {
+  private def fuzzyOracleSql: String = fuzzyOracleSql("TRUE")
+
+  /** The C70 mirror over `documents` rows matching `pred` — the
+    * default TRUE is the standalone oracle; [[screenEvalOracleSql]]
+    * embeds the windowed form. */
+  private def fuzzyOracleSql(pred: String): String = {
     val keyLen = Dedup.EditKeyLen
     val k = Dedup.EditMaxDist
     val nSegs = k + 1
     val segLen = keyLen / nSegs
     val maxBucket = 4096
     s"""WITH kk AS (SELECT doc_id, substr(text, 1, $keyLen) AS key
-      |            FROM documents),
+      |            FROM documents WHERE $pred),
       |seg AS (
       |  SELECT doc_id, key, i, substr(key, 1 + i*$segLen, $segLen) AS seg
       |  FROM kk, (SELECT unnest(range($nSegs)) AS i)
@@ -2556,6 +2580,81 @@ object DocQueries {
       |SELECT DISTINCT id_a, id_b
       |FROM (SELECT * FROM nn UNION ALL SELECT * FROM xo)""".stripMargin
 
+  /** DuckDB mirror of [[qDocScreenEval]] (C78) — composed ENTIRELY
+    * from relations that already have exact twins: the portable-md5
+    * minhash screen ([[minhashBucketCtes]]), the C4 n-gram-Jaccard
+    * truth, the C70 edit screen ([[fuzzyOracleSql]] windowed to
+    * doc_id < 1000) and direct `levenshtein` truth over the same
+    * window. Same recall buckets (floor(j·10)), same efficiency row
+    * (bucket = −1), same ratio rounding — the whole operating curve
+    * is hash-checkable because every component is. */
+  private def screenEvalOracleSql: String = {
+    val keyLen = Dedup.EditKeyLen
+    val k = Dedup.EditMaxDist
+    s"""WITH ${minhashBucketCtes("", "TRUE")},
+      |okm AS (SELECT band, bh FROM b
+      |        GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4096),
+      |scr AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+      |  FROM b a
+      |  JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+      |  JOIN okm o ON o.band = a.band AND o.bh = a.bh),
+      |jtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |jidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      |         FROM jtoks WHERE len(t) >= 3),
+      |jgrams AS (SELECT DISTINCT doc_id,
+      |                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      |           FROM jidx),
+      |jcounts AS (SELECT doc_id, count(*) AS n FROM jgrams GROUP BY doc_id),
+      |jpairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      |           FROM jgrams a
+      |           JOIN jgrams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |tru AS MATERIALIZED (
+      |  SELECT doc1, doc2, round(inter / (ca.n + cb.n - inter), 4) AS jaccard
+      |  FROM jpairs
+      |  JOIN jcounts ca ON ca.doc_id = doc1
+      |  JOIN jcounts cb ON cb.doc_id = doc2
+      |  WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5),
+      |mrec AS (
+      |  SELECT 'minhash' AS screen, 'recall' AS kind,
+      |    round(floor(jaccard * 10) / 10.0, 4) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_denom,
+      |    CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_num
+      |  FROM (SELECT t.jaccard,
+      |          CASE WHEN s.doc1 IS NULL THEN NULL ELSE 1 END AS hit
+      |        FROM tru t
+      |        LEFT JOIN scr s ON s.doc1 = t.doc1 AND s.doc2 = t.doc2)
+      |  GROUP BY 1, 2, 3),
+      |meff AS (
+      |  SELECT 'minhash' AS screen, 'precision' AS kind, -1.0 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_denom,
+      |    CAST(COALESCE(sum(CASE WHEN t.doc1 IS NULL THEN NULL ELSE 1 END),
+      |         0) AS BIGINT) AS n_num
+      |  FROM scr s LEFT JOIN tru t ON t.doc1 = s.doc1 AND t.doc2 = s.doc2),
+      |ek AS (SELECT doc_id, substr(text, 1, $keyLen) AS key
+      |       FROM documents WHERE doc_id < 1000),
+      |etr AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         levenshtein(a.key, b.key) AS dist
+      |  FROM ek a JOIN ek b ON a.doc_id < b.doc_id
+      |  WHERE abs(length(a.key) - length(b.key)) <= $k
+      |    AND levenshtein(a.key, b.key) <= $k),
+      |escr AS (SELECT id_a, id_b FROM (${fuzzyOracleSql("doc_id < 1000")})),
+      |erec AS (
+      |  SELECT 'edit' AS screen, 'recall' AS kind,
+      |    CAST(t.dist AS DOUBLE) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_denom,
+      |    CAST(COALESCE(sum(CASE WHEN s.id_a IS NULL THEN NULL ELSE 1 END),
+      |         0) AS BIGINT) AS n_num
+      |  FROM etr t LEFT JOIN escr s ON s.id_a = t.id_a AND s.id_b = t.id_b
+      |  GROUP BY 1, 2, 3)
+      |SELECT screen, kind, bucket, n_denom, n_num,
+      |  round(n_num * 1.0 / greatest(n_denom, 1), 4) AS ratio
+      |FROM (SELECT * FROM mrec UNION ALL SELECT * FROM meff
+      |      UNION ALL SELECT * FROM erec)""".stripMargin
+  }
+
   /** DuckDB mirror of [[graft.operators.Dedup.simhashPairs]] at
     * maxDist = 3: the mirrored C3 signatures banded into 4×16-bit
     * pigeonhole keys (shift-then-mask reads the same bit window
@@ -2644,6 +2743,7 @@ object DocQueries {
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_simhash_pairs" -> simhashPairsOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
+    "q_doc_screen_eval" -> screenEvalOracleSql,
     "q_doc_max_spans" -> maxSpansOracleSql,
     "q_doc_max_scrub" -> maxScrubOracleSql,
     "q_doc_pipeline_web" ->
