@@ -361,6 +361,70 @@ object Dedup {
       .select(col("band"), col("bh"), size(col("xs")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
+  /** The persistable pigeonhole band-bucket index behind
+    * [[hammingPairs]]: (band, bh, xs) with xs = [{id, sh}] — the
+    * signature rides along so an incremental probe can run the exact
+    * hamming verify without re-reading corpus text. Write this once
+    * per corpus build; [[incrementalHammingPairs]] probes it. Same
+    * maxDist as the probe, or the band keys will not line up. */
+  def hammingBandBuckets(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxDist: Int = 3): DataFrame =
+    hammingBuckets(sigs, idCol, sigCol, maxDist)
+
+  /** C3c — INCREMENTAL signature-space near-dup pairs: a new delta of
+    * (id, 64-bit signature) rows screened against an existing corpus
+    * through the corpus's persisted band-bucket index
+    * ([[hammingBandBuckets]]) — the [[incrementalMinhashPairs]] stance
+    * applied to the hamming family (simhash text signatures, image
+    * aHashes, any bit-flip fingerprint). Emits delta↔delta and
+    * delta↔corpus pairs only; corpus↔corpus pairs are known from the
+    * index build, and at 100 TB re-banding yesterday's corpus daily is
+    * the cost this operator exists to avoid. Because the index carries
+    * signatures, the exact `bit_count(xor)` verify runs bucket-locally
+    * on candidates exactly like the batch path; bucket admission is on
+    * the COMBINED (delta + corpus) size. A re-run delta overlapping
+    * the index puts the same id on both sides — the degenerate (x, x)
+    * pair is dropped, same as the minhash path. */
+  def incrementalHammingPairs(corpusBuckets: DataFrame, sigs: DataFrame,
+                              idCol: String, sigCol: String,
+                              maxDist: Int = 3,
+                              maxBucket: Int = 4096): DataFrame = {
+    val joined = hammingBuckets(sigs, idCol, sigCol, maxDist)
+      .withColumnRenamed("xs", "new_xs")
+      .join(corpusBuckets.withColumnRenamed("xs", "old_xs"),
+        Seq("band", "bh"), "left")
+      .withColumn("old_xs", coalesce(col("old_xs"),
+        expr("CAST(array() AS array<struct<id:bigint,sh:bigint>>)")))
+      .filter((size(col("new_xs")) + size(col("old_xs")))
+        .between(2, maxBucket))
+      .withColumn("new_xs", array_sort(col("new_xs")))
+    // cross pairs oriented by id so (a, b) lands in canonical order no
+    // matter which side is the delta
+    val crossPairs = flatten(transform(col("new_xs"), n =>
+      transform(col("old_xs"), o =>
+        struct(when(n("id") <= o("id"), n).otherwise(o).as("a"),
+               when(n("id") <= o("id"), o).otherwise(n).as("b")))))
+    val hamming = bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh")))
+    joined
+      .select(explode(concat(pairsWithin(col("new_xs")), crossPairs)).as("p"))
+      .filter(col("p.a.id") =!= col("p.b.id") && hamming <= maxDist)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+              hamming.cast("int").as("hamming"))
+      .distinct()
+  }
+
+  /** [[incrementalHammingPairs]] specialized to C3 simhash text
+    * signatures: build the delta's signatures with [[simhash]] and
+    * probe a persisted [[hammingBandBuckets]] index built over the
+    * corpus's [[simhash]] output. Ids must be LONG-typed to line up
+    * with the persisted index schema. */
+  def incrementalSimhashPairs(corpusBuckets: DataFrame, delta: DataFrame,
+                              textCol: String, idCol: String,
+                              maxDist: Int = 3,
+                              maxBucket: Int = 4096): DataFrame =
+    incrementalHammingPairs(corpusBuckets, simhash(delta, textCol, idCol),
+      idCol, "simhash", maxDist, maxBucket)
+
   /** C68 — near-dup pairs between SETS of 64-bit perceptual hashes
     * (e.g. a video's sampled-frame aHashes,
     * [[graft.multimodal.Multimodal.videoHashes]]): candidates come

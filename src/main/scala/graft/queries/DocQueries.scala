@@ -60,6 +60,24 @@ object DocQueries {
   def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
 
+  // ---------------------------------------------------------------- C3c
+  /** Incremental simhash screening: the second half of the corpus
+    * (doc_id ≥ 250) arrives as a delta and is screened against the
+    * persisted band-bucket index of the first half — delta↔delta and
+    * delta↔corpus pairs only, the signature-space twin of
+    * [[qDocMinhashIncremental]]. Hash-green: signatures, banding and
+    * the `bit_count(xor)` verify are all already-oracled integer ops;
+    * the mirror re-splits the same relation at doc_id 250
+    * ([[simhashIncrementalOracleSql]]). */
+  def qDocSimhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpusIdx = Dedup.hammingBandBuckets(
+      Dedup.simhash(d.filter(col("doc_id") < 250), "text", "doc_id"),
+      "doc_id", "simhash", maxDist = 3)
+    Dedup.incrementalSimhashPairs(corpusIdx,
+      d.filter(col("doc_id") >= 250), "text", "doc_id", maxDist = 3)
+  }
+
   // ---------------------------------------------------------------- C4
   def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
@@ -1068,6 +1086,20 @@ object DocQueries {
               (col("lang") =!= "en" && bucket < restCut))
       .select(col("doc_id"), col("lang"),
         size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------- C82
+  /** Token-proportional systematic sample (PPS): ~100 picks over the
+    * corpus token stream, inclusion probability ∝ whitespace token
+    * count — see [[graft.operators.Sample.systematicPps]]. Hash-green:
+    * offsets, step, md5 grid phase and pick counts are all BIGINT
+    * arithmetic an independent engine reproduces exactly
+    * ([[ppsSampleOracleSql]]). */
+  def qDocPpsSample(s: SparkSession, dir: String): DataFrame = {
+    val weighted = docs(s, dir).select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    graft.operators.Sample.systematicPps(weighted, "doc_id", "n_tokens",
+      k = 100L, seed = "pps-r14")
   }
 
   // ---------------------------------------------------------------- C15
@@ -2171,6 +2203,8 @@ object DocQueries {
     "q_doc_minhash_pairs" -> (qDocMinhashPairs _),
     "q_doc_simhash"       -> (qDocSimhash _),
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
+    "q_doc_simhash_incremental" -> (qDocSimhashIncremental _),
+    "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
     "q_doc_max_spans"     -> (qDocMaxSpans _),
@@ -2681,6 +2715,79 @@ object DocQueries {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   }
 
+  /** DuckDB mirror of [[qDocSimhashIncremental]] (C3c): the mirrored
+    * C3 signatures banded as in [[simhashPairsOracleSql]], split at
+    * doc_id 250 into delta/corpus halves, bucket admission on the
+    * COMBINED size, delta↔delta and delta↔corpus pairs only, same
+    * `bit_count(xor)` verify. */
+  private def simhashIncrementalOracleSql: String = {
+    val bands = 4
+    val width = 16
+    val mask = (1 << width) - 1
+    s"""WITH sig AS MATERIALIZED ($simhashOracleSql),
+      |b AS MATERIALIZED (
+      |  SELECT doc_id, simhash, band,
+      |         (simhash >> (band * $width)) & $mask AS bh
+      |  FROM sig, (SELECT unnest(range($bands)) AS band)),
+      |bn AS (SELECT * FROM b WHERE doc_id >= 250),
+      |bo AS (SELECT * FROM b WHERE doc_id < 250),
+      |cnt AS (SELECT band, bh, count(*) AS n_new FROM bn GROUP BY 1, 2),
+      |oldcnt AS (SELECT band, bh, count(*) AS n_old FROM bo GROUP BY 1, 2),
+      |okb AS (
+      |  SELECT c.band, c.bh
+      |  FROM cnt c LEFT JOIN oldcnt o ON o.band = c.band AND o.bh = c.bh
+      |  WHERE c.n_new + COALESCE(o.n_old, 0) BETWEEN 2 AND 4096),
+      |nn AS (
+      |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |         bit_count(xor(a.simhash, c.simhash)) AS h
+      |  FROM bn a
+      |  JOIN bn c ON a.band = c.band AND a.bh = c.bh
+      |    AND a.doc_id < c.doc_id
+      |  JOIN okb o ON o.band = a.band AND o.bh = a.bh),
+      |xo AS (
+      |  SELECT least(n.doc_id, o.doc_id) AS id_a,
+      |         greatest(n.doc_id, o.doc_id) AS id_b,
+      |         bit_count(xor(n.simhash, o.simhash)) AS h
+      |  FROM bn n
+      |  JOIN bo o ON o.band = n.band AND o.bh = n.bh
+      |    AND n.doc_id <> o.doc_id
+      |  JOIN okb k ON k.band = n.band AND k.bh = n.bh)
+      |SELECT DISTINCT id_a, id_b, CAST(h AS INT) AS hamming
+      |FROM (SELECT * FROM nn UNION ALL SELECT * FROM xo)
+      |WHERE h <= 3""".stripMargin
+  }
+
+  /** DuckDB mirror of [[qDocPpsSample]] (C82): the global-window
+    * cumsum formulation — equivalent to the operator's two-level
+    * prefix sum for any order-preserving bucketing (PackSpec pins
+    * that) — with the identical BIGINT step / md5 phase / grid-point
+    * count arithmetic. */
+  private def ppsSampleOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM w),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - n_tokens AS BIGINT) AS start_offset
+      |      FROM w),
+      |p AS (SELECT c.*, greatest(t.tot // 100, 1) AS step
+      |      FROM c, t WHERE t.tot > 0),
+      |q AS (SELECT *,
+      |        ('0x' || substr(md5('pps-r14'), 1, 15))::BIGINT % step AS o,
+      |        start_offset + n_tokens AS ce
+      |      FROM p),
+      |s AS (SELECT doc_id, n_tokens, start_offset,
+      |        (CASE WHEN ce <= o THEN 0
+      |              ELSE (ce - o - 1) // step + 1 END) -
+      |        (CASE WHEN start_offset <= o THEN 0
+      |              ELSE (start_offset - o - 1) // step + 1 END) AS n_picks
+      |      FROM q)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       CAST(n_picks AS BIGINT) AS n_picks
+      |FROM s WHERE n_picks >= 1""".stripMargin
+
   /** DuckDB mirror of [[qDocLabelSpread]]: the C3b pair mirror
     * symmetrized into directed votes, 3 rounds unrolled (each label
     * relation is read three times per round — votes, the
@@ -2742,6 +2849,8 @@ object DocQueries {
     "q_doc_filter_eval" -> filterEvalOracleSql,
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_simhash_pairs" -> simhashPairsOracleSql,
+    "q_doc_simhash_incremental" -> simhashIncrementalOracleSql,
+    "q_doc_pps_sample" -> ppsSampleOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_screen_eval" -> screenEvalOracleSql,
     "q_doc_max_spans" -> maxSpansOracleSql,

@@ -37,10 +37,13 @@ class ContractSpec extends AnyFunSuite {
       "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity
       "q_doc_unigram_encode", // vocab comes from the iterative trainer; UnigramSpec pins encoder parity
       "q_doc_mix_temperature", // cuts pass through float pow; MixSpec pins the T limits
-      // q_doc_simhash AND q_doc_simhash_pairs graduated to hash-green:
-      // the md5-bit signature is engine-portable integer arithmetic
-      // (Dedup.simhash) and the banding is shift/mask + bit_count(xor)
-      "q_doc_screen_eval", // the screen under evaluation is the hash-family-specific minhash; OperatorsSpec pins recall
+      // q_doc_simhash, q_doc_simhash_pairs AND q_doc_simhash_incremental
+      // graduated to hash-green: the md5-bit signature is
+      // engine-portable integer arithmetic (Dedup.simhash) and the
+      // banding is shift/mask + bit_count(xor)
+      // q_doc_screen_eval graduated to hash-green in r14: every screen
+      // on the curve (portable minhash, edit grid) and both truths
+      // (n-gram Jaccard, levenshtein) have exact DuckDB twins
       "q_mm_scenes", // frame hashes need video decode — no DuckDB oracle
       "q_emb_cluster_sample",
       "q_emb_topics", // k-means cells are engine-specific; TopicsSpec pins the labeling

@@ -183,6 +183,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rerun.forall { case (a, b) => a != b }, s"self-pair emitted: ${rerun.toSeq}")
   }
 
+  test("C3c: incremental simhash equals batch pairs minus the known corpus pairs") {
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val delta = docs.filter(col("doc_id") >= 3)
+    val idx = Dedup.hammingBandBuckets(
+      Dedup.simhash(corpus, "text", "doc_id"), "doc_id", "simhash",
+      maxDist = 7)
+    val inc = Dedup.incrementalSimhashPairs(idx, delta, "text", "doc_id",
+        maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val corpusPairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // no caps engage at this size, so the split is exact
+    assert(inc == batch -- corpusPairs, s"inc=$inc batch=$batch corpus=$corpusPairs")
+    assert(!inc.exists { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      "corpus-corpus pair re-derived")
+  }
+
+  test("C3c: a re-run delta overlapping the index emits no degenerate self-pairs") {
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val idx = Dedup.hammingBandBuckets(
+      Dedup.simhash(corpus, "text", "doc_id"), "doc_id", "simhash")
+    val rerun = Dedup.incrementalSimhashPairs(idx, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rerun.forall { case (a, b) => a != b }, s"self-pair: ${rerun.toSeq}")
+    // the exact-dup cross pair is still reported exactly once
+    assert(rerun.toSeq.count(_ == ((1L, 2L))) == 1, rerun.toSeq.toString)
+  }
+
   test("C4e: verify scores short-doc candidate pairs as 0.0 instead of dropping them") {
     // doc 2 has fewer than n=3 tokens → zero shingles; SimHash (token
     // based) can still propose the pair, and verify must ANSWER it
