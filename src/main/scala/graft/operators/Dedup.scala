@@ -425,6 +425,71 @@ object Dedup {
     incrementalHammingPairs(corpusBuckets, simhash(delta, textCol, idCol),
       idCol, "simhash", maxDist, maxBucket)
 
+  /** C83 — the composed DAILY-DELTA ADMISSION screen: one verdict per
+    * delta document from the three incremental screens probing the
+    * corpus's PERSISTED indexes, in strictness order —
+    *
+    *   - `exact_dup`: text md5 in `corpusExactIdx` (column `h`), or a
+    *     smaller-id delta doc carries the same hash (the
+    *     [[incrementalExactDedup]] survivors relation, inverted);
+    *   - `near_dup`: an [[incrementalMinhashPairs]] candidate VERIFIED
+    *     at n-gram Jaccard ≥ `jaccardThreshold` against the corpus or
+    *     a smaller-id delta doc;
+    *   - `signature_dup`: an [[incrementalSimhashPairs]] pair at
+    *     hamming ≤ `maxDist` — the token-distribution look-alike
+    *     screen that catches template clones Jaccard misses;
+    *   - `new`: admitted.
+    *
+    * Admission is keep-smallest-id: candidate pairs orient
+    * `id_a < id_b` and the LATER copy (`id_b`) is rejected, so callers
+    * must assign delta ids above the corpus high-water mark (the
+    * standard monotonic doc-id discipline) for "later" to mean "newer".
+    *
+    * Shape at 100 TB: three delta-sized index probes, never corpus
+    * re-scans — the exact screen anti-joins the hash column, the two
+    * signature screens are bucket-local band joins, and the Jaccard
+    * verify reads text ONLY for pair-incident ids (`corpusTexts` is
+    * semi-joined down to the candidate set before gram expansion, so
+    * the verify is candidate-sized even though the full corpus text
+    * relation is passed in). Screens run independently; the CASE
+    * priority only orders the verdict label. */
+  def deltaAdmission(corpusExactIdx: DataFrame, corpusMinhashIdx: DataFrame,
+                     corpusSimhashIdx: DataFrame, corpusTexts: DataFrame,
+                     delta: DataFrame, textCol: String, idCol: String,
+                     jaccardThreshold: Double = 0.5,
+                     numHashes: Int = 32, bands: Int = 8, ngram: Int = 3,
+                     maxDist: Int = 3, maxBucket: Int = 4096,
+                     portableHash: Boolean = false): DataFrame = {
+    val survivors = incrementalExactDedup(corpusExactIdx, delta,
+        textCol, idCol)
+      .select(col(idCol), lit(1).as("surv"))
+    val mhPairs = incrementalMinhashPairs(corpusMinhashIdx, delta,
+      textCol, idCol, numHashes, bands, ngram, maxBucket, portableHash)
+    val pairIds = mhPairs.select(col("id_a").as(idCol))
+      .union(mhPairs.select(col("id_b").as(idCol))).distinct()
+    val verifyTexts = corpusTexts.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+      .join(pairIds, Seq(idCol), "left_semi")
+    val nearDup = exactJaccardForPairs(verifyTexts, textCol, idCol,
+        mhPairs, ngram)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("near", lit(1))
+    val sigDup = incrementalSimhashPairs(corpusSimhashIdx, delta,
+        textCol, idCol, maxDist, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("sig", lit(1))
+    delta.select(col(idCol))
+      .join(survivors, Seq(idCol), "left")
+      .join(nearDup, Seq(idCol), "left")
+      .join(sigDup, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("surv").isNull, lit("exact_dup"))
+          .when(col("near") === 1, lit("near_dup"))
+          .when(col("sig") === 1, lit("signature_dup"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
   /** C68 — near-dup pairs between SETS of 64-bit perceptual hashes
     * (e.g. a video's sampled-frame aHashes,
     * [[graft.multimodal.Multimodal.videoHashes]]): candidates come

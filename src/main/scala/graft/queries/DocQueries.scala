@@ -78,6 +78,51 @@ object DocQueries {
       d.filter(col("doc_id") >= 250), "text", "doc_id", maxDist = 3)
   }
 
+  // ---------------------------------------------------------------- C83
+  /** The composed DAILY-DELTA ADMISSION screen — what a production
+    * training-data pipeline actually runs when a new crawl drop
+    * arrives: every delta document gets ONE verdict from the three
+    * incremental screens probing the corpus's persisted indexes, in
+    * strictness order:
+    *
+    *   - `exact_dup`: its text md5 is in the corpus index, or an
+    *     earlier (smaller-id) delta doc carries the same hash
+    *     (the C58 survivors relation, inverted);
+    *   - `near_dup`: a C2e minhash candidate VERIFIED at n-gram
+    *     Jaccard ≥ 0.5 against the corpus or a smaller-id delta doc
+    *     (keep-first: pairs orient id_a < id_b, corpus ids all sort
+    *     below delta ids in this registration, so flagging `id_b`
+    *     rejects exactly the later copy);
+    *   - `signature_dup`: a C3c simhash pair at hamming ≤ 3 under the
+    *     same keep-first orientation — the distribution-level
+    *     look-alike screen that catches template clones token-level
+    *     Jaccard misses;
+    *   - `new`: admitted.
+    *
+    * Screens run independently (each probes its own persisted index —
+    * at 100 TB they are three delta-sized jobs, never corpus
+    * re-scans); the CASE priority only orders the verdict label.
+    * Hash-green: every component relation is already oracled (C58
+    * survivors, C2e portable-minhash candidates + the C4 Jaccard
+    * verify, C3c simhash pairs) and the composed mirror reuses those
+    * exact mirrors as subqueries ([[deltaAdmissionOracleSql]]). */
+  def qDocDeltaAdmission(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") < 250)
+    val delta = d.filter(col("doc_id") >= 250)
+    Dedup.deltaAdmission(
+      corpusExactIdx = corpus.select(
+        md5(coalesce(col("text"), lit(""))).as("h")),
+      corpusMinhashIdx = Dedup.minhashBandBuckets(corpus, "text",
+        "doc_id", portableHash = true),
+      corpusSimhashIdx = Dedup.hammingBandBuckets(
+        Dedup.simhash(corpus, "text", "doc_id"), "doc_id", "simhash",
+        maxDist = 3),
+      corpusTexts = corpus,
+      delta = delta, textCol = "text", idCol = "doc_id",
+      portableHash = true)
+  }
+
   // ---------------------------------------------------------------- C4
   def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
@@ -2204,6 +2249,7 @@ object DocQueries {
     "q_doc_simhash"       -> (qDocSimhash _),
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_simhash_incremental" -> (qDocSimhashIncremental _),
+    "q_doc_delta_admission" -> (qDocDeltaAdmission _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -2788,6 +2834,58 @@ object DocQueries {
       |       CAST(n_picks AS BIGINT) AS n_picks
       |FROM s WHERE n_picks >= 1""".stripMargin
 
+  /** DuckDB mirror of [[qDocExactIncremental]] (C58) — a val so the
+    * C83 composed admission mirror reuses the identical survivors
+    * relation instead of a hand-copied twin. */
+  private val exactIncrementalOracleSql: String =
+    """WITH delta AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+      |               FROM documents WHERE doc_id >= 250),
+      |corpus AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+      |           FROM documents WHERE doc_id < 250),
+      |g AS (SELECT h, min(doc_id) AS doc_id,
+      |             CAST(count(*) AS BIGINT) AS n_delta_copies
+      |      FROM delta GROUP BY h)
+      |SELECT doc_id, h, n_delta_copies FROM g
+      |WHERE h NOT IN (SELECT h FROM corpus)""".stripMargin
+
+  /** DuckDB mirror of [[qDocDeltaAdmission]] (C83) — composed ENTIRELY
+    * from relations that already have exact twins: the C58 survivors
+    * ([[exactIncrementalOracleSql]]), the C2e portable-minhash
+    * candidates ([[minhashIncrementalOracleSql]]) verified with the
+    * C4 literal-gram Jaccard (the screenEval `tru` formula), and the
+    * C3c simhash pairs ([[simhashIncrementalOracleSql]]); same
+    * keep-first `id_b` orientation, same verdict CASE priority. */
+  private def deltaAdmissionOracleSql: String =
+    s"""WITH mhc AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM ($minhashIncrementalOracleSql)),
+      |g3 AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents))),
+      |gc AS (SELECT doc_id, count(*) AS n FROM g3 GROUP BY 1),
+      |ji AS (SELECT m.id_a, m.id_b, count(*) AS inter
+      |       FROM mhc m
+      |       JOIN g3 a ON a.doc_id = m.id_a
+      |       JOIN g3 b ON b.doc_id = m.id_b AND b.gram = a.gram
+      |       GROUP BY 1, 2),
+      |nd AS (SELECT DISTINCT j.id_b AS doc_id
+      |       FROM ji j JOIN gc ca ON ca.doc_id = j.id_a
+      |                 JOIN gc cb ON cb.doc_id = j.id_b
+      |       WHERE round(j.inter / (ca.n + cb.n - j.inter), 4) >= 0.5),
+      |sd AS (SELECT DISTINCT id_b AS doc_id
+      |       FROM ($simhashIncrementalOracleSql)),
+      |sv AS (SELECT doc_id FROM ($exactIncrementalOracleSql))
+      |SELECT d.doc_id,
+      |  CASE WHEN sv.doc_id IS NULL THEN 'exact_dup'
+      |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+      |       WHEN sd.doc_id IS NOT NULL THEN 'signature_dup'
+      |       ELSE 'new' END AS verdict
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+      |LEFT JOIN sv ON sv.doc_id = d.doc_id
+      |LEFT JOIN nd ON nd.doc_id = d.doc_id
+      |LEFT JOIN sd ON sd.doc_id = d.doc_id""".stripMargin
+
   /** DuckDB mirror of [[qDocLabelSpread]]: the C3b pair mirror
     * symmetrized into directed votes, 3 rounds unrolled (each label
     * relation is read three times per round — votes, the
@@ -2850,6 +2948,7 @@ object DocQueries {
     "q_doc_simhash" -> simhashOracleSql,
     "q_doc_simhash_pairs" -> simhashPairsOracleSql,
     "q_doc_simhash_incremental" -> simhashIncrementalOracleSql,
+    "q_doc_delta_admission" -> deltaAdmissionOracleSql,
     "q_doc_pps_sample" -> ppsSampleOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_screen_eval" -> screenEvalOracleSql,
@@ -3241,16 +3340,7 @@ object DocQueries {
         |    AS n_removed
         |FROM pos LEFT JOIN bad ON bad.doc_id = pos.doc_id AND bad.j = pos.p
         |GROUP BY pos.doc_id""".stripMargin,
-    "q_doc_exact_incremental" ->
-      """WITH delta AS (SELECT doc_id, md5(coalesce(text, '')) AS h
-        |               FROM documents WHERE doc_id >= 250),
-        |corpus AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
-        |           FROM documents WHERE doc_id < 250),
-        |g AS (SELECT h, min(doc_id) AS doc_id,
-        |             CAST(count(*) AS BIGINT) AS n_delta_copies
-        |      FROM delta GROUP BY h)
-        |SELECT doc_id, h, n_delta_copies FROM g
-        |WHERE h NOT IN (SELECT h FROM corpus)""".stripMargin,
+    "q_doc_exact_incremental" -> exactIncrementalOracleSql,
     "q_doc_gopher" -> gopherOracleSql("documents"),
     "q_doc_filter_funnel" -> funnelOracleSql,
     "q_doc_datasheet" ->

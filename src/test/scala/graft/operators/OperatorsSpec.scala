@@ -213,6 +213,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rerun.toSeq.count(_ == ((1L, 2L))) == 1, rerun.toSeq.toString)
   }
 
+  test("C83: delta admission issues one planted verdict per screen") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // exact copy of corpus doc 1 → exact_dup
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      // one appended token: Jaccard 10/11 ≈ 0.91 → near_dup
+      (11L, "the quick brown fox jumps over the lazy dog again and again indeed"),
+      // same DISTINCT token set as doc 1, shuffled: simhash hamming 0,
+      // but almost no shared 3-grams → signature_dup, not near_dup
+      (12L, "dog the lazy quick brown fox again jumps over and"),
+      // unrelated → new
+      (13L, "fresh unrelated material covering streaming watermark semantics"),
+      // exact copy of delta doc 13 (larger id) → intra-delta exact_dup
+      (14L, "fresh unrelated material covering streaming watermark semantics")
+    ).toDF("doc_id", "text")
+    val got = Dedup.deltaAdmission(
+        corpusExactIdx = corpus.select(md5(col("text")).as("h")),
+        corpusMinhashIdx = Dedup.minhashBandBuckets(corpus, "text", "doc_id"),
+        corpusSimhashIdx = Dedup.hammingBandBuckets(
+          Dedup.simhash(corpus, "text", "doc_id"), "doc_id", "simhash"),
+        corpusTexts = corpus, delta = delta,
+        textCol = "text", idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "exact_dup", 11L -> "near_dup",
+      12L -> "signature_dup", 13L -> "new", 14L -> "exact_dup"), got.toString)
+  }
+
   test("C4e: verify scores short-doc candidate pairs as 0.0 instead of dropping them") {
     // doc 2 has fewer than n=3 tokens → zero shingles; SimHash (token
     // based) can still propose the pair, and verify must ANSWER it

@@ -227,4 +227,29 @@ class ScaleSpec extends SparkSpec {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
       s"vocab sizes not monotone down the ladder: $sizes")
   }
+
+  test("C82s: PPS sample is bucketing-invariant on a 1M-doc stream") {
+    // 1M docs with pseudo-random weights (including zeros). The
+    // distributed two-level prefix sum at 256 buckets must reproduce
+    // the numBuckets=1 run EXACTLY — at 1M rows the single-bucket run
+    // IS the global-window formulation the operator exists to avoid,
+    // so equality here is the distributed-vs-sequential oracle at
+    // volume, checked distributively (no collect of a million rows).
+    val docs = spark.range(1000000L)
+      .select(col("id").as("doc_id"),
+        pmod(col("id") * 2654435761L, lit(97L)).as("w"))
+    val t0 = System.nanoTime()
+    val fast = Sample.systematicPps(docs, "doc_id", "w", k = 10000L,
+      seed = "scale", numBuckets = 256)
+    val slow = Sample.systematicPps(docs, "doc_id", "w", k = 10000L,
+      seed = "scale", numBuckets = 1)
+    assert(fast.exceptAll(slow).count() == 0 &&
+      slow.exceptAll(fast).count() == 0,
+      "bucketed and sequential samples diverge")
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the realized sample size is the exact grid count: k ± 1
+    val picks = fast.agg(sum(col("n_picks"))).collect()(0).getLong(0)
+    assert(math.abs(picks - 10000L) <= 1, s"picks=$picks")
+    info(f"1M docs sampled twice + compared in $secs%.1f s, $picks picks")
+  }
 }
