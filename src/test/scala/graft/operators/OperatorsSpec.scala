@@ -243,6 +243,25 @@ class OperatorsSpec extends SparkSpec {
       12L -> "signature_dup", 13L -> "new", 14L -> "exact_dup"), got.toString)
   }
 
+  test("C83: day-0 bootstrap — an empty corpus admits the first drop minus its own dups") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val got = Dedup.deltaAdmission(
+        corpusExactIdx = corpus.select(md5(col("text")).as("h")),
+        corpusMinhashIdx = Dedup.minhashBandBuckets(corpus, "text", "doc_id"),
+        corpusSimhashIdx = Dedup.hammingBandBuckets(
+          Dedup.simhash(corpus, "text", "doc_id"), "doc_id", "simhash"),
+        corpusTexts = corpus, delta = delta,
+        textCol = "text", idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "new", 11L -> "exact_dup", 12L -> "new"),
+      got.toString)
+  }
+
   test("C4e: verify scores short-doc candidate pairs as 0.0 instead of dropping them") {
     // doc 2 has fewer than n=3 tokens → zero shingles; SimHash (token
     // based) can still propose the pair, and verify must ANSWER it
