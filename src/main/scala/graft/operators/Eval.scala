@@ -85,4 +85,46 @@ object Eval {
     df.groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("np"))
+
+  /** C84 — distribution-drift report between two corpus slices (a
+    * reference corpus and an incoming delta, two sources, two
+    * pipeline versions) over any non-negative integer metric (token
+    * count, char length, chunk count): one row per LOG2 bucket with
+    * both sides' counts, cumulative shares, and the cumulative-share
+    * gap whose maximum is the Kolmogorov–Smirnov statistic — the
+    * "did this drop shift the distribution?" monitor a pipeline
+    * checks before admitting a crawl (a KS gap at the short-doc
+    * buckets is the classic boilerplate-regression signature).
+    *
+    * Buckets are `length(bin(x + 1)) − 1` = ⌊log2(x+1)⌋ computed on
+    * the BINARY STRING, not a float log — exact at every power-of-two
+    * boundary in any engine, which is what lets the whole relation
+    * hash-oracle. Shares divide once at the end and round to 4.
+    *
+    * Scale shape: ONE partial-agg'd pass per side to ≤ 64 bucket
+    * rows; the cumulative windows sort those rows, never a corpus
+    * (the [[rocAuc]] histogram stance). Empty sides yield zero
+    * shares, not a divide error. */
+  def histogramDrift(a: DataFrame, b: DataFrame,
+                     valueCol: String): DataFrame = {
+    def side(df: DataFrame, cnt: String) =
+      df.select((length(bin(col(valueCol).cast("long") + 1)) - 1)
+          .cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side(a, "n_a").join(side(b, "n_b"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("ca", sum(col("n_a")).over(w))
+      .withColumn("cb", sum(col("n_b")).over(w))
+      .crossJoin(broadcast(
+        a.agg(count(lit(1)).as("ta")).crossJoin(b.agg(count(lit(1)).as("tb")))))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        TextFunctions.round4(when(col("ta") === 0, 0.0)
+          .otherwise(col("ca").cast("double") / col("ta"))).as("cum_a"),
+        TextFunctions.round4(when(col("tb") === 0, 0.0)
+          .otherwise(col("cb").cast("double") / col("tb"))).as("cum_b"))
+      .withColumn("gap",
+        TextFunctions.round4(abs(col("cum_a") - col("cum_b"))))
+  }
 }

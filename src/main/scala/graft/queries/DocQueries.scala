@@ -123,6 +123,22 @@ object DocQueries {
       portableHash = true)
   }
 
+  // ---------------------------------------------------------------- C84
+  /** Distribution-drift report between the corpus and the incoming
+    * delta (the C83 split): per log2 token-length bucket, both sides'
+    * counts, cumulative shares and the KS gap — see
+    * [[graft.operators.Eval.histogramDrift]]. Hash-green: buckets are
+    * binary-string lengths (exact at every power-of-two boundary) and
+    * the shares are one round4 division, mirrored in
+    * [[lengthDriftOracleSql]]. */
+  def qDocLengthDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Eval.histogramDrift(
+      tok.filter(col("doc_id") < 250),
+      tok.filter(col("doc_id") >= 250), "n_tokens")
+  }
+
   // ---------------------------------------------------------------- C4
   def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
@@ -2250,6 +2266,7 @@ object DocQueries {
     "q_doc_simhash_pairs" -> (qDocSimhashPairs _),
     "q_doc_simhash_incremental" -> (qDocSimhashIncremental _),
     "q_doc_delta_admission" -> (qDocDeltaAdmission _),
+    "q_doc_length_drift"  -> (qDocLengthDrift _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -2886,6 +2903,43 @@ object DocQueries {
       |LEFT JOIN nd ON nd.doc_id = d.doc_id
       |LEFT JOIN sd ON sd.doc_id = d.doc_id""".stripMargin
 
+  /** DuckDB mirror of [[qDocLengthDrift]] (C84): identical
+    * binary-string log2 buckets, full-outer bucket union, cumulative
+    * windows over the ≤64-row bucket relation, one round4 division
+    * per share. */
+  private def lengthDriftOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |a AS (SELECT CAST(length(bin(n + 1)) - 1 AS INT) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n_a
+      |      FROM w WHERE doc_id < 250 GROUP BY 1),
+      |b AS (SELECT CAST(length(bin(n + 1)) - 1 AS INT) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n_b
+      |      FROM w WHERE doc_id >= 250 GROUP BY 1),
+      |t AS (SELECT CAST((SELECT count(*) FROM w WHERE doc_id < 250)
+      |               AS BIGINT) AS ta,
+      |             CAST((SELECT count(*) FROM w WHERE doc_id >= 250)
+      |               AS BIGINT) AS tb),
+      |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+      |             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+      |c AS (SELECT bucket, n_a, n_b,
+      |        sum(n_a) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS ca,
+      |        sum(n_b) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS cb
+      |      FROM j),
+      |s AS (SELECT bucket, n_a, n_b,
+      |        round(CASE WHEN ta = 0 THEN 0.0
+      |                   ELSE CAST(ca AS DOUBLE) / ta END, 4) AS cum_a,
+      |        round(CASE WHEN tb = 0 THEN 0.0
+      |                   ELSE CAST(cb AS DOUBLE) / tb END, 4) AS cum_b
+      |      FROM c, t)
+      |SELECT bucket, n_a, n_b, cum_a, cum_b,
+      |       round(abs(cum_a - cum_b), 4) AS gap
+      |FROM s""".stripMargin
+
   /** DuckDB mirror of [[qDocLabelSpread]]: the C3b pair mirror
     * symmetrized into directed votes, 3 rounds unrolled (each label
     * relation is read three times per round — votes, the
@@ -2949,6 +3003,7 @@ object DocQueries {
     "q_doc_simhash_pairs" -> simhashPairsOracleSql,
     "q_doc_simhash_incremental" -> simhashIncrementalOracleSql,
     "q_doc_delta_admission" -> deltaAdmissionOracleSql,
+    "q_doc_length_drift" -> lengthDriftOracleSql,
     "q_doc_pps_sample" -> ppsSampleOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_screen_eval" -> screenEvalOracleSql,

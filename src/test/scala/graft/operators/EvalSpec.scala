@@ -49,4 +49,31 @@ class EvalSpec extends SparkSpec {
     val auc = Eval.rocAuc(big, "score", "label").head().getDouble(0)
     assert(auc == 0.5, s"balanced labels per score must give 0.5, got $auc")
   }
+
+  test("C84: histogram drift — hand-computed buckets, gaps, and power-of-two exactness") {
+    // side a: values 1,2,3,7 → buckets ⌊log2(v+1)⌋ = 1,1,2,3
+    // side b: values 3,3    → bucket 2,2
+    val a = Seq(1L, 2L, 3L, 7L).toDF("v")
+    val b = Seq(3L, 3L).toDF("v")
+    val got = Eval.histogramDrift(a, b, "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 2L, 0L, 0.5, 0.0, 0.5),    // cum_a 2/4, cum_b 0/2
+      (2, 1L, 2L, 0.75, 1.0, 0.25),  // cum_a 3/4, cum_b 2/2
+      (3, 1L, 0L, 1.0, 1.0, 0.0)), got.toSeq.toString)
+    // power-of-two boundaries are exact: v = 2^k − 1 is the last value
+    // of bucket k − 1... v+1 = 2^k lands bucket k, v+2 stays bucket k
+    val edges = Seq(7L, 8L, 9L).toDF("v") // buckets 3, 3, 3 for v+1=8,9,10
+    val eb = Eval.histogramDrift(edges, edges, "v").collect()
+    assert(eb.length == 1 && eb.head.getInt(0) == 3, eb.mkString(","))
+    // identical sides → zero gap everywhere
+    assert(Eval.histogramDrift(a, a, "v")
+      .agg(max(col("gap"))).head().getDouble(0) == 0.0)
+    // one empty side → its cumulative share pins to 0.0, no divide error
+    val empty = Seq.empty[Long].toDF("v")
+    val oneSided = Eval.histogramDrift(a, empty, "v").collect()
+    assert(oneSided.forall(_.getDouble(4) == 0.0))
+  }
 }
