@@ -86,6 +86,37 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("np"))
 
+  /** C85 — calibration (reliability) report of a [0, 1] score
+    * predicting a 0/1 label: per score bucket, the count, positives,
+    * mean predicted score and observed positive fraction — the plot
+    * every classifier-gated curation pipeline reads next to its C75
+    * AUC (a well-ranked score can still be mis-CALIBRATED, and
+    * threshold choices come off this table, not off AUC).
+    *
+    * Scores are expected ROUNDED to 4 (the repo stance). Bucketing
+    * and the mean stay ENGINE-EXACT by scaling to integer ten-
+    * thousandths first: bucket = min(si·bins div 10⁴, bins−1) puts
+    * every decimal boundary exactly where it claims (float
+    * `floor(0.3·10)` is 2 in IEEE — the classic binning bug this
+    * sidesteps), and the mean divides an exact BIGINT sum once at the
+    * end. Shape: ONE partial-agg'd pass to ≤ `bins` rows. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    df.select(round(col(scoreCol) * 10000).cast("long").as("si"),
+        col(labelCol).cast("long").as("lab"))
+      .withColumn("bucket",
+        least(expr(s"si * $bins div 10000"), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("lab")).as("n_pos"),
+        sum(col("si")).as("ssum"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        TextFunctions.round4(
+          col("ssum").cast("double") / (col("n") * 10000.0)).as("mean_score"),
+        TextFunctions.round4(
+          col("n_pos").cast("double") / col("n")).as("frac_pos"))
+  }
+
   /** C84 — distribution-drift report between two corpus slices (a
     * reference corpus and an incoming delta, two sources, two
     * pipeline versions) over any non-negative integer metric (token

@@ -251,6 +251,21 @@ object DocQueries {
         Eval.rocAuc(g, "score", "label").select(col("auc"))))
   }
 
+  // ---------------------------------------------------------------- C85
+  /** Calibration (reliability) table of the same score/label pairing
+    * C75 evaluates: per decile of the C8 quality score, the observed
+    * C52 Gopher keep fraction vs the mean predicted score — see
+    * [[graft.operators.Eval.calibration]]. Hash-green: bucketing and
+    * the mean run on exact integer ten-thousandths, mirrored in
+    * [[calibrationOracleSql]]. */
+  def qDocCalibration(s: SparkSession, dir: String): DataFrame = {
+    val g = gopherMetrics(docs(s, dir), carry = Seq("text"))
+      .select(TextFunctions.round4(
+          TextFunctions.qualityScore(col("text"))).as("score"),
+        col("keep").as("label"))
+    graft.operators.Eval.calibration(g, "score", "label", bins = 10)
+  }
+
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
     * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
@@ -2267,6 +2282,7 @@ object DocQueries {
     "q_doc_simhash_incremental" -> (qDocSimhashIncremental _),
     "q_doc_delta_admission" -> (qDocDeltaAdmission _),
     "q_doc_length_drift"  -> (qDocLengthDrift _),
+    "q_doc_calibration"   -> (qDocCalibration _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -2595,6 +2611,26 @@ object DocQueries {
       |  round(tp * 1.0 / greatest(tp + fn, 1), 4) AS recall,
       |  a.auc
       |FROM pr, a""".stripMargin
+  }
+
+  /** DuckDB mirror of [[qDocCalibration]] (C85): the C75 score/label
+    * relation, scaled to integer ten-thousandths for exact decile
+    * boundaries, one integer-sum division per bucket. */
+  private def calibrationOracleSql: String = {
+    val gopher = gopherOracleSql("documents", Seq("text"))
+    s"""WITH g AS (
+      |  SELECT round(${qualitySql("text")}, 4) AS score, keep AS label
+      |  FROM ($gopher) gm),
+      |s AS (SELECT CAST(round(score * 10000) AS BIGINT) AS si, label
+      |      FROM g),
+      |c AS (SELECT least(si * 10 // 10000, 9) AS bucket,
+      |             count(*) AS n, sum(label) AS np, sum(si) AS ssum
+      |      FROM s GROUP BY 1)
+      |SELECT CAST(bucket AS INT) AS bucket, CAST(n AS BIGINT) AS n,
+      |  CAST(np AS BIGINT) AS n_pos,
+      |  round(CAST(ssum AS DOUBLE) / (n * 10000.0), 4) AS mean_score,
+      |  round(np * 1.0 / n, 4) AS frac_pos
+      |FROM c""".stripMargin
   }
 
   /** Shared generator for the PORTABLE-minhash bucket relation
@@ -3004,6 +3040,7 @@ object DocQueries {
     "q_doc_simhash_incremental" -> simhashIncrementalOracleSql,
     "q_doc_delta_admission" -> deltaAdmissionOracleSql,
     "q_doc_length_drift" -> lengthDriftOracleSql,
+    "q_doc_calibration" -> calibrationOracleSql,
     "q_doc_pps_sample" -> ppsSampleOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_screen_eval" -> screenEvalOracleSql,

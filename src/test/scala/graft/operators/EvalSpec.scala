@@ -50,6 +50,22 @@ class EvalSpec extends SparkSpec {
     assert(auc == 0.5, s"balanced labels per score must give 0.5, got $auc")
   }
 
+  test("C85: calibration buckets are decimal-exact, means and fractions hand-checked") {
+    val g = Seq((0.05, 0), (0.05, 1), (0.15, 0), (0.95, 1), (1.0, 1),
+      (0.3, 0)).toDF("score", "label")
+    val got = Eval.calibration(g, "score", "label", bins = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0, 2L, 1L, 0.05, 0.5),
+      (1, 1L, 0L, 0.15, 0.0),
+      // 0.3 lands in bucket 3 — the IEEE floor(0.3*10)=2 trap avoided
+      (3, 1L, 0L, 0.3, 0.0),
+      // 1.0 clamps into the last bucket with 0.95
+      (9, 2L, 2L, 0.975, 1.0)), got.toSeq.toString)
+  }
+
   test("C84: histogram drift — hand-computed buckets, gaps, and power-of-two exactness") {
     // side a: values 1,2,3,7 → buckets ⌊log2(v+1)⌋ = 1,1,2,3
     // side b: values 3,3    → bucket 2,2
