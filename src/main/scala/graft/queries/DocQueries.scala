@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
-import graft.operators.{ClusterSample, Dedup, Similarity}
+import graft.operators.{ClusterSample, Dedup, Eval, Sample, Similarity}
 
 /** LLM-data-pipeline extensions (SURVEY.md §2 C1–C10) over the
   * `documents` and `embeddings` tables.
@@ -134,7 +134,7 @@ object DocQueries {
   def qDocLengthDrift(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir).select(col("doc_id"),
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-    graft.operators.Eval.histogramDrift(
+    Eval.histogramDrift(
       tok.filter(col("doc_id") < 250),
       tok.filter(col("doc_id") >= 250), "n_tokens")
   }
@@ -241,7 +241,6 @@ object DocQueries {
     * doubled-integer space until one final division, and both stage
     * definitions reuse their existing generated mirrors. */
   def qDocFilterEval(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Eval
     val g = gopherMetrics(docs(s, dir), carry = Seq("text"))
       .select(TextFunctions.round4(
           TextFunctions.qualityScore(col("text"))).as("score"),
@@ -263,7 +262,7 @@ object DocQueries {
       .select(TextFunctions.round4(
           TextFunctions.qualityScore(col("text"))).as("score"),
         col("keep").as("label"))
-    graft.operators.Eval.calibration(g, "score", "label", bins = 10)
+    Eval.calibration(g, "score", "label", bins = 10)
   }
 
   // ---------------------------------------------------------------- C74
@@ -1174,7 +1173,7 @@ object DocQueries {
   def qDocPpsSample(s: SparkSession, dir: String): DataFrame = {
     val weighted = docs(s, dir).select(col("doc_id"),
       size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
-    graft.operators.Sample.systematicPps(weighted, "doc_id", "n_tokens",
+    Sample.systematicPps(weighted, "doc_id", "n_tokens",
       k = 100L, seed = "pps-r14")
   }
 
