@@ -105,8 +105,13 @@ object Eval {
     require(bins >= 1, "bins must be positive")
     df.select(round(col(scoreCol) * 10000).cast("long").as("si"),
         col(labelCol).cast("long").as("lab"))
+      // clamp BOTH ends: scores are contracted to [0, 1], but an
+      // out-of-range score must land in a well-defined edge bucket in
+      // every engine (negative integer division truncates in Spark and
+      // floors in DuckDB — unclamped, a negative score would diverge)
       .withColumn("bucket",
-        least(expr(s"si * $bins div 10000"), lit(bins - 1L)).cast("int"))
+        greatest(least(expr(s"si * $bins div 10000"), lit(bins - 1L)),
+          lit(0L)).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("lab")).as("n_pos"),
         sum(col("si")).as("ssum"))

@@ -2622,7 +2622,7 @@ object DocQueries {
       |  FROM ($gopher) gm),
       |s AS (SELECT CAST(round(score * 10000) AS BIGINT) AS si, label
       |      FROM g),
-      |c AS (SELECT least(si * 10 // 10000, 9) AS bucket,
+      |c AS (SELECT greatest(least(si * 10 // 10000, 9), 0) AS bucket,
       |             count(*) AS n, sum(label) AS np, sum(si) AS ssum
       |      FROM s GROUP BY 1)
       |SELECT CAST(bucket AS INT) AS bucket, CAST(n AS BIGINT) AS n,

@@ -64,6 +64,11 @@ class EvalSpec extends SparkSpec {
       (3, 1L, 0L, 0.3, 0.0),
       // 1.0 clamps into the last bucket with 0.95
       (9, 2L, 2L, 0.975, 1.0)), got.toSeq.toString)
+    // out-of-range scores land in well-defined edge buckets
+    val oob = Seq((-0.2, 0), (1.4, 1)).toDF("score", "label")
+    val ob = Eval.calibration(oob, "score", "label", bins = 10).collect()
+      .map(r => r.getInt(0)).sorted
+    assert(ob.toSeq == Seq(0, 9), ob.mkString(","))
   }
 
   test("C84: histogram drift — hand-computed buckets, gaps, and power-of-two exactness") {
