@@ -632,18 +632,20 @@ object DocQueries {
     * PROPOSES candidate pairs (bucketed, never corpus×corpus),
     * [[Dedup.exactJaccardForPairs]] VERIFIES just those pairs on
     * hashed bounded-width gram sets, and curation drops the confirmed
-    * near-dups. Same downstream as [[qDocPipelineFull]] — which is the
-    * oracle configuration (exact posting-list pairs, hash-checked vs
-    * DuckDB) — but the pair source here is hash-family-dependent, so
-    * this entry is rows-only by design; the wiring itself is pinned by
-    * PipelineSpec/OperatorsSpec C12b, and on the planted testdata
-    * (near-dups at Jaccard ≈0.99, which MinHash at 32 hashes × 8 bands
-    * recalls) it converges to the same survivor set. */
+    * near-dups. Hash-green since r14: the gate registration runs the
+    * ENGINE-PORTABLE md5 minhash family (the C2 recipe), so the
+    * composed mirror rebuilds the identical screen over the
+    * exact-dedup survivors and verifies the identical candidates
+    * ([[pipelineScaleOracleSql]]) — the screen's recall no longer has
+    * to match [[qDocPipelineFull]]'s exact pair join, because both
+    * engines compute the SAME screen. Production callers keep the
+    * xxhash64 default. */
   def qDocPipelineScale(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.curateFull(docs(s, dir), "text", "doc_id",
       minQuality = 0.5,
       pairs = deduped => Dedup.exactJaccardForPairs(deduped, "text", "doc_id",
-          Dedup.minhashCandidatePairs(deduped, "text", "doc_id"))
+          Dedup.minhashCandidatePairs(deduped, "text", "doc_id",
+            portableHash = true))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a").as("doc1"), col("id_b").as("doc2")))
 
@@ -2632,6 +2634,51 @@ object DocQueries {
       |FROM c""".stripMargin
   }
 
+  /** DuckDB mirror of [[qDocPipelineScale]] (C12b): the
+    * [[minhashBucketCtes]] screen rebuilt over the exact-dedup
+    * survivors (the same IN-subquery predicate the full-pipeline
+    * mirror uses), candidates verified with the literal-gram Jaccard,
+    * then the identical keep/score/gate tail as the
+    * `q_doc_pipeline_full` mirror. */
+  private def pipelineScaleOracleSql: String = {
+    val pred =
+      "doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+    s"""WITH ${minhashBucketCtes("", pred)},
+      |ok AS (SELECT band, bh FROM b
+      |       GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4096),
+      |mhc AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+      |  FROM b a
+      |  JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+      |  JOIN ok o ON o.band = a.band AND o.bh = a.bh),
+      |sdocs AS (SELECT * FROM documents WHERE $pred),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      |        FROM toks WHERE len(t) >= 3),
+      |grams AS (SELECT DISTINCT doc_id,
+      |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      |          FROM idx),
+      |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |ji AS (SELECT m.doc1, m.doc2, count(*) AS inter
+      |       FROM mhc m
+      |       JOIN grams ga ON ga.doc_id = m.doc1
+      |       JOIN grams gb ON gb.doc_id = m.doc2 AND gb.gram = ga.gram
+      |       GROUP BY 1, 2),
+      |losers AS (SELECT DISTINCT doc2 FROM ji
+      |           JOIN counts ca ON ca.doc_id = doc1
+      |           JOIN counts cb ON cb.doc_id = doc2
+      |           WHERE round(inter / (ca.n + cb.n - inter), 4) >= 0.5),
+      |kept AS (SELECT s.* FROM sdocs s
+      |         WHERE s.doc_id NOT IN (SELECT doc2 FROM losers)),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    round(${qualitySql("text")}, 4) AS quality
+      |  FROM kept)
+      |SELECT doc_id, n_tokens, quality FROM scored
+      |WHERE quality >= 0.5""".stripMargin
+  }
+
   /** Shared generator for the PORTABLE-minhash bucket relation
     * `b$tag(doc_id, band, bh)` over `documents` rows matching `pred`
     * — the DuckDB twin of [[graft.operators.Dedup.minhashSignatures]]
@@ -3040,6 +3087,7 @@ object DocQueries {
     "q_doc_delta_admission" -> deltaAdmissionOracleSql,
     "q_doc_length_drift" -> lengthDriftOracleSql,
     "q_doc_calibration" -> calibrationOracleSql,
+    "q_doc_pipeline_scale" -> pipelineScaleOracleSql,
     "q_doc_pps_sample" -> ppsSampleOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
     "q_doc_screen_eval" -> screenEvalOracleSql,

@@ -24,9 +24,12 @@ class ContractSpec extends AnyFunSuite {
     // hash-family / sketch / codebook-dependent results can't carry a
     // DuckDB oracle; anything else missing one is a correctness-gate
     // hole. Update this set ONLY together with a SURVEY.md rationale.
+    // q_doc_pipeline_scale graduated to hash-green in r14: its gate
+    // registration runs the portable md5 minhash screen, so the
+    // composed mirror rebuilds the identical candidates
     val rowsOnlyByDesign = Set(
       "q_approx_distinct", "q_approx_distinct_rollup", "q_approx_percentile",
-      "q_doc_contamination_bloom", "q_doc_pipeline_scale",
+      "q_doc_contamination_bloom",
       // q_doc_minhash_pairs AND q_doc_minhash_incremental graduated to
       // hash-green in r14: the gate registrations run the portable
       // md5 hash family (Dedup.minhashSignatures portableHash=true)
