@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   *   - a deterministic within-cell order — md5(id, seed) — the same
   *     reproducibility contract as stratified sampling (C14).
   *
-  * Scale shape: one window partitioned by centroid_id. The rank filter
-  * is rank-limit-pushed (WindowGroupLimit) so each cell keeps only
-  * `perCell` rows through the sort rather than sorting whole cells;
-  * cell skew beyond that is k-means skew, bounded by the cell count
-  * the caller picks.
+  * Scale shape: ONE window partitioned by centroid_id, carrying only
+  * the `row_number` — rank-limit-pushed (WindowGroupLimit), so each
+  * cell keeps only `perCell` rows through the sort rather than
+  * sorting whole cells. `cell_size` is NOT a window count (an
+  * unbounded-frame count defeats the group limit and forces every hot
+  * cell's rows through one task): it is a groupBy on `centroid_id` —
+  * a MODEL-sized k-row relation — broadcast-joined back. Cell skew
+  * beyond that is k-means skew, bounded by the cell count the caller
+  * picks.
   */
 object ClusterSample {
 
@@ -46,13 +50,18 @@ object ClusterSample {
                           seed: Long = 42L): DataFrame = {
     require(perCell >= 1, s"perCell=$perCell must be >= 1")
     val assigned = Ivf.assignCells(emb, idCol, vecCol, centroids)
-    val byCell = Window.partitionBy("centroid_id")
+      // read once, feed twice (sizes + rank) — without the cut the
+      // whole assignment subtree (centroid broadcast join + argmin
+      // agg) plans and runs twice
+      .localCheckpoint()
     val rankKey = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed)))
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cell_size"))
     assigned
-      .withColumn("cell_size", count(lit(1)).over(byCell))
-      .withColumn("__r",
-        row_number().over(byCell.orderBy(rankKey, col(idCol))))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("centroid_id").orderBy(rankKey, col(idCol))))
       .filter(col("__r") <= perCell)
+      .join(broadcast(sizes), "centroid_id")
       .select(col(idCol), col("centroid_id"), col("cell_size"))
   }
 }

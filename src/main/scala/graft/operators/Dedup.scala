@@ -59,7 +59,9 @@ object Dedup {
     * `portableHash = true` swaps the family for ONE md5 per gram with
     * 32 independent multiply-mod derivations over the digest's four
     * 32-bit words: `hash_i = (a_i·x1 + b_i·x2 + c_i·x3 + d_i·x4) mod
-    * (2^61 − 1)` with per-function random 28-bit coefficients
+    * (2^31 − 1)` (the [[MinhashPortableP]] Mersenne prime — see its
+    * doc for why a near-2^62 modulus was rejected) with per-function
+    * random 28-bit coefficients
     * ([[minhashPortableCoef]]), so every product stays < 2^60 and the
     * sum < 2^62 — no signed overflow in ANY engine. This is the C3
     * recipe that makes the signature ENGINE-PORTABLE: md5 is
@@ -1259,34 +1261,44 @@ object Dedup {
     * templates and re-crawls diverge late, not early).
     *
     * Blocking: the key is cut into a FIXED grid of `maxDist + 1`
-    * contiguous segments of `keyLen / (maxDist + 1)` chars; by
-    * pigeonhole, two equal-length FULL-GRID keys (length = `keyLen`,
-    * so all `maxDist + 1` segments exist) within `maxDist`
-    * substitutions of each other agree on at least one whole segment,
-    * so pairing on (segment index, segment text) equality is a
-    * COMPLETE candidate generator for substitution-only divergence
-    * over full-length keys — and a recall-only screen (never a false
-    * positive: every candidate is re-verified with the exact
-    * `levenshtein` before it is emitted). Two DECLARED recall gaps:
-    * (1) insertions/deletions shift the grid (C2/C3 catch those; this
-    * operator exists for the substitution regime — measured per
-    * distance bucket by [[screenEval]]'s edit screen row); (2) keys
+    * contiguous segments of `keyLen / (maxDist + 1)` chars. By
+    * pigeonhole, two FULL-GRID keys (length = `keyLen`, so all
+    * `maxDist + 1` segments exist) within `maxDist` edits share at
+    * least one segment with NO edit touching it — that segment appears
+    * VERBATIM in the other key, at its canonical offset shifted by the
+    * net insertions−deletions aligned before it, so |shift| ≤
+    * `maxDist` (and ≥ the key start: segment 0 can only shift right,
+    * by insertions in front of it). The grid therefore emits TWO entry
+    * roles per doc: INDEX entries (role 0) — each segment at its
+    * canonical offset — and PROBE entries (role 1) — the `segLen`-char
+    * substrings at every canonical offset shifted by 1..`maxDist`
+    * either way (clamped to the key). A candidate is any bucket pair
+    * with at least one role-0 side: the unedited segment sits at its
+    * canonical offset in its OWN key and at a shifted offset in the
+    * other, so index×probe (plus index×index for shift 0) is a
+    * COMPLETE candidate generator over full-grid keys — substitutions
+    * AND indels — and a recall-only screen (never a false positive:
+    * every candidate is re-verified with the exact `levenshtein`
+    * before it is emitted). ONE DECLARED recall gap remains: keys
     * SHORTER than the grid contribute only their complete segments,
     * so a pair of equal-length short keys has fewer pigeonholes than
     * `maxDist + 1` and can diverge in every segment it does have
     * (e.g. 50-char keys = 2 complete 20-char segments; distance 3
     * spread across both is missed). Choose keyLen ≤ the corpus's min
     * length to restore the full-grid guarantee; keys shorter than one
-    * segment are unblockable and fall out entirely.
+    * segment are unblockable and fall out entirely. [[screenEval]]'s
+    * edit row measures the achieved recall per distance bucket.
     *
-    * Shape at 100 TB: segments explode ×(maxDist+1), ONE groupBy on
-    * the (i, seg) bucket key, pairs expanded bucket-locally with the
-    * same [[pairsWithin]] used by the LSH paths, exact `levenshtein`
-    * (codegen'd, O(keyLen²) on a bounded key — constant work per
-    * candidate) verifies inside the same stage; never all-pairs. Hot
-    * buckets (shared boilerplate prefixes) are exact-duplicate
-    * segments — capped at `maxBucket` with
-    * [[editDroppedBuckets]] accounting, same stance as the LSH caps. */
+    * Shape at 100 TB: grid entries explode ×(maxDist+1)(2·maxDist+1)
+    * worst case (probe side ~2·maxDist× the r14 index-only grid), ONE
+    * groupBy on the (i, seg) bucket key, pairs expanded bucket-locally
+    * with the same [[pairsWithin]] used by the LSH paths, exact
+    * `levenshtein` (codegen'd, O(maxDist·keyLen) banded — constant
+    * work per candidate) verifies inside the same stage; never
+    * all-pairs. Hot buckets (shared boilerplate prefixes) are
+    * exact-duplicate segments — capped at `maxBucket` (counting BOTH
+    * roles) with [[editDroppedBuckets]] accounting, same stance as
+    * the LSH caps. */
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = EditMaxDist, keyLen: Int = EditKeyLen,
                         maxBucket: Int = 4096): DataFrame = {
@@ -1299,6 +1311,12 @@ object Dedup {
       .filter(size(col("xs")).between(2, maxBucket))
       .withColumn("xs", array_sort(col("xs"))) // plain attribute for pairsWithin
       .select(explode(pairsWithin(col("xs"))).as("p"))
+      // id first in the entry struct → sorted pairs have a.id ≤ b.id;
+      // same-doc entries (shift-0 probe = index, repetitive keys) drop
+      .filter(col("p.a.id") =!= col("p.b.id"))
+      // the unedited segment is CANONICAL in its own key: one side
+      // must be role 0 (probe×probe adds nothing pigeonhole requires)
+      .filter(col("p.a.role") === 0 || col("p.b.role") === 0)
       .filter(abs(length(col("p.a.key")) - length(col("p.b.key"))) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col("p.a.key"), col("p.b.key"), maxDist))
@@ -1309,28 +1327,37 @@ object Dedup {
   }
 
   /** The segment-grid bucket relation behind [[editDistancePairs]]:
-    * (i, seg, xs) with xs = [{id, key}]. */
+    * (i, seg, xs) with xs = [{id, key, role}] — role 0 = canonical
+    * (index) grid entry, role 1 = indel-shifted probe. A probe start
+    * clamps to the key (`i·segLen + shift ≥ 0` — which also makes
+    * segment 0 right-shift-only, the tight bound: nothing before it
+    * can be deleted). */
   private def editBuckets(docs: DataFrame, textCol: String, idCol: String,
                           maxDist: Int, keyLen: Int): DataFrame = {
     require(maxDist >= 1 && keyLen % (maxDist + 1) == 0,
       "maxDist+1 must divide keyLen")
     val nSegs = maxDist + 1
     val segLen = keyLen / nSegs
-    val segKeys = (0 until nSegs).map { i =>
-      struct(lit(i).as("i"),
-        substring(col("key"), 1 + i * segLen, segLen).as("seg"))
-    }
+    val segKeys = for {
+      i <- 0 until nSegs
+      shift <- -maxDist to maxDist
+      if i * segLen + shift >= 0
+    } yield struct(lit(i).as("i"),
+      substring(col("key"), 1 + i * segLen + shift, segLen).as("seg"),
+      lit(if (shift == 0) 0 else 1).as("role"))
     docs
       .select(col(idCol).as("id"),
         substring(col(textCol), 1, keyLen).as("key"))
       .select(col("id"), col("key"), explode(array(segKeys: _*)).as("sk"))
       .filter(length(col("sk.seg")) === segLen) // truncated tail segments
       .groupBy(col("sk.i").as("i"), col("sk.seg").as("seg"))
-      .agg(collect_list(struct(col("id"), col("key"))).as("xs"))
+      .agg(collect_list(struct(col("id"), col("key"),
+        col("sk.role").as("role"))).as("xs"))
   }
 
   /** Dropped-bucket accounting for [[editDistancePairs]]'s `maxBucket`
-    * cap — see [[minhashDroppedBuckets]]. */
+    * cap — see [[minhashDroppedBuckets]]. `bucket_size` counts BOTH
+    * entry roles (index + shifted probes), matching the cap. */
   def editDroppedBuckets(docs: DataFrame, textCol: String, idCol: String,
                          maxDist: Int = EditMaxDist, keyLen: Int = EditKeyLen,
                          maxBucket: Int = 4096): DataFrame =

@@ -103,7 +103,16 @@ object Eval {
   def calibration(df: DataFrame, scoreCol: String, labelCol: String,
                   bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be positive")
-    df.select(round(col(scoreCol) * 10000).cast("long").as("si"),
+    // NULL scores are excluded EXPLICITLY: unfiltered, a NULL rides the
+    // multiply/div to a NULL bucket key, but Spark's least/greatest
+    // SKIP nulls, so least(NULL, bins-1) = bins-1 silently lands the
+    // row in the TOP bucket while its si is dropped from ssum — a
+    // skewed mean_score and a cross-engine divergence (older DuckDB
+    // least() returns NULL instead). A scoreless row is not a
+    // calibration observation; callers wanting to count them join an
+    // accounting filter upstream.
+    df.where(col(scoreCol).isNotNull)
+      .select(round(col(scoreCol) * 10000).cast("long").as("si"),
         col(labelCol).cast("long").as("lab"))
       // clamp BOTH ends: scores are contracted to [0, 1], but an
       // out-of-range score must land in a well-defined edge bucket in

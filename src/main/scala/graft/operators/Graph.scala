@@ -91,7 +91,7 @@ object Graph {
 
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -124,10 +124,14 @@ object Graph {
         }
       // double-referenced ranks (dangling path) must materialize per
       // round or the lineage re-executes 2^iters times; the linear
-      // path only needs periodic truncation
-      ranks = if (hasDangling) next.localCheckpoint() else next
+      // path pipelines but still pays planning/codegen superlinear in
+      // lineage depth — truncate every OTHER round so no plan ever
+      // carries more than two join+agg rounds of lineage
+      ranks =
+        if (hasDangling || it % 2 == 0 || it == iters) next.localCheckpoint()
+        else next
     }
-    if (hasDangling) ranks else ranks.localCheckpoint()
+    ranks
   }
 
   /** C76 — seed-label expansion (semi-supervised label propagation):

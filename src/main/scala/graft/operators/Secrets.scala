@@ -54,22 +54,55 @@ object Secrets {
     * Null texts report empty/zero. The entropy array is bound to its
     * own projected column so each candidate's entropy is computed
     * ONCE and shared by the flag filter and the max — not re-derived
-    * per consuming expression. */
+    * per consuming expression.
+    *
+    * `maxCandidates` bounds the ENTROPY-SCORED work per document: at
+    * most that many candidates (in token order) are scored;
+    * `n_candidates` still counts ALL candidates, while `n_flagged` /
+    * `max_entropy` / `flagged_tokens` cover the scored prefix. The
+    * knob exists for candidate-dense corpora (machine-generated
+    * vocab where every token clears the integer guards turns the
+    * entropy pass from rare-token to every-token work); the
+    * truncation is never silent — [[truncationReport]] is its
+    * accounting relation, the same stance as the LSH bucket caps.
+    * [[scrub]] deliberately has NO such knob: a capped scrub would
+    * ship unmasked secrets. */
   def detect(docs: DataFrame, textCol: String, idCol: String,
              minLen: Int = 16, minDistinct: Int = 10,
-             minEntropy: Double = 3.5): DataFrame = {
+             minEntropy: Double = 3.5,
+             maxCandidates: Int = Int.MaxValue): DataFrame = {
+    require(maxCandidates >= 1, s"maxCandidates=$maxCandidates must be >= 1")
     val toks = filter(split(coalesce(col(textCol), lit("")), " "),
       t => t =!= "")
     val cands = filter(toks, t => isCandidate(t, minLen, minDistinct))
+    val scored =
+      if (maxCandidates == Int.MaxValue) col("_cands")
+      else slice(col("_cands"), 1, maxCandidates)
     docs.select(col(idCol), cands.as("_cands"))
-      .withColumn("_hs", transform(col("_cands"), t => tokenEntropy(t)))
-      .withColumn("_flagged", array_compact(zip_with(col("_cands"), col("_hs"),
+      .withColumn("_hs", transform(scored, t => tokenEntropy(t)))
+      .withColumn("_flagged", array_compact(zip_with(scored, col("_hs"),
         (t, h) => when(h >= minEntropy, t))))
       .select(col(idCol),
         size(col("_cands")).cast("long").as("n_candidates"),
         size(col("_flagged")).cast("long").as("n_flagged"),
         coalesce(array_max(col("_hs")), lit(0.0)).as("max_entropy"),
         col("_flagged").as("flagged_tokens"))
+  }
+
+  /** Accounting for [[detect]]'s `maxCandidates` cap: one row per
+    * document whose candidate count exceeds the cap, with how many
+    * candidates went unscored — so a capped detection run can always
+    * answer "what did the cap cost, and where". Empty when the cap
+    * never engaged. */
+  def truncationReport(docs: DataFrame, textCol: String, idCol: String,
+                       minLen: Int = 16, minDistinct: Int = 10,
+                       maxCandidates: Int = Int.MaxValue): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "),
+      t => t =!= "")
+    val cands = filter(toks, t => isCandidate(t, minLen, minDistinct))
+    docs.select(col(idCol), size(cands).cast("long").as("n_candidates"))
+      .filter(col("n_candidates") > maxCandidates)
+      .withColumn("n_unscored", col("n_candidates") - maxCandidates)
   }
 
   /** Corpus scrub: every flagged token replaced by [[Mask]]. Documents

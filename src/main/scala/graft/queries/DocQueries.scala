@@ -1437,10 +1437,15 @@ object DocQueries {
     * candidate set is non-trivial; the 3.5 bits/char entropy cut sits
     * ≥ 0.3 bits above any natural word here, so the float comparison
     * is discrete for the cross-engine hash. SQL-oracled end-to-end —
-    * DuckDB computes the identical nested-lambda entropy. */
+    * DuckDB computes the identical nested-lambda entropy over the
+    * identical scored prefix (`maxCandidates = 64` — inert at the
+    * gate scales, whose per-doc max is 32, but it bounds the entropy
+    * pass on candidate-dense machine-vocab corpora where EVERY token
+    * clears the integer guards; `Secrets.truncationReport` accounts
+    * whatever it cuts). */
   def qDocSecrets(s: SparkSession, dir: String): DataFrame = {
     val d = graft.operators.Secrets.detect(docs(s, dir), "text", "doc_id",
-      minLen = 6, minDistinct = 5, minEntropy = 3.5)
+      minLen = 6, minDistinct = 5, minEntropy = 3.5, maxCandidates = 64)
     d.select(col("doc_id"), col("n_candidates"), col("n_flagged"),
       TextFunctions.round4(col("max_entropy")).as("max_entropy"))
   }
@@ -2168,11 +2173,11 @@ object DocQueries {
     * jitter must NOT cut, inter-scene content change must) rendered
     * from the documents table through the real multi-frame decode.
     * Rows-only (video decode has no SQL oracle); MultimodalSpec pins
-    * the cut positions. The gate projection stringifies the
-    * array-valued `scene_starts`/`keyframes` columns (the operator
-    * keeps the array API) — the driver's correctness harness sorts
-    * result columns through pandas, which cannot order array cells,
-    * so the GATE CONTRACT is scalar columns only. */
+    * the cut positions. THIS is the public surface — array-valued
+    * `scene_starts`/`keyframes`, the schema a downstream consumer
+    * keys on; [[qMmScenesGate]] is the separate gate-only scalar
+    * projection (the harness constraint must not leak into the
+    * operator's API). */
   def qMmScenes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{Multimodal => MM}
@@ -2189,13 +2194,22 @@ object DocQueries {
         MM.MediaRow(id, MM.renderPpmSeq(frames, 16, 16), "ppmseq", 16, 16, 9)
       }
     MM.sceneCuts(MM.videoHashes(media, stride = 1).toDF())
+  }
+
+  /** GATE-ONLY projection of [[qMmScenes]]: the driver's correctness
+    * harness sorts result columns through pandas, which cannot order
+    * array cells, so the registered `q_mm_scenes` relation renders the
+    * array columns as deterministic CSV strings. Downstream consumers
+    * use [[qMmScenes]]'s array schema; this projection exists solely
+    * to satisfy the harness' scalar-columns contract. */
+  def qMmScenesGate(s: SparkSession, dir: String): DataFrame =
+    qMmScenes(s, dir)
       .select(
         col("media_id"), col("n_frames"), col("n_hashed"), col("n_scenes"),
         concat_ws(",", col("scene_starts")).as("scene_starts_csv"),
         concat_ws(",", transform(col("keyframes"), k => hex(k)))
           .as("keyframes_csv"),
         col("decoded"))
-  }
 
   def qMmVideoDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2231,7 +2245,7 @@ object DocQueries {
     "q_mm_phash_dups"     -> (qMmPhashDups _),
     "q_mm_audio_dups"     -> (qMmAudioDups _),
     "q_mm_video_dups"     -> (qMmVideoDups _),
-    "q_mm_scenes"         -> (qMmScenes _),
+    "q_mm_scenes"         -> (qMmScenesGate _),
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),
@@ -2408,10 +2422,16 @@ object DocQueries {
     val maxBucket = 4096
     s"""WITH kk AS (SELECT doc_id, substr(text, 1, $keyLen) AS key
       |            FROM documents WHERE $pred),
+      |grid AS (SELECT i, shift
+      |         FROM (SELECT unnest(range($nSegs)) AS i),
+      |              (SELECT unnest(range(-$k, ${k + 1})) AS shift)
+      |         WHERE i*$segLen + shift >= 0),
       |seg AS (
-      |  SELECT doc_id, key, i, substr(key, 1 + i*$segLen, $segLen) AS seg
-      |  FROM kk, (SELECT unnest(range($nSegs)) AS i)
-      |  WHERE length(substr(key, 1 + i*$segLen, $segLen)) = $segLen),
+      |  SELECT doc_id, key, i,
+      |         substr(key, 1 + i*$segLen + shift, $segLen) AS seg,
+      |         CASE WHEN shift = 0 THEN 0 ELSE 1 END AS role
+      |  FROM kk, grid
+      |  WHERE length(substr(key, 1 + i*$segLen + shift, $segLen)) = $segLen),
       |ok AS (SELECT i, seg FROM seg
       |       GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket),
       |cand AS (
@@ -2419,6 +2439,7 @@ object DocQueries {
       |         a.key AS ka, b.key AS kb
       |  FROM seg a
       |  JOIN seg b ON a.i = b.i AND a.seg = b.seg AND a.doc_id < b.doc_id
+      |            AND (a.role = 0 OR b.role = 0)
       |  JOIN ok o ON o.i = a.i AND o.seg = a.seg)
       |SELECT id_a, id_b,
       |       CAST(levenshtein(ka, kb) AS BIGINT) AS edit_dist
@@ -2623,7 +2644,7 @@ object DocQueries {
       |  SELECT round(${qualitySql("text")}, 4) AS score, keep AS label
       |  FROM ($gopher) gm),
       |s AS (SELECT CAST(round(score * 10000) AS BIGINT) AS si, label
-      |      FROM g),
+      |      FROM g WHERE score IS NOT NULL),
       |c AS (SELECT greatest(least(si * 10 // 10000, 9), 0) AS bucket,
       |             count(*) AS n, sum(label) AS np, sum(si) AS ssum
       |      FROM s GROUP BY 1)
@@ -3159,7 +3180,7 @@ object DocQueries {
         |  FROM toks),
         |e AS (
         |  SELECT doc_id, cands,
-        |         list_transform(cands, t ->
+        |         list_transform(cands[1:64], t ->
         |           -list_aggregate(
         |              list_transform(list_distinct(string_split(t, '')),
         |                ch -> (len(list_filter(string_split(t, ''), x -> x = ch))

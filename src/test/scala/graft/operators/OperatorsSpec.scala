@@ -965,6 +965,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("C70: indel near-dups band via shifted probes (brute-force cross-check)") {
+    // r14 declared indels a recall gap; the shifted-probe grid closes
+    // it — every pair within maxDist TOTAL edits (subs AND indels, at
+    // adversarial positions: key start, segment boundaries, net-zero
+    // shift, the maxDist boundary) must be found with its exact
+    // distance
+    val base = editedDoc()
+    def del(s: String, p: Int): String = s.take(p) + s.drop(p + 1)
+    def ins(s: String, p: Int): String = s.take(p) + "Q" + s.drop(p)
+    val variants = Seq(
+      (20L, base),
+      (21L, del(base, 10)),                    // single deletion
+      (22L, ins(base, 10)),                    // single insertion
+      (23L, ins(base, 0)),                     // insertion at the very front
+      (24L, del(base, 0)),                     // deletion at the very front
+      (25L, del(del(base, 50), 5)),            // 2 deletions, distinct segments
+      (26L, del(ins(base, 30), 70)),           // ins+del, net shift 0
+      (27L, Seq(85, 65, 45, 25).foldLeft(base)(del)), // 4 dels = maxDist
+      (28L, { val c = del(base, 55).toCharArray; c(15) = 'Z'; new String(c) })
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(variants, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val keys = variants.collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(Dedup.EditKeyLen)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    var inRange = 0
+    for (a <- keys.keys; b <- keys.keys if a < b) {
+      val truth = lev(keys(a), keys(b))
+      if (truth <= Dedup.EditMaxDist) {
+        inRange += 1
+        assert(got.get((a, b)).contains(truth.toLong),
+          s"indel pair ($a,$b) ed=$truth missing or wrong: ${got.get((a, b))}")
+      } else assert(!got.contains((a, b)), s"pair ($a,$b) ed=$truth over threshold emitted")
+    }
+    assert(inRange >= 8, s"fixture too weak: only $inRange in-range pairs")
+  }
+
+  test("C70: edit screen recall is 1.0 per distance bucket on a planted subs+indel corpus") {
+    val base = editedDoc()
+    def del(s: String, p: Int): String = s.take(p) + s.drop(p + 1)
+    def ins(s: String, p: Int): String = s.take(p) + "Q" + s.drop(p)
+    val d = Seq(
+      (30L, base), (31L, del(base, 40)), (32L, ins(base, 0)),
+      (33L, editedDoc(7)), (34L, editedDoc(3, 40, 77)),
+      (35L, del(del(base, 80), 20))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.editScreenEval(d, "text", "doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(5) == 1.0,
+        s"recall < 1 at distance bucket ${r.getDouble(2)}: $r")
+    }
+  }
+
   // ---- C73 maximal duplicated token spans --------------------------
 
   // run00..run19 carries content-defined anchors at gram starts 3 and
@@ -1073,7 +1133,7 @@ class OperatorsSpec extends SparkSpec {
     assert(eff._1 >= eff._2 && eff._2 >= 1L, eff.toString)
   }
 
-  test("C70 eval: edit screen recall is 1.0 on planted substitutions and the indel gap is measured") {
+  test("C70 eval: edit screen recall is 1.0 on planted substitutions AND indels") {
     // 120-char keys (> EditKeyLen=100, so full grid), distance via
     // substitutions at spread positions vs a 1-char deletion
     val base = ('a' to 'z').mkString * 5 // 130 chars
@@ -1093,9 +1153,12 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty, "no truth buckets")
     // dist-3 bucket holds (1,3): pure substitutions → recalled
     assert(out(3.0)._1 >= 1L, out.toString)
-    // the deletion pair (1,4) lands in the dist-1 truth bucket; grid
-    // shift means it MAY be missed — the gap must be measured, never
-    // a crash: n_num <= n_denom and ratio consistent
+    // the deletion pair (1,4) lands in the dist-2 truth bucket (the
+    // deletion plus the end-of-key shift on the 100-char prefix) and
+    // the shifted-probe grid recalls it — r14's declared indel gap,
+    // closed this round: EVERY bucket's recall is 1.0
+    assert(out.contains(2.0) && out.values.forall(_._3 == 1.0), out.toString)
+    // the report stays internally consistent: n_num <= n_denom, ratio
     assert(out.values.forall { case (t, h, r0) =>
       h <= t && math.abs(r0 - math.rint(h.toDouble / t * 10000) / 10000) < 1e-9 })
     // screen precision is 1 by construction: every screen pair is in truth

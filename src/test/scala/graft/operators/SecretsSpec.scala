@@ -97,6 +97,35 @@ class SecretsSpec extends SparkSpec {
       twice.orderBy("doc_id").select("text").as[String].collect().toSeq)
   }
 
+  test("maxCandidates scores only the prefix, counts all, and accounts the cut") {
+    // doc 1: secret at position 2 of 3 candidates — a cap of 2 still
+    // scores it; doc 2: secret at position 3 — a cap of 2 cuts it, and
+    // the truncation report says exactly what was left unscored
+    val d = Seq(
+      (1L, s"and candZ1x2w $Key candZ3y4v plain"),
+      (2L, s"candZ1x2w candZ3y4v $Key"))
+      .toDF("doc_id", "text")
+    val capped = Secrets.detect(d, "text", "doc_id",
+        minLen = 6, minDistinct = 5, maxCandidates = 2)
+      .orderBy("doc_id").collect()
+    assert(capped(0).getLong(1) == 3L && capped(0).getLong(2) == 1L, capped(0).toString)
+    assert(capped(0).getSeq[String](4) == Seq(Key))
+    assert(capped(1).getLong(1) == 3L && capped(1).getLong(2) == 0L,
+      s"cap must cut the unscored tail: ${capped(1)}")
+    val acct = Secrets.truncationReport(d, "text", "doc_id",
+        minLen = 6, minDistinct = 5, maxCandidates = 2)
+      .orderBy("doc_id").collect()
+    assert(acct.length == 2 && acct.forall(_.getLong(2) == 1L), acct.mkString(","))
+    // the default cap is inert: identical relation with and without it
+    val unc = Secrets.detect(d, "text", "doc_id", minLen = 6, minDistinct = 5)
+      .orderBy("doc_id").collect()
+    val wide = Secrets.detect(d, "text", "doc_id", minLen = 6, minDistinct = 5,
+      maxCandidates = 100).orderBy("doc_id").collect()
+    assert(unc.map(_.toString).toSeq == wide.map(_.toString).toSeq)
+    assert(Secrets.truncationReport(d, "text", "doc_id",
+      minLen = 6, minDistinct = 5).isEmpty)
+  }
+
   test("q_doc_secrets thresholds are discrete on the synthetic corpus") {
     // every candidate's entropy must sit clear of the 3.5 cut so the
     // float comparison can never disagree across engines

@@ -119,6 +119,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("C35: cluster sample plans WindowGroupLimit and no unbounded-frame window") {
+    val p = plan("q_emb_cluster_sample")
+    // the rank window must group-limit (each cell keeps perCell rows
+    // through the sort) and cell_size must NOT be a count-over-cell
+    // window — an unbounded frame defeats the group limit and forces
+    // every hot cell through one task; it is a k-row groupBy joined
+    // back broadcast instead
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"cell_size regressed to an unbounded-frame window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("C40: secret detection is map-only — zero exchanges, no UDF") {
     val p = plan("q_doc_secrets")
     assert(!p.contains("Exchange"), p)
