@@ -37,21 +37,76 @@ object Bench {
     // round-to-round, drowning real regressions — the median of three
     // absorbs one arbitrarily bad outlier run. All are real end-to-end
     // executions of the full plan.
+    //
+    // DRIFT SENTINEL (r15): median-of-3 was not enough — BENCH_r14's
+    // official run overstated 7+ queries 2-12× under sustained box
+    // load (every r14 builder run had q_doc_winnow at 1.07-1.34 s; the
+    // driver's recorded 13.87 s). Sustained load inflates all three
+    // samples, so the median follows it. The defense is a fixed cheap
+    // sentinel query re-timed between every chunk of ~10 queries: if
+    // its min-of-2 sample exceeds DriftFactor × the best sample seen
+    // (noop-write timings can only be inflated by interference, never
+    // deflated, so the running MIN is the box's true floor — this also
+    // self-corrects a loaded start), the just-timed chunk is suspect
+    // and its steady medians are re-run once, keeping the per-query
+    // MIN of the two medians. Re-runs are bounded (MaxReruns chunks);
+    // past the bound — or if the re-run's own closing sentinel still
+    // drifts — the contamination is REPORTED in the artifact
+    // (drift_events / suspect spans) instead of silently recorded as
+    // a regression.
     val cold    = scala.collection.mutable.LinkedHashMap[String, Double]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        def run(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+    val SentinelName = "q6_selective_filter" // scan+filter+agg, ~0.15 s steady
+    val DriftFactor = 2.0
+    val ChunkSize = 10
+    val MaxReruns = 4
+    val sentinelFn = SparkEntry.queries(SentinelName)
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min-of-2: one sample can eat a GC pause; two inflated samples
+    // back-to-back means the box, not the JVM
+    def sentinelSample(): Double = math.min(runOnce(sentinelFn), runOnce(sentinelFn))
+    sentinelSample() // warm the sentinel's plan (codegen) before sampling
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer(sentinelSample())
+    var sentinelFloor = sentinelSamples.head
+    var driftEvents = 0
+    var reruns = 0
+    val suspect = scala.collection.mutable.ArrayBuffer[String]()
+    def steady(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      Seq.fill(3)(runOnce(fn)).sorted.apply(1)
+    SparkEntry.queries.toSeq.sortBy(_._1).grouped(ChunkSize).foreach { chunk =>
+      chunk.foreach { case (name, fn) =>
+        try {
+          cold(name) = runOnce(fn)
+          timings(name) = steady(fn)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
         }
-        cold(name) = run()
-        timings(name) = Seq.fill(3)(run()).sorted.apply(1)
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      }
+      var s = sentinelSample()
+      sentinelSamples += s
+      sentinelFloor = math.min(sentinelFloor, s)
+      if (s > DriftFactor * sentinelFloor) {
+        driftEvents += 1
+        if (reruns < MaxReruns) {
+          reruns += 1
+          chunk.foreach { case (name, fn) =>
+            if (timings.contains(name))
+              try timings(name) = math.min(timings(name), steady(fn))
+              catch { case _: Throwable => () }
+          }
+          s = sentinelSample()
+          sentinelSamples += s
+          sentinelFloor = math.min(sentinelFloor, s)
+        }
+        // still drifted after the re-run (or out of re-run budget):
+        // these numbers are upper bounds, say so in the artifact
+        if (s > DriftFactor * sentinelFloor) suspect ++= chunk.map(_._1)
       }
     }
     def jstr(s: String): String =
@@ -68,8 +123,14 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val coldTotal = cold.values.sum
+    // the sentinel block makes the artifact self-auditing: floor is
+    // the box's demonstrated best, samples the load trace across the
+    // run, suspect_queries whatever still timed under drift after the
+    // re-run budget (their numbers are upper bounds, not measurements)
+    val sentinelJson =
+      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}]}"""
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"cold_queries":$colds,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"cold_queries":$colds,$sentinelJson,"sf":${jstr(sfDir)}}"""
     // STDOUT LINE MUST FIT THE DRIVER'S ~2000-CHAR TAIL, of which sbt
     // noise eats ~80. A flat full-name query map outgrew that at ~80
     // queries, and the centisecond-packed encoding that replaced it
@@ -93,10 +154,13 @@ object Bench {
       .mkString("{", ",", "}")
     val slowest = timings.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
-    // errors only when present — every char of a clean run is budget
+    // errors/drift only when present — every char of a clean run is budget
     val esCompact = if (errors.isEmpty) "" else s""","errors":$es"""
+    val driftCompact =
+      if (driftEvents == 0) ""
+      else s""","drift_events":$driftEvents,"suspect_n":${suspect.size}"""
     val compact =
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n_queries":${timings.size},"group_totals_sec":$groups,"slowest_sec":$slowest$esCompact,"full_map":"all ${timings.size} queries at ms precision: bench_out.json + bench_history/ (committed)"}"""
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n_queries":${timings.size},"group_totals_sec":$groups,"slowest_sec":$slowest$esCompact$driftCompact,"full_map":"all ${timings.size} queries at ms precision: bench_out.json + bench_history/ (committed)"}"""
     if (compact.length > 1870)
       System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
         "the driver tail holds ~1920 — drop slowest-N before adding groups")

@@ -54,6 +54,28 @@ object ClusterSample {
       // whole assignment subtree (centroid broadcast join + argmin
       // agg) plans and runs twice
       .localCheckpoint()
+    quotaSample(assigned, idCol, perCell, seed)
+  }
+
+  /** ENGINE-PORTABLE configuration: cells from [[Ivf.seedCentroids]] +
+    * integer-L2 [[Ivf.assignCellsPortable]] (every comparison an
+    * integer — see the Ivf scaladoc for when to prefer this over the
+    * Lloyd-refined quantizer), then the same deterministic quota
+    * sample. The whole relation replays bit-identically on any
+    * engine, which is what makes it SQL-oracle-able. */
+  def samplePortable(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                     perCell: Int, seed: Long = 42L): DataFrame = {
+    require(perCell >= 1, s"perCell=$perCell must be >= 1")
+    val assigned = Ivf.assignCellsPortable(emb, idCol, vecCol,
+        Ivf.seedCentroids(emb, idCol, vecCol, k))
+      .localCheckpoint() // same read-once cut as the float path
+    quotaSample(assigned, idCol, perCell, seed)
+  }
+
+  /** The shared quota pass over any assigned relation: k-row cell
+    * sizes broadcast back, group-limited hash-rank window. */
+  private def quotaSample(assigned: DataFrame, idCol: String,
+                          perCell: Int, seed: Long): DataFrame = {
     val rankKey = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed)))
     val sizes = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("cell_size"))

@@ -132,6 +132,64 @@ object Ivf {
       emb.select(col(idCol), toDoubles(col(vecCol)).as("v")), idCol, "v",
       centroids)
 
+  /** ENGINE-PORTABLE coarse quantizer — the frozen-centroid recipe
+    * whose every comparison is an integer, so an independent engine
+    * (the DuckDB oracle, a future reader) derives the IDENTICAL cell
+    * partition:
+    *
+    *  - [[seedCentroids]] picks the `k` corpus vectors with the
+    *    smallest `(md5(id), id)` — a deterministic seeded sample (the
+    *    k-means‖ init step without the Lloyd iterations, whose float
+    *    per-dim means are NOT portable: avg over shuffled partitions
+    *    reorders the summation run to run). Coordinates quantize to
+    *    1e-6 integers (the C81 recipe).
+    *  - [[assignCellsPortable]] assigns by integer squared-L2 argmin:
+    *    Σ(qx−qc)² per (vector, centroid) — |q| ≤ ~4e6 per dim keeps
+    *    the 64-dim sum < 1e16, inside int64 — ties to the lowest
+    *    cell id. No float enters any comparison.
+    *
+    * The Lloyd-refined [[fit]]/[[fitCentroids]] path remains the
+    * quality quantizer (tighter cells after 3 iterations); this is
+    * the REPRODUCIBILITY configuration — cross-engine gates, audits,
+    * and any pipeline whose sample/report must replay bit-identically
+    * months later on different infrastructure. */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    emb
+      .select(col(idCol),
+        transform(toDoubles(col(vecCol)),
+          x => round(x * 1e6, 0).cast("bigint")).as("qc"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      // window over the k-row post-limit relation only (never the corpus)
+      .withColumn("__cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("__cid"), col("qc"))
+  }
+
+  /** Integer-exact cell assignment against a [[seedCentroids]]-shaped
+    * relation `(cid, qc)`: returns (idCol, qv, centroid_id). Same
+    * broadcast-join + partial-agg shape as the float path — the
+    * shuffle carries one row per vector, not k. */
+  def assignCellsPortable(emb: DataFrame, idCol: String, vecCol: String,
+                          seedCents: DataFrame): DataFrame = {
+    val qv = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("qc"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, z) => acc + z)
+    emb.select(col(idCol), qv.as("qv"))
+      .crossJoin(broadcast(seedCents))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("__cid"), struct(d2.as("d2"), col("__cid").as("tie")))
+          .cast("int").as("centroid_id"),
+        first(col("qv")).as("qv"))
+      .select(col(idCol), col("qv"), col("centroid_id"))
+  }
+
   /** Restores a bucketed index written by [[IvfIndex.writeBucketed]].
     * The corpus read keeps `centroid_id` as a directory-partition
     * column, so `topK`'s `isin(probeCells)` filter prunes whole cell

@@ -37,6 +37,17 @@ object Similarity {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The same seeded gaussians rounded to 1e-6 integer weights — the
+    * ENGINE-PORTABLE plane set (`portablePlanes = true` in
+    * [[lshCosinePairs]]). Public so an oracle/mirror generator embeds
+    * the IDENTICAL literals the plan broadcasts: with integer weights
+    * and 1e-6-quantized coordinates, every sign bit is an integer
+    * comparison no engine's float summation order can flip. Rounding
+    * a gaussian to 6 decimals perturbs each direction by < 1e-6
+    * relative — hashing-quality-neutral. */
+  def quantizedHyperplanes(dim: Int, bits: Int, seed: Long): Seq[Array[Long]] =
+    hyperplanes(dim, bits, seed).map(_.map(x => math.round(x * 1e6)))
+
   /** C6 — LSH-bucketed ANN with `tables` independent hash tables of
     * `bits` sign-of-dot-product hyperplane bits each (multi-table LSH:
     * recall = 1-(1-p^bits)^tables for collision prob p = 1-θ/π).
@@ -52,11 +63,9 @@ object Similarity {
   def lshCosinePairs(spark: SparkSession, emb: DataFrame, idCol: String,
                      vecCol: String, bits: Int = 6, tables: Int = 6,
                      dim: Int = 64, threshold: Double = 0.4,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L,
+                     portablePlanes: Boolean = false): DataFrame = {
     import spark.implicits._
-    val planesDf = hyperplanes(dim, bits * tables, seed).zipWithIndex
-      .map { case (p, i) => (i / bits, i % bits, p) }
-      .toDF("tbl", "bit", "w")
     val base = emb
       .select(col(idCol), toDoubles(col(vecCol)).as("v"))
       // fail fast on a dim mismatch: zip_with against a shorter/longer
@@ -68,13 +77,38 @@ object Similarity {
         lit(s"lshCosinePairs: embedding length != dim=$dim — pass the " +
           "actual vector dimension")).isNull)
       .withColumn("nrm", l2Norm(col("v")))
-    val sigs = base
-      .join(broadcast(planesDf))
-      .select(col(idCol), col("tbl"),
-        when(dot(col("v"), col("w")) >= 0.0,
-          expr("shiftleft(1L, bit)")).otherwise(0L).as("b"))
-      .groupBy(col(idCol), col("tbl"))
-      .agg(sum("b").as("bucket"))
+    // portablePlanes: sign bits from integer dot products over the
+    // quantized plane/coordinate grid ([[quantizedHyperplanes]]) —
+    // bucket assignment replays bit-identically on any engine. |qx| ≤
+    // ~1e6, |qw| ≤ ~6e6 (gaussian tail), so each product < 1e13 and
+    // the 64-dim sum < 1e15 — inside int64. The pair COSINE below is
+    // float either way (round4 output, the C5-proven comparison).
+    val sigs = if (portablePlanes) {
+      val planesDf = quantizedHyperplanes(dim, bits * tables, seed).zipWithIndex
+        .map { case (p, i) => (i / bits, i % bits, p) }
+        .toDF("tbl", "bit", "qw")
+      base
+        .withColumn("qv",
+          transform(col("v"), x => round(x * 1e6, 0).cast("bigint")))
+        .join(broadcast(planesDf))
+        .select(col(idCol), col("tbl"),
+          when(aggregate(zip_with(col("qv"), col("qw"), (x, w) => x * w),
+            lit(0L), (acc, z) => acc + z) >= 0L,
+            expr("shiftleft(1L, bit)")).otherwise(0L).as("b"))
+        .groupBy(col(idCol), col("tbl"))
+        .agg(sum("b").as("bucket"))
+    } else {
+      val planesDf = hyperplanes(dim, bits * tables, seed).zipWithIndex
+        .map { case (p, i) => (i / bits, i % bits, p) }
+        .toDF("tbl", "bit", "w")
+      base
+        .join(broadcast(planesDf))
+        .select(col(idCol), col("tbl"),
+          when(dot(col("v"), col("w")) >= 0.0,
+            expr("shiftleft(1L, bit)")).otherwise(0L).as("b"))
+        .groupBy(col(idCol), col("tbl"))
+        .agg(sum("b").as("bucket"))
+    }
     // Materialize the signed/bucketed relation once: both sides of the
     // pair join read it, and without a cut Catalyst plans the whole
     // plane-join + signature-agg subtree twice. localCheckpoint keeps

@@ -53,6 +53,34 @@ object Topics {
                           minTermLen: Int = 3): DataFrame = {
     val cells = Ivf.assignCells(emb, embIdCol, vecCol, centroids)
       .select(col(embIdCol).as("_tid"), col("centroid_id").as("cell"))
+    reportOverCells(cells, docs, docIdCol, textCol, topTerms, minTermLen,
+      rankOnRounded = false)
+  }
+
+  /** ENGINE-PORTABLE configuration: cells from [[Ivf.seedCentroids]] +
+    * integer-L2 [[Ivf.assignCellsPortable]] (every assignment
+    * comparison an integer), and the per-cell rank keyed on the
+    * ROUNDED score — `(round4(ctf·idf) desc, term)` — so the one
+    * float in the report (the idf log) can never reorder ranks across
+    * engines through last-ulp drift: equal rounded scores fall to the
+    * exact term tie-break in both. The whole report replays
+    * bit-identically on any engine (SQL-oracle-able). */
+  def reportPortable(docs: DataFrame, emb: DataFrame, docIdCol: String,
+                     textCol: String, embIdCol: String, vecCol: String,
+                     k: Int, topTerms: Int = 8,
+                     minTermLen: Int = 3): DataFrame = {
+    val cells = Ivf.assignCellsPortable(emb, embIdCol, vecCol,
+        Ivf.seedCentroids(emb, embIdCol, vecCol, k))
+      .select(col(embIdCol).as("_tid"), col("centroid_id").as("cell"))
+    reportOverCells(cells, docs, docIdCol, textCol, topTerms, minTermLen,
+      rankOnRounded = true)
+  }
+
+  /** The shared labeling pass over any (_tid, cell) relation. */
+  private def reportOverCells(cells: DataFrame, docs: DataFrame,
+                              docIdCol: String, textCol: String,
+                              topTerms: Int, minTermLen: Int,
+                              rankOnRounded: Boolean): DataFrame = {
     // one token relation feeds BOTH aggregates (distinct per doc:
     // topic terms measure spread across documents, not repetition
     // inside one — a single spammy doc must not name a cluster)
@@ -71,8 +99,11 @@ object Topics {
       .agg(count(lit(1)).as("_ctf"))
     val cellSizes = cells.groupBy("cell")
       .agg(count(lit(1)).as("cell_docs"))
+    val rawScore = col("_ctf") * col("_idf")
     val ranked = cellTerms.join(idf, "term")
-      .withColumn("score", col("_ctf") * col("_idf"))
+      .withColumn("score",
+        if (rankOnRounded) graft.functions.TextFunctions.round4(rawScore)
+        else rawScore)
       .withColumn("rank", row_number().over(
         Window.partitionBy("cell")
           .orderBy(col("score").desc, col("term"))))

@@ -325,22 +325,28 @@ object DocQueries {
   }
 
   // ---------------------------------------------------------------- C35
-  /** Cluster-balanced sample: ≤8 docs per k-means cell over the
-    * embedding space — the topic-diversity mixing draw. Rows-only
-    * (k-means cells are engine-specific); ClusterSampleSpec pins the
-    * quota, determinism, and frozen-centroid append contracts. */
+  /** Cluster-balanced sample: ≤8 docs per cell over the embedding
+    * space — the topic-diversity mixing draw. Hash-green oracled via
+    * the ENGINE-PORTABLE quantizer ([[graft.operators.Ivf.seedCentroids]]
+    * + integer-L2 assignment: every comparison an integer, so DuckDB
+    * derives the identical cell partition); the Lloyd-refined k-means
+    * configuration stays spec-pinned (ClusterSampleSpec: quota,
+    * determinism, frozen-centroid append contracts). */
   def qEmbClusterSample(s: SparkSession, dir: String): DataFrame =
-    ClusterSample.sample(emb(s, dir), "vec_id", "embedding",
+    ClusterSample.samplePortable(emb(s, dir), "vec_id", "embedding",
       k = 16, perCell = 8)
 
   // ---------------------------------------------------------------- C38
   /** Cluster topic labeling ([[graft.operators.Topics]]): the C35
     * cells named by their most distinguishing terms (cell term-doc
     * frequency × corpus IDF, distinct-per-doc so no single spammy doc
-    * names a cluster). Rows-only: k-means cells are engine-specific;
-    * TopicsSpec pins the labeling on planted vocabulary clusters. */
+    * names a cluster). Hash-green oracled via the same portable
+    * quantizer as C35 plus round4-keyed ranking (the one float — the
+    * idf log — can never reorder ranks through last-ulp drift);
+    * TopicsSpec pins the k-means labeling on planted vocabulary
+    * clusters. */
   def qEmbTopics(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Topics.report(
+    graft.operators.Topics.reportPortable(
       docs(s, dir).select(col("doc_id"), col("text")), emb(s, dir),
       "doc_id", "text", "vec_id", "embedding", k = 8, topTerms = 5)
 
@@ -357,9 +363,16 @@ object DocQueries {
   }
 
   // ---------------------------------------------------------------- C6
+  /** Hyperplane-LSH candidate pairs. Hash-green oracled: the gate runs
+    * `portablePlanes = true` — sign bits from integer dot products
+    * over the 1e-6-quantized plane grid, whose literals the GENERATED
+    * mirror ([[lshOracleSql]]) embeds from the same
+    * [[graft.operators.Similarity.quantizedHyperplanes]] call — and
+    * the pair cosine is the C5-proven round4 float. */
   def qEmbLshAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(s, emb(s, dir), "vec_id", "embedding",
-      bits = 6, tables = 6, dim = 64, threshold = 0.4)
+      bits = 6, tables = 6, dim = 64, threshold = 0.4,
+      portablePlanes = true)
 
   // ---------------------------------------------------------------- C6b
   /** Bounded insertion-order index cache keyed by (applicationId, dir) —
@@ -4071,10 +4084,116 @@ object DocQueries {
         |    round(${qualitySql("d.text")}, 4) AS quality
         |  FROM documents d
         |  WHERE d.doc_id IN (SELECT doc_id FROM survivors))
-        |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin
-    // q_emb_lsh_ann: hash-family dependent → rows-only check;
-    // semantics pinned by ScalaTest specs. (q_doc_minhash_pairs and
-    // q_doc_simhash graduated to portable-hash mirrors — see
-    // minhashPairsOracleSql / simhashOracleSql.)
+        |SELECT doc_id, n_tokens, quality FROM scored WHERE quality >= 0.5""".stripMargin,
+    // r15: the centroid family graduated to the portable quantizer
+    // (seed centroids + integer-L2 assignment) and LSH to quantized
+    // plane literals — see portableCellsSql / lshOracleSql.
+    "q_emb_cluster_sample" -> clusterSampleOracleSql,
+    "q_emb_topics" -> topicsOracleSql,
+    "q_emb_lsh_ann" -> lshOracleSql
   )
+
+  /** Shared CTE text for the ENGINE-PORTABLE coarse quantizer
+    * ([[graft.operators.Ivf.seedCentroids]] +
+    * [[graft.operators.Ivf.assignCellsPortable]]): defines `vq`
+    * (1e-6-quantized vectors), `seeds` (the k smallest-(md5, id)
+    * vectors as cells 0..k-1) and `assigned` (integer squared-L2
+    * argmin, ties to the lowest cell). Every comparison is an
+    * integer, so this is the SAME partition the Spark side computes. */
+  private def portableCellsSql(k: Int): String =
+    s"""vq AS (SELECT vec_id,
+      |             list_transform(CAST(embedding AS DOUBLE[]),
+      |                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |      FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+      |         qv AS qc
+      |  FROM (SELECT vec_id, qv FROM vq
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
+      |assigned AS (
+      |  SELECT vec_id, cid AS centroid_id
+      |  FROM (SELECT v.vec_id, s.cid,
+      |               list_aggregate(list_transform(generate_series(1, len(v.qv)),
+      |                 i -> (v.qv[i] - s.qc[i]) * (v.qv[i] - s.qc[i])), 'sum') AS d2
+      |        FROM vq v, seeds s)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)""".stripMargin
+
+  /** DuckDB mirror of [[qEmbClusterSample]] (portable quantizer +
+    * md5-rank quota sample — every step engine-exact). */
+  private def clusterSampleOracleSql: String =
+    s"""WITH ${portableCellsSql(16)},
+      |sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS cell_size
+      |          FROM assigned GROUP BY 1)
+      |SELECT vec_id, centroid_id, cell_size
+      |FROM (SELECT a.vec_id, a.centroid_id, s.cell_size,
+      |             row_number() OVER (PARTITION BY a.centroid_id
+      |               ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':42'), a.vec_id) AS rn
+      |      FROM assigned a JOIN sizes s USING (centroid_id))
+      |WHERE rn <= 8""".stripMargin
+
+  /** DuckDB mirror of [[qEmbTopics]]: portable cells + the tf-idf
+    * labeling with the round4-keyed rank the Spark side uses. */
+  private def topicsOracleSql: String =
+    s"""WITH ${portableCellsSql(8)},
+      |dt AS (
+      |  SELECT doc_id AS tid, term
+      |  FROM (SELECT doc_id,
+      |               unnest(list_distinct(string_split(COALESCE(text, ''), ' '))) AS term
+      |        FROM documents)
+      |  WHERE length(term) >= 3),
+      |idf AS (
+      |  SELECT term,
+      |         ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) AS idf
+      |  FROM dt GROUP BY term),
+      |ct AS (
+      |  SELECT a.centroid_id AS cell, dt.term, count(*) AS ctf
+      |  FROM dt JOIN assigned a ON a.vec_id = dt.tid
+      |  GROUP BY 1, 2),
+      |cs AS (SELECT centroid_id AS cell, CAST(count(*) AS BIGINT) AS cell_docs
+      |       FROM assigned GROUP BY 1),
+      |ranked AS (
+      |  SELECT ct.cell, ct.term,
+      |         round(ct.ctf * idf.idf * 10000) / 10000 AS score,
+      |         row_number() OVER (PARTITION BY ct.cell
+      |           ORDER BY round(ct.ctf * idf.idf * 10000) / 10000 DESC, ct.term) AS rank
+      |  FROM ct JOIN idf USING (term))
+      |SELECT r.cell, cs.cell_docs, CAST(r.rank AS BIGINT) AS rank, r.term,
+      |       round(r.score * 10000) / 10000 AS score
+      |FROM ranked r JOIN cs USING (cell)
+      |WHERE r.rank <= 5""".stripMargin
+
+  /** GENERATED DuckDB mirror of [[qEmbLshAnn]]: the quantized plane
+    * literals come from the SAME
+    * [[graft.operators.Similarity.quantizedHyperplanes]] call the
+    * plan broadcasts, so the two engines' sign grids cannot drift;
+    * the pair cosine is the C5-proven round4 float comparison. */
+  private def lshOracleSql: String = {
+    val bits = 6; val tables = 6; val dim = 64
+    val planes = graft.operators.Similarity
+      .quantizedHyperplanes(dim, bits * tables, 42L)
+    val values = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bits}, ${i % bits}, [${p.mkString(",")}])"
+    }.mkString(", ")
+    s"""WITH planes AS (SELECT * FROM (VALUES $values) AS t(tbl, bit, qw)),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |             list_transform(CAST(embedding AS DOUBLE[]),
+      |                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |      FROM embeddings),
+      |sigs AS (
+      |  SELECT vec_id, tbl,
+      |         CAST(sum(CASE WHEN list_aggregate(list_transform(
+      |                 generate_series(1, len(qv)), i -> qv[i] * qw[i]),
+      |                 'sum') >= 0
+      |              THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM v, planes GROUP BY vec_id, tbl),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |                          AND a.vec_id < b.vec_id)
+      |SELECT pairs.id_a, pairs.id_b,
+      |       round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
+      |FROM pairs JOIN v va ON va.vec_id = pairs.id_a
+      |           JOIN v vb ON vb.vec_id = pairs.id_b
+      |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.4""".stripMargin
+  }
 }

@@ -82,4 +82,41 @@ class ClusterSampleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(rows1 == rows2)
   }
+
+  test("portable quantizer: assignment is the exact integer-L2 argmin with lowest-cell ties") {
+    // brute-force the portable contract: quantize to 1e-6 integers,
+    // seed cells = k smallest (md5(id), id), assign by integer squared
+    // L2, ties to the lowest cell id — the engine-exact recipe the SQL
+    // oracle replays
+    val k = 4
+    val data = corpus
+    val sample = ClusterSample.samplePortable(data, "vec_id", "embedding",
+      k = k, perCell = 7)
+    val vecs = data.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.round(x * 1e6)).toArray)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val seeds = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(k).map(_._2)
+    def cell(q: Array[Long]): Int =
+      seeds.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._2
+    val expectAssign = vecs.map { case (id, q) => id -> cell(q) }.toMap
+    val expectSizes = expectAssign.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
+    val got = sample.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    got.foreach { case (id, c, sz) =>
+      assert(c == expectAssign(id), s"vec $id assigned $c, argmin says ${expectAssign(id)}")
+      assert(sz == expectSizes(c).toLong, s"cell $c size $sz != ${expectSizes(c)}")
+    }
+    val perCellCounts = got.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    perCellCounts.foreach { case (c, n) =>
+      assert(n == math.min(7, expectSizes(c)), s"cell $c quota violated: $n")
+    }
+    // deterministic replay
+    val again = ClusterSample.samplePortable(data, "vec_id", "embedding",
+      k = k, perCell = 7).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+  }
 }
