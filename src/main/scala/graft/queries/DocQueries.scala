@@ -1256,11 +1256,15 @@ object DocQueries {
     * rule (mT5/XLM-R stance) that upweights low-resource sources as T
     * grows. T = 1 is proportional sampling (every source keeps the
     * same rate — no rebalancing); T → ∞ converges to C18's equal
-    * split. Same deterministic md5-prefix thresholds as C14/C18, so
-    * the DRAW is engine-reproducible given the cuts; the cuts
-    * themselves pass through a float `pow`, so this entry is
-    * rows-only by declared design and MixSpec pins the T = 1 /
-    * T → ∞ limits, low-resource monotonicity, and determinism. */
+    * split. Same deterministic md5-prefix thresholds as C14/C18.
+    * Hash-green oracled (r15): the ONE float — `pow(tokens, 1/T)` —
+    * quantizes to a 1e-6-scaled integer weight immediately (the C85
+    * integer-binning stance), and everything after (weight sum, the
+    * budget×65536 cut derivation) is exact decimal/hugeint integer
+    * arithmetic both engines share. At T = 1 the quantized weight is
+    * exactly `tokens·1e6` (integers ≤ 2^53 scale losslessly), so the
+    * proportional-rate invariant survives the binning bit-for-bit;
+    * MixSpec keeps pinning the limits and monotonicity. */
   def qDocMixTemperature(s: SparkSession, dir: String,
                          totalBudget: Long = 10000L,
                          temperature: Double = 2.0): DataFrame = {
@@ -1275,20 +1279,30 @@ object DocQueries {
 
   /** Per-source cutoffs with budgets ∝ `src_tokens^(1/T)`: the
     * weight normalization is one tiny aggregate (sources-count rows)
-    * broadcast back; zero-token sources sample nothing. */
+    * broadcast back; zero-token sources sample nothing.
+    *
+    * Engine-exact derivation: the float pow quantizes to `qw =
+    * round(tokens^(1/T) · 1e6)` and the cut is the EXACT integral
+    * quotient `qw·budget·65536 div (Σqw·tokens)` — decimal(38,0)
+    * operands (the numerator passes int64 around 1e9 source tokens;
+    * DuckDB's mirror runs the same quotient in HUGEINT), `div` for
+    * the exact integral divide (decimal `/` would round the quotient
+    * to its result scale first — a floor off a ROUNDED quotient is
+    * wrong at boundaries). */
   private[queries] def temperatureCuts(totals: DataFrame, totalBudget: Long,
                                        temperature: Double): DataFrame = {
     require(temperature > 0, "temperature must be positive")
-    val weighted = totals.withColumn("w",
-      when(col("src_tokens") === 0L, lit(0.0))
-        .otherwise(pow(col("src_tokens").cast("double"), lit(1.0 / temperature))))
-    val wsum = weighted.agg(sum("w").as("wsum"))
+    val weighted = totals.withColumn("qw",
+      when(col("src_tokens") === 0L, lit(0L))
+        .otherwise(round(pow(col("src_tokens").cast("double"),
+          lit(1.0 / temperature)) * 1e6, 0).cast("bigint")))
+    val wsum = weighted.agg(sum("qw").as("qwsum"))
     weighted.crossJoin(broadcast(wsum))
       .withColumn("cut",
-        when(col("src_tokens") === 0L || col("wsum") <= 0.0, lit(0L))
+        when(col("src_tokens") === 0L || col("qwsum") <= 0L, lit(0L))
           .otherwise(least(lit(65536L),
-            floor(col("w") / col("wsum") * totalBudget * 65536.0 /
-                  col("src_tokens").cast("double")).cast("long"))))
+            expr(s"(CAST(qw AS DECIMAL(38,0)) * ${totalBudget}L * 65536L)" +
+              " div (CAST(qwsum AS DECIMAL(38,0)) * src_tokens)"))))
       .withColumn("cut_hex",
         when(col("cut") >= 65536L, lit("zzzz"))
           .otherwise(lpad(lower(conv(col("cut"), 10, 16)), 4, "0")))
@@ -4090,7 +4104,37 @@ object DocQueries {
     // plane literals — see portableCellsSql / lshOracleSql.
     "q_emb_cluster_sample" -> clusterSampleOracleSql,
     "q_emb_topics" -> topicsOracleSql,
-    "q_emb_lsh_ann" -> lshOracleSql
+    "q_emb_lsh_ann" -> lshOracleSql,
+    // r15: C44 graduated via the quantized-weight cut (the one float
+    // pow binned to a 1e-6 integer weight; the cut is an exact
+    // HUGEINT integral quotient mirroring Spark's decimal div)
+    "q_doc_mix_temperature" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        |           FROM documents),
+        |totals AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |           FROM t GROUP BY source),
+        |w AS (SELECT source, src_tokens,
+        |             CASE WHEN src_tokens = 0 THEN 0
+        |                  ELSE CAST(round(pow(src_tokens, 0.5) * 1e6) AS BIGINT)
+        |             END AS qw
+        |      FROM totals),
+        |s AS (SELECT CAST(sum(qw) AS HUGEINT) AS qwsum FROM w),
+        |cuts AS (SELECT source,
+        |           CASE WHEN src_tokens = 0 OR qwsum <= 0 THEN 0
+        |                ELSE least(65536, CAST(
+        |                  (CAST(qw AS HUGEINT) * 10000 * 65536)
+        |                    // (qwsum * src_tokens) AS BIGINT))
+        |           END AS cut
+        |         FROM w CROSS JOIN s),
+        |hex AS (SELECT source,
+        |          CASE WHEN cut >= 65536 THEN 'zzzz'
+        |               ELSE printf('%04x', cut) END AS cut_hex
+        |        FROM cuts)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM t JOIN hex USING (source)
+        |WHERE t.bucket < hex.cut_hex""".stripMargin
   )
 
   /** Shared CTE text for the ENGINE-PORTABLE coarse quantizer
