@@ -39,7 +39,9 @@ class ContractSpec extends AnyFunSuite {
       "q_doc_bpe_encode", // rules come from the iterative trainer; BpeSpec pins encoder parity
       "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity
       "q_doc_unigram_encode", // vocab comes from the iterative trainer; UnigramSpec pins encoder parity
-      "q_doc_mix_temperature", // cuts pass through float pow; MixSpec pins the T limits
+      // q_doc_mix_temperature graduated to hash-green in r15: the cut
+      // derives from a 1e-6-quantized integer weight (integral
+      // arithmetic end-to-end), so the relation oracles exactly
       // q_doc_simhash, q_doc_simhash_pairs AND q_doc_simhash_incremental
       // graduated to hash-green: the md5-bit signature is
       // engine-portable integer arithmetic (Dedup.simhash) and the
@@ -48,10 +50,12 @@ class ContractSpec extends AnyFunSuite {
       // on the curve (portable minhash, edit grid) and both truths
       // (n-gram Jaccard, levenshtein) have exact DuckDB twins
       "q_mm_scenes", // frame hashes need video decode — no DuckDB oracle
-      "q_emb_cluster_sample",
-      "q_emb_topics", // k-means cells are engine-specific; TopicsSpec pins the labeling
+      // q_emb_cluster_sample, q_emb_topics AND q_emb_lsh_ann graduated
+      // to hash-green in r15: the gate relations run the
+      // engine-portable quantizer (seeded centroids + integer L2 /
+      // integer sign bits), so cells, scores and candidates oracle
       "q_emb_ivf_topk",
-      "q_emb_lsh_ann", "q_emb_pq_topk", "q_emb_ivfpq_topk",
+      "q_emb_pq_topk", "q_emb_ivfpq_topk",
       "q_emb_opq_topk", // codebooks + learned rotation are k-means-family dependent; AccuracySpec pins the lift
       "q_emb_mmr", // greedy selection chain isn't one SQL statement; OperatorsSpec pins it
 
