@@ -26,7 +26,7 @@ object Bench {
     // same split for the PQ and IVF-PQ indexes: fit + encode are offline
     try graft.queries.DocQueries.pqIndex(spark, sfDir)._2.count()
     catch { case _: Throwable => () }
-    try graft.queries.DocQueries.ivfPqIndex(spark, sfDir).codes.count()
+    try graft.queries.DocQueries.ivfPqIndex(spark, sfDir)._3.count()
     catch { case _: Throwable => () }
     try graft.queries.DocQueries.opqIndex(spark, sfDir)._2.count()
     catch { case _: Throwable => () }

@@ -190,6 +190,62 @@ object Ivf {
       .select(col(idCol), col("qv"), col("centroid_id"))
   }
 
+  /** An ENGINE-PORTABLE IVF index ([[fitPortable]]): seeded integer
+    * cells + the cached integer assignment. Probes rank cells by
+    * INTEGER squared L2 of the 1e-6-quantized query (ties to the
+    * lowest cell) and re-rank the probed cells' vectors by the
+    * C5-proven round4 exact cosine — every candidate decision an
+    * integer, so an independent engine derives the identical top-k.
+    * The Lloyd-refined [[IvfIndex]] stays the quality/recall path. */
+  final case class PortableIvfIndex(cells: Seq[Array[Long]],
+                                    assigned: DataFrame, emb: DataFrame,
+                                    idCol: String, vecCol: String) {
+
+    def topK(queryId: Long, k: Int, nprobe: Int): DataFrame = {
+      val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+        .getOrElse { return Ann.emptyTopK(emb, idCol) }
+      // the query's integers come from the PLAN's round (HALF_UP),
+      // never JVM math.round — the Pq portable stance
+      val qq = emb.filter(col(idCol) === queryId)
+        .select(transform(toDoubles(col(vecCol)),
+          x => round(x * 1e6, 0).cast("bigint")))
+        .limit(1).collect().head.getSeq[Long](0).toArray
+      val probed = cells.zipWithIndex.map { case (c, ci) =>
+        var s = 0L
+        var i = 0
+        while (i < math.min(c.length, qq.length)) {
+          val d = qq(i) - c(i); s += d * d; i += 1
+        }
+        (s, ci)
+      }.sorted.take(math.max(1, nprobe)).map(_._2)
+      assigned
+        .filter(col("centroid_id").isin(probed.map(x => x: Any): _*) &&
+          col(idCol) =!= queryId)
+        .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol),
+          round(cosineNative(toDoubles(col(vecCol)), typedLit(qRaw.toSeq)), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Build the portable index: seed cells, assign once, cache — the
+    * same offline/serve split as [[fit]], in the reproducibility
+    * configuration. */
+  def fitPortable(emb: DataFrame, idCol: String, vecCol: String,
+                  numCells: Int): PortableIvfIndex = {
+    val seedDf = seedCentroids(emb, idCol, vecCol, numCells)
+    val cells = seedDf.orderBy("__cid").collect()
+      .map(_.getSeq[Long](1).toArray).toSeq
+    val assigned = assignCellsPortable(emb, idCol, vecCol, seedDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    PortableIvfIndex(cells, assigned, emb, idCol, vecCol)
+  }
+
   /** Restores a bucketed index written by [[IvfIndex.writeBucketed]].
     * The corpus read keeps `centroid_id` as a directory-partition
     * column, so `topK`'s `isin(probeCells)` filter prunes whole cell

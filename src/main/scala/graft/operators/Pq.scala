@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -517,5 +517,304 @@ object Pq {
       .getOrElse { return Ann.emptyTopK(emb, idCol) }
     serve(emb, idCol, vecCol, codes.filter(col(idCol) =!= queryId),
       model.pq, qRaw, model.rotate(normalize(qRaw)), k, rerank)
+  }
+
+  // ------------------------------------------------------------ portable
+
+  /** ENGINE-PORTABLE PQ model — the C35/C62 reproducibility recipe
+    * applied to the product quantizer, so an independent engine (the
+    * DuckDB oracle, an auditor's replay months later) derives the
+    * IDENTICAL codes and the IDENTICAL candidate set:
+    *
+    *  - codewords are the `k` corpus vectors with the smallest
+    *    `(md5(id), id)` (the [[Ivf.seedCentroids]] draw), sliced into
+    *    `m` subvectors and quantized to 1e-6 integers — no Lloyd
+    *    refinement (float per-dim means are not portable) and no
+    *    normalization (a computed float that would have to replay);
+    *  - encoding is integer squared-L2 argmin per subspace, ties to
+    *    the lowest code id;
+    *  - ADC is an INTEGER distance — `Σ_j lut[j][code_j]` with
+    *    `lut[j][c] = Σ_i (qq_i − qc_i)²` over the 1e-6-quantized
+    *    query — so the `rerank` candidate set is the exact smallest
+    *    `(adc, id)` prefix in every engine;
+    *  - the final order is the C5-proven round4 exact cosine over the
+    *    candidates only.
+    *
+    * The Lloyd-refined [[build]]/[[topK]] path remains the QUALITY
+    * quantizer (trained cells, normalized dot ADC, AccuracySpec's
+    * measured recall ladder); this is the REPRODUCIBILITY
+    * configuration for cross-engine gates and audit replays. Overflow
+    * bound (the [[Ivf.assignCellsPortable]] arithmetic): |q| ≤ ~4e6
+    * per dim keeps each subspace d² < 1e15 and the m-term ADC sum
+    * < 1e16 — inside int64 for any m. */
+  final case class PqPortableModel(codebooks: Seq[Seq[Array[Long]]], dim: Int) {
+    def m: Int = codebooks.size
+    def k: Int = codebooks.head.size
+    def sub: Int = dim / m
+
+    /** Integer ADC table for one quantized query: entry `j*k + c` =
+      * squared L2 between query subvector `j` and codeword `c`. */
+    def flatLutL2(qq: Array[Long]): Array[Long] = {
+      require(qq.length == dim, s"query dim ${qq.length} != model dim $dim")
+      val out = new Array[Long](m * k)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          val cw = codebooks(j)(c)
+          var s = 0L
+          var t = 0
+          while (t < sub) { val d = qq(j * sub + t) - cw(t); s += d * d; t += 1 }
+          out(j * k + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** The 1e-6 integer quantization every portable step shares —
+    * COMPUTED IN THE PLAN (Spark's HALF_UP `round`), never with JVM
+    * `math.round` (which floors ties toward +∞ for negatives and would
+    * silently diverge from the SQL mirror on an exact .5). */
+  private def quantized(vec: Column): Column =
+    transform(toDoubles(vec), x => round(x * 1e6, 0).cast("bigint"))
+
+  /** Quantized corpus relation `(idCol, qv)` for the portable paths. */
+  private def quantizedBase(emb: DataFrame, idCol: String,
+                            vecCol: String): DataFrame =
+    emb.select(col(idCol), quantized(col(vecCol)).as("qv"))
+
+  /** Seed the portable codebooks: the `codewords` corpus vectors with
+    * the smallest `(md5(id), id)`, quantized and sliced — codeword `c`
+    * of every subspace comes from the same seed vector, which is what
+    * lets the SQL mirror rebuild the books from one LIMIT. */
+  def fitPortable(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, codewords: Int = 16): PqPortableModel = {
+    require(m >= 1 && codewords >= 1, s"m=$m, codewords=$codewords must be >= 1")
+    val seeds = quantizedBase(emb, idCol, vecCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(codewords)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty, "cannot seed a PQ codebook on an empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    PqPortableModel(
+      (0 until m).map(j => seeds.toSeq.map(_.slice(j * sub, (j + 1) * sub))),
+      dim)
+  }
+
+  /** Integer-exact encode against a portable model: `(idCol, codes)`,
+    * same broadcast-crossJoin/partial-`min_by` shape as [[encode]] —
+    * the shuffle carries one row per (vector, subspace). */
+  def encodePortable(emb: DataFrame, idCol: String, vecCol: String,
+                     model: PqPortableModel): DataFrame =
+    encodeQuantized(quantizedBase(emb, idCol, vecCol), idCol, model)
+
+  /** [[encodePortable]] over an ALREADY-quantized `(idCol, qv, …)`
+    * relation — what [[Ivf.assignCellsPortable]] emits, so the IVF-PQ
+    * composition quantizes the corpus exactly once. Extra columns
+    * (e.g. `centroid_id`) ride along via a first() per vector. */
+  def encodeQuantized(base: DataFrame, idCol: String,
+                      model: PqPortableModel): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val carried = base.columns.filter(c => c != idCol && c != "qv").toSeq
+    val cdf = (for {
+      j <- 0 until model.m
+      (cw, ci) <- model.codebooks(j).zipWithIndex
+    } yield (j, ci, cw.toSeq)).toDF("__sub", "__ci", "__qcw")
+    base
+      .crossJoin(broadcast(cdf))
+      .withColumn("__sv",
+        slice(col("qv"), col("__sub") * model.sub + 1, lit(model.sub)))
+      .withColumn("__d2",
+        aggregate(zip_with(col("__sv"), col("__qcw"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z))
+      .groupBy(col(idCol), col("__sub"))
+      .agg(min_by(col("__ci"), struct(col("__d2"), col("__ci"))).as("__code"),
+        carried.map(c => first(col(c)).as(c)): _*)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code"))))
+        .as("__sc"), carried.map(c => first(col(c)).as(c)): _*)
+      .select((col(idCol) +:
+        transform(col("__sc"), s => s.getField("__code")).as("codes") +:
+        carried.map(col)): _*)
+  }
+
+  /** Fit + encode, codes MATERIALIZED (caller owns the unpersist) —
+    * the portable twin of [[build]]. */
+  def buildPortable(emb: DataFrame, idCol: String, vecCol: String,
+                    m: Int = 8, codewords: Int = 16)
+      : (PqPortableModel, DataFrame) = {
+    val model = fitPortable(emb, idCol, vecCol, m, codewords)
+    val codes = encodePortable(emb, idCol, vecCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    (model, codes)
+  }
+
+  /** Portable ADC top-k: integer-ADC candidate cut (always re-ranked —
+    * the portable contract is "exact round4 cosine over an
+    * engine-exact candidate set", so `rerank` is floored at `k`), then
+    * the C5 round4 cosine order. The query is quantized BY THE PLAN
+    * (one extra 1-row job) so its integers are Spark-round-exact, not
+    * JVM-round-approximate. */
+  def topKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                   codes: DataFrame, model: PqPortableModel, queryId: Long,
+                   k: Int, rerank: Int = 100): DataFrame = {
+    val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+      .getOrElse { return Ann.emptyTopK(emb, idCol) }
+    val qq = quantizedQuery(emb, idCol, vecCol, queryId)
+    servePortable(emb, idCol, vecCol, codes.filter(col(idCol) =!= queryId),
+      model, qRaw, qq, k, rerank)
+  }
+
+  /** The query's 1e-6 integers, computed with the PLAN's round. */
+  private def quantizedQuery(emb: DataFrame, idCol: String, vecCol: String,
+                             queryId: Long): Array[Long] =
+    emb.filter(col(idCol) === queryId)
+      .select(quantized(col(vecCol))).limit(1).collect()
+      .head.getSeq[Long](0).toArray
+
+  private def servePortable(emb: DataFrame, idCol: String, vecCol: String,
+                            candidates: DataFrame, model: PqPortableModel,
+                            qRaw: Array[Double], qq: Array[Long],
+                            k: Int, rerank: Int): DataFrame = {
+    val lut = typedLit(model.flatLutL2(qq).toSeq)
+    val kk = model.k
+    candidates
+      .withColumn("__adc",
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+          (c, j) => element_at(lut, (j * kk + c + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy(col("__adc"), col(idCol))
+      .limit(math.max(rerank, k))
+      .select(col(idCol))
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol),
+        round(cosineNative(toDoubles(col(vecCol)), typedLit(qRaw.toSeq)), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic SIGNED PERMUTATION — the OPQ transform family
+    * restricted to exactly the orthogonal matrices an integer pipeline
+    * can replay: dimension `i` of the rotated vector is
+    * `sign(i) · v(perm(i))`, with `perm` ordering dimensions by
+    * `(md5("opq-d<i>"), i)` and the sign drawn from md5's low bit.
+    * Orthogonal by construction (one ±1 per row/column), so it is a
+    * true OPQ rotation — it re-mixes which coordinates share a
+    * subspace — while staying integer-exact. The learned Procrustes
+    * rotation ([[buildOpq]]) remains the quality path. */
+  def signedPermutation(dim: Int): (Array[Int], Array[Int]) = {
+    def hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val perm = (0 until dim).sortBy(i => (hex(s"opq-d$i"), i)).toArray
+    val sign = perm.map(p => if ((Integer.parseInt(hex(s"opq-s$p").take(2), 16) & 1) == 0) 1 else -1)
+    (perm, sign)
+  }
+
+  /** Rotate a quantized-vector column by [[signedPermutation]] —
+    * plain integer moves, identical in every engine. */
+  private def permuted(qv: Column, perm: Array[Int],
+                       sign: Array[Int]): Column = {
+    val permLit = typedLit(perm.toSeq)
+    val signLit = typedLit(sign.map(_.toLong).toSeq)
+    transform(sequence(lit(0), lit(perm.length - 1)),
+      i => element_at(qv, element_at(permLit, i + 1) + 1) *
+        element_at(signLit, i + 1))
+  }
+
+  /** Portable OPQ build: signed-permutation rotate, then the portable
+    * fit + encode in the rotated space. Codes MATERIALIZED. */
+  def buildOpqPortable(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, codewords: Int = 16)
+      : (PqPortableModel, DataFrame) = {
+    val base = quantizedBase(emb, idCol, vecCol)
+    val dimRow = base.select(size(col("qv"))).limit(1).collect()
+    require(dimRow.nonEmpty, "cannot fit an OPQ codebook on an empty corpus")
+    val dim = dimRow.head.getInt(0)
+    val (perm, sign) = signedPermutation(dim)
+    val rotated = base.select(col(idCol),
+      permuted(col("qv"), perm, sign).as("qv"))
+    val seeds = rotated
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(codewords).collect().map(_.getSeq[Long](1).toArray)
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val model = PqPortableModel(
+      (0 until m).map(j => seeds.toSeq.map(_.slice(j * sub, (j + 1) * sub))),
+      dim)
+    val codes = encodeQuantized(rotated, idCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    (model, codes)
+  }
+
+  /** Portable OPQ top-k: the query rides through the SAME signed
+    * permutation (integer moves on its plan-quantized integers) before
+    * the ADC; the re-rank scores original vectors against the original
+    * query — a signed permutation is orthogonal, so cosine is
+    * invariant and the two stages agree exactly as in [[topKOpq]]. */
+  def topKOpqPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      codes: DataFrame, model: PqPortableModel,
+                      queryId: Long, k: Int, rerank: Int = 100): DataFrame = {
+    val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+      .getOrElse { return Ann.emptyTopK(emb, idCol) }
+    val (perm, sign) = signedPermutation(model.dim)
+    val qq = quantizedQuery(emb, idCol, vecCol, queryId)
+    val qRot = Array.tabulate(model.dim)(i => sign(i) * qq(perm(i)))
+    servePortable(emb, idCol, vecCol, codes.filter(col(idCol) =!= queryId),
+      model, qRaw, qRot, k, rerank)
+  }
+
+  /** Portable IVF-PQ: [[Ivf.seedCentroids]] cells prune which code
+    * rows a probe reads (integer-L2 probe ranking, ties to the lowest
+    * cell), the portable codes shrink what it reads — the corpus is
+    * quantized ONCE ([[Ivf.assignCellsPortable]]'s `qv` feeds the
+    * encode). Returns (cells as driver arrays, model, codes-with-cell
+    * MATERIALIZED). */
+  def buildIvfPortable(emb: DataFrame, idCol: String, vecCol: String,
+                       numCells: Int = 16, m: Int = 8, codewords: Int = 16)
+      : (Seq[Array[Long]], PqPortableModel, DataFrame) = {
+    val seedCells = Ivf.seedCentroids(emb, idCol, vecCol, numCells)
+      .orderBy("__cid").collect().map(_.getSeq[Long](1).toArray).toSeq
+    val assigned = Ivf.assignCellsPortable(emb, idCol, vecCol,
+      Ivf.seedCentroids(emb, idCol, vecCol, numCells))
+    val model = fitPortable(emb, idCol, vecCol, m, codewords)
+    val codes = encodeQuantized(assigned, idCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    (seedCells, model, codes)
+  }
+
+  /** Portable IVF-PQ top-k: probe the `nprobe` cells nearest the
+    * quantized query (driver-side integer L2 over the model-sized cell
+    * list), ADC only the probed cells' codes, re-rank round4-exact. */
+  def topKIvfPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      cells: Seq[Array[Long]], model: PqPortableModel,
+                      codes: DataFrame, queryId: Long, k: Int,
+                      nprobe: Int = 4, rerank: Int = 100): DataFrame = {
+    val qRaw = Ann.queryVector(emb, idCol, toDoubles(col(vecCol)), queryId)
+      .getOrElse { return Ann.emptyTopK(emb, idCol) }
+    val qq = quantizedQuery(emb, idCol, vecCol, queryId)
+    val probed = cells.zipWithIndex.map { case (c, ci) =>
+      var s = 0L
+      var i = 0
+      while (i < math.min(c.length, qq.length)) {
+        val d = qq(i) - c(i); s += d * d; i += 1
+      }
+      (s, ci)
+    }.sorted.take(math.max(1, nprobe)).map(_._2)
+    servePortable(emb, idCol, vecCol,
+      codes.filter(col("centroid_id").isin(probed: _*) &&
+        col(idCol) =!= queryId),
+      model, qRaw, qq, k, rerank)
   }
 }

@@ -411,72 +411,95 @@ object DocQueries {
   }
 
   private val ivfIndexes =
-    new IndexCache[graft.operators.Ivf.IvfIndex](max = 8)(_.unpersist())
+    new IndexCache[graft.operators.Ivf.PortableIvfIndex](max = 8)(_.unpersist())
 
-  /** IVF coarse-quantizer ANN: probe 4 of 16 k-means cells. The index
-    * build (k-means fit + assignment) is the offline step — fitted once
-    * per (session, dir) and cached, as a production IVF system persists
-    * its centroid table; the query path is probe-only. Bench calls this
-    * in warm-up, mirroring the build/serve split. */
-  def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.IvfIndex =
-    ivfIndexes.get(s, dir)(graft.operators.Ivf.fit(emb(s, dir),
-      "vec_id", "embedding", numCentroids = 16, iters = 3))
+  /** IVF coarse-quantizer ANN: probe 4 of 16 cells. The index build
+    * (cell fit + assignment) is the offline step — fitted once per
+    * (session, dir) and cached, as a production IVF system persists
+    * its centroid table; the query path is probe-only. Bench calls
+    * this in warm-up, mirroring the build/serve split. Hash-green
+    * oracled via the ENGINE-PORTABLE index
+    * ([[graft.operators.Ivf.fitPortable]]: seeded cells, integer-L2
+    * assignment AND probe ranking, round4-cosine re-rank); the
+    * Lloyd-refined k-means index stays spec-pinned (AccuracySpec's
+    * nprobe recall ladder, IvfSpec build/append contracts). */
+  def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.PortableIvfIndex =
+    ivfIndexes.get(s, dir)(graft.operators.Ivf.fitPortable(emb(s, dir),
+      "vec_id", "embedding", numCells = 16))
 
   def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfIndex(s, dir).topK(queryId = 0L, k = 20, nprobe = 4)
 
   // ---------------------------------------------------------------- C25
   /** Product-quantization ANN: codes-only ADC scan + exact re-rank of
-    * the top 100. Same build/serve split and bounded cache as the IVF
-    * index; rows-only (codebooks are k-means-family dependent). */
+    * the top 100. Hash-green oracled via the ENGINE-PORTABLE
+    * configuration ([[graft.operators.Pq.buildPortable]]: seeded
+    * integer codebooks, integer-L2 codes, integer ADC candidate cut,
+    * round4-cosine re-rank — every candidate decision an integer, so
+    * DuckDB derives the identical set); the Lloyd-refined codebook
+    * path stays spec-pinned (PqSpec round-trips, AccuracySpec's
+    * measured recall ladder). Same build/serve split and bounded cache
+    * as the IVF index. */
   private val pqIndexes =
-    new IndexCache[(graft.operators.Pq.PqModel, DataFrame)](max = 8)(
+    new IndexCache[(graft.operators.Pq.PqPortableModel, DataFrame)](max = 8)(
       p => { p._2.unpersist(); () })
 
-  def pqIndex(s: SparkSession, dir: String): (graft.operators.Pq.PqModel, DataFrame) =
-    pqIndexes.get(s, dir)(graft.operators.Pq.build(emb(s, dir),
-      "vec_id", "embedding", m = 8, codewords = 16, iters = 2))
+  def pqIndex(s: SparkSession, dir: String)
+      : (graft.operators.Pq.PqPortableModel, DataFrame) =
+    pqIndexes.get(s, dir)(graft.operators.Pq.buildPortable(emb(s, dir),
+      "vec_id", "embedding", m = 8, codewords = 16))
 
   def qEmbPqTopk(s: SparkSession, dir: String): DataFrame = {
     val (model, codes) = pqIndex(s, dir)
-    graft.operators.Pq.topK(emb(s, dir), "vec_id", "embedding", codes, model,
-      queryId = 0L, k = 20, rerank = 100)
+    graft.operators.Pq.topKPortable(emb(s, dir), "vec_id", "embedding",
+      codes, model, queryId = 0L, k = 20, rerank = 100)
   }
 
   // ---------------------------------------------------------------- C25d
-  /** OPQ — PQ behind a learned orthogonal rotation that balances/
-    * decorrelates the subspaces before slicing (same m, same k, same
-    * code bytes; the lift on anisotropic corpora is AccuracySpec-
-    * measured). The testdata embeddings are near-isotropic, so here it
-    * serves as the rotation-is-a-no-op regression surface; same
-    * build/serve split and bounded cache as plain PQ. */
+  /** OPQ — PQ behind an orthogonal rotation that re-mixes which
+    * coordinates share a subspace before slicing (same m, same k, same
+    * code bytes). The gate runs the ENGINE-PORTABLE transform family —
+    * a deterministic signed permutation
+    * ([[graft.operators.Pq.signedPermutation]]), orthogonal and
+    * integer-exact, so the rotated codes and candidate set replay in
+    * DuckDB; the LEARNED Procrustes rotation
+    * ([[graft.operators.Pq.buildOpq]]) stays the quality path,
+    * spec-pinned (orthogonality, decorrelation lift, AccuracySpec). */
   private val opqIndexes =
-    new IndexCache[(graft.operators.Pq.OpqModel, DataFrame)](max = 8)(
+    new IndexCache[(graft.operators.Pq.PqPortableModel, DataFrame)](max = 8)(
       p => { p._2.unpersist(); () })
 
-  def opqIndex(s: SparkSession, dir: String): (graft.operators.Pq.OpqModel, DataFrame) =
-    opqIndexes.get(s, dir)(graft.operators.Pq.buildOpq(emb(s, dir),
-      "vec_id", "embedding", m = 8, codewords = 16, iters = 2, opqIters = 3))
+  def opqIndex(s: SparkSession, dir: String)
+      : (graft.operators.Pq.PqPortableModel, DataFrame) =
+    opqIndexes.get(s, dir)(graft.operators.Pq.buildOpqPortable(emb(s, dir),
+      "vec_id", "embedding", m = 8, codewords = 16))
 
   def qEmbOpqTopk(s: SparkSession, dir: String): DataFrame = {
     val (model, codes) = opqIndex(s, dir)
-    graft.operators.Pq.topKOpq(emb(s, dir), "vec_id", "embedding", codes,
-      model, queryId = 0L, k = 20, rerank = 100)
+    graft.operators.Pq.topKOpqPortable(emb(s, dir), "vec_id", "embedding",
+      codes, model, queryId = 0L, k = 20, rerank = 100)
   }
 
   // ---------------------------------------------------------------- C25b
   /** The composed IVF-PQ index: cells prune which code rows a probe
-    * reads, codes shrink what it reads. Rows-only like its halves. */
-  private val ivfPqIndexes =
-    new IndexCache[graft.operators.Pq.IvfPqIndex](max = 8)(_.unpersist())
+    * reads, codes shrink what it reads. The gate composes the portable
+    * halves (C35's seeded cells + C25's portable codes), so the probed
+    * cells, the candidate set and the final top-k all replay in
+    * DuckDB; the k-means composition stays spec-pinned. */
+  private val ivfPqIndexes = new IndexCache[(Seq[Array[Long]],
+    graft.operators.Pq.PqPortableModel, DataFrame)](max = 8)(
+    p => { p._3.unpersist(); () })
 
-  def ivfPqIndex(s: SparkSession, dir: String): graft.operators.Pq.IvfPqIndex =
-    ivfPqIndexes.get(s, dir)(graft.operators.Pq.buildIvf(emb(s, dir),
-      "vec_id", "embedding", numCells = 16, m = 8, codewords = 16, iters = 2))
+  def ivfPqIndex(s: SparkSession, dir: String)
+      : (Seq[Array[Long]], graft.operators.Pq.PqPortableModel, DataFrame) =
+    ivfPqIndexes.get(s, dir)(graft.operators.Pq.buildIvfPortable(emb(s, dir),
+      "vec_id", "embedding", numCells = 16, m = 8, codewords = 16))
 
-  def qEmbIvfPqTopk(s: SparkSession, dir: String): DataFrame =
-    ivfPqIndex(s, dir).topK(emb(s, dir), "embedding", queryId = 0L, k = 20,
-      nprobe = 4, rerank = 100)
+  def qEmbIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (cells, model, codes) = ivfPqIndex(s, dir)
+    graft.operators.Pq.topKIvfPortable(emb(s, dir), "vec_id", "embedding",
+      cells, model, codes, queryId = 0L, k = 20, nprobe = 4, rerank = 100)
+  }
 
   // ---------------------------------------------------------------- C26
   /** Semantic dedup ([[graft.operators.SemDedup]]) with a DuckDB
@@ -4105,6 +4128,13 @@ object DocQueries {
     "q_emb_cluster_sample" -> clusterSampleOracleSql,
     "q_emb_topics" -> topicsOracleSql,
     "q_emb_lsh_ann" -> lshOracleSql,
+    // r15: the PQ family graduated via the portable product quantizer
+    // (seeded integer codebooks, integer-L2 codes, integer ADC cut,
+    // round4-cosine re-rank) — see portablePqSql.
+    "q_emb_pq_topk" -> pqOracleSql,
+    "q_emb_opq_topk" -> opqOracleSql,
+    "q_emb_ivfpq_topk" -> ivfPqOracleSql,
+    "q_emb_ivf_topk" -> ivfOracleSql,
     // r15: C44 graduated via the quantized-weight cut (the one float
     // pow binned to a 1e-6 integer weight; the cut is an exact
     // HUGEINT integral quotient mirroring Spark's decimal div)
@@ -4239,5 +4269,130 @@ object DocQueries {
       |FROM pairs JOIN v va ON va.vec_id = pairs.id_a
       |           JOIN v vb ON vb.vec_id = pairs.id_b
       |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.4""".stripMargin
+  }
+
+  /** Shared CTE text for the ENGINE-PORTABLE product quantizer
+    * ([[graft.operators.Pq.fitPortable]] / `encodeQuantized` /
+    * `servePortable`): `vq` carries raw + 1e-6-quantized (and, via
+    * `rotate`, OPQ-permuted) vectors, `seeds` is the
+    * smallest-(md5, id) codeword draw, `books` its per-subspace
+    * slices, `codes` the integer-L2 argmin encode, `lut`/`cand` the
+    * integer-ADC candidate cut for query vec_id = 0, and the final
+    * SELECT the C5-proven round4 cosine re-rank. `cellFilter`
+    * restricts candidates to the IVF-PQ probed cells. Every candidate
+    * decision is integer arithmetic — the same partition the Spark
+    * side computes. */
+  private def portablePqSql(m: Int, codewords: Int, rerank: Int, k: Int,
+                            rotate: String = "qv0",
+                            extraCtes: String = "",
+                            cellFilter: String = ""): String =
+    s"""WITH vq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |               $rotate AS qv
+      |            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+      |                         list_transform(CAST(embedding AS DOUBLE[]),
+      |                                        x -> CAST(round(x * 1e6) AS BIGINT)) AS qv0
+      |                  FROM embeddings)),
+      |p AS (SELECT len(qv) // $m AS sub FROM vq LIMIT 1),$extraCtes
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+      |         qv AS cw
+      |  FROM (SELECT vec_id, qv FROM vq
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $codewords)),
+      |books AS (
+      |  SELECT j.sub_j, s.ci, p.sub,
+      |         s.cw[(j.sub_j * p.sub + 1):((j.sub_j + 1) * p.sub)] AS qcw
+      |  FROM seeds s, p, (SELECT unnest(generate_series(0, ${m - 1})) AS sub_j) j),
+      |codes AS (
+      |  SELECT vec_id, sub_j, ci AS code
+      |  FROM (SELECT v.vec_id, b.sub_j, b.ci,
+      |               list_aggregate(list_transform(generate_series(1, b.sub),
+      |                 i -> (v.qv[b.sub_j * b.sub + i] - b.qcw[i])
+      |                    * (v.qv[b.sub_j * b.sub + i] - b.qcw[i])), 'sum') AS d2
+      |        FROM vq v, books b)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_j ORDER BY d2, ci) = 1),
+      |q AS (SELECT qv, v FROM vq WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT b.sub_j, b.ci,
+      |         list_aggregate(list_transform(generate_series(1, b.sub),
+      |           i -> (q.qv[b.sub_j * b.sub + i] - b.qcw[i])
+      |              * (q.qv[b.sub_j * b.sub + i] - b.qcw[i])), 'sum') AS d2
+      |  FROM books b, q),
+      |cand AS (
+      |  SELECT c.vec_id
+      |  FROM codes c JOIN lut l ON l.sub_j = c.sub_j AND l.ci = c.code
+      |  WHERE c.vec_id <> 0$cellFilter
+      |  GROUP BY c.vec_id
+      |  ORDER BY CAST(sum(l.d2) AS BIGINT), c.vec_id LIMIT $rerank)
+      |SELECT w.vec_id, round(list_cosine_similarity(w.v, q.v), 4) AS cosine
+      |FROM cand JOIN vq w USING (vec_id), q
+      |ORDER BY cosine DESC, w.vec_id LIMIT $k""".stripMargin
+
+  /** DuckDB mirror of [[qEmbPqTopk]] (portable PQ, gate config). */
+  private def pqOracleSql: String =
+    portablePqSql(m = 8, codewords = 16, rerank = 100, k = 20)
+
+  /** DuckDB mirror of [[qEmbIvfTopk]] (portable IVF index: the C35
+    * cells, integer-L2 probe ranking, round4 cosine inside the 4
+    * probed cells). */
+  private def ivfOracleSql: String =
+    s"""WITH ${portableCellsSql(16)},
+      |q AS (SELECT vec_id, qv FROM vq WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT s.cid
+      |  FROM seeds s, q
+      |  ORDER BY list_aggregate(list_transform(generate_series(1, len(q.qv)),
+      |             i -> (q.qv[i] - s.qc[i]) * (q.qv[i] - s.qc[i])), 'sum'), s.cid
+      |  LIMIT 4),
+      |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe.v), 4) AS cosine
+      |FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id, qe
+      |WHERE a.centroid_id IN (SELECT cid FROM probe) AND e.vec_id <> 0
+      |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin
+
+  /** GENERATED DuckDB mirror of [[qEmbOpqTopk]]: the signed
+    * permutation comes from the SAME
+    * [[graft.operators.Pq.signedPermutation]] call the plan uses, so
+    * the two engines' rotations cannot drift. The re-rank scores
+    * ORIGINAL vectors (cosine is rotation-invariant). */
+  private def opqOracleSql: String = {
+    val (perm, sign) = graft.operators.Pq.signedPermutation(64)
+    val permLit = perm.map(_ + 1).mkString("[", ",", "]") // 1-based
+    val signLit = sign.mkString("[", ",", "]")
+    portablePqSql(m = 8, codewords = 16, rerank = 100, k = 20,
+      rotate = s"list_transform(generate_series(1, len(qv0)), " +
+        s"i -> qv0[($permLit)[i]] * ($signLit)[i])")
+  }
+
+  /** DuckDB mirror of [[qEmbIvfPqTopk]]: the C35 portable cells
+    * restrict which code rows the ADC reads — `probe` ranks cells by
+    * integer L2 to the query and keeps nprobe = 4 — then the portable
+    * PQ serve runs inside them. */
+  private def ivfPqOracleSql: String = {
+    val cells =
+      """
+        |cseeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |         qv AS qc
+        |  FROM (SELECT vec_id, qv FROM vq
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+        |assigned AS (
+        |  SELECT vec_id, cid AS centroid_id
+        |  FROM (SELECT v.vec_id, s.cid,
+        |               list_aggregate(list_transform(generate_series(1, len(v.qv)),
+        |                 i -> (v.qv[i] - s.qc[i]) * (v.qv[i] - s.qc[i])), 'sum') AS d2
+        |        FROM vq v, cseeds s)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+        |probe AS (
+        |  SELECT s.cid
+        |  FROM cseeds s, (SELECT qv FROM vq WHERE vec_id = 0) qq
+        |  ORDER BY list_aggregate(list_transform(generate_series(1, len(qq.qv)),
+        |             i -> (qq.qv[i] - s.qc[i]) * (qq.qv[i] - s.qc[i])), 'sum'), s.cid
+        |  LIMIT 4),""".stripMargin
+    portablePqSql(m = 8, codewords = 16, rerank = 100, k = 20,
+      extraCtes = cells,
+      cellFilter = """
+        |    AND c.vec_id IN (SELECT vec_id FROM assigned
+        |                     WHERE centroid_id IN (SELECT cid FROM probe))""".stripMargin)
   }
 }

@@ -54,9 +54,13 @@ class ContractSpec extends AnyFunSuite {
       // to hash-green in r15: the gate relations run the
       // engine-portable quantizer (seeded centroids + integer L2 /
       // integer sign bits), so cells, scores and candidates oracle
-      "q_emb_ivf_topk",
-      "q_emb_pq_topk", "q_emb_ivfpq_topk",
-      "q_emb_opq_topk", // codebooks + learned rotation are k-means-family dependent; AccuracySpec pins the lift
+      // q_emb_ivf_topk, q_emb_pq_topk, q_emb_opq_topk AND
+      // q_emb_ivfpq_topk graduated to hash-green in r15: the gate
+      // relations run the engine-portable quantizers (seeded integer
+      // cells/codebooks, integer-L2 probes and codes, integer ADC cut,
+      // signed-permutation OPQ rotation), so cells, candidates and the
+      // top-k all oracle; the Lloyd/Procrustes quality path stays
+      // AccuracySpec-pinned
       "q_emb_mmr", // greedy selection chain isn't one SQL statement; OperatorsSpec pins it
 
       "q_mm_features",

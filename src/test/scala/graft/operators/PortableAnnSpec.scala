@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Contracts of the ENGINE-PORTABLE ANN configurations (the r15 gate
+  * promotions): the portable IVF/PQ/OPQ/IVF-PQ paths trade a little
+  * recall (seeded codebooks, no Lloyd refinement) for bit-exact
+  * cross-engine replay — so the specs pin BOTH sides of that trade:
+  * exactness where the construction promises it (full probe / full
+  * re-rank reproduce brute force; the signed permutation is a true
+  * orthogonal transform) and measured recall floors where it does not.
+  * Cross-engine equality itself is pinned by the correctness gate's
+  * DuckDB mirrors (DocQueries.portablePqSql / ivfOracleSql). */
+class PortableAnnSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def exactTop(k: Int): Set[Long] = {
+    val emb = Tables.load(spark, sf, "embeddings")
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, k)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("C6p: portable IVF — full probe equals brute force, recall floors hold") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = exactTop(20)
+    val index = Ivf.fitPortable(emb, "vec_id", "embedding", numCells = 16)
+    def recall(np: Int): Double = {
+      val got = index.topK(0L, 20, np).collect().map(_.getLong(0)).toSet
+      (exact & got).size / 20.0
+    }
+    val r4 = recall(4); val r16 = recall(16)
+    info(f"portable IVF recall@20: nprobe4=$r4%.2f nprobe16=$r16%.2f")
+    assert(r16 == 1.0, s"full probe must equal brute force, got $r16")
+    assert(r4 >= 0.30, s"portable IVF nprobe=4 recall collapsed to $r4")
+    index.unpersist()
+  }
+
+  test("C25p: portable PQ — codes valid, full re-rank exact, re-rank recall floor") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = exactTop(20)
+    val (model, codes) = Pq.buildPortable(emb, "vec_id", "embedding",
+      m = 8, codewords = 16)
+    val rows = codes.collect()
+    assert(rows.forall(_.getSeq[Int](1).size == 8))
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    def recall(rerank: Int): Double = {
+      val got = Pq.topKPortable(emb, "vec_id", "embedding", codes, model,
+        0L, 20, rerank).collect().map(_.getLong(0)).toSet
+      (exact & got).size / 20.0
+    }
+    val reranked = recall(100)
+    val full = recall(rows.length)
+    info(f"portable PQ recall@20: rerank100=$reranked%.2f full=$full%.2f")
+    assert(full == 1.0, "full re-rank must equal brute force")
+    assert(reranked >= 0.30, s"portable PQ rerank-100 recall collapsed to $reranked")
+    codes.unpersist()
+  }
+
+  test("C25dp: signed permutation is orthogonal — integer L2 is preserved exactly") {
+    val dim = 64
+    val (perm, sign) = Pq.signedPermutation(dim)
+    // a true permutation with unit signs = an orthogonal matrix
+    assert(perm.sorted.toSeq == (0 until dim), "perm must be a bijection")
+    assert(sign.forall(s => s == 1 || s == -1))
+    // distance preservation on arbitrary integer vectors — the property
+    // that makes the rotated ADC a valid OPQ serve
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)
+    val b = Array.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)
+    def d2(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val ra = Array.tabulate(dim)(i => sign(i) * a(perm(i)))
+    val rb = Array.tabulate(dim)(i => sign(i) * b(perm(i)))
+    assert(d2(ra, rb) == d2(a, b), "signed permutation must preserve L2 exactly")
+  }
+
+  test("C25dp2: portable OPQ — full re-rank exact, rotation changes the codes") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = exactTop(20)
+    val (model, codes) = Pq.buildOpqPortable(emb, "vec_id", "embedding",
+      m = 8, codewords = 16)
+    val n = codes.count().toInt
+    val full = Pq.topKOpqPortable(emb, "vec_id", "embedding", codes, model,
+      0L, 20, rerank = n).collect().map(_.getLong(0)).toSet
+    assert(full == exact, "full re-rank must equal brute force")
+    // the permutation genuinely re-mixes subspaces: the rotated codes
+    // differ from the unrotated ones (else the transform is dead code)
+    val (pm, pcodes) = Pq.buildPortable(emb, "vec_id", "embedding",
+      m = 8, codewords = 16)
+    val plain = pcodes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rotated = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(plain.exists { case (id, cs) => rotated(id) != cs },
+      "rotation must change at least one vector's codes")
+    assert(pm.dim == model.dim)
+    codes.unpersist(); pcodes.unpersist()
+  }
+
+  test("C25bp: portable IVF-PQ — candidates come only from probed cells; full config exact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = exactTop(20)
+    val (cells, model, codes) = Pq.buildIvfPortable(emb, "vec_id", "embedding",
+      numCells = 16, m = 8, codewords = 16)
+    val n = codes.count().toInt
+    // full probe + full re-rank reproduces brute force
+    val full = Pq.topKIvfPortable(emb, "vec_id", "embedding", cells, model,
+      codes, 0L, 20, nprobe = 16, rerank = n)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact, "full probe + full re-rank must equal brute force")
+    // a 1-cell probe's results all live in one cell
+    val one = Pq.topKIvfPortable(emb, "vec_id", "embedding", cells, model,
+      codes, 0L, 20, nprobe = 1, rerank = n)
+      .collect().map(_.getLong(0)).toSet
+    val cellsOf = codes.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one.map(cellsOf).size <= 1, "nprobe=1 results must share one cell")
+    codes.unpersist()
+  }
+}
