@@ -26,14 +26,25 @@ import graft.streaming.{EventStream, StreamMetrics}
   * carries codegen/JIT cold cost; the JSON separates it the way
   * Bench.scala separates cold_total.
   *
-  * Usage: runMain graft.StreamBench [nEvents] [nFiles]
+  * A small warm-up stream runs first (separate landing/out/ckpt): it
+  * JITs the normalize + parquet + commit path once, exactly like
+  * EtlBench's warm-up, so the measured triggers are steady-state
+  * rather than half-compilation — without it, back-to-back runs of the
+  * same build measured 54k vs 73k warm ev/s at the 1M rung purely on
+  * JIT/page-cache state.
+  *
+  * Usage: runMain graft.StreamBench [nEvents] [nFiles] [filesPerDay]
   *   nFiles controls triggers: ceil(nFiles / 64) micro-batches.
+  *   filesPerDay defaults to 0 = auto (one file per route-day at
+  *   micro-batch scale — ALSO the measured latency optimum on this
+  *   path; see EventStream.start's scaladoc).
   */
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.length > 0) args(0).toLong else 1000000L
     val nFiles = if (args.length > 1) args(1).toInt else 256
+    val filesPerDay = if (args.length > 2) args(2).toInt else 0
     val spark = GraftSession.get()
     sys.env.get("SPARK_GRAFT_CACHE_BATCH").foreach(b =>
       spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", b))
@@ -45,13 +56,24 @@ object StreamBench {
     val ckpt = Files.createTempDirectory("stream-bench-ckpt")
     EtlBench.writeCorpus(landing, nEvents, nFiles)
 
+    // JIT warm-up: one tiny stream through the identical pipeline
+    // (normalize codegen, parquet encode, two-phase commit) before the
+    // clock starts — the EtlBench warm-up stance applied to streaming
+    val wl = Files.createTempDirectory("stream-bench-warm")
+    val wo = Files.createTempDirectory("stream-bench-warmout")
+    val wc = Files.createTempDirectory("stream-bench-warmckpt")
+    EtlBench.writeCorpus(wl, 1300, 4)
+    EventStream.start(spark, wl.toString, wo.toString, wc.toString,
+      "us-east-1", "123456789012", trigger = Trigger.AvailableNow(),
+      filesPerDay = filesPerDay).awaitTermination()
+
     val metrics = new StreamMetrics(capacity = 4096,
       queryName = Some("ocsf-fanout")).attach(spark)
 
     val t0 = System.nanoTime()
     val q = EventStream.start(spark, landing.toString, out.toString,
       ckpt.toString, "us-east-1", "123456789012",
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), filesPerDay = filesPerDay)
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
 
@@ -71,7 +93,7 @@ object StreamBench {
     // (writeCorpus floors to nFiles * (nEvents/nFiles) lines)
     val written = (nEvents / nFiles) * nFiles
     require(rows == written, s"ingested $rows of $written events")
-    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(if (warmSec > 0) warmRows / warmSec else Double.NaN)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"files":$nFiles}""")
+    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(if (warmSec > 0) warmRows / warmSec else Double.NaN)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"files":$nFiles,"files_per_day":$filesPerDay}""")
     spark.stop()
   }
 }

@@ -155,7 +155,20 @@ object EventStream {
     * files landed since the last one, and the ingest path keeps
     * [[graft.ocsf.OcsfTables.loadWhere]] pruning current without an
     * external job. Same failure contract as compaction: the index is
-    * advisory, so a failed refresh is logged, never a batch failure. */
+    * advisory, so a failed refresh is logged, never a batch failure.
+    *
+    * `filesPerDay` is [[OcsfSink.write]]'s writer-parallelism lever
+    * fanned out to every route's [[IdempotentSink.writeBatch]]. The
+    * default 0 auto-sizes per batch from the materialized cache's
+    * stats (ONE file per (route, day) at micro-batch scale — the
+    * file-hygiene optimum for a long-running table). Unlike the batch
+    * fan-out (OcsfSink.fanOutTimed's `cores/13 + 1` latency stance),
+    * extra writers do NOT pay off on this path at micro-batch scale —
+    * measured at 1M-event triggers: filesPerDay=3 ran ~25% SLOWER than
+    * 1 (3× staged files through the two-phase commit, 39 concurrent
+    * writers fork-storming the local-FS permission calls) — so only
+    * raise it for backfill-sized batches where a route's slice
+    * genuinely outgrows one writer. */
   def start(spark: SparkSession, landingDir: String, baseDir: String,
             checkpointDir: String, region: String, accountId: String,
             routes: Seq[String] = OcsfMappings.routes,
@@ -163,7 +176,8 @@ object EventStream {
             batchTimeout: Duration = 10.minutes,
             compactEvery: Int = 100,
             statsCols: Seq[String] = Nil,
-            discovery: Discovery = Listing): StreamingQuery = {
+            discovery: Discovery = Listing,
+            filesPerDay: Int = 0): StreamingQuery = {
     import scala.concurrent.{Await, Future}
     import graft.ocsf.OcsfSink
     readClassified(spark, landingDir, discovery).writeStream
@@ -179,13 +193,33 @@ object EventStream {
         // serialized + disk-spilling (cacheForFanOut): a backfill batch
         // that blows past maxFilesPerTrigger degrades linearly instead
         // of thrashing the storage pool
+        val tBatch = System.nanoTime()
         val clustered = OcsfSink.cacheForFanOut(
           OcsfSink.routeClustered(batch.drop("raw")))
+        // materialize the cache with ONE job before the 13 route jobs
+        // fork: concurrent scans of an UNmaterialized persist each
+        // recompute the partitions they race to (CacheManager stores
+        // first-writer-wins but does not block the losers), so without
+        // this cut the fan-out pays up to routes× the shuffle-read +
+        // columnar-unroll cost — exactly the classify/fan-out split the
+        // batch path (EtlBench) has always made
+        clustered.count()
+        val tCached = System.nanoTime()
+        // auto writer sizing from the MATERIALIZED cache's stats, once
+        // per batch and divided across routes — never the per-route
+        // autoFilesPerDay, whose optimizer-stats pass over 13 normalized
+        // plans costs ~5 s of driver time per 1M-event trigger
+        val fpd =
+          if (filesPerDay > 0) filesPerDay
+          else OcsfSink.autoFilesPerDayFromBytes(
+            clustered.queryExecution.optimizedPlan.stats.sizeInBytes /
+              math.max(1, routes.size))
         try OcsfSink.withFanOutPool(routes.size, "graft-stream-fanout") { implicit ec =>
           val jobs = routes.map { route =>
             route -> Future(IdempotentSink.writeBatch(
               Normalizers.byRoute(route)(clustered.filter(col("route") === route)),
-              baseDir, route, region, accountId, batchId))
+              baseDir, route, region, accountId, batchId,
+              filesPerDay = fpd))
           }
           try Await.result(Future.sequence(jobs.map(_._2)), batchTimeout)
           catch {
@@ -195,6 +229,13 @@ object EventStream {
                 s"fan-out batch $batchId exceeded $batchTimeout; " +
                   s"stuck routes: ${stuck.mkString(", ")}")
           }
+          // one line per trigger (bounded, StreamMetrics-style): the
+          // cache/fan-out split is the first thing a latency
+          // investigation needs and Spark's progress only reports the
+          // undivided addBatch total
+          System.err.println(s"[graft] fanout batch $batchId: " +
+            s"cache ${(tCached - tBatch) / 1000000} ms, " +
+            s"routes ${(System.nanoTime() - tCached) / 1000000} ms")
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
             val conf = spark.sessionState.newHadoopConf()
             routes.foreach { route =>
