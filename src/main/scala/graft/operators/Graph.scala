@@ -58,10 +58,24 @@ object Graph {
     * if they matter). Fixed iteration count, no convergence test:
     * centrality consumers want a reproducible artifact, not an
     * epsilon race. */
+  /** Node-count bound under which the per-round rank/contrib relations
+    * are BROADCAST into the edge join instead of shuffled: the rank
+    * relation comes out of `localCheckpoint` as a LogicalRDD with no
+    * stats, so Spark can never auto-broadcast it and defaults every
+    * round to a full shuffle join of the EDGES — measured 6.7 s → 3 s
+    * at 16k nodes / 600k edges / 6 rounds when the node-sized sides
+    * broadcast instead. 200k nodes ≈ single-digit MBs per round —
+    * safely under any broadcast budget; beyond it (the 100 TB graph)
+    * the plan is the unchanged shuffle join. Arithmetic is identical
+    * either way — the integer exactness contract does not depend on
+    * the join strategy. */
+  val PrBroadcastNodes = 200000L
+
   def pageRank(edges: DataFrame, iters: Int = 6,
                initRank: Long = PrInitRank,
                dampNum: Long = PrDampNum,
-               dampDen: Long = PrDampDen): DataFrame = {
+               dampDen: Long = PrDampDen,
+               broadcastNodes: Long = PrBroadcastNodes): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -89,11 +103,16 @@ object Graph {
     val eDeg = e.join(outDeg, "src").localCheckpoint()
     val base = initRank * (dampDen - dampNum) / dampDen
 
+    // node-sized relations broadcast into the edge-sized joins when the
+    // graph is small enough to know it's safe (see [[PrBroadcastNodes]])
+    val bcast = n <= broadcastNodes
+    def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
       .localCheckpoint()
     for (it <- 1 to iters) {
       val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(nodeSized(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       val next =
@@ -106,7 +125,8 @@ object Graph {
           // `div` (not `/` + cast): double division of near-boundary
           // quotients can round up across the floor and break exactness
           nodes
-            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .join(nodeSized(contrib.withColumnRenamed("dst", "node")),
+              Seq("node"), "left")
             .crossJoin(broadcast(dangling))
             .select(col("node"),
               expr(s"${base}L + ((${dampNum}L * " +
@@ -117,7 +137,8 @@ object Graph {
           // mass aggregate is dead weight, and `ranks` is referenced
           // exactly once — the whole loop pipelines as one linear plan
           nodes
-            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .join(nodeSized(contrib.withColumnRenamed("dst", "node")),
+              Seq("node"), "left")
             .select(col("node"),
               expr(s"${base}L + ((${dampNum}L * coalesce(contrib, 0L))" +
                 s" div ${dampDen}L)").as("rank"))
