@@ -1494,7 +1494,16 @@ object DocQueries {
     * clears the integer guards; `Secrets.truncationReport` accounts
     * whatever it cuts). */
   def qDocSecrets(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.operators.Secrets.detect(docs(s, dir), "text", "doc_id",
+    // repartition BEFORE the detect: the whole entropy pass is narrow
+    // (scan-stage compute), and the single-file gate corpora arrive as
+    // ONE parquet row group — one task would do every doc's entropy
+    // serially (measured 20 s for the sfbig decade; 2.6 s spread). A
+    // production corpus has file-granular parallelism and skips this;
+    // the one-row-group-heavy-compute shape is exactly when an
+    // explicit spread is the right Spark plan.
+    val spread = docs(s, dir).repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
+    val d = graft.operators.Secrets.detect(spread, "text", "doc_id",
       minLen = 6, minDistinct = 5, minEntropy = 3.5, maxCandidates = 64)
     d.select(col("doc_id"), col("n_candidates"), col("n_flagged"),
       TextFunctions.round4(col("max_entropy")).as("max_entropy"))
