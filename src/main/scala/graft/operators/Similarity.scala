@@ -266,4 +266,83 @@ object Similarity {
     }
     picked.result().toDF("rk", idCol, "relevance", "mmr_score")
   }
+
+  /** ENGINE-PORTABLE MMR — the C81 integer-bilinear recipe applied to
+    * the greedy re-ranker, so the whole selection chain replays
+    * bit-identically in an independent engine (a DuckDB recursive CTE
+    * mirrors it, which is what promoted the gate to hash-green):
+    *
+    *  - similarity is the INTEGER bilinear form `Σ qa_i·qb_i` over
+    *    1e-6-quantized vectors (plan-side `round`, the Pq portable
+    *    stance) — monotone with the dot product, so the MMR semantics
+    *    (relevance vs redundancy-to-selected) are unchanged; on
+    *    near-unit-norm embedding corpora it ranks like cosine;
+    *  - λ is the exact rational `lambdaNum / lambdaDen` and the score
+    *    is the integer `lambdaNum·rel − (lambdaDen−lambdaNum)·maxdiv`
+    *    (the div-free argmax form — same winner, no division floor);
+    *  - every argmax ties to the lowest candidate id.
+    *
+    * [[mmrTopK]] (round4 float cosine) stays the general path for
+    * corpora whose norms vary. Same retrieve-distributed/re-rank-
+    * bounded shape: one map-only integer scoring scan + TakeOrdered
+    * pool cut, then a pool-sized driver greedy. Overflow: 64 dims ×
+    * (4e6)² ≤ 1e15 per dot, ×lambdaNum ≤ 7e15 — inside int64.
+    * Output: (rk, idCol, qrel, mmr_qscore) — all bigint. */
+  def mmrTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int = 10, poolSize: Int = 100,
+                      lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize=$poolSize >= k=$k >= 1")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda = $lambdaNum/$lambdaDen must lie in [0,1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    val base = emb.select(col(idCol), qv.as("qv"))
+    val qRows = base.filter(col(idCol) === queryId).limit(1)
+      .select(col("qv")).collect()
+    if (qRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("rk", idCol, "qrel", "mmr_qscore")
+    val qlit = typedLit(qRows.head.getSeq[Long](0).toSeq)
+    // ragged guard: coalesce, so a length mismatch scores the shared
+    // prefix instead of nulling the whole sum (zip_with pads with null)
+    val pool = base.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col("qv"),
+        aggregate(zip_with(col("qv"), qlit, (a, b) => coalesce(a * b, lit(0L))),
+          lit(0L), (s, x) => s + x).as("qrel"))
+      .orderBy(col("qrel").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def qdot(a: Array[Long], b: Array[Long]): Long = {
+      val n = math.min(a.length, b.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val divNum = lambdaDen - lambdaNum
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Long]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    val picked = Seq.newBuilder[(Long, Long, Long, Long)]
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, _, rel) =>
+        (id, lambdaNum * rel - divNum * maxSim.getOrElse(id, 0L))
+      }.reduceLeft((a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      val bestVec = remaining(best._1)._2
+      picked += ((rank, best._1, remaining(best._1)._3, best._2))
+      remaining.remove(best._1)
+      remaining.values.foreach { case (id, vec, _) =>
+        val s = qdot(vec, bestVec) // signed max, the mmrTopK stance
+        val cur = maxSim.get(id)
+        if (cur.isEmpty || s > cur.get) maxSim(id) = s
+      }
+      rank += 1
+    }
+    picked.result().toDF("rk", idCol, "qrel", "mmr_qscore")
+  }
 }

@@ -2026,9 +2026,16 @@ object DocQueries {
     * relevance/diversity re-rank of the C5 brute-force shortlist.
     * Rows-only by declared design (the greedy selection chain isn't
     * one SQL statement); OperatorsSpec pins the selection behavior. */
+  /** MMR diversified top-10 over a 100-candidate pool. Hash-green
+    * oracled via [[graft.operators.Similarity.mmrTopKPortable]] (the
+    * C81 integer-bilinear similarity, λ = 7/10 exact-rational scoring
+    * — every argmax an integer, mirrored by a DuckDB RECURSIVE CTE
+    * that replays the greedy chain); the float-cosine
+    * [[graft.operators.Similarity.mmrTopK]] stays the general path,
+    * spec-pinned in OperatorsSpec. */
   def qEmbMmr(s: SparkSession, dir: String): DataFrame =
-    Similarity.mmrTopK(emb(s, dir), "vec_id", "embedding",
-      queryId = 0L, k = 10, lambda = 0.7, poolSize = 100)
+    Similarity.mmrTopKPortable(emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10, poolSize = 100, lambdaNum = 7L, lambdaDen = 10L)
 
   // ---------------------------------------------------------------- C54
   /** Surgical decontamination ([[Dedup.decontamScrub]]): remove the
@@ -4144,6 +4151,9 @@ object DocQueries {
     "q_emb_opq_topk" -> opqOracleSql,
     "q_emb_ivfpq_topk" -> ivfPqOracleSql,
     "q_emb_ivf_topk" -> ivfOracleSql,
+    // r15: MMR graduated via the integer-bilinear portable config —
+    // the greedy chain replays as a recursive CTE
+    "q_emb_mmr" -> mmrOracleSql,
     // r15: C44 graduated via the quantized-weight cut (the one float
     // pow binned to a 1e-6 integer weight; the cut is an exact
     // HUGEINT integral quotient mirroring Spark's decimal div)
@@ -4339,6 +4349,51 @@ object DocQueries {
   /** DuckDB mirror of [[qEmbPqTopk]] (portable PQ, gate config). */
   private def pqOracleSql: String =
     portablePqSql(m = 8, codewords = 16, rerank = 100, k = 20)
+
+  /** DuckDB mirror of [[qEmbMmr]]: the integer pool/sims relations plus
+    * a RECURSIVE CTE that replays the greedy selection — one row per
+    * rank, the chosen set carried as a list, every argmax the same
+    * integer `7·rel − 3·maxdiv` with ties to the lowest id. */
+  private def mmrOracleSql: String =
+    """WITH RECURSIVE
+      |vq AS (SELECT vec_id,
+      |              list_transform(CAST(embedding AS DOUBLE[]),
+      |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |       FROM embeddings),
+      |q AS (SELECT qv FROM vq WHERE vec_id = 0),
+      |pool AS (
+      |  SELECT v.vec_id, v.qv,
+      |         list_aggregate(list_transform(
+      |           generate_series(1, least(len(v.qv), len(q.qv))),
+      |           i -> v.qv[i] * q.qv[i]), 'sum') AS qrel
+      |  FROM vq v, q WHERE v.vec_id <> 0
+      |  ORDER BY qrel DESC, v.vec_id LIMIT 100),
+      |sims AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |         list_aggregate(list_transform(
+      |           generate_series(1, least(len(a.qv), len(b.qv))),
+      |           i -> a.qv[i] * b.qv[i]), 'sum') AS s
+      |  FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
+      |sel AS (
+      |  (SELECT 1 AS rk, vec_id, qrel, 7 * qrel AS score, [vec_id] AS chosen
+      |   FROM pool ORDER BY 7 * qrel DESC, vec_id LIMIT 1)
+      |  UNION ALL
+      |  -- the computed argmax key must NOT be named `score`: an
+      |  -- unqualified `score` in this branch resolves to sel.score
+      |  -- (constant across candidates) and the QUALIFY would silently
+      |  -- degrade to lowest-id-first
+      |  (SELECT sel.rk + 1, p.vec_id, p.qrel,
+      |          7 * p.qrel - 3 * (SELECT max(s.s) FROM sims s
+      |                            WHERE s.ia = p.vec_id
+      |                              AND list_contains(sel.chosen, s.ib)) AS cscore,
+      |          list_append(sel.chosen, p.vec_id)
+      |   FROM sel, pool p
+      |   WHERE NOT list_contains(sel.chosen, p.vec_id) AND sel.rk < 10
+      |   QUALIFY row_number() OVER (ORDER BY cscore DESC, p.vec_id) = 1)
+      |)
+      |SELECT CAST(rk AS BIGINT) AS rk, vec_id, qrel,
+      |       CAST(score AS BIGINT) AS mmr_qscore
+      |FROM sel""".stripMargin
 
   /** DuckDB mirror of [[qEmbIvfTopk]] (portable IVF index: the C35
     * cells, integer-L2 probe ranking, round4 cosine inside the 4

@@ -61,7 +61,10 @@ class ContractSpec extends AnyFunSuite {
       // signed-permutation OPQ rotation), so cells, candidates and the
       // top-k all oracle; the Lloyd/Procrustes quality path stays
       // AccuracySpec-pinned
-      "q_emb_mmr", // greedy selection chain isn't one SQL statement; OperatorsSpec pins it
+      // q_emb_mmr graduated to hash-green in r15: the gate runs the
+      // integer-bilinear portable config and the greedy chain replays
+      // as a DuckDB recursive CTE; the float-cosine path stays
+      // OperatorsSpec-pinned
 
       "q_mm_features",
       "q_mm_image_dups", // aHash needs image decode — no DuckDB oracle

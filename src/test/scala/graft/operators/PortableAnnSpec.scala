@@ -98,6 +98,40 @@ class PortableAnnSpec extends SparkSpec {
     codes.unpersist(); pcodes.unpersist()
   }
 
+  test("C56p: portable MMR — first pick is max integer relevance, duplicates displaced, λ=1 limit") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.mmrTopKPortable(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, poolSize = 100).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L), "ranks must be 1..10")
+    // rank 1 = pure max relevance (no selected set yet)
+    val rels = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rels.head._3 == 7L * rels.head._2, "rank-1 score must be 7*qrel")
+    // λ = den (pure relevance): order must equal the qrel order
+    val pure = Similarity.mmrTopKPortable(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, poolSize = 100,
+      lambdaNum = 10L, lambdaDen = 10L).collect()
+    val byRel = pure.map(_.getLong(2)).toSeq
+    assert(byRel == byRel.sortBy(-(_: Long)), "λ=1 must rank by relevance")
+    // determinism: identical reruns
+    val again = Similarity.mmrTopKPortable(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, poolSize = 100).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // diversity: an exact duplicate of the top pick must not take rank 2
+    // (its max-sim to the selected set is its own self-similarity scale)
+    import org.apache.spark.sql.functions._
+    val top = rels.head._1
+    val dup = emb.filter(col("vec_id") === top)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val aug = emb.unionByName(dup)
+    val withDup = Similarity.mmrTopKPortable(aug, "vec_id", "embedding",
+      queryId = 0L, k = 10, poolSize = 100).collect()
+    assert(withDup.head.getLong(1) == math.min(top, top + 1000000L))
+    assert(withDup(1).getLong(1) != top + 1000000L,
+      "the exact duplicate of the top pick must be displaced from rank 2")
+  }
+
   test("C25bp: portable IVF-PQ — candidates come only from probed cells; full config exact") {
     val emb = Tables.load(spark, sf, "embeddings")
     val exact = exactTop(20)
