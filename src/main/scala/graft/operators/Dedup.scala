@@ -843,6 +843,48 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** C88 — per-document n-gram NOVELTY vs a reference corpus: the
+    * graded generalization of the C19 contamination flag. Where C19
+    * answers "does this doc hit the eval set at all?" (a broadcastable
+    * benchmark), novelty answers "how much of this doc is NEW relative
+    * to what we already trained on?" — the memorization/boilerplate
+    * screen a continual-pretraining pipeline runs before admitting a
+    * crawl increment (near-0 novelty = the increment re-buys yesterday's
+    * data; docs below a novelty floor are skipped or down-weighted).
+    *
+    * `novelty = 1 − |distinct grams ∩ reference grams| / |distinct
+    * grams|`; docs shorter than `n` tokens report 0 grams and novelty
+    * 1.0 (nothing matched, nothing covered — they pass to the length
+    * filters, not the dedup ones).
+    *
+    * Scale shape: the reference side is corpus-sized, NOT
+    * broadcastable — both sides reduce to DISTINCT gram relations and
+    * the membership check is one equality join ON THE GRAM KEY
+    * (shuffle partitioned by gram, AQE-splittable), then one groupBy
+    * per doc. Every count is an integer; the single float is the
+    * final round4 ratio — the relation SQL-oracles. */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                   reference: DataFrame, refTextCol: String,
+                   n: Int = 3): DataFrame = {
+    val refGrams = shingles(
+      reference.select(col(refTextCol).as("__t")).withColumn("__rid", lit(0L)),
+      "__t", "__rid", n, dedupGrams = false)
+      .select(col("gram")).distinct()
+    val perDoc = shingles(docs, textCol, idCol, n) // distinct (doc, gram)
+      .join(refGrams.withColumn("__seen", lit(1L)), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).cast("bigint").as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).cast("bigint").as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(graft.functions.TextFunctions.round4(
+            (col("n_grams") - col("n_seen")).cast("double") / col("n_grams")))
+          .as("novelty"))
+  }
+
   /** C19b — [[contaminationHits]] with a BLOOM FILTER in place of the
     * exact gram broadcast: the screen for benchmark suites too large
     * to ship to every task verbatim. `bloom_filter_agg` folds the

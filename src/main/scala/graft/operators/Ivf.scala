@@ -246,6 +246,78 @@ object Ivf {
     PortableIvfIndex(cells, assigned, emb, idCol, vecCol)
   }
 
+  /** C86 — the ANN screen operating curve (the C78 "measure the screen
+    * before it gates 100 TB" stance applied to embeddings): recall@k
+    * of the portable IVF probe vs the exact round4-cosine truth, one
+    * row per probe width. The number that answers "is nprobe = 4
+    * losing real neighbors on MY corpus?" before an index serves
+    * production traffic.
+    *
+    * Probe points are the `numQueries` corpus vectors with the
+    * smallest `(md5(id), id)` — the deterministic seed draw, so the
+    * curve reproduces anywhere. Fully DISTRIBUTED multi-query: probe
+    * ranking, exact truth and the candidate check are all relations
+    * (queries × cells broadcast, truth via one windowed rank per
+    * query — WindowGroupLimit-able), no per-query driver loop, so the
+    * harness itself scales to thousands of probe points. Every recall
+    * decision is an integer (quantized-L2 cell ranks, round4-tied
+    * truth ranks), so the whole curve SQL-oracles.
+    *
+    * Output: (nprobe, n_queries, truth_rows, hits, recall) —
+    * `hits` = truth neighbors whose cell falls inside the probe set,
+    * `recall` = hits / truth_rows rounded to 4. */
+  def probeRecallCurve(emb: DataFrame, idCol: String, vecCol: String,
+                       numCells: Int = 16, k: Int = 20,
+                       nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                       numQueries: Int = 8): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    require(numQueries >= 1 && k >= 1, "numQueries and k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seedDf = seedCentroids(emb, idCol, vecCol, numCells)
+    val assigned = assignCellsPortable(emb, idCol, vecCol, seedDf)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    val queries = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(numQueries)
+      .select(col(idCol).as("qid"), toDoubles(col(vecCol)).as("qv_raw"),
+        transform(toDoubles(col(vecCol)),
+          x => round(x * 1e6, 0).cast("bigint")).as("qq"))
+      .localCheckpoint() // read 2× (cell ranks + truth); tiny by construction
+    // query × cell integer-L2 rank: numQueries·numCells rows — model-sized
+    val cellRank = queries.crossJoin(broadcast(seedDf))
+      .select(col("qid"), col("__cid").as("cell"),
+        aggregate(zip_with(col("qq"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x).as("d2"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("cell"))))
+      .select(col("qid"), col("cell"), col("cell_rank"))
+    // exact truth: one rank window per query over the broadcast-scored
+    // corpus — rank <= k pushes as a group limit, no query ever sorts
+    // the corpus
+    val truth = emb.select(col(idCol), toDoubles(col(vecCol)).as("v"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qv_raw"))))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosineNative(col("v"), col("qv_raw")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rk") <= k)
+    val truthCells = truth
+      .join(assigned, Seq(idCol))
+      .join(cellRank, Seq("qid", "cell"))
+    nprobes.toDF("nprobe").crossJoin(truthCells)
+      .groupBy(col("nprobe"))
+      .agg(
+        countDistinct(col("qid")).cast("bigint").as("n_queries"),
+        count(lit(1)).cast("bigint").as("truth_rows"),
+        sum(when(col("cell_rank") <= col("nprobe"), 1L).otherwise(0L))
+          .as("hits"))
+      .withColumn("recall", graft.functions.TextFunctions.round4(
+        col("hits").cast("double") / col("truth_rows")))
+  }
+
   /** Restores a bucketed index written by [[IvfIndex.writeBucketed]].
     * The corpus read keeps `centroid_id` as a directory-partition
     * column, so `topK`'s `isin(probeCells)` filter prunes whole cell

@@ -265,6 +265,58 @@ object DocQueries {
     Eval.calibration(g, "score", "label", bins = 10)
   }
 
+  // ---------------------------------------------------------------- C86
+  /** The ANN screen operating curve
+    * ([[graft.operators.Ivf.probeRecallCurve]]): recall@20 of the
+    * portable IVF probe vs exact round4-cosine truth at nprobe ∈
+    * {1, 2, 4, 8} over 8 deterministic probe points — the C78
+    * measure-the-screen stance for embeddings. Hash-green: every
+    * recall decision is an integer (quantized-L2 cell ranks,
+    * round4-tied truth ranks). */
+  def qEmbAnnRecall(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ivf.probeRecallCurve(emb(s, dir), "vec_id", "embedding",
+      numCells = 16, k = 20, nprobes = Seq(1, 2, 4, 8), numQueries = 8)
+
+  // ---------------------------------------------------------------- C87
+  /** Tokenizer fertility / compression report per (lang, source):
+    * whitespace words, BPE-ish subword tokens (the C9 counter), chars,
+    * and the two ratios every tokenizer QC reads — fertility
+    * (subwords per word; high = the tokenizer fragments this
+    * language, its docs cost more context per character) and chars
+    * per token (compression; budget planning converts corpus bytes to
+    * training tokens through exactly this table). ONE partial-agg'd
+    * pass to a (lang × source)-sized relation; integer sums, round4
+    * ratios. */
+  def qDocFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("lang"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("bigint").as("ws"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("bigint").as("sub"),
+        length(col("text")).cast("bigint").as("chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("sub")).as("sub_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("ws_tokens"),
+        col("sub_tokens"), col("n_chars"),
+        TextFunctions.round4(col("sub_tokens").cast("double") /
+          greatest(col("ws_tokens"), lit(1L))).as("fertility"),
+        TextFunctions.round4(col("n_chars").cast("double") /
+          greatest(col("sub_tokens"), lit(1L))).as("chars_per_token"))
+
+  // ---------------------------------------------------------------- C88
+  /** Per-document n-gram novelty vs the already-held corpus
+    * ([[graft.operators.Dedup.ngramNovelty]]): reference = the
+    * `doc_id % 5 < 2` slice (yesterday's corpus), scored = the rest
+    * (today's crawl increment) — the graded admit-or-skip signal the
+    * C19 contamination flag can't give. */
+  def qDocNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.ngramNovelty(
+      d.filter(pmod(col("doc_id"), lit(5)) >= 2), "text", "doc_id",
+      d.filter(pmod(col("doc_id"), lit(5)) < 2), "text", n = 3)
+  }
+
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
     * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
@@ -2364,6 +2416,9 @@ object DocQueries {
     "q_doc_delta_admission" -> (qDocDeltaAdmission _),
     "q_doc_length_drift"  -> (qDocLengthDrift _),
     "q_doc_calibration"   -> (qDocCalibration _),
+    "q_emb_ann_recall"    -> (qEmbAnnRecall _),
+    "q_doc_fertility"     -> (qDocFertility _),
+    "q_doc_novelty"       -> (qDocNovelty _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -4154,6 +4209,47 @@ object DocQueries {
     // r15: MMR graduated via the integer-bilinear portable config —
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
+    "q_emb_ann_recall" -> annRecallOracleSql,
+    "q_doc_fertility" ->
+      """WITH per AS (SELECT lang, source,
+        |               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS sub,
+        |               CAST(length(text) AS BIGINT) AS chars
+        |             FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(sub) AS BIGINT) AS sub_tokens,
+        |       CAST(sum(chars) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(sub) AS BIGINT) /
+        |             greatest(CAST(sum(ws) AS BIGINT), 1), 4) AS fertility,
+        |       round(CAST(sum(chars) AS BIGINT) /
+        |             greatest(CAST(sum(sub) AS BIGINT), 1), 4) AS chars_per_token
+        |FROM per GROUP BY lang, source""".stripMargin,
+    "q_doc_novelty" ->
+      """WITH rt AS (SELECT string_split(text, ' ') AS t FROM documents
+        |            WHERE doc_id % 5 < 2),
+        |ridx AS (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+        |         FROM rt WHERE len(t) >= 3),
+        |ref AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |        FROM ridx),
+        |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE doc_id % 5 >= 2),
+        |cidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |         FROM ct WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |          FROM cidx),
+        |agg AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |               CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |        FROM grams g LEFT JOIN ref r ON r.gram = g.gram
+        |        GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(a.n_seen, 0) AS BIGINT) AS n_seen,
+        |       CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 1.0
+        |            ELSE round((a.n_grams - a.n_seen) / a.n_grams, 4) END AS novelty
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 >= 2) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // r15: C44 graduated via the quantized-weight cut (the one float
     // pow binned to a 1e-6 integer weight; the cut is an exact
     // HUGEINT integral quotient mirroring Spark's decimal div)
@@ -4349,6 +4445,44 @@ object DocQueries {
   /** DuckDB mirror of [[qEmbPqTopk]] (portable PQ, gate config). */
   private def pqOracleSql: String =
     portablePqSql(m = 8, codewords = 16, rerank = 100, k = 20)
+
+  /** DuckDB mirror of [[qEmbAnnRecall]] (C86): the C35 portable cells
+    * plus a per-query integer-L2 cell ranking, an exact round4-cosine
+    * truth rank per query, and the nprobe × truth hit count — the
+    * whole operating curve from relations both engines share. */
+  private def annRecallOracleSql: String =
+    s"""WITH ${portableCellsSql(16)},
+      |qs AS (SELECT vec_id AS qid, qv AS qq FROM vq
+      |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |qraw AS (SELECT qs.qid, CAST(e.embedding AS DOUBLE[]) AS qv_raw
+      |         FROM embeddings e JOIN qs ON qs.qid = e.vec_id),
+      |cellrank AS (
+      |  SELECT q.qid, s.cid AS cell,
+      |         row_number() OVER (PARTITION BY q.qid ORDER BY
+      |           list_aggregate(list_transform(generate_series(1, len(q.qq)),
+      |             i -> (q.qq[i] - s.qc[i]) * (q.qq[i] - s.qc[i])), 'sum'),
+      |           s.cid) AS cell_rank
+      |  FROM qs q, seeds s),
+      |truth AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qr.qid, e.vec_id,
+      |           row_number() OVER (PARTITION BY qr.qid ORDER BY
+      |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                          qr.qv_raw), 4) DESC,
+      |             e.vec_id) AS rk
+      |    FROM embeddings e, qraw qr WHERE e.vec_id <> qr.qid)
+      |  WHERE rk <= 20),
+      |tc AS (SELECT t.qid, cr.cell_rank
+      |       FROM truth t
+      |       JOIN assigned a ON a.vec_id = t.vec_id
+      |       JOIN cellrank cr ON cr.qid = t.qid AND cr.cell = a.centroid_id)
+      |SELECT np.nprobe, CAST(count(DISTINCT tc.qid) AS BIGINT) AS n_queries,
+      |       CAST(count(*) AS BIGINT) AS truth_rows,
+      |       CAST(sum(CASE WHEN tc.cell_rank <= np.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |       round(CAST(sum(CASE WHEN tc.cell_rank <= np.nprobe THEN 1 ELSE 0 END) AS BIGINT)
+      |             / CAST(count(*) AS BIGINT), 4) AS recall
+      |FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe) np, tc
+      |GROUP BY np.nprobe""".stripMargin
 
   /** DuckDB mirror of [[qEmbMmr]]: the integer pool/sims relations plus
     * a RECURSIVE CTE that replays the greedy selection — one row per

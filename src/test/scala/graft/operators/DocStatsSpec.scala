@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts of the r15 corpus-statistics additions: C87 tokenizer
+  * fertility (hand-computable counting invariants) and C88 n-gram
+  * novelty (planted-copy extremes + the zero-gram contract). The
+  * cross-engine hashes are pinned by the correctness gate's DuckDB
+  * oracles; these specs pin the SEMANTICS on planted inputs where the
+  * right answer is known by construction. */
+class DocStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("C87: fertility counters — hand-computed words/subwords/chars on planted docs") {
+    val d = Seq(
+      (1L, "the cat sat", "en", "web"),       // 3 words, 3 subwords, 11 chars
+      (2L, "abc123 def!", "en", "web"),       // 2 words; abc|123|def|! = 4 subwords
+      (3L, "uno dos tres cuatro", "es", "web") // 4 words, 4 subwords
+    ).toDF("doc_id", "text", "lang", "source")
+    val per = d.select(col("lang"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("ws"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text")).as("sub"),
+      length(col("text")).as("chars"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong, r.getInt(3)))
+      .toSet
+    assert(per == Set(("en", 3, 3L, 11), ("en", 2, 4L, 11), ("es", 4, 4L, 19)),
+      s"got $per")
+  }
+
+  test("C88: novelty — planted copy scores 0, fresh vocab scores 1, short docs report 1") {
+    val reference = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // exact copy of the reference text: every 3-gram seen -> novelty 0
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // disjoint vocabulary: nothing seen -> novelty 1
+      (2L, "uno dos tres cuatro cinco"),
+      // half-overlap: grams "alpha beta gamma", "beta gamma delta" seen;
+      // "gamma delta nuevo", "delta nuevo mundo" not -> novelty 0.5
+      (3L, "alpha beta gamma delta nuevo mundo"),
+      // shorter than n tokens: 0 grams, novelty 1.0 by contract
+      (4L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(corpus, "text", "doc_id", reference, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 4L, 0.0)), s"copy: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 1.0)), s"fresh: ${out(2L)}")
+    assert(out(3L) == ((4L, 2L, 0.5)), s"half: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 1.0)), s"short: ${out(4L)}")
+  }
+}

@@ -98,6 +98,27 @@ class PortableAnnSpec extends SparkSpec {
     codes.unpersist(); pcodes.unpersist()
   }
 
+  test("C86: probe recall curve — full probe recall is 1, monotone in nprobe, hits bounded") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val curve = Ivf.probeRecallCurve(emb, "vec_id", "embedding",
+      numCells = 16, k = 20, nprobes = Seq(1, 2, 4, 8, 16), numQueries = 8)
+      .orderBy("nprobe").collect()
+    assert(curve.length == 5)
+    val recalls = curve.map(_.getDouble(4))
+    info("recall by nprobe: " + curve.map(r =>
+      s"${r.getInt(0)}→${r.getDouble(4)}").mkString(", "))
+    // full probe: every truth neighbor's cell is inside the probe set
+    assert(recalls.last == 1.0, s"recall@full-probe must be 1, got ${recalls.last}")
+    // monotone: widening the probe can never lose a hit
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.mkString(", ")}")
+    // accounting: hits <= truth_rows = n_queries * k (every query has >= k neighbors here)
+    curve.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(2) == r.getLong(1) * 20)
+    }
+  }
+
   test("C56p: portable MMR — first pick is max integer relevance, duplicates displaced, λ=1 limit") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = Similarity.mmrTopKPortable(emb, "vec_id", "embedding",
