@@ -885,6 +885,49 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** C90 — EVAL-SIDE contamination exposure: the C19 flag reversed.
+    * C19 tells the corpus owner which TRAINING docs hit the benchmark;
+    * the benchmark owner needs the other direction — which EVAL items
+    * are burned, and how badly, because a benchmark whose items leak
+    * into pretraining stops measuring anything (the "canary" audit
+    * every eval release runs against a training corpus).
+    *
+    * Per benchmark item: its distinct n-grams, how many appear
+    * anywhere in the corpus, how many distinct corpus docs share at
+    * least one gram (the blast radius), and `exposure` = covered/total
+    * round4 — 1.0 means the item is fully reconstructible from
+    * training text.
+    *
+    * Scale shape: both sides reduce to distinct (id, gram) relations
+    * joined ON THE GRAM KEY (corpus-sized, never broadcast — the C88
+    * stance), then one per-item aggregate; `n_corpus_docs` is a
+    * count(distinct) inside that aggregate, exact. */
+  def evalExposure(bench: DataFrame, textCol: String, idCol: String,
+                   corpus: DataFrame, corpusTextCol: String,
+                   corpusIdCol: String, n: Int = 5): DataFrame = {
+    val corpusGrams = shingles(
+      corpus.select(col(corpusIdCol).as("__cid2"), col(corpusTextCol).as("__t")),
+      "__t", "__cid2", n) // distinct (corpus doc, gram)
+      .select(col("gram"), col("__cid2"))
+    val perItem = shingles(bench, textCol, idCol, n)
+      .join(corpusGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_grams"),
+        countDistinct(when(col("__cid2").isNotNull, col("gram")))
+          .as("n_covered"),
+        countDistinct(col("__cid2")).as("n_corpus_docs"))
+    bench.select(col(idCol)).join(perItem, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).cast("bigint").as("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).cast("bigint").as("n_covered"),
+        coalesce(col("n_corpus_docs"), lit(0L)).cast("bigint")
+          .as("n_corpus_docs"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(graft.functions.TextFunctions.round4(
+            col("n_covered").cast("double") / col("n_grams")))
+          .as("exposure"))
+  }
+
   /** C19b — [[contaminationHits]] with a BLOOM FILTER in place of the
     * exact gram broadcast: the screen for benchmark suites too large
     * to ship to every task verbatim. `bloom_filter_agg` folds the

@@ -89,4 +89,68 @@ object Pack {
         expr(s"(start_offset + $weightCol - 1) div ${budget}L") > col("shard"))
       .drop("_bucket", "_cum", "_base")
   }
+
+  /** C89 — the context-length operating curve: what each candidate
+    * `budget` (context window) costs on THIS corpus, before anyone
+    * commits a training config to it. For every budget, from ONE
+    * offsets pass (the concatenated layout is budget-independent —
+    * only the cut points move):
+    *
+    *  - `n_shards` — sequences the corpus packs into (ceil(T/B));
+    *  - `n_straddlers` / `straddle_tokens` — documents a boundary
+    *    cuts, the rows a split-or-shift policy must handle;
+    *  - `shift_gap_tokens` — the FIRST-ORDER padding cost of the
+    *    shift-to-boundary policy: Σ over straddlers of the gap each
+    *    shift would leave (B − offset mod B), ignoring cascade
+    *    (shifts are data-dependent and sequential; the first-order
+    *    sum is the standard sizing estimate and an upper-bound-shaped
+    *    signal — exact under "split oversize, shift the rest" when
+    *    shifts don't re-collide, which at straddle rates this curve
+    *    surfaces is the common case);
+    *  - `n_oversize` — documents longer than the budget itself: no
+    *    policy saves them, they must chunk (C29) first;
+    *  - `straddle_rate` — straddlers / docs, round4.
+    *
+    * Every value but the rate is an integer on the deterministic
+    * layout, so the whole curve SQL-oracles. Shape: the single
+    * offsets pass (two-level cumsum) + one budgets × docs map and a
+    * budgets-sized aggregate. */
+  def budgetCurve(docs: DataFrame, idCol: String, weightCol: String,
+                  budgets: Seq[Long], numBuckets: Int = 256): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      "budgets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // offsets under ANY budget share the layout; 1L is a placeholder
+    val laid = packOffsets(docs, idCol, weightCol, budget = 1L, numBuckets)
+      .select(col(idCol), col(weightCol).cast("long").as("_w"),
+        col("start_offset"))
+    val w = col("_w")
+    val b = col("budget")
+    // `div` (never `/`): Spark's `/` on bigints is FLOAT division, and
+    // a float-floored shard index drifts on large offsets
+    budgets.toDF("budget").select(b.cast("long").as("budget")).crossJoin(laid)
+      .select(b, w,
+        (w > lit(0L) &&
+          expr("((start_offset + _w - 1) div budget) != (start_offset div budget)"))
+          .as("_straddles"),
+        (w > b).as("_oversize"),
+        (b - pmod(col("start_offset"), b)).as("_gap"))
+      .groupBy(b)
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(w).as("total_tokens"),
+        sum(when(col("_straddles"), 1L).otherwise(0L)).as("n_straddlers"),
+        sum(when(col("_straddles"), w).otherwise(0L)).as("straddle_tokens"),
+        sum(when(col("_straddles"), col("_gap")).otherwise(0L))
+          .as("shift_gap_tokens"),
+        sum(when(col("_oversize"), 1L).otherwise(0L)).as("n_oversize"))
+      .select(b, col("n_docs"), col("total_tokens"),
+        expr("(total_tokens + budget - 1) div budget").as("n_shards"),
+        col("n_straddlers"), col("straddle_tokens"), col("shift_gap_tokens"),
+        col("n_oversize"),
+        graft.functions.TextFunctions.round4(
+          col("n_straddlers").cast("double") /
+            greatest(col("n_docs"), lit(1L))).as("straddle_rate"))
+  }
 }

@@ -317,6 +317,31 @@ object DocQueries {
       d.filter(pmod(col("doc_id"), lit(5)) < 2), "text", n = 3)
   }
 
+  // ---------------------------------------------------------------- C89
+  /** Context-length operating curve
+    * ([[graft.operators.Pack.budgetCurve]]): what each candidate
+    * context window costs on this corpus — shards, straddlers,
+    * first-order shift gaps, un-packable oversize docs — the table a
+    * training config reads before committing a budget to C17's
+    * packing. One offsets pass serves every budget. */
+  def qDocPackCurve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pack.budgetCurve(
+      docs(s, dir).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens")),
+      "doc_id", "n_tokens", budgets = Seq(512L, 1024L, 2048L, 4096L, 8192L))
+
+  // ---------------------------------------------------------------- C90
+  /** Eval-side contamination exposure
+    * ([[graft.operators.Dedup.evalExposure]]): the C19 flag reversed —
+    * which benchmark items are burned by the training corpus, and how
+    * badly. Same bench/corpus split and gram length as C19, so the
+    * doc-side flag and the item-side audit read the same screen. */
+  def qDocEvalExposure(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.evalExposure(d.filter(col("doc_id") < 10), "text", "doc_id",
+      d.filter(col("doc_id") >= 10), "text", "doc_id", n = 5)
+  }
+
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
     * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
@@ -2419,6 +2444,8 @@ object DocQueries {
     "q_emb_ann_recall"    -> (qEmbAnnRecall _),
     "q_doc_fertility"     -> (qDocFertility _),
     "q_doc_novelty"       -> (qDocNovelty _),
+    "q_doc_pack_curve"    -> (qDocPackCurve _),
+    "q_doc_eval_exposure" -> (qDocEvalExposure _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -4210,6 +4237,58 @@ object DocQueries {
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
     "q_emb_ann_recall" -> annRecallOracleSql,
+    "q_doc_pack_curve" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0) AS BIGINT) AS off
+        |      FROM t),
+        |bs AS (SELECT CAST(unnest([512, 1024, 2048, 4096, 8192]) AS BIGINT) AS budget),
+        |m AS (SELECT bs.budget, c.n_tokens AS w,
+        |             c.n_tokens > 0 AND
+        |               ((c.off + c.n_tokens - 1) // bs.budget) != (c.off // bs.budget)
+        |               AS straddles,
+        |             c.n_tokens > bs.budget AS oversize,
+        |             bs.budget - (c.off % bs.budget) AS gap
+        |      FROM bs, c)
+        |SELECT budget, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w) AS BIGINT) AS total_tokens,
+        |       CAST((sum(w) + budget - 1) // budget AS BIGINT) AS n_shards,
+        |       CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+        |       CAST(sum(CASE WHEN straddles THEN w ELSE 0 END) AS BIGINT) AS straddle_tokens,
+        |       CAST(sum(CASE WHEN straddles THEN gap ELSE 0 END) AS BIGINT) AS shift_gap_tokens,
+        |       CAST(sum(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        |       round(CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+        |             / greatest(CAST(count(*) AS BIGINT), 1), 4) AS straddle_rate
+        |FROM m GROUP BY budget""".stripMargin,
+    "q_doc_eval_exposure" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5),
+        |grams AS (SELECT DISTINCT doc_id,
+        |            t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |            t[i+3] || ' ' || t[i+4] AS gram
+        |          FROM idx),
+        |bg AS (SELECT doc_id, gram FROM grams WHERE doc_id < 10),
+        |cg AS (SELECT doc_id AS cid, gram FROM grams WHERE doc_id >= 10),
+        |agg AS (SELECT b.doc_id,
+        |               CAST(count(DISTINCT b.gram) AS BIGINT) AS n_grams,
+        |               CAST(count(DISTINCT CASE WHEN c.cid IS NOT NULL
+        |                                        THEN b.gram END) AS BIGINT) AS n_covered,
+        |               CAST(count(DISTINCT c.cid) AS BIGINT) AS n_corpus_docs
+        |        FROM bg b LEFT JOIN cg c USING (gram)
+        |        GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(a.n_covered, 0) AS BIGINT) AS n_covered,
+        |       CAST(COALESCE(a.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+        |       CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+        |            ELSE round(a.n_covered / a.n_grams, 4) END AS exposure
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 10) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_doc_fertility" ->
       """WITH per AS (SELECT lang, source,
         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,

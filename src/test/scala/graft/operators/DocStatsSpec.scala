@@ -29,6 +29,43 @@ class DocStatsSpec extends SparkSpec {
       s"got $per")
   }
 
+  test("C89: budget curve — hand-computed straddle/gap/oversize accounting") {
+    // layout (ascending id): w = 3, 4, 5 -> offsets 0, 3, 7; T = 12
+    val d = Seq((1L, 3L), (2L, 4L), (3L, 5L)).toDF("doc_id", "w")
+    val curve = Pack.budgetCurve(d, "doc_id", "w", budgets = Seq(4L, 16L))
+      .orderBy("budget").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+    // B=4: doc1 [0,2] fits; doc2 [3,6] straddles (gap 4-3=1); doc3 [7,11]
+    // straddles (gap 4-7%4=1), and w=5 > 4 -> oversize. shards = ceil(12/4)=3
+    assert(curve(0) == ((4L, 3L, 12L, 3L, 2L, 9L, 2L, 1L, 0.6667)), s"${curve(0)}")
+    // B=16: everything fits in shard 0
+    assert(curve(1) == ((16L, 3L, 12L, 1L, 0L, 0L, 0L, 0L, 0.0)), s"${curve(1)}")
+    // shards monotone non-increasing in budget
+    assert(curve(0)._4 >= curve(1)._4)
+  }
+
+  test("C90: eval exposure — planted full-copy item burns, untouched item reads 0") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // fully copied below
+      (2L, "uno dos tres cuatro cinco seis"),      // untouched
+      (3L, "tiny")                                  // < n tokens: 0 grams
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, "totally unrelated corpus text here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.evalExposure(bench, "text", "doc_id",
+      corpus, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // item 1: 2 distinct 5-grams, both appear in docs 100 AND 101
+    assert(out(1L) == ((2L, 2L, 2L, 1.0)), s"burned: ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 0L, 0.0)), s"clean: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)), s"short: ${out(3L)}")
+  }
+
   test("C88: novelty — planted copy scores 0, fresh vocab scores 1, short docs report 1") {
     val reference = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")
