@@ -132,9 +132,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("C40: secret detection is map-only — zero exchanges, no UDF") {
+  test("C40: secret detection — exactly the one spread exchange, compute above it, no UDF") {
     val p = plan("q_doc_secrets")
-    assert(!p.contains("Exchange"), p)
+    // ONE deliberate repartition spreads the CPU-heavy narrow entropy
+    // pass across cores (the gate corpora arrive as a single parquet
+    // row group = one task otherwise; r15, 20 s -> 2 s at the decade
+    // corpus). Anything beyond that one exchange — an aggregation or
+    // join sneaking in — is a regression.
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the one repartition exchange:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
