@@ -185,15 +185,25 @@ object Graph {
     * absent — count them as the accounting relation via an anti-join
     * of the node universe. */
   def labelSpread(edges: DataFrame, seeds: DataFrame,
-                  rounds: Int = 3): DataFrame = {
+                  rounds: Int = 3,
+                  broadcastNodes: Long = PrBroadcastNodes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // the label relation is bounded by the node count; when that bound
+    // clears the broadcast gate, every round's edge join and anti-join
+    // take the label side broadcast instead of shuffling the EDGES —
+    // the checkpointed labels are stats-less LogicalRDDs Spark can
+    // never auto-broadcast (the [[PrBroadcastNodes]] finding)
+    val n = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().count()
+    def nodeSized(df: DataFrame): DataFrame =
+      if (n <= broadcastNodes) broadcast(df) else df
     var lab = seeds.select(col("node"), col("label"), lit(0).as("round"))
       .localCheckpoint()
     for (r <- 1 to rounds) {
       val votes = e
-        .join(lab.select(col("node").as("src"), col("label")), "src")
+        .join(nodeSized(lab.select(col("node").as("src"), col("label"))), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("votes"))
       val w = Window.partitionBy(col("dst"))
@@ -202,7 +212,7 @@ object Graph {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("dst").as("node"), col("label"), lit(r).as("round"))
-        .join(lab.select(col("node")), Seq("node"), "left_anti")
+        .join(nodeSized(lab.select(col("node"))), Seq("node"), "left_anti")
       lab = lab.union(newly).localCheckpoint()
     }
     lab
