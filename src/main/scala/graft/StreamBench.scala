@@ -33,18 +33,39 @@ import graft.streaming.{EventStream, StreamMetrics}
   * same build measured 54k vs 73k warm ev/s at the 1M rung purely on
   * JIT/page-cache state.
   *
-  * Usage: runMain graft.StreamBench [nEvents] [nFiles] [filesPerDay]
+  * Usage: runMain graft.StreamBench [nEvents] [nFiles] [filesPerDay] [discovery]
   *   nFiles controls triggers: ceil(nFiles / 64) micro-batches.
   *   filesPerDay defaults to 0 = auto (one file per route-day at
   *   micro-batch scale — ALSO the measured latency optimum on this
   *   path; see EventStream.start's scaladoc).
+  *   discovery: "listing" (default; Spark's file source — per-trigger
+  *   cost O(all objects ever landed)) or "manifest" (the
+  *   graft-landing notification source — per-trigger cost tracks the
+  *   ingest delta; the corpus is announced via LandingLog before the
+  *   stream starts, as a production lander would).
   */
 object StreamBench {
+
+  /** Announce the pre-landed corpus into the notification log — what a
+    * production lander does per upload; the bench does it once via the
+    * bootstrap helper. */
+  private def announceAll(spark: org.apache.spark.sql.SparkSession,
+                          dir: java.nio.file.Path): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.LandingLog.announceExisting(fs, p, "bench")
+    ()
+  }
 
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.length > 0) args(0).toLong else 1000000L
     val nFiles = if (args.length > 1) args(1).toInt else 256
     val filesPerDay = if (args.length > 2) args(2).toInt else 0
+    val discoveryName = if (args.length > 3) args(3) else "listing"
+    val discovery: EventStream.Discovery = discoveryName match {
+      case "manifest" => EventStream.Manifest
+      case _ => EventStream.Listing
+    }
     val spark = GraftSession.get()
     sys.env.get("SPARK_GRAFT_CACHE_BATCH").foreach(b =>
       spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", b))
@@ -63,9 +84,11 @@ object StreamBench {
     val wo = Files.createTempDirectory("stream-bench-warmout")
     val wc = Files.createTempDirectory("stream-bench-warmckpt")
     EtlBench.writeCorpus(wl, 1300, 4)
+    if (discovery == EventStream.Manifest) announceAll(spark, wl)
     EventStream.start(spark, wl.toString, wo.toString, wc.toString,
       "us-east-1", "123456789012", trigger = Trigger.AvailableNow(),
-      filesPerDay = filesPerDay).awaitTermination()
+      filesPerDay = filesPerDay, discovery = discovery).awaitTermination()
+    if (discovery == EventStream.Manifest) announceAll(spark, landing)
 
     val metrics = new StreamMetrics(capacity = 4096,
       queryName = Some("ocsf-fanout")).attach(spark)
@@ -73,7 +96,8 @@ object StreamBench {
     val t0 = System.nanoTime()
     val q = EventStream.start(spark, landing.toString, out.toString,
       ckpt.toString, "us-east-1", "123456789012",
-      trigger = Trigger.AvailableNow(), filesPerDay = filesPerDay)
+      trigger = Trigger.AvailableNow(), filesPerDay = filesPerDay,
+      discovery = discovery)
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
 
@@ -93,7 +117,7 @@ object StreamBench {
     // (writeCorpus floors to nFiles * (nEvents/nFiles) lines)
     val written = (nEvents / nFiles) * nFiles
     require(rows == written, s"ingested $rows of $written events")
-    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(if (warmSec > 0) warmRows / warmSec else Double.NaN)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"files":$nFiles,"files_per_day":$filesPerDay}""")
+    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(if (warmSec > 0) warmRows / warmSec else Double.NaN)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"files":$nFiles,"files_per_day":$filesPerDay,"discovery":"$discoveryName"}""")
     spark.stop()
   }
 }
