@@ -252,4 +252,77 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(picks - 10000L) <= 1, s"picks=$picks")
     info(f"1M docs sampled twice + compared in $secs%.1f s, $picks picks")
   }
+
+  test("C89s: budget curve is bucketing-invariant on a 1M-doc stream") {
+    // the curve inherits packOffsets' two-level prefix sum; this pins
+    // the COMPOSED relation at volume — 256-bucket vs the sequential
+    // single-bucket (= global window) formulation must agree row-for-row
+    val docs = spark.range(1000000L)
+      .select(col("id").as("doc_id"),
+        (pmod(col("id") * 2654435761L, lit(4000L)) + 1L).as("w"))
+    val budgets = Seq(2048L, 8192L)
+    val t0 = System.nanoTime()
+    val fast = Pack.budgetCurve(docs, "doc_id", "w", budgets, numBuckets = 256)
+    val slow = Pack.budgetCurve(docs, "doc_id", "w", budgets, numBuckets = 1)
+    assert(fast.exceptAll(slow).count() == 0 &&
+      slow.exceptAll(fast).count() == 0,
+      "bucketed and sequential curves diverge")
+    val rows = fast.orderBy("budget").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // ~2G tokens: shard counts are exact ceil divisions of the total
+    val total = rows.head.getLong(2)
+    budgets.zip(rows).foreach { case (b, r) =>
+      assert(r.getLong(3) == (total + b - 1) / b, s"shards at $b") }
+    info(f"1M docs curved twice + compared in $secs%.1f s, $total tokens")
+  }
+
+  test("C88s: novelty screens 200k docs against a 100k-doc reference sublinearly") {
+    // synthetic corpus: doc i's text is 12 deterministic pseudo-tokens;
+    // every doc with id % 2 == 0 is EXACTLY mirrored in the reference
+    // (novelty 0), odd ids draw from a disjoint vocab (novelty 1)
+    def text(prefix: org.apache.spark.sql.Column) = concat_ws(" ",
+      transform(sequence(lit(1), lit(12)),
+        i => concat(prefix, pmod(col("id") * 31L + i * 7L, lit(200000L)))))
+    val corpus = spark.range(200000L).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, text(lit("s"))).otherwise(text(lit("n")))
+        .as("text"))
+    val reference = spark.range(100000L)
+      .select((col("id") * 2).as("id"))
+      .select(col("id").as("doc_id"), text(lit("s")).as("text"))
+    val t0 = System.nanoTime()
+    val out = Dedup.ngramNovelty(corpus, "text", "doc_id",
+      reference, "text", n = 3).persist()
+    val seen = out.filter(col("doc_id") % 2 === 0)
+      .agg(max(col("novelty")), count(lit(1))).collect()(0)
+    val fresh = out.filter(col("doc_id") % 2 === 1)
+      .agg(min(col("novelty")), count(lit(1))).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(seen.getDouble(0) == 0.0 && seen.getLong(1) == 100000L,
+      s"mirrored docs must score 0 novelty: $seen")
+    assert(fresh.getDouble(0) == 1.0 && fresh.getLong(1) == 100000L,
+      s"disjoint-vocab docs must score 1 novelty: $fresh")
+    out.unpersist()
+    info(f"200k docs vs 100k reference in $secs%.1f s")
+  }
+
+  test("C86s: probe recall curve holds at 500k synthetic vectors") {
+    // 16-dim pseudo-random vectors; the distributed multi-query harness
+    // must keep its contracts (full probe ≡ 1, monotone) at a volume
+    // where any per-query driver loop or corpus sort would be obvious
+    val emb = spark.range(500000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)), i =>
+        (pmod(xxhash64(col("id"), i), lit(2000L)).cast("double") / 1000.0 - 1.0))
+        .as("embedding"))
+    val t0 = System.nanoTime()
+    val curve = Ivf.probeRecallCurve(emb, "vec_id", "embedding",
+      numCells = 16, k = 20, nprobes = Seq(1, 4, 16), numQueries = 8)
+      .orderBy("nprobe").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val recalls = curve.map(_.getDouble(4))
+    assert(recalls.last == 1.0, s"full probe must be exact: ${recalls.toSeq}")
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"monotonicity: ${recalls.toSeq}")
+    info(f"500k vectors, 8 queries, 3 probe widths in $secs%.1f s — " +
+      s"recalls ${recalls.mkString(", ")}")
+  }
 }
