@@ -345,4 +345,75 @@ object Similarity {
     }
     picked.result().toDF("rk", idCol, "qrel", "mmr_qscore")
   }
+
+  /** C91 — margin-based bitext mining (Artetxe & Schwenk '19, the
+    * CCMatrix/NLLB recipe): for every SOURCE-language vector, its best
+    * TARGET-language neighbor is mined as a translation pair only when
+    * it beats the runner-up by a margin — absolute similarity alone
+    * mines hubs (a vector near everything), the margin criterion is
+    * what makes web-scale parallel-corpus mining precise.
+    *
+    * ENGINE-PORTABLE by the C56p construction: similarity is the
+    * integer bilinear form over 1e-6-quantized vectors, the margin is
+    * the exact rational `marginNum/marginDen` tested in cross-
+    * multiplied integer form — `mined ⟺ s1 > 0 ∧ 2·den·s1 ≥
+    * num·(s1+s2)` (the ratio margin `2·s1/(s1+s2) ≥ num/den` with no
+    * division; `s1 > 0` guards the sign flip a negative denominator
+    * would cause, and a source with NO runner-up mines on `s1 > 0`
+    * alone). Every decision an integer → the relation SQL-oracles.
+    *
+    * Emits EVERY source's best pair with its `mined` verdict (the
+    * operating-curve stance — precision/recall trade-offs read off the
+    * margin column, not a silent filter): (src_id, tgt_id, qsim,
+    * qsim2, mined).
+    *
+    * Scale shape: the scored relation is src × tgt — at gate scale a
+    * direct crossJoin; at 100 TB restrict `tgt` to ANN candidates per
+    * source (IVF probe / LSH buckets, the [[hardNegatives]] pattern)
+    * before calling. The per-source top-2 is a rank ≤ 2 window —
+    * WindowGroupLimit keeps map-side partial top-2s, so the shuffle
+    * carries ~2 rows per (source, map partition), never the pair
+    * relation. Forward direction only; symmetric mining = run twice
+    * with the languages swapped and intersect.
+    *
+    * Overflow: |qsim| ≤ dims·(4e6)² ≤ 1e15 at 64 dims; ×(2·den) stays
+    * inside int64 for den ≤ ~4000 (required). */
+  def mineBitext(emb: DataFrame, idCol: String, vecCol: String,
+                 labels: DataFrame, labelIdCol: String, langCol: String,
+                 srcLang: String, tgtLang: String,
+                 marginNum: Long = 105L, marginDen: Long = 100L): DataFrame = {
+    require(marginDen > 0 && marginNum >= marginDen,
+      s"margin $marginNum/$marginDen must be >= 1")
+    require(marginDen <= 4000 && marginNum <= 8000,
+      "margin terms above ~4000 risk int64 overflow against 1e15 sims")
+    require(srcLang != tgtLang, "source and target language must differ")
+    val qv = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    val tagged = emb.select(col(idCol), qv.as("qv"))
+      .join(labels.select(col(labelIdCol).as(idCol),
+        col(langCol).as("__lang")), Seq(idCol))
+    val src = tagged.filter(col("__lang") === srcLang)
+      .select(col(idCol).as("src_id"), col("qv").as("qsrc"))
+    val tgt = tagged.filter(col("__lang") === tgtLang)
+      .select(col(idCol).as("tgt_id"), col("qv").as("qtgt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+      .orderBy(col("qsim").desc, col("tgt_id"))
+    src.crossJoin(tgt)
+      .select(col("src_id"), col("tgt_id"),
+        aggregate(zip_with(col("qsrc"), col("qtgt"),
+          (a, b) => coalesce(a * b, lit(0L))),
+          lit(0L), (s, x) => s + x).as("qsim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+      .groupBy(col("src_id"))
+      .agg(
+        max(when(col("__rk") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("__rk") === 1, col("qsim"))).as("qsim"),
+        max(when(col("__rk") === 2, col("qsim"))).as("qsim2"))
+      .select(col("src_id"), col("tgt_id"), col("qsim"), col("qsim2"),
+        (col("qsim") > 0L && (col("qsim2").isNull ||
+          lit(2L * marginDen) * col("qsim") >=
+            lit(marginNum) * (col("qsim") + col("qsim2"))))
+          .as("mined"))
+  }
 }

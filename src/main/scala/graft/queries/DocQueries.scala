@@ -368,6 +368,19 @@ object DocQueries {
       d.filter(col("doc_id") >= 10), "text", "doc_id", n = 5)
   }
 
+  // ---------------------------------------------------------------- C91
+  /** Margin-based bitext mining
+    * ([[graft.operators.Similarity.mineBitext]]): every English
+    * vector's best German neighbor with its margin verdict — the
+    * CCMatrix/NLLB parallel-corpus recipe over the aligned
+    * docs↔embeddings tables (vec_id = doc_id carries the language
+    * label). Hash-green: integer bilinear sims, exact-rational margin
+    * 105/100 in cross-multiplied integer form. */
+  def qEmbBitext(s: SparkSession, dir: String): DataFrame =
+    Similarity.mineBitext(emb(s, dir), "vec_id", "embedding",
+      docs(s, dir), "doc_id", "lang", srcLang = "en", tgtLang = "de",
+      marginNum = 105L, marginDen = 100L)
+
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
     * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
@@ -2472,6 +2485,7 @@ object DocQueries {
     "q_doc_novelty"       -> (qDocNovelty _),
     "q_doc_pack_curve"    -> (qDocPackCurve _),
     "q_doc_eval_exposure" -> (qDocEvalExposure _),
+    "q_emb_bitext"        -> (qEmbBitext _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -4263,6 +4277,33 @@ object DocQueries {
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
     "q_emb_ann_recall" -> annRecallOracleSql,
+    "q_emb_bitext" ->
+      """WITH vq AS (SELECT e.vec_id, d.lang,
+        |              list_transform(CAST(e.embedding AS DOUBLE[]),
+        |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+        |            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |src AS (SELECT vec_id AS src_id, qv FROM vq WHERE lang = 'en'),
+        |tgt AS (SELECT vec_id AS tgt_id, qv FROM vq WHERE lang = 'de'),
+        |top2 AS (
+        |  SELECT src_id, tgt_id, qsim,
+        |         row_number() OVER (PARTITION BY src_id
+        |                            ORDER BY qsim DESC, tgt_id) AS rk
+        |  FROM (SELECT s.src_id, t.tgt_id,
+        |               list_aggregate(list_transform(
+        |                 generate_series(1, least(len(s.qv), len(t.qv))),
+        |                 i -> s.qv[i] * t.qv[i]), 'sum') AS qsim
+        |        FROM src s, tgt t)
+        |  QUALIFY rk <= 2)
+        |SELECT src_id,
+        |       max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
+        |       CAST(max(CASE WHEN rk = 1 THEN qsim END) AS BIGINT) AS qsim,
+        |       CAST(max(CASE WHEN rk = 2 THEN qsim END) AS BIGINT) AS qsim2,
+        |       (max(CASE WHEN rk = 1 THEN qsim END) > 0 AND
+        |        (max(CASE WHEN rk = 2 THEN qsim END) IS NULL OR
+        |         200 * max(CASE WHEN rk = 1 THEN qsim END) >=
+        |         105 * (max(CASE WHEN rk = 1 THEN qsim END)
+        |                + max(CASE WHEN rk = 2 THEN qsim END)))) AS mined
+        |FROM top2 GROUP BY src_id""".stripMargin,
     "q_doc_pack_curve" ->
       """WITH t AS (SELECT doc_id,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -66,6 +66,37 @@ class DocStatsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, 0.0)), s"short: ${out(3L)}")
   }
 
+  test("C91: bitext mining — planted translation mines, hub with two equal neighbors does not") {
+    // 2-dim space: src 1 has a clear best target (identical direction)
+    // vs a weak runner-up -> mined; src 2 sits exactly between two
+    // equidistant targets (margin 1.0 < 1.05) -> not mined; src 3 has
+    // only negative-similarity targets -> s1 <= 0, never mined
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // en
+      (2L, Seq(0.0f, 1.0f)),   // en — the hub
+      (3L, Seq(-1.0f, -1.0f)), // en — anti-correlated with all targets
+      (10L, Seq(2.0f, 0.0f)),  // de — best for 1
+      (11L, Seq(0.1f, 0.9f)),  // de
+      (12L, Seq(-0.1f, 0.9f))  // de — 11 and 12 tie for 2 in qsim? no: dots differ
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de")).toDF("doc_id", "lang")
+    val out = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(out(1L)._1 == 10L && out(1L)._2, s"clear pair must mine: ${out(1L)}")
+    // src 2: qsim(11) = 0.9e12, qsim(12) = 0.9e12 — equal best and
+    // runner-up, margin exactly 1 < 1.05 -> not mined
+    assert(!out(2L)._2, s"equal-margin hub must not mine: ${out(2L)}")
+    assert(!out(3L)._2, s"negative-sim source must not mine: ${out(3L)}")
+    // λ=1-style limit: margin 1/1 mines anything with s1 > 0
+    val loose = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de", marginNum = 1L, marginDen = 1L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(loose(2L), "margin 1 must admit the hub")
+    assert(!loose(3L), "s1 <= 0 never mines at any margin")
+  }
+
   test("C88: novelty — planted copy scores 0, fresh vocab scores 1, short docs report 1") {
     val reference = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")
