@@ -398,7 +398,11 @@ object Similarity {
       .select(col(idCol).as("tgt_id"), col("qv").as("qtgt"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src_id")
       .orderBy(col("qsim").desc, col("tgt_id"))
-    src.crossJoin(tgt)
+    // the target-language slice broadcasts: the brute-force config is
+    // for corpora whose language slice fits a broadcast (the surface
+    // pin rejects a CartesianProduct — rightly); past that, restrict
+    // the target side to per-source ANN candidates as documented
+    src.crossJoin(broadcast(tgt))
       .select(col("src_id"), col("tgt_id"),
         aggregate(zip_with(col("qsrc"), col("qtgt"),
           (a, b) => coalesce(a * b, lit(0L))),
