@@ -273,6 +273,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("C91: bitext mining broadcasts the target slice; top-2 plans WindowGroupLimit") {
+    val p = plan("q_emb_bitext")
+    // the scoring join must take the target-language slice broadcast
+    // (BroadcastNestedLoopJoin) — an unhinted cross join would plan the
+    // CartesianProduct the surface pin forbids — and the per-source
+    // top-2 must group-limit so the pair relation never fully sorts
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"rank<=2 must push into the window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("C60: BM25 aggregates only query-term postings; stats sides broadcast") {
     val p = plan("q_doc_bm25")
     assert(!p.contains("CartesianProduct"), p)
