@@ -4630,13 +4630,51 @@ object DocQueries {
       |FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe) np, tc
       |GROUP BY np.nprobe""".stripMargin
 
-  /** DuckDB mirror of [[qEmbMmr]]: the integer pool/sims relations plus
-    * a RECURSIVE CTE that replays the greedy selection — one row per
-    * rank, the chosen set carried as a list, every argmax the same
-    * integer `7·rel − 3·maxdiv` with ties to the lowest id. */
-  private def mmrOracleSql: String =
-    """WITH RECURSIVE
-      |vq AS (SELECT vec_id,
+  /** GENERATED DuckDB mirror of [[qEmbMmr]]: the integer pool/sims
+    * relations plus a rank-UNROLLED replay of the greedy selection —
+    * ten fixed stages `p1..p10` (the C71 q_graph_pagerank / C76
+    * q_doc_label_spread stance), each a plain `ORDER BY score DESC,
+    * vec_id LIMIT 1` argmax over the not-yet-chosen pool with the
+    * integer score `7·rel − 3·max(sim to chosen)`. No RECURSIVE CTE,
+    * no QUALIFY, no alias resolution inside a recursive branch — the
+    * previous recursive mirror was green on DuckDB 1.0.0 but hashed
+    * red at the driver gate (alias-in-QUALIFY semantics inside
+    * recursive CTEs are exactly the kind of resolution rule that moves
+    * between DuckDB releases); every construct here is decades-stable
+    * ANSI SQL. */
+  private def mmrOracleSql: String = {
+    val k = 10
+    // One stage = (winner pick via window argmax) + (state update via a
+    // single LEFT JOIN to sims on the winner id). Each stage references
+    // the previous EXACTLY ONCE — with chained double-references a
+    // CTE-inlining engine re-evaluates the chain 3^k times (measured:
+    // "Too many open files" on DuckDB 1.0 at k=10); this shape inlines
+    // linearly. NULLS LAST is explicit because default null ordering
+    // under DESC differs across engines.
+    val stages = (1 to k).map { t =>
+      s"""w$t AS (
+        |  SELECT vec_id, qrel, msim, rk, score,
+        |         max(CASE WHEN is_win THEN vec_id END) OVER () AS win_id,
+        |         max(CASE WHEN is_win THEN cscore END) OVER () AS win_score
+        |  FROM (SELECT vec_id, qrel, msim, rk, score, cscore,
+        |               (rk IS NULL AND row_number() OVER (
+        |                  ORDER BY cscore DESC NULLS LAST, vec_id) = 1) AS is_win
+        |        FROM (SELECT vec_id, qrel, msim, rk, score,
+        |                     CASE WHEN rk IS NULL
+        |                          THEN 7 * qrel - 3 * coalesce(msim, 0)
+        |                     END AS cscore
+        |              FROM st${t - 1}))),
+        |st$t AS (
+        |  SELECT p.vec_id, p.qrel,
+        |         CASE WHEN p.vec_id = p.win_id THEN NULL
+        |              WHEN p.rk IS NOT NULL THEN p.msim
+        |              ELSE greatest(coalesce(p.msim, s.s), s.s) END AS msim,
+        |         CASE WHEN p.vec_id = p.win_id THEN $t ELSE p.rk END AS rk,
+        |         CASE WHEN p.vec_id = p.win_id THEN p.win_score ELSE p.score END AS score
+        |  FROM w$t p
+        |  LEFT JOIN sims s ON s.ia = p.vec_id AND s.ib = p.win_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vq AS (SELECT vec_id,
       |              list_transform(CAST(embedding AS DOUBLE[]),
       |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
       |       FROM embeddings),
@@ -4654,26 +4692,14 @@ object DocQueries {
       |           generate_series(1, least(len(a.qv), len(b.qv))),
       |           i -> a.qv[i] * b.qv[i]), 'sum') AS s
       |  FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
-      |sel AS (
-      |  (SELECT 1 AS rk, vec_id, qrel, 7 * qrel AS score, [vec_id] AS chosen
-      |   FROM pool ORDER BY 7 * qrel DESC, vec_id LIMIT 1)
-      |  UNION ALL
-      |  -- the computed argmax key must NOT be named `score`: an
-      |  -- unqualified `score` in this branch resolves to sel.score
-      |  -- (constant across candidates) and the QUALIFY would silently
-      |  -- degrade to lowest-id-first
-      |  (SELECT sel.rk + 1, p.vec_id, p.qrel,
-      |          7 * p.qrel - 3 * (SELECT max(s.s) FROM sims s
-      |                            WHERE s.ia = p.vec_id
-      |                              AND list_contains(sel.chosen, s.ib)) AS cscore,
-      |          list_append(sel.chosen, p.vec_id)
-      |   FROM sel, pool p
-      |   WHERE NOT list_contains(sel.chosen, p.vec_id) AND sel.rk < 10
-      |   QUALIFY row_number() OVER (ORDER BY cscore DESC, p.vec_id) = 1)
-      |)
+      |st0 AS (SELECT vec_id, qrel, CAST(NULL AS BIGINT) AS msim,
+      |               CAST(NULL AS INTEGER) AS rk, CAST(NULL AS BIGINT) AS score
+      |        FROM pool),
+      |$stages
       |SELECT CAST(rk AS BIGINT) AS rk, vec_id, qrel,
       |       CAST(score AS BIGINT) AS mmr_qscore
-      |FROM sel""".stripMargin
+      |FROM st$k WHERE rk IS NOT NULL""".stripMargin
+  }
 
   /** DuckDB mirror of [[qEmbIvfTopk]] (portable IVF index: the C35
     * cells, integer-L2 probe ranking, round4 cosine inside the 4

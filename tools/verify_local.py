@@ -78,8 +78,13 @@ def main(sf_dir, out_dir):
     rows_only = sum(1 for r in results.values() if r["status"] == "ROWS_ONLY")
     for name, r in sorted(results.items()):
         print(f"{r['status']:>15}  {name}  {json.dumps({k: v for k, v in r.items() if k != 'status'})[:160]}")
+    # The driver gate runs its own DuckDB build; a mirror green here and
+    # red there is a version-sensitivity bug in the SQL (seen once: the
+    # r15 q_emb_mmr recursive-CTE+QUALIFY mirror). Print the version so
+    # every local artifact records which DuckDB vouched for it.
     print(f"\n{green} green, {rows_only} rows-only, "
-          f"{len(results) - green - rows_only} problems, {len(results)} total")
+          f"{len(results) - green - rows_only} problems, {len(results)} total "
+          f"[duckdb {duckdb.__version__}]")
 
 
 if __name__ == "__main__":
