@@ -80,6 +80,11 @@ object Bench {
     var driftEvents = 0
     var reruns = 0
     val suspect = scala.collection.mutable.ArrayBuffer[String]()
+    // cold samples are one-shot by definition (the second run is warm),
+    // so a drifted chunk's colds can't be re-measured — they are flagged
+    // instead: any chunk whose closing sentinel drifts taints the cold
+    // numbers taken inside that window (upper bounds, not measurements)
+    val coldSuspect = scala.collection.mutable.ArrayBuffer[String]()
     def steady(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       Seq.fill(3)(runOnce(fn)).sorted.apply(1)
     SparkEntry.queries.toSeq.sortBy(_._1).grouped(ChunkSize).foreach { chunk =>
@@ -97,6 +102,7 @@ object Bench {
       sentinelFloor = math.min(sentinelFloor, s)
       if (s > DriftFactor * sentinelFloor) {
         driftEvents += 1
+        coldSuspect ++= chunk.map(_._1).filter(cold.contains)
         if (reruns < MaxReruns) {
           reruns += 1
           chunk.foreach { case (name, fn) =>
@@ -132,7 +138,7 @@ object Bench {
     // run, suspect_queries whatever still timed under drift after the
     // re-run budget (their numbers are upper bounds, not measurements)
     val sentinelJson =
-      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}]}"""
+      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}],"cold_suspect_queries":[${coldSuspect.map(jstr).mkString(",")}]}"""
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"cold_queries":$colds,$sentinelJson,"sf":${jstr(sfDir)}}"""
     // STDOUT LINE MUST FIT THE DRIVER'S ~2000-CHAR TAIL, of which sbt

@@ -368,24 +368,69 @@ object Similarity {
     * qsim2, mined).
     *
     * Scale shape: the scored relation is src × tgt — at gate scale a
-    * direct crossJoin; at 100 TB restrict `tgt` to ANN candidates per
-    * source (IVF probe / LSH buckets, the [[hardNegatives]] pattern)
-    * before calling. The per-source top-2 is a rank ≤ 2 window —
-    * WindowGroupLimit keeps map-side partial top-2s, so the shuffle
-    * carries ~2 rows per (source, map partition), never the pair
-    * relation. Forward direction only; symmetric mining = run twice
-    * with the languages swapped and intersect.
+    * direct crossJoin; at 100 TB pass `candidates` — (src_id, tgt_id)
+    * pairs from an ANN probe (IVF probe / LSH buckets, the
+    * [[hardNegatives]] pattern) — and ONLY those pairs are scored:
+    * two keyed joins attach the vectors, so the scoring pass touches
+    * |candidates| rows instead of |src|·|tgt| (quadratic → probe-
+    * bounded; the margin arithmetic is identical, and on corpora
+    * whose probe covers each source's true top-2 the output is
+    * bit-identical to the brute config — spec-pinned). The per-source
+    * top-2 is a rank ≤ 2 window — WindowGroupLimit keeps map-side
+    * partial top-2s, so the shuffle carries ~2 rows per (source, map
+    * partition), never the pair relation. Forward direction only;
+    * [[mineBitextSymmetric]] composes both directions.
     *
     * Overflow: |qsim| ≤ dims·(4e6)² ≤ 1e15 at 64 dims; ×(2·den) stays
     * inside int64 for den ≤ ~4000 (required). */
   def mineBitext(emb: DataFrame, idCol: String, vecCol: String,
                  labels: DataFrame, labelIdCol: String, langCol: String,
                  srcLang: String, tgtLang: String,
-                 marginNum: Long = 105L, marginDen: Long = 100L): DataFrame = {
-    require(marginDen > 0 && marginNum >= marginDen,
-      s"margin $marginNum/$marginDen must be >= 1")
-    require(marginDen <= 4000 && marginNum <= 8000,
-      "margin terms above ~4000 risk int64 overflow against 1e15 sims")
+                 marginNum: Long = 105L, marginDen: Long = 100L,
+                 candidates: Option[DataFrame] = None): DataFrame = {
+    val scored = bitextScored(emb, idCol, vecCol, labels, labelIdCol,
+      langCol, srcLang, tgtLang, candidates)
+    marginBest(scored, marginNum, marginDen, keyCol = "src_id",
+      bestCol = "tgt_id")
+  }
+
+  /** Symmetric bitext mining: a pair survives only when it is the
+    * forward best of its source AND the backward best of its target —
+    * the "run twice and intersect" recipe over ONE shared scored
+    * relation (both direction windows read the same src×tgt integer
+    * sims definition; each direction's rank ≤ 2 window group-limits
+    * map-side, so neither shuffle carries the pair relation — the
+    * scoring subtree executes once per direction, which at scale beats
+    * materializing the quadratic relation between them; with
+    * `candidates` both passes are probe-bounded). Emits the mutual-
+    * best pairs with both margins: (src_id, tgt_id, qsim, qsim2_fwd,
+    * qsim2_bwd, mined) where mined = fwd margin ∧ bwd margin. */
+  def mineBitextSymmetric(emb: DataFrame, idCol: String, vecCol: String,
+                          labels: DataFrame, labelIdCol: String,
+                          langCol: String, srcLang: String, tgtLang: String,
+                          marginNum: Long = 105L, marginDen: Long = 100L,
+                          candidates: Option[DataFrame] = None): DataFrame = {
+    val scored = bitextScored(emb, idCol, vecCol, labels, labelIdCol,
+      langCol, srcLang, tgtLang, candidates)
+    val fwd = marginBest(scored, marginNum, marginDen,
+      keyCol = "src_id", bestCol = "tgt_id")
+    val bwd = marginBest(scored, marginNum, marginDen,
+      keyCol = "tgt_id", bestCol = "src_id")
+      .select(col("src_id"), col("tgt_id"),
+        col("qsim2").as("qsim2_bwd"), col("mined").as("__mined_bwd"))
+    fwd.withColumnRenamed("qsim2", "qsim2_fwd")
+      .join(bwd, Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("qsim"),
+        col("qsim2_fwd"), col("qsim2_bwd"),
+        (col("mined") && col("__mined_bwd")).as("mined"))
+  }
+
+  /** The shared src×tgt integer-bilinear scored relation behind
+    * [[mineBitext]] / [[mineBitextSymmetric]]: (src_id, tgt_id, qsim). */
+  private def bitextScored(emb: DataFrame, idCol: String, vecCol: String,
+                           labels: DataFrame, labelIdCol: String,
+                           langCol: String, srcLang: String, tgtLang: String,
+                           candidates: Option[DataFrame]): DataFrame = {
     require(srcLang != tgtLang, "source and target language must differ")
     val qv = transform(toDoubles(col(vecCol)),
       x => round(x * 1e6, 0).cast("bigint"))
@@ -396,25 +441,48 @@ object Similarity {
       .select(col(idCol).as("src_id"), col("qv").as("qsrc"))
     val tgt = tagged.filter(col("__lang") === tgtLang)
       .select(col(idCol).as("tgt_id"), col("qv").as("qtgt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("src_id")
-      .orderBy(col("qsim").desc, col("tgt_id"))
-    // the target-language slice broadcasts: the brute-force config is
-    // for corpora whose language slice fits a broadcast (the surface
-    // pin rejects a CartesianProduct — rightly); past that, restrict
-    // the target side to per-source ANN candidates as documented
-    src.crossJoin(broadcast(tgt))
-      .select(col("src_id"), col("tgt_id"),
-        aggregate(zip_with(col("qsrc"), col("qtgt"),
-          (a, b) => coalesce(a * b, lit(0L))),
-          lit(0L), (s, x) => s + x).as("qsim"))
+    val paired = candidates match {
+      // the target-language slice broadcasts: the brute-force config is
+      // for corpora whose language slice fits a broadcast (the surface
+      // pin rejects a CartesianProduct — rightly); past that the
+      // candidates config below is the scale path
+      case None => src.crossJoin(broadcast(tgt))
+      // ANN probes can emit the same (src, tgt) pair from several
+      // cells/tables — dedup before scoring, or the top-2 window ranks
+      // one target twice and a margin compares a pair against itself.
+      // Keyed joins: the scoring scan touches probe output, never the
+      // language slices whole.
+      case Some(c) => c.select(col("src_id"), col("tgt_id")).distinct()
+        .join(tgt, Seq("tgt_id")).join(src, Seq("src_id"))
+    }
+    paired.select(col("src_id"), col("tgt_id"),
+      aggregate(zip_with(col("qsrc"), col("qtgt"),
+        (a, b) => coalesce(a * b, lit(0L))),
+        lit(0L), (s, x) => s + x).as("qsim"))
+  }
+
+  /** One mining direction over the scored relation: per `keyCol`, the
+    * top-2 `qsim` window (ties to the lowest `bestCol`), the best row
+    * kept with its runner-up sim and the cross-multiplied integer
+    * margin verdict `qsim > 0 ∧ 2·den·qsim ≥ num·(qsim+qsim2)`. */
+  private def marginBest(scored: DataFrame, marginNum: Long,
+                         marginDen: Long, keyCol: String,
+                         bestCol: String): DataFrame = {
+    require(marginDen > 0 && marginNum >= marginDen,
+      s"margin $marginNum/$marginDen must be >= 1")
+    require(marginDen <= 4000 && marginNum <= 8000,
+      "margin terms above ~4000 risk int64 overflow against 1e15 sims")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("qsim").desc, col(bestCol))
+    scored
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= 2)
-      .groupBy(col("src_id"))
+      .groupBy(col(keyCol))
       .agg(
-        max(when(col("__rk") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("__rk") === 1, col(bestCol))).as(bestCol),
         max(when(col("__rk") === 1, col("qsim"))).as("qsim"),
         max(when(col("__rk") === 2, col("qsim"))).as("qsim2"))
-      .select(col("src_id"), col("tgt_id"), col("qsim"), col("qsim2"),
+      .select(col(keyCol), col(bestCol), col("qsim"), col("qsim2"),
         (col("qsim") > 0L && (col("qsim2").isNull ||
           lit(2L * marginDen) * col("qsim") >=
             lit(marginNum) * (col("qsim") + col("qsim2"))))

@@ -381,6 +381,19 @@ object DocQueries {
       docs(s, dir), "doc_id", "lang", srcLang = "en", tgtLang = "de",
       marginNum = 105L, marginDen = 100L)
 
+  // ---------------------------------------------------------------- C92
+  /** Symmetric bitext mining
+    * ([[graft.operators.Similarity.mineBitextSymmetric]]): only the
+    * MUTUAL-best en↔de pairs survive, each with both directions'
+    * runner-up margins — the intersection recipe that cuts hub-driven
+    * false positives the one-directional miner lets through. Same
+    * integer-exact arithmetic as [[qEmbBitext]]; the oracle composes
+    * the C91 mirror in both directions and joins on the pair. */
+  def qEmbBitextSym(s: SparkSession, dir: String): DataFrame =
+    Similarity.mineBitextSymmetric(emb(s, dir), "vec_id", "embedding",
+      docs(s, dir), "doc_id", "lang", srcLang = "en", tgtLang = "de",
+      marginNum = 105L, marginDen = 100L)
+
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
     * [[graft.operators.Dedup.maximalSpanScrub]]). Hash-green oracled:
@@ -2486,6 +2499,7 @@ object DocQueries {
     "q_doc_pack_curve"    -> (qDocPackCurve _),
     "q_doc_eval_exposure" -> (qDocEvalExposure _),
     "q_emb_bitext"        -> (qEmbBitext _),
+    "q_emb_bitext_sym"    -> (qEmbBitextSym _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -4304,6 +4318,52 @@ object DocQueries {
         |         105 * (max(CASE WHEN rk = 1 THEN qsim END)
         |                + max(CASE WHEN rk = 2 THEN qsim END)))) AS mined
         |FROM top2 GROUP BY src_id""".stripMargin,
+    "q_emb_bitext_sym" ->
+      """WITH vq AS (SELECT e.vec_id, d.lang,
+        |              list_transform(CAST(e.embedding AS DOUBLE[]),
+        |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+        |            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |src AS (SELECT vec_id AS src_id, qv FROM vq WHERE lang = 'en'),
+        |tgt AS (SELECT vec_id AS tgt_id, qv FROM vq WHERE lang = 'de'),
+        |scored AS (SELECT s.src_id, t.tgt_id,
+        |                  list_aggregate(list_transform(
+        |                    generate_series(1, least(len(s.qv), len(t.qv))),
+        |                    i -> s.qv[i] * t.qv[i]), 'sum') AS qsim
+        |           FROM src s, tgt t),
+        |fwd AS (
+        |  SELECT src_id,
+        |         max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
+        |         max(CASE WHEN rk = 1 THEN qsim END) AS qsim,
+        |         max(CASE WHEN rk = 2 THEN qsim END) AS qsim2,
+        |         (max(CASE WHEN rk = 1 THEN qsim END) > 0 AND
+        |          (max(CASE WHEN rk = 2 THEN qsim END) IS NULL OR
+        |           200 * max(CASE WHEN rk = 1 THEN qsim END) >=
+        |           105 * (max(CASE WHEN rk = 1 THEN qsim END)
+        |                  + max(CASE WHEN rk = 2 THEN qsim END)))) AS mined
+        |  FROM (SELECT src_id, tgt_id, qsim,
+        |               row_number() OVER (PARTITION BY src_id
+        |                                  ORDER BY qsim DESC, tgt_id) AS rk
+        |        FROM scored)
+        |  WHERE rk <= 2 GROUP BY src_id),
+        |bwd AS (
+        |  SELECT tgt_id,
+        |         max(CASE WHEN rk = 1 THEN src_id END) AS src_id,
+        |         max(CASE WHEN rk = 2 THEN qsim END) AS qsim2,
+        |         (max(CASE WHEN rk = 1 THEN qsim END) > 0 AND
+        |          (max(CASE WHEN rk = 2 THEN qsim END) IS NULL OR
+        |           200 * max(CASE WHEN rk = 1 THEN qsim END) >=
+        |           105 * (max(CASE WHEN rk = 1 THEN qsim END)
+        |                  + max(CASE WHEN rk = 2 THEN qsim END)))) AS mined
+        |  FROM (SELECT src_id, tgt_id, qsim,
+        |               row_number() OVER (PARTITION BY tgt_id
+        |                                  ORDER BY qsim DESC, src_id) AS rk
+        |        FROM scored)
+        |  WHERE rk <= 2 GROUP BY tgt_id)
+        |SELECT f.src_id, f.tgt_id, CAST(f.qsim AS BIGINT) AS qsim,
+        |       CAST(f.qsim2 AS BIGINT) AS qsim2_fwd,
+        |       CAST(b.qsim2 AS BIGINT) AS qsim2_bwd,
+        |       (f.mined AND b.mined) AS mined
+        |FROM fwd f JOIN bwd b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id""".stripMargin,
     "q_doc_pack_curve" ->
       """WITH t AS (SELECT doc_id,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

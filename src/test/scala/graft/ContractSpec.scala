@@ -77,4 +77,27 @@ class ContractSpec extends AnyFunSuite {
       s"rows-only drift: unexpected=${(actual -- rowsOnlyByDesign).toSeq.sorted} " +
         s"missing=${(rowsOnlyByDesign -- actual).toSeq.sorted}")
   }
+
+  test("the committed decade-bench artifact covers every queries key (no query ships without an at-scale number)") {
+    // r15 shipped q_emb_bitext with no decade number because the sfbig
+    // bench ran before the query merged — this guard makes that
+    // impossible to repeat silently: adding a query REQUIRES refreshing
+    // bench_history/bench_sfbig_r{N}.json (tools/make_sfbig.py; then
+    // Bench with SPARK_GRAFT_SF_DIR=/tmp/sfbig) in the same round.
+    val dir = new java.io.File("bench_history")
+    val artifacts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("bench_sfbig_r\\d+\\.json"))
+    assert(artifacts.nonEmpty, "no bench_sfbig_r{N}.json artifact committed")
+    val newest = artifacts.maxBy(f =>
+      f.getName.stripPrefix("bench_sfbig_r").stripSuffix(".json").toInt)
+    val content = new String(java.nio.file.Files.readAllBytes(newest.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // a timed query appears as "name": in the queries (or errors) map;
+    // query names are globally unique strings, so containment suffices
+    val missing = SparkEntry.queries.keySet
+      .filterNot(k => content.contains("\"" + k + "\":"))
+    assert(missing.isEmpty,
+      s"queries with no decade-bench number in ${newest.getName}: " +
+        s"${missing.toSeq.sorted} — refresh the sfbig artifact")
+  }
 }

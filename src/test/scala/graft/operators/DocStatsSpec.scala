@@ -97,6 +97,68 @@ class DocStatsSpec extends SparkSpec {
     assert(!loose(3L), "s1 <= 0 never mines at any margin")
   }
 
+  test("C91: bitext candidates config ≡ brute force when the probe covers each source's top-2") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, -1.0f)),
+      (10L, Seq(2.0f, 0.0f)), (11L, Seq(0.1f, 0.9f)), (12L, Seq(-0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de")).toDF("doc_id", "lang")
+    val brute = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de").collect().toSet
+    // a covering probe: every source's true top-2 targets present, the
+    // third dropped; duplicate pairs planted — the distinct() must
+    // dedup them or the top-2 window ranks one target twice
+    val cands = Seq(
+      (1L, 10L), (1L, 11L), (1L, 10L),
+      (2L, 11L), (2L, 12L),
+      (3L, 11L), (3L, 12L), (3L, 12L)
+    ).toDF("src_id", "tgt_id")
+    val pruned = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de", candidates = Some(cands))
+      .collect().toSet
+    assert(pruned == brute,
+      s"covering probe must reproduce brute force:\n$pruned\nvs\n$brute")
+    // a NON-covering probe (src 1 missing its true best 10): the
+    // candidates config mines within what the probe surfaced — best
+    // becomes 11 — the declared ANN-recall trade, not silent row loss
+    val partial = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de",
+      candidates = Some(Seq((1L, 11L), (1L, 12L)).toDF("src_id", "tgt_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial(1L) == 11L, s"probe-bounded best: $partial")
+  }
+
+  test("C92: symmetric bitext — mutual best survives, hub-stolen pair is dropped") {
+    // src 1 and 2 both have target 10 as forward best, but 10's
+    // backward best is 1 — so (2,10) must NOT survive the intersection
+    // even though its forward margin clears; (1,10) is mutual and mines
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // en — strong match to 10
+      (2L, Seq(0.6f, 0.2f)),    // en — also picks 10 forward, weaker
+      (10L, Seq(2.0f, 0.0f)),   // de — backward best = 1
+      (11L, Seq(0.0f, 1.0f))    // de — nobody's best
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((1L, "en"), (2L, "en"),
+      (10L, "de"), (11L, "de")).toDF("doc_id", "lang")
+    val sym = Similarity.mineBitextSymmetric(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(sym.contains((1L, 10L)) && sym((1L, 10L)),
+      s"mutual best must survive and mine: $sym")
+    assert(!sym.contains((2L, 10L)),
+      s"forward-only pair must not survive the intersection: $sym")
+    // output agrees with running the one-directional miner both ways
+    val fwd = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bwd = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "de", "en")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(sym.keySet == (fwd intersect bwd),
+      s"symmetric = run-twice-and-intersect: ${sym.keySet} vs ${fwd intersect bwd}")
+  }
+
   test("C88: novelty — planted copy scores 0, fresh vocab scores 1, short docs report 1") {
     val reference = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")

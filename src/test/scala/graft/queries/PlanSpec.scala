@@ -284,6 +284,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("C92: symmetric bitext group-limits BOTH direction windows; no cartesian") {
+    val p = plan("q_emb_bitext_sym")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // both the per-source and per-target top-2 must group-limit — a
+    // full sort of the pair relation in either direction is the
+    // quadratic shuffle the design avoids
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"both direction windows must group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("C60: BM25 aggregates only query-term postings; stats sides broadcast") {
     val p = plan("q_doc_bm25")
     assert(!p.contains("CartesianProduct"), p)
