@@ -96,6 +96,94 @@ object Classifier {
     w
   }
 
+  /** ENGINE-PORTABLE featurization for the gate config: bucket =
+    * first 2 hex chars of md5(token) (256 buckets — the C27 DSIR
+    * bucket key, exactly `substr(md5(tok), 1, 2)` in any engine),
+    * value = the doc's INTEGER occurrence count. No hash seed, no
+    * float normalization — every cell replays bit-identically. */
+  def featurizePortable(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("_t"))
+      .where(col("_t") =!= "")
+      .select(col("id"), substring(md5(col("_t")), 1, 2).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+
+  /** ENGINE-PORTABLE trainer — the integer-GD gate configuration (the
+    * stance that promoted the ANN family to hash-green): a PERCEPTRON
+    * over [[featurizePortable]]'s integer counts. Per iteration:
+    * integer margin `m = Σ c·w` per doc, prediction `m > 0`, error
+    * `e = y − pred ∈ {−1,0,1}`, integer gradient `Σ e·c` per bucket,
+    * unit-learning-rate update `w += g`. Every quantity is an int64 —
+    * no sigmoid, no float sum order, no seed — so a FIXED number of
+    * iterations replays bit-identically in any engine and the whole
+    * train+score chain SQL-oracles (a generated DuckDB mirror unrolls
+    * the iterations with each state referencing its predecessor, the
+    * C71/C76 round-unrolled stance). [[train]] (float logistic GD)
+    * stays the quality path for real filters; this is the gate's
+    * exactness configuration, same distributed shape: per-iteration
+    * broadcast-joined weights, doc-keyed then bucket-keyed partial
+    * aggs, only the ≤256-row gradient ever collected.
+    *
+    * Overflow: |w| grows ≤ Σ|c| per iteration ≤ corpus tokens; margins
+    * ≤ 256·max|w|·max c — at 10¹² tokens and 4 iterations still well
+    * inside int64 (≈4·10¹⁴ worst case). */
+  def trainPortable(spark: SparkSession, labeled: DataFrame, idCol: String,
+                    textCol: String, labelCol: String,
+                    iters: Int = 4): Map[String, Long] = {
+    import spark.implicits._
+    require(iters >= 1, "need at least one iteration")
+    val feats = featurizePortable(labeled, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = labeled.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Map.empty[String, Long]
+    try {
+      for (_ <- 0 until iters) {
+        val wDf = w.toSeq.toDF("bucket", "w")
+        val margins = feats.join(broadcast(wDf), Seq("bucket"), "left")
+          .groupBy("id")
+          .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+        val errs = labels.join(margins, Seq("id"), "left")
+          .select(col("id"), (col("y") -
+            when(coalesce(col("m"), lit(0L)) > 0L, 1L).otherwise(0L)).as("e"))
+        val grad = feats.join(errs, "id")
+          .groupBy("bucket").agg(sum(col("c") * col("e")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val g = r.getLong(1)
+          if (g != 0L) {
+            val b = r.getString(0)
+            w = w.updated(b, w.getOrElse(b, 0L) + g)
+          }
+        }
+      }
+    } finally { feats.unpersist(); labels.unpersist(); () }
+    w
+  }
+
+  /** Integer margin + verdict for every doc under fixed portable
+    * `weights`: (idCol, margin, pred) with `pred = margin > 0`. Docs
+    * with no features score margin 0, pred false, via the left join.
+    * Bit-identical in any engine for fixed weights. */
+  def scorePortable(docs: DataFrame, idCol: String, textCol: String,
+                    weights: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF("bucket", "w")
+    val margins = featurizePortable(docs, idCol, textCol)
+      .join(broadcast(wDf), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("__cls_m"))
+      .withColumnRenamed("id", "__cls_id")
+    docs.join(margins, docs(idCol) === margins("__cls_id"), "left")
+      .select(docs(idCol),
+        coalesce(col("__cls_m"), lit(0L)).as("margin"),
+        (coalesce(col("__cls_m"), lit(0L)) > 0L).as("pred"))
+  }
+
   /** Probability-of-positive for every doc under fixed `weights`: one
     * feature scan + a broadcast `dim`-row join + a per-doc partial
     * agg. Docs with no features (empty text) score sigmoid(0) = 0.5

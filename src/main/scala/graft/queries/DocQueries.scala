@@ -696,24 +696,31 @@ object DocQueries {
       numShards = 16)
 
   // ---------------------------------------------------------------- C37
-  /** Learned quality filter ([[graft.operators.Classifier]]): logistic
-    * regression over hashed bag-of-tokens, trained IN Spark on weak
-    * labels from the C8 heuristic over a 20% deterministic sample
-    * (train-on-sample, score-everything — the corpus-scale stance),
-    * then every doc scored map-side with the broadcast model.
-    * Rows-only by design: distributed float summation makes the
-    * trained weights order-sensitive; the learning contract is pinned
-    * by ClassifierSpec instead (planted separable vocabularies →
+  /** Learned quality filter ([[graft.operators.Classifier]]),
+    * train-on-sample score-everything. Hash-green as of r16 via the
+    * ENGINE-PORTABLE gate config
+    * ([[graft.operators.Classifier.trainPortable]]): integer
+    * perceptron GD over md5-bucketed token counts, trained on a 25%
+    * md5 split (the C30 split stance) with the integer weak label
+    * `20·stopwords ≥ tokens` (stop-density ≥ 5% in cross-multiplied
+    * form — a slice of the C8 heuristic with no float compare), 4
+    * fixed iterations, every quantity int64 — mirrored by a generated
+    * DuckDB SQL that unrolls the iterations. The float logistic-GD
+    * [[graft.operators.Classifier.train]] stays the quality path,
+    * pinned by ClassifierSpec (planted separable vocabularies →
     * accuracy, empty-doc neutrality, fixed-weight determinism). */
   def qDocQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val labeled = d.sample(withReplacement = false, 0.2, seed = 42L)
+    val toks = TextFunctions.tokens(col("text"))
+    val stopCnt = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "to")))
+    val labeled = d
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
       .withColumn("label",
-        (TextFunctions.qualityScore(col("text")) >= 0.5).cast("int"))
-    val w = graft.operators.Classifier.train(s, labeled, "doc_id", "text",
-      "label", dim = 512, iters = 6)
-    graft.operators.Classifier.score(d, "doc_id", "text", w)
-      .select(col("doc_id"), col("prob"))
+        (lit(20L) * stopCnt >= size(toks)).cast("int"))
+    val w = graft.operators.Classifier.trainPortable(s, labeled, "doc_id",
+      "text", "label", iters = 4)
+    graft.operators.Classifier.scorePortable(d, "doc_id", "text", w)
   }
 
   // ---------------------------------------------------------------- C29
@@ -4290,6 +4297,7 @@ object DocQueries {
     // r15: MMR graduated via the integer-bilinear portable config —
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
+    "q_doc_quality_classifier" -> classifierOracleSql,
     "q_emb_ann_recall" -> annRecallOracleSql,
     "q_emb_bitext" ->
       """WITH vq AS (SELECT e.vec_id, d.lang,
@@ -4759,6 +4767,57 @@ object DocQueries {
       |SELECT CAST(rk AS BIGINT) AS rk, vec_id, qrel,
       |       CAST(score AS BIGINT) AS mmr_qscore
       |FROM st$k WHERE rk IS NOT NULL""".stripMargin
+  }
+
+  /** GENERATED DuckDB mirror of [[qDocQualityClassifier]]: the
+    * integer-perceptron training chain unrolled over 4 fixed
+    * iterations (the MMR/C71/C76 stance). Per iteration four CTEs —
+    * margins, errors, gradient, updated weights — with the weight
+    * state referencing only its predecessor (2^iters inlining bound,
+    * 16 at iters=4 — cheap; a longer chain would need the MMR
+    * single-reference trick). `w0` seeds every TRAINING-observed
+    * bucket at 0: gradients only ever touch those buckets, and
+    * scoring left-joins so unseen buckets contribute 0. */
+  private def classifierOracleSql: String = {
+    val iters = 4
+    val stages = (1 to iters).map { t =>
+      s"""m$t AS (SELECT f.doc_id, sum(f.c * coalesce(w.w, 0)) AS m
+        |        FROM tfeats f LEFT JOIN w${t - 1} w ON w.bucket = f.bucket
+        |        GROUP BY f.doc_id),
+        |e$t AS (SELECT l.doc_id,
+        |               l.y - (CASE WHEN coalesce(m.m, 0) > 0 THEN 1 ELSE 0 END) AS e
+        |        FROM lbl l LEFT JOIN m$t m ON m.doc_id = l.doc_id),
+        |g$t AS (SELECT f.bucket, sum(f.c * e.e) AS g
+        |        FROM tfeats f JOIN e$t e ON e.doc_id = f.doc_id
+        |        GROUP BY f.bucket),
+        |w$t AS (SELECT w.bucket, w.w + coalesce(g.g, 0) AS w
+        |        FROM w${t - 1} w LEFT JOIN g$t g ON g.bucket = w.bucket)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lbl AS (
+      |  SELECT doc_id,
+      |         CASE WHEN 20 * len(list_filter(string_split(text, ' '),
+      |                      x -> x IN ('the','a','of','and','to')))
+      |                   >= len(string_split(text, ' '))
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+      |feats AS (
+      |  SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id,
+      |               unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY doc_id, bucket),
+      |tfeats AS (SELECT f.doc_id, f.bucket, f.c
+      |           FROM feats f JOIN lbl l ON l.doc_id = f.doc_id),
+      |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM tfeats),
+      |$stages,
+      |sc AS (SELECT f.doc_id, sum(f.c * coalesce(w.w, 0)) AS margin
+      |       FROM feats f LEFT JOIN w$iters w ON w.bucket = f.bucket
+      |       GROUP BY f.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(sc.margin, 0) AS BIGINT) AS margin,
+      |       coalesce(sc.margin, 0) > 0 AS pred
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
   }
 
   /** DuckDB mirror of [[qEmbIvfTopk]] (portable IVF index: the C35

@@ -34,7 +34,11 @@ class ContractSpec extends AnyFunSuite {
       // hash-green in r14: the gate registrations run the portable
       // md5 hash family (Dedup.minhashSignatures portableHash=true)
       // mirrored by generated DuckDB twins — the C3b recipe
-      "q_doc_quality_classifier", // distributed-GD weights are float-order-sensitive; ClassifierSpec pins learning
+      // q_doc_quality_classifier graduated to hash-green in r16: the
+      // gate runs the integer-perceptron portable config (md5 buckets,
+      // int64 margins/gradients, 4 fixed iterations) mirrored by a
+      // generated unrolled DuckDB twin; float logistic GD stays the
+      // ClassifierSpec-pinned quality path
       "q_doc_bpe", // iterative argmax isn't one SQL statement; BpeSpec pins the trainer
       "q_doc_bpe_encode", // rules come from the iterative trainer; BpeSpec pins encoder parity
       "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity

@@ -78,4 +78,39 @@ class ClassifierSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  test("portable integer perceptron separates the planted vocabularies exactly") {
+    val d = corpus()
+    val w = Classifier.trainPortable(spark, d, "doc_id", "text", "label",
+      iters = 4)
+    assert(w.nonEmpty && w.values.exists(_ != 0L), "weights must move off zero")
+    assert(w.keys.forall(b => b.length == 2 && b.forall(c =>
+      c.isDigit || ('a' to 'f').contains(c))), s"buckets must be md5 hex pairs: ${w.keys}")
+    val rows = Classifier.scorePortable(d, "doc_id", "text", w).collect()
+    assert(rows.length == 240)
+    val labels = d.select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // fully separable integer problem: the perceptron must be EXACT
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(2) == (labels(id) == 1),
+        s"doc $id margin=${r.getLong(1)} pred=${r.getBoolean(2)} label=${labels(id)}")
+    }
+  }
+
+  test("portable trainer is bit-deterministic; empty docs score margin 0, pred false") {
+    import spark.implicits._
+    val d = corpus()
+    def fit() = Classifier.trainPortable(spark, d, "doc_id", "text", "label",
+      iters = 4)
+    val w = fit()
+    assert(w == fit(), "integer training must replay bit-identically")
+    val odd = Seq((9000L, ""), (9001L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val scored = Classifier.scorePortable(odd, "doc_id", "text", w).collect()
+    assert(scored.length == 2)
+    scored.foreach { r =>
+      assert(r.getLong(1) == 0L && !r.getBoolean(2), r.toString)
+    }
+  }
 }
