@@ -211,9 +211,13 @@ object Ivf {
           x => round(x * 1e6, 0).cast("bigint")))
         .limit(1).collect().head.getSeq[Long](0).toArray
       val probed = cells.zipWithIndex.map { case (c, ci) =>
+        // fail loudly on a query/cell dim mismatch — a silent shared-
+        // prefix score would probe plausibly-wrong cells with no signal
+        require(c.length == qq.length,
+          s"query dim ${qq.length} != cell dim ${c.length} (cell $ci)")
         var s = 0L
         var i = 0
-        while (i < math.min(c.length, qq.length)) {
+        while (i < c.length) {
           val d = qq(i) - c(i); s += d * d; i += 1
         }
         (s, ci)

@@ -100,12 +100,15 @@ object Pack {
     *  - `n_straddlers` / `straddle_tokens` — documents a boundary
     *    cuts, the rows a split-or-shift policy must handle;
     *  - `shift_gap_tokens` — the FIRST-ORDER padding cost of the
-    *    shift-to-boundary policy: Σ over straddlers of the gap each
-    *    shift would leave (B − offset mod B), ignoring cascade
-    *    (shifts are data-dependent and sequential; the first-order
-    *    sum is the standard sizing estimate and an upper-bound-shaped
-    *    signal — exact under "split oversize, shift the rest" when
-    *    shifts don't re-collide, which at straddle rates this curve
+    *    shift-to-boundary policy: Σ over SHIFTABLE straddlers (w ≤ B;
+    *    an oversize doc is split under the policy, never shifted, so
+    *    its gap — up to a full budget when it starts on a boundary —
+    *    would only inflate the estimate) of the gap each shift would
+    *    leave (B − offset mod B), ignoring cascade (shifts are
+    *    data-dependent and sequential; the first-order sum is the
+    *    standard sizing estimate and an upper-bound-shaped signal —
+    *    exact under "split oversize, shift the rest" when shifts
+    *    don't re-collide, which at straddle rates this curve
     *    surfaces is the common case);
     *  - `n_oversize` — documents longer than the budget itself: no
     *    policy saves them, they must chunk (C29) first;
@@ -142,8 +145,8 @@ object Pack {
         sum(w).as("total_tokens"),
         sum(when(col("_straddles"), 1L).otherwise(0L)).as("n_straddlers"),
         sum(when(col("_straddles"), w).otherwise(0L)).as("straddle_tokens"),
-        sum(when(col("_straddles"), col("_gap")).otherwise(0L))
-          .as("shift_gap_tokens"),
+        sum(when(col("_straddles") && !col("_oversize"), col("_gap"))
+          .otherwise(0L)).as("shift_gap_tokens"),
         sum(when(col("_oversize"), 1L).otherwise(0L)).as("n_oversize"))
       .select(b, col("n_docs"), col("total_tokens"),
         expr("(total_tokens + budget - 1) div budget").as("n_shards"),

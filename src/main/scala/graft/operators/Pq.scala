@@ -591,9 +591,16 @@ object Pq {
     * of every subspace comes from the same seed vector, which is what
     * lets the SQL mirror rebuild the books from one LIMIT. */
   def fitPortable(emb: DataFrame, idCol: String, vecCol: String,
-                  m: Int = 8, codewords: Int = 16): PqPortableModel = {
+                  m: Int = 8, codewords: Int = 16): PqPortableModel =
+    fitQuantized(quantizedBase(emb, idCol, vecCol), idCol, m, codewords)
+
+  /** [[fitPortable]] over an ALREADY-quantized `(idCol, qv, …)`
+    * relation — so compositions that hold one (the IVF-PQ build) seed
+    * the codebooks without re-quantizing the corpus. */
+  def fitQuantized(base: DataFrame, idCol: String,
+                   m: Int = 8, codewords: Int = 16): PqPortableModel = {
     require(m >= 1 && codewords >= 1, s"m=$m, codewords=$codewords must be >= 1")
-    val seeds = quantizedBase(emb, idCol, vecCol)
+    val seeds = base.select(col(idCol), col("qv"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(codewords)
       .collect()
@@ -783,14 +790,24 @@ object Pq {
   def buildIvfPortable(emb: DataFrame, idCol: String, vecCol: String,
                        numCells: Int = 16, m: Int = 8, codewords: Int = 16)
       : (Seq[Array[Long]], PqPortableModel, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // one seed job: the collected cells feed both the driver-side cell
+    // list and (re-lifted as a literal relation — zero extra jobs) the
+    // assignment's broadcast side
     val seedCells = Ivf.seedCentroids(emb, idCol, vecCol, numCells)
       .orderBy("__cid").collect().map(_.getSeq[Long](1).toArray).toSeq
-    val assigned = Ivf.assignCellsPortable(emb, idCol, vecCol,
-      Ivf.seedCentroids(emb, idCol, vecCol, numCells))
-    val model = fitPortable(emb, idCol, vecCol, m, codewords)
+    val seedsDf = seedCells.zipWithIndex
+      .map { case (qc, i) => (i, qc.toSeq) }.toDF("__cid", "qc")
+    // assigned carries the corpus quantized ONCE; persisted because
+    // both the codebook seed draw and the encode read it
+    val assigned = Ivf.assignCellsPortable(emb, idCol, vecCol, seedsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = fitQuantized(assigned, idCol, m, codewords)
     val codes = encodeQuantized(assigned, idCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     codes.count()
+    assigned.unpersist()
     (seedCells, model, codes)
   }
 
@@ -805,9 +822,13 @@ object Pq {
       .getOrElse { return Ann.emptyTopK(emb, idCol) }
     val qq = quantizedQuery(emb, idCol, vecCol, queryId)
     val probed = cells.zipWithIndex.map { case (c, ci) =>
+      // same dim check PqPortableModel.flatLutL2 performs — a silent
+      // shared-prefix rank would probe plausibly-wrong cells
+      require(c.length == qq.length,
+        s"query dim ${qq.length} != cell dim ${c.length} (cell $ci)")
       var s = 0L
       var i = 0
-      while (i < math.min(c.length, qq.length)) {
+      while (i < c.length) {
         val d = qq(i) - c(i); s += d * d; i += 1
       }
       (s, ci)

@@ -605,6 +605,15 @@ object DocQueries {
 
   def qEmbOpqTopk(s: SparkSession, dir: String): DataFrame = {
     val (model, codes) = opqIndex(s, dir)
+    // opqOracleSql generates the mirror's rotation from
+    // signedPermutation(64) at registration time (no data in scope
+    // there); the Spark build derives dim from the corpus — fail
+    // LOUDLY on a different-dim gate corpus instead of surfacing as
+    // an opaque hash mismatch
+    require(model.dim == 64,
+      s"q_emb_opq_topk's DuckDB mirror hardcodes the 64-dim signed " +
+        s"permutation but the corpus has dim ${model.dim} — regenerate " +
+        "opqOracleSql with the new dimension")
     graft.operators.Pq.topKOpqPortable(emb(s, dir), "vec_id", "embedding",
       codes, model, queryId = 0L, k = 20, rerank = 100)
   }
@@ -4394,7 +4403,7 @@ object DocQueries {
         |       CAST((sum(w) + budget - 1) // budget AS BIGINT) AS n_shards,
         |       CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
         |       CAST(sum(CASE WHEN straddles THEN w ELSE 0 END) AS BIGINT) AS straddle_tokens,
-        |       CAST(sum(CASE WHEN straddles THEN gap ELSE 0 END) AS BIGINT) AS shift_gap_tokens,
+        |       CAST(sum(CASE WHEN straddles AND NOT oversize THEN gap ELSE 0 END) AS BIGINT) AS shift_gap_tokens,
         |       CAST(sum(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
         |       round(CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
         |             / greatest(CAST(count(*) AS BIGINT), 1), 4) AS straddle_rate

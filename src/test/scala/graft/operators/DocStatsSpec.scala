@@ -37,8 +37,9 @@ class DocStatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
     // B=4: doc1 [0,2] fits; doc2 [3,6] straddles (gap 4-3=1); doc3 [7,11]
-    // straddles (gap 4-7%4=1), and w=5 > 4 -> oversize. shards = ceil(12/4)=3
-    assert(curve(0) == ((4L, 3L, 12L, 3L, 2L, 9L, 2L, 1L, 0.6667)), s"${curve(0)}")
+    // straddles AND is oversize (w=5 > 4) — split under the policy, so
+    // its gap is EXCLUDED from shift_gap_tokens. shards = ceil(12/4)=3
+    assert(curve(0) == ((4L, 3L, 12L, 3L, 2L, 9L, 1L, 1L, 0.6667)), s"${curve(0)}")
     // B=16: everything fits in shard 0
     assert(curve(1) == ((16L, 3L, 12L, 1L, 0L, 0L, 0L, 0L, 0.0)), s"${curve(1)}")
     // shards monotone non-increasing in budget
