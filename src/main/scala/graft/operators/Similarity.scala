@@ -425,6 +425,67 @@ object Similarity {
         (col("mined") && col("__mined_bwd")).as("mined"))
   }
 
+  /** The ANN candidate relation for probe-bounded bitext mining — the
+    * `candidates` input [[mineBitext]] / [[mineBitextSymmetric]]
+    * document as the 100 TB path, built from the ENGINE-PORTABLE IVF
+    * quantizer ([[Ivf.seedCentroids]] + [[Ivf.assignCellsPortable]])
+    * so the probe itself SQL-oracles: target-language vectors are
+    * assigned to seeded integer cells ONCE (the offline index half of
+    * the build/serve split), each source vector ranks the cell seeds
+    * by integer L2 and probes its `nprobe` nearest cells, and the
+    * candidate pairs are `(src, every target in a probed cell)` — two
+    * keyed joins, never src × tgt.
+    *
+    * `numCells = 0` auto-sizes to `ceil(sqrt(nprobe · |tgt|))` — the
+    * balance point of the probe's two costs (|src|·numCells cell ranks
+    * vs ~nprobe·|src|·|tgt|/numCells candidate scores), so the scored
+    * relation grows ~n^1.5 where the brute config grows n². One count
+    * job on the target slice; pass an explicit `numCells` to skip it.
+    *
+    * Probe-bounded semantics (C86's operating-curve stance): a pair
+    * whose target lies outside the source's probed cells is invisible,
+    * so `mined` verdicts are relative to the probe — measure the probe
+    * width on YOUR corpus with [[Ivf.probeRecallCurve]] before gating.
+    * On corpora whose probe covers each source's true top-2 the mined
+    * output is bit-identical to the brute config (spec-pinned). */
+  def bitextIvfCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                          labels: DataFrame, labelIdCol: String,
+                          langCol: String, srcLang: String, tgtLang: String,
+                          nprobe: Int = 4, numCells: Int = 0): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(numCells >= 0, "numCells must be >= 0 (0 = auto)")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = emb.select(col(idCol), col(vecCol))
+      .join(labels.select(col(labelIdCol).as(idCol),
+        col(langCol).as("__lang")), Seq(idCol))
+    val tgtSlice = tagged.filter(col("__lang") === tgtLang)
+      .select(col(idCol), col(vecCol))
+    val srcSlice = tagged.filter(col("__lang") === srcLang)
+      .select(col(idCol), col(vecCol))
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(1,
+        math.ceil(math.sqrt(nprobe.toDouble * tgtSlice.count())).toInt)
+    val seeds = Ivf.seedCentroids(tgtSlice, idCol, vecCol, cells)
+    val assigned = Ivf.assignCellsPortable(tgtSlice, idCol, vecCol, seeds)
+      .select(col(idCol).as("tgt_id"), col("centroid_id").as("__cid"))
+    val qq = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    // rank ≤ nprobe over the numCells-row per-source cell relation —
+    // WindowGroupLimit keeps map-side partial top-nprobe sets
+    val probed = srcSlice.select(col(idCol).as("src_id"), qq.as("qq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("src_id"), col("__cid"),
+        aggregate(zip_with(col("qq"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x).as("__d2"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("__d2"), col("__cid"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col("src_id"), col("__cid"))
+    probed.join(assigned, Seq("__cid"))
+      .select(col("src_id"), col("tgt_id"))
+  }
+
   /** The shared src×tgt integer-bilinear scored relation behind
     * [[mineBitext]] / [[mineBitextSymmetric]]: (src_id, tgt_id, qsim). */
   private def bitextScored(emb: DataFrame, idCol: String, vecCol: String,

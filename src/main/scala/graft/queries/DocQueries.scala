@@ -369,17 +369,32 @@ object DocQueries {
   }
 
   // ---------------------------------------------------------------- C91
+  /** The shared probe for the two bitext gate queries: the SQL-
+    * mirrored portable-IVF candidate relation
+    * ([[graft.operators.Similarity.bitextIvfCandidates]], nprobe = 4,
+    * auto `ceil(sqrt(4·|tgt|))` cells) — the SCALE configuration, so
+    * the gate measures what 100 TB would run (r16; the r15 gate ran
+    * the brute crossJoin and was 178 s / 43% of the decade bench). */
+  private def bitextCands(s: SparkSession, dir: String) =
+    Similarity.bitextIvfCandidates(emb(s, dir), "vec_id", "embedding",
+      docs(s, dir), "doc_id", "lang", srcLang = "en", tgtLang = "de",
+      nprobe = 4)
+
   /** Margin-based bitext mining
     * ([[graft.operators.Similarity.mineBitext]]): every English
     * vector's best German neighbor with its margin verdict — the
     * CCMatrix/NLLB parallel-corpus recipe over the aligned
     * docs↔embeddings tables (vec_id = doc_id carries the language
     * label). Hash-green: integer bilinear sims, exact-rational margin
-    * 105/100 in cross-multiplied integer form. */
+    * 105/100 in cross-multiplied integer form, and the probe itself
+    * ([[bitextCands]]) is integer-exact so the oracle replays probe
+    * and margin both. Probe-bounded best (the operating-curve stance);
+    * library callers wanting the true best pass `candidates = None`. */
   def qEmbBitext(s: SparkSession, dir: String): DataFrame =
     Similarity.mineBitext(emb(s, dir), "vec_id", "embedding",
       docs(s, dir), "doc_id", "lang", srcLang = "en", tgtLang = "de",
-      marginNum = 105L, marginDen = 100L)
+      marginNum = 105L, marginDen = 100L,
+      candidates = Some(bitextCands(s, dir)))
 
   // ---------------------------------------------------------------- C92
   /** Symmetric bitext mining
@@ -387,12 +402,14 @@ object DocQueries {
     * MUTUAL-best en↔de pairs survive, each with both directions'
     * runner-up margins — the intersection recipe that cuts hub-driven
     * false positives the one-directional miner lets through. Same
-    * integer-exact arithmetic as [[qEmbBitext]]; the oracle composes
-    * the C91 mirror in both directions and joins on the pair. */
+    * integer-exact arithmetic and probe ([[bitextCands]]) as
+    * [[qEmbBitext]]; the oracle composes the C91 mirror in both
+    * directions and joins on the pair. */
   def qEmbBitextSym(s: SparkSession, dir: String): DataFrame =
     Similarity.mineBitextSymmetric(emb(s, dir), "vec_id", "embedding",
       docs(s, dir), "doc_id", "lang", srcLang = "en", tgtLang = "de",
-      marginNum = 105L, marginDen = 100L)
+      marginNum = 105L, marginDen = 100L,
+      candidates = Some(bitextCands(s, dir)))
 
   // ---------------------------------------------------------------- C74
   /** Exact-extent duplicate removal (the ExactSubstr scrub — see
@@ -4309,21 +4326,12 @@ object DocQueries {
     "q_doc_quality_classifier" -> classifierOracleSql,
     "q_emb_ann_recall" -> annRecallOracleSql,
     "q_emb_bitext" ->
-      """WITH vq AS (SELECT e.vec_id, d.lang,
-        |              list_transform(CAST(e.embedding AS DOUBLE[]),
-        |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
-        |            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-        |src AS (SELECT vec_id AS src_id, qv FROM vq WHERE lang = 'en'),
-        |tgt AS (SELECT vec_id AS tgt_id, qv FROM vq WHERE lang = 'de'),
+      s"""WITH $bitextScoredSql,
         |top2 AS (
         |  SELECT src_id, tgt_id, qsim,
         |         row_number() OVER (PARTITION BY src_id
         |                            ORDER BY qsim DESC, tgt_id) AS rk
-        |  FROM (SELECT s.src_id, t.tgt_id,
-        |               list_aggregate(list_transform(
-        |                 generate_series(1, least(len(s.qv), len(t.qv))),
-        |                 i -> s.qv[i] * t.qv[i]), 'sum') AS qsim
-        |        FROM src s, tgt t)
+        |  FROM scored
         |  QUALIFY rk <= 2)
         |SELECT src_id,
         |       max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
@@ -4336,17 +4344,7 @@ object DocQueries {
         |                + max(CASE WHEN rk = 2 THEN qsim END)))) AS mined
         |FROM top2 GROUP BY src_id""".stripMargin,
     "q_emb_bitext_sym" ->
-      """WITH vq AS (SELECT e.vec_id, d.lang,
-        |              list_transform(CAST(e.embedding AS DOUBLE[]),
-        |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
-        |            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-        |src AS (SELECT vec_id AS src_id, qv FROM vq WHERE lang = 'en'),
-        |tgt AS (SELECT vec_id AS tgt_id, qv FROM vq WHERE lang = 'de'),
-        |scored AS (SELECT s.src_id, t.tgt_id,
-        |                  list_aggregate(list_transform(
-        |                    generate_series(1, least(len(s.qv), len(t.qv))),
-        |                    i -> s.qv[i] * t.qv[i]), 'sum') AS qsim
-        |           FROM src s, tgt t),
+      s"""WITH $bitextScoredSql,
         |fwd AS (
         |  SELECT src_id,
         |         max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
@@ -4529,6 +4527,54 @@ object DocQueries {
       |                 i -> (v.qv[i] - s.qc[i]) * (v.qv[i] - s.qc[i])), 'sum') AS d2
       |        FROM vq v, seeds s)
       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)""".stripMargin
+
+  /** Shared CTE prefix for the two bitext mirrors (C91/C92): language
+    * slices, the portable-IVF probe — seeded integer cells over the
+    * TARGET slice (auto `ceil(sqrt(4·|tgt|))` cells, the same count
+    * the Spark side derives), per-source integer-L2 cell ranks, probe
+    * width 4 — and the probe-bounded integer-bilinear `scored`
+    * relation, mirroring
+    * [[graft.operators.Similarity.bitextIvfCandidates]] +
+    * `bitextScored` step for step. Plain chained CTEs; the only
+    * QUALIFY references subquery columns (the portableCellsSql shape
+    * that is driver-green), never a same-level SELECT alias. */
+  private def bitextScoredSql: String =
+    """vq AS (SELECT e.vec_id, d.lang,
+      |              list_transform(CAST(e.embedding AS DOUBLE[]),
+      |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      |src AS (SELECT vec_id AS src_id, qv FROM vq WHERE lang = 'en'),
+      |tgt AS (SELECT vec_id AS tgt_id, qv FROM vq WHERE lang = 'de'),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id) - 1 AS cid,
+      |         qv AS qc
+      |  FROM (SELECT tgt_id, qv FROM tgt
+      |        ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id
+      |        LIMIT (SELECT greatest(1, CAST(ceil(sqrt(4 * count(*))) AS BIGINT))
+      |               FROM tgt))),
+      |tassigned AS (
+      |  SELECT tgt_id, cid
+      |  FROM (SELECT t.tgt_id, s.cid,
+      |               list_aggregate(list_transform(generate_series(1, len(t.qv)),
+      |                 i -> (t.qv[i] - s.qc[i]) * (t.qv[i] - s.qc[i])), 'sum') AS d2
+      |        FROM tgt t, seeds s)
+      |  QUALIFY row_number() OVER (PARTITION BY tgt_id ORDER BY d2, cid) = 1),
+      |cellrank AS (
+      |  SELECT src_id, cid
+      |  FROM (SELECT s.src_id, c.cid,
+      |               row_number() OVER (PARTITION BY s.src_id ORDER BY
+      |                 list_aggregate(list_transform(generate_series(1, len(s.qv)),
+      |                   i -> (s.qv[i] - c.qc[i]) * (s.qv[i] - c.qc[i])), 'sum'),
+      |                 c.cid) AS rk
+      |        FROM src s, seeds c)
+      |  WHERE rk <= 4),
+      |scored AS (
+      |  SELECT c.src_id, a.tgt_id,
+      |         list_aggregate(list_transform(
+      |           generate_series(1, least(len(s.qv), len(t.qv))),
+      |           i -> s.qv[i] * t.qv[i]), 'sum') AS qsim
+      |  FROM cellrank c JOIN tassigned a USING (cid)
+      |       JOIN src s USING (src_id) JOIN tgt t ON t.tgt_id = a.tgt_id)""".stripMargin
 
   /** DuckDB mirror of [[qEmbClusterSample]] (portable quantizer +
     * md5-rank quota sample — every step engine-exact). */

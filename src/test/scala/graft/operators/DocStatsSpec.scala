@@ -130,6 +130,41 @@ class DocStatsSpec extends SparkSpec {
     assert(partial(1L) == 11L, s"probe-bounded best: $partial")
   }
 
+  test("C91: bitextIvfCandidates — full-width probe reproduces brute force; probe is keyed, bounded, deduped") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, -1.0f)),
+      (10L, Seq(2.0f, 0.0f)), (11L, Seq(0.1f, 0.9f)), (12L, Seq(-0.1f, 0.9f)),
+      (13L, Seq(-0.5f, -0.4f))
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de"), (13L, "de")).toDF("doc_id", "lang")
+    // nprobe >= numCells: every source probes every cell, so the
+    // candidate relation is exactly src × tgt (each pair once — a
+    // target lives in exactly one cell) and mining over it must
+    // reproduce the brute config bit for bit
+    val cands = Similarity.bitextIvfCandidates(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de", nprobe = 99, numCells = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.length == cands.distinct.length, "one row per (src, tgt)")
+    assert(cands.toSet == (for (s <- Seq(1L, 2L, 3L); t <- Seq(10L, 11L, 12L, 13L)) yield (s, t)).toSet)
+    val brute = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de").collect().toSet
+    val viaProbe = Similarity.mineBitext(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de",
+      candidates = Some(Similarity.bitextIvfCandidates(emb, "vec_id",
+        "embedding", labels, "doc_id", "lang", "en", "de",
+        nprobe = 99, numCells = 3))).collect().toSet
+    assert(viaProbe == brute, s"full-width probe must ≡ brute:\n$viaProbe\nvs\n$brute")
+    // narrow probe: every source still gets candidates (nprobe cells'
+    // worth), and the auto cell count is ceil(sqrt(nprobe·|tgt|))
+    val narrow = Similarity.bitextIvfCandidates(emb, "vec_id", "embedding",
+      labels, "doc_id", "lang", "en", "de", nprobe = 1, numCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = narrow.groupBy(_._1)
+    assert(bySrc.keySet == Set(1L, 2L, 3L), s"every source probes: $bySrc")
+    assert(narrow.length < cands.length, "nprobe=1 of 2 cells must prune")
+  }
+
   test("C92: symmetric bitext — mutual best survives, hub-stolen pair is dropped") {
     // src 1 and 2 both have target 10 as forward best, but 10's
     // backward best is 1 — so (2,10) must NOT survive the intersection
