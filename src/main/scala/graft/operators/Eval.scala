@@ -172,4 +172,58 @@ object Eval {
       .withColumn("gap",
         TextFunctions.round4(abs(col("cum_a") - col("cum_b"))))
   }
+
+  /** C95 — inter-rater agreement (Fleiss '71, generalized to unequal
+    * raters-per-item): one row per `groupCol` value with the observed
+    * pairwise agreement, the chance agreement from the category
+    * marginals, and their kappa. The QC gate every preference/RLHF
+    * labeling run needs before its labels train anything: kappa near
+    * 0 means the "labels" are noise no matter how many raters voted.
+    *
+    * INTEGER-EXACT accounting (the [[rocAuc]] stance): per (item,
+    * category) vote counts n_ic are integers, agreeing pairs
+    * Σ n_ic(n_ic−1) and total pairs Σ n_i(n_i−1) are exact bigints,
+    * the chance numerator Σ_c (Σ_i n_ic)² likewise; po/pe/kappa are
+    * each ONE IEEE division (or ratio of two) of those exact
+    * integers, rounded to 4 — bit-identical in any engine. Items
+    * with a single rating contribute 0 pairs (never a divide error);
+    * a group where pe = 1 (every vote one category) yields NULL
+    * kappa, the undefined case.
+    *
+    * Scale shape: two chained partial-agg'd groupBys (ratings →
+    * (group, item, label) → (group, item)) plus a marginals branch —
+    * every relation after the first pass is item- or category-sized,
+    * nothing collects. */
+  def raterAgreement(ratings: DataFrame, groupCol: String, itemCol: String,
+                     raterCol: String, labelCol: String): DataFrame = {
+    val perLabel = ratings
+      .groupBy(col(groupCol), col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("nc"))
+    val perItem = perLabel
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(sum(col("nc") * (col("nc") - 1)).as("agree"),
+           sum(col("nc")).as("ni"))
+    val pairs = perItem.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("ni")).as("n_ratings"),
+           sum(col("agree")).as("pairs_agree"),
+           sum(col("ni") * (col("ni") - 1)).as("pairs_total"))
+    val marginals = perLabel
+      .groupBy(col(groupCol), col(labelCol))
+      .agg(sum(col("nc")).as("votes"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+           sum(col("votes") * col("votes")).as("pe_num"))
+    val po = col("pairs_agree").cast("double") /
+      greatest(col("pairs_total"), lit(1L)).cast("double")
+    val pe = col("pe_num").cast("double") /
+      (col("n_ratings").cast("double") * col("n_ratings").cast("double"))
+    pairs.join(marginals, Seq(groupCol))
+      .select(col(groupCol), col("n_items"), col("n_ratings"),
+        col("n_categories"), col("pairs_agree"), col("pairs_total"),
+        TextFunctions.round4(po).as("po"),
+        TextFunctions.round4(pe).as("pe"),
+        TextFunctions.round4(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)))
+          .as("kappa"))
+  }
 }

@@ -155,6 +155,88 @@ object Graph {
     ranks
   }
 
+  /** Default HITS score scale (micro-units). Overflow bound: the
+    * normalize step computes `raw * scale` with `raw ≤ maxInDeg *
+    * scale`, so `maxInDeg * scale² < 2^63` → the default 10⁶ supports
+    * in/out-degrees to ~9×10⁶; scale it down for denser hubs. */
+  val HitsScale = 1000000L
+
+  /** C93 — HITS hubs & authorities (Kleinberg '99) over a DIRECTED
+    * edge relation (`src`, `dst`).
+    *
+    * PageRank (above) scores every node on one axis; HITS separates
+    * the two roles a curation crawl cares about: AUTHORITIES (pages
+    * worth ingesting — pointed at by good hubs) and HUBS (directories/
+    * aggregators worth crawling — pointing at good authorities). The
+    * classic update, mutually reinforcing:
+    * {{{
+    *   auth'(v) = Σ_{(u,v)∈E} hub(u)     then normalize
+    *   hub'(u)  = Σ_{(u,v)∈E} auth'(v)   then normalize
+    * }}}
+    *
+    * INTEGER-EXACT like [[pageRank]]: scores are bigint micro-units
+    * and the classical L2 normalization is replaced by max-scaling
+    * with floor division — `x * scale div max(x)` — so the fixed
+    * point is reached in exact integer arithmetic, bit-reproducible
+    * across engines and row orders (the same stance as the C71
+    * damping rational). Per round at least one hub and one authority
+    * hold exactly `scale`, so the scores never collapse to zero.
+    *
+    * Shape at 100 TB: per iteration TWO edge-relation equi-joins +
+    * TWO node-sized groupBys (the Pregel-as-join shape, one per
+    * direction) and two 1-row max aggregates broadcast back; only the
+    * node-sized hub relation crosses rounds (`localCheckpoint`
+    * truncates its lineage). Node-sized sides broadcast under
+    * [[PrBroadcastNodes]], exactly as in [[pageRank]].
+    *
+    * Nodes with no in-edges score authority 0; nodes with no
+    * out-edges score hub 0 (sparse inside the loop, filled by the
+    * final left joins). Fixed iteration count, no epsilon race. */
+  def hits(edges: DataFrame, iters: Int = 3,
+           scale: Long = HitsScale,
+           broadcastNodes: Long = PrBroadcastNodes): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val bcast = n <= broadcastNodes
+    def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    // only the hub relation crosses rounds; auth is derived inside
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (it <- 1 to iters) {
+      val authRaw = e
+        .join(nodeSized(hub.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
+      // max-normalize via a 1-row broadcast; greatest(1) guards the
+      // (unreachable with non-empty edges) all-zero round
+      val maxA = authRaw.agg(greatest(max(col("araw")), lit(1L)).as("amax"))
+      auth = authRaw.crossJoin(broadcast(maxA))
+        .select(col("dst").as("node"),
+          expr(s"(araw * ${scale}L) div amax").as("auth"))
+        .localCheckpoint()
+      val hubRaw = e
+        .join(nodeSized(auth.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("hraw"))
+      val maxH = hubRaw.agg(greatest(max(col("hraw")), lit(1L)).as("hmax"))
+      hub = hubRaw.crossJoin(broadcast(maxH))
+        .select(col("src").as("node"),
+          expr(s"(hraw * ${scale}L) div hmax").as("hub"))
+        .localCheckpoint()
+    }
+    nodes
+      .join(nodeSized(auth), Seq("node"), "left")
+      .join(nodeSized(hub), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+  }
+
   /** C76 — seed-label expansion (semi-supervised label propagation):
     * a handful of trusted labels (curated seed domains, hand-audited
     * docs) spread over a similarity graph — here the near-dup pair

@@ -291,6 +291,37 @@ object DocQueries {
     Eval.calibration(g, "score", "label", bins = 10)
   }
 
+  // ---------------------------------------------------------------- C95
+  /** Inter-rater agreement ([[graft.operators.Eval.raterAgreement]])
+    * across three deterministic heuristic "raters" voting keep/drop on
+    * every document — length (n_chars ≥ 200), stopword density (the
+    * C37 integer weak label) and alphabetic density (5·alpha ≥
+    * 3·chars) — grouped by language. The labeling-QC gate a
+    * preference/RLHF run needs BEFORE its labels train anything:
+    * kappa ≈ 0 says the raters are measuring different things (here:
+    * how correlated the heuristic quality axes actually are per
+    * language). Hash-green: pair counts and marginals are exact
+    * bigints; po/pe/kappa are single IEEE divisions of those
+    * integers, rounded to 4. */
+  def qDocRaterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      coalesce(col("text"), lit("")).as("t"))
+    val toks = TextFunctions.tokens(col("t"))
+    val stopCnt = size(filter(toks, t => t.isin(enStop: _*)))
+    val alphaChars = length(regexp_replace(lower(col("t")), "[^a-z]", ""))
+    val votes = d.select(col("lang"), col("doc_id"),
+        lit("len").as("rater"),
+        (col("n_chars") >= 200).cast("int").as("label"))
+      .union(d.select(col("lang"), col("doc_id"),
+        lit("stop").as("rater"),
+        (lit(20L) * stopCnt >= size(toks)).cast("int").as("label")))
+      .union(d.select(col("lang"), col("doc_id"),
+        lit("alpha").as("rater"),
+        (lit(5L) * alphaChars >= lit(3L) * length(col("t")))
+          .cast("int").as("label")))
+    Eval.raterAgreement(votes, "lang", "doc_id", "rater", "label")
+  }
+
   // ---------------------------------------------------------------- C86
   /** The ANN screen operating curve
     * ([[graft.operators.Ivf.probeRecallCurve]]): recall@20 of the
@@ -445,6 +476,29 @@ object DocQueries {
   def qEmbSqTopk(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sq.topK(emb(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 20)
+
+  // ---------------------------------------------------------------- C94
+  /** Seeded ±1 random-projection serve ([[graft.operators.Rp]]): a
+    * 64→16 JL cut scores candidates in the small space (4× less read
+    * per candidate), the best 100 rerank by the exact integer bilinear
+    * in the original space, and the output carries BOTH scores — the
+    * operating-curve stance. Integer-exact end-to-end (1e-6-quantized
+    * coordinates, md5-seeded ±1 signs), so the whole serve replays in
+    * DuckDB ([[rpOracleSql]] embeds the IDENTICAL sign matrix). */
+  def qEmbRpTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // rpOracleSql generates the mirror's sign matrix from
+    // signMatrix(64, 16) at registration time (no data in scope
+    // there); fail LOUDLY on a different-dim gate corpus instead of
+    // surfacing as an opaque hash mismatch — the qEmbOpqTopk stance
+    val dim = e.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    require(dim == 64,
+      s"q_emb_rp_topk's DuckDB mirror hardcodes the 64-dim sign matrix " +
+        s"but the corpus has dim $dim — regenerate rpOracleSql")
+    graft.operators.Rp.topKPortable(e, "vec_id", "embedding",
+      queryId = 0L, k = 20, rerank = 100, outDim = 16)
+  }
 
   // ---------------------------------------------------------------- C69
   /** PCA whitening of the embedding table ([[graft.operators.Pca]]):
@@ -2500,6 +2554,7 @@ object DocQueries {
     "q_doc_url_dedup"     -> (qDocUrlDedup _),
     "q_doc_blocklist"     -> (qDocBlocklist _),
     "q_emb_sq_topk"       -> (qEmbSqTopk _),
+    "q_emb_rp_topk"       -> (qEmbRpTopk _),
     "q_doc_lm_crossentropy" -> (qDocLmCrossEntropy _),
     "q_doc_pipeline_ccnet" -> (qDocPipelineCcnet _),
     "q_doc_bm25"          -> (qDocBm25 _),
@@ -2526,6 +2581,7 @@ object DocQueries {
     "q_doc_delta_admission" -> (qDocDeltaAdmission _),
     "q_doc_length_drift"  -> (qDocLengthDrift _),
     "q_doc_calibration"   -> (qDocCalibration _),
+    "q_doc_rater_agreement" -> (qDocRaterAgreement _),
     "q_emb_ann_recall"    -> (qEmbAnnRecall _),
     "q_doc_fertility"     -> (qDocFertility _),
     "q_doc_novelty"       -> (qDocNovelty _),
@@ -3343,6 +3399,58 @@ object DocQueries {
     "q_doc_delta_admission" -> deltaAdmissionOracleSql,
     "q_doc_length_drift" -> lengthDriftOracleSql,
     "q_doc_calibration" -> calibrationOracleSql,
+    "q_doc_rater_agreement" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |                  coalesce(text, '') AS t
+        |           FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, 'len' AS rater,
+        |         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+        |  FROM d
+        |  UNION ALL
+        |  SELECT lang, doc_id, 'stop',
+        |         CASE WHEN 20 * len(list_filter(string_split(t, ' '),
+        |                      x -> x IN ('the','a','of','and','to')))
+        |                   >= len(string_split(t, ' '))
+        |              THEN 1 ELSE 0 END
+        |  FROM d
+        |  UNION ALL
+        |  SELECT lang, doc_id, 'alpha',
+        |         CASE WHEN 5 * length(regexp_replace(lower(t), '[^a-z]', '', 'g'))
+        |                   >= 3 * length(t)
+        |              THEN 1 ELSE 0 END
+        |  FROM d),
+        |perlabel AS (SELECT lang, doc_id, label, count(*) AS nc
+        |             FROM r GROUP BY 1, 2, 3),
+        |peritem AS (SELECT lang, doc_id,
+        |                   sum(nc * (nc - 1)) AS agree, sum(nc) AS ni
+        |            FROM perlabel GROUP BY 1, 2),
+        |pairs AS (SELECT lang,
+        |                 CAST(count(*) AS BIGINT) AS n_items,
+        |                 CAST(sum(ni) AS BIGINT) AS n_ratings,
+        |                 CAST(sum(agree) AS BIGINT) AS pairs_agree,
+        |                 CAST(sum(ni * (ni - 1)) AS BIGINT) AS pairs_total
+        |          FROM peritem GROUP BY 1),
+        |marg AS (SELECT lang,
+        |                CAST(count(*) AS BIGINT) AS n_categories,
+        |                CAST(sum(votes * votes) AS BIGINT) AS pe_num
+        |         FROM (SELECT lang, label, sum(nc) AS votes
+        |               FROM perlabel GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |calc AS (SELECT p.lang, p.n_items, p.n_ratings, m.n_categories,
+        |                p.pairs_agree, p.pairs_total,
+        |                CAST(p.pairs_agree AS DOUBLE)
+        |                  / CAST(greatest(p.pairs_total, 1) AS DOUBLE) AS po_r,
+        |                CAST(m.pe_num AS DOUBLE)
+        |                  / (CAST(p.n_ratings AS DOUBLE)
+        |                     * CAST(p.n_ratings AS DOUBLE)) AS pe_r
+        |         FROM pairs p JOIN marg m USING (lang))
+        |SELECT lang, n_items, n_ratings, n_categories,
+        |       pairs_agree, pairs_total,
+        |       round(po_r, 4) AS po, round(pe_r, 4) AS pe,
+        |       CASE WHEN pe_r < 1.0
+        |            THEN round((po_r - pe_r) / (1.0 - pe_r), 4) END AS kappa
+        |FROM calc""".stripMargin,
     "q_doc_pipeline_scale" -> pipelineScaleOracleSql,
     "q_doc_pps_sample" -> ppsSampleOracleSql,
     "q_doc_fuzzy_pairs" -> fuzzyOracleSql,
@@ -3631,6 +3739,7 @@ object DocQueries {
         |CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = 0) nq
         |ORDER BY qcos DESC, vec_id
         |LIMIT 20""".stripMargin,
+    "q_emb_rp_topk" -> rpOracleSql,
     "q_doc_span_scrub" ->
       """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
         |              FROM documents),
@@ -4893,6 +5002,40 @@ object DocQueries {
       |FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id, qe
       |WHERE a.centroid_id IN (SELECT cid FROM probe) AND e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin
+
+  /** GENERATED DuckDB mirror of [[qEmbRpTopk]]: the ±1 sign matrix
+    * comes from the SAME [[graft.operators.Rp.signMatrix]] call the
+    * plan broadcasts, so the two engines' projections cannot drift;
+    * every score is an integer sum, both rank tiers break ties to the
+    * lowest id. */
+  private def rpOracleSql: String = {
+    val m = graft.operators.Rp.signMatrix(64, 16)
+    val rows = m.map(row =>
+      "list_aggregate(list_transform(generate_series(1, 64), i -> (" +
+        row.mkString("[", ",", "]") + "::BIGINT[])[i] * qv[i]), 'sum')")
+      .mkString("[", ",\n           ", "]")
+    s"""WITH vq AS (SELECT vec_id,
+      |              list_transform(CAST(embedding AS DOUBLE[]),
+      |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |            FROM embeddings),
+      |proj AS (SELECT vec_id, qv,
+      |           $rows AS pv
+      |         FROM vq),
+      |q AS (SELECT qv AS qqv, pv AS qpv FROM proj WHERE vec_id = 0),
+      |cand AS (SELECT p.vec_id, p.qv, q.qqv,
+      |                CAST(list_aggregate(list_transform(generate_series(1, 16),
+      |                  j -> p.pv[j] * q.qpv[j]), 'sum') AS BIGINT) AS psim
+      |         FROM proj p, q
+      |         WHERE p.vec_id <> 0
+      |         ORDER BY psim DESC, p.vec_id
+      |         LIMIT 100)
+      |SELECT vec_id, psim,
+      |       CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |         i -> qv[i] * qqv[i]), 'sum') AS BIGINT) AS sim
+      |FROM cand
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 20""".stripMargin
+  }
 
   /** GENERATED DuckDB mirror of [[qEmbOpqTopk]]: the signed
     * permutation comes from the SAME

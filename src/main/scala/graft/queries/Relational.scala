@@ -766,9 +766,73 @@ object Relational {
       |SELECT node, pr FROM it$iters""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C93
+  /** Integer-exact HITS over the DIRECTED customer→supplier trade
+    * graph (distinct (o_custkey, l_suppkey) pairs): customers are
+    * HUBS (they only point), suppliers AUTHORITIES (they are only
+    * pointed at) — the two-role centrality a crawl frontier wants
+    * beside [[qGraphPagerank]]'s single axis. See
+    * [[graft.operators.Graph.hits]]; every step is bigint arithmetic
+    * with max-scaling floor division, so DuckDB reproduces the scores
+    * bit-for-bit from the iteration-unrolled mirror
+    * ([[hitsOracleSql]]). */
+  def qGraphHits(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+              concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    Graph.hits(edges, iters = 3)
+  }
+
+  /** DuckDB mirror of [[qGraphHits]]: the fixed-iteration loop
+    * unrolled into chained CTEs — auth_i from hub_{i-1}, hub_i from
+    * auth_i, each max-normalized by a scalar-subquery floor division —
+    * with the scale constant interpolated from the SAME
+    * [[graft.operators.Graph.HitsScale]] the operator uses. */
+  private def hitsOracleSql: String = {
+    import graft.operators.Graph
+    val iters = 3
+    val sc = Graph.HitsScale
+    val its = (1 to iters).map { i =>
+      val prevHub = s"hub${i - 1}"
+      s"""araw$i AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS araw
+        |  FROM e JOIN $prevHub h ON e.src = h.node GROUP BY 1),
+        |auth$i AS MATERIALIZED (
+        |  SELECT node,
+        |         CAST((araw * $sc) // GREATEST((SELECT MAX(araw) FROM araw$i), 1)
+        |              AS BIGINT) AS auth
+        |  FROM araw$i),
+        |hraw$i AS MATERIALIZED (
+        |  SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hraw
+        |  FROM e JOIN auth$i a ON e.dst = a.node GROUP BY 1),
+        |hub$i AS MATERIALIZED (
+        |  SELECT node,
+        |         CAST((hraw * $sc) // GREATEST((SELECT MAX(hraw) FROM hraw$i), 1)
+        |              AS BIGINT) AS hub
+        |  FROM hraw$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+      |             'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM e
+      |         UNION SELECT dst AS node FROM e),
+      |hub0 AS MATERIALIZED (SELECT node, CAST($sc AS BIGINT) AS hub FROM nodes),
+      |$its
+      |SELECT n.node, COALESCE(a.auth, 0) AS auth, COALESCE(h.hub, 0) AS hub
+      |FROM nodes n
+      |LEFT JOIN auth$iters a ON a.node = n.node
+      |LEFT JOIN hub$iters h ON h.node = n.node""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"    -> (qGraphPagerank _),
+    "q_graph_hits"        -> (qGraphHits _),
     "q_li_zorder"         -> (qLiZorder _),
     "q23_range"           -> (qRangeJoin _),
     "q22_asof"            -> (qAsofJoin _),
@@ -815,6 +879,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql,
+    "q_graph_hits" -> hitsOracleSql,
     "q_li_zorder" -> {
       val q0 = graft.operators.Zorder.quantizeSql("l_partkey", "lo0", "hi0", 16)
       val q1 = graft.operators.Zorder.quantizeSql("l_suppkey", "lo1", "hi1", 16)

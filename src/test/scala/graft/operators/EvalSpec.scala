@@ -97,4 +97,48 @@ class EvalSpec extends SparkSpec {
     val oneSided = Eval.histogramDrift(a, empty, "v").collect()
     assert(oneSided.forall(_.getDouble(4) == 0.0))
   }
+
+  private def agreement(rows: Seq[(String, Long, String, Int)]) =
+    Eval.raterAgreement(rows.toDF("g", "item", "rater", "label"),
+      "g", "item", "rater", "label").collect()
+      .map(r => r.getString(0) -> r).toMap
+
+  test("C95: unanimous raters give kappa NULL (pe=1), full disagreement gives po=0") {
+    // group "u": 3 raters always vote 1 → po=1 but pe=1 → kappa undefined
+    // group "d": 2 raters always split → po=0, pe=0.5, kappa=-1
+    val rows =
+      (1L to 4L).flatMap(i => Seq("r1", "r2", "r3").map(r => ("u", i, r, 1))) ++
+      (1L to 4L).flatMap(i => Seq(("d", i, "r1", 0), ("d", i, "r2", 1)))
+    val got = agreement(rows)
+    val u = got("u")
+    assert(u.getLong(1) == 4 && u.getLong(2) == 12) // items, ratings
+    assert(u.getLong(4) == 4 * 6 && u.getLong(5) == 4 * 6, u) // all pairs agree
+    assert(u.getDouble(6) == 1.0 && u.getDouble(7) == 1.0)
+    assert(u.isNullAt(8), "pe=1 must yield NULL kappa")
+    val d = got("d")
+    assert(d.getDouble(6) == 0.0, d)     // po
+    assert(d.getDouble(7) == 0.5, d)     // pe: two equal marginals
+    assert(d.getDouble(8) == -1.0, d)    // kappa = (0-.5)/(1-.5)
+  }
+
+  test("C95: hand-computed Fleiss example with mixed votes and unequal raters per item") {
+    // item 1: votes (1,1,0) → agree pairs 2; item 2: (1,1) → 2 of 2
+    val rows = Seq(
+      ("g", 1L, "a", 1), ("g", 1L, "b", 1), ("g", 1L, "c", 0),
+      ("g", 2L, "a", 1), ("g", 2L, "b", 1))
+    val g = agreement(rows)("g")
+    assert(g.getLong(1) == 2 && g.getLong(2) == 5 && g.getLong(3) == 2)
+    assert(g.getLong(4) == 4 && g.getLong(5) == 8) // agree=2+2, total=6+2
+    assert(g.getDouble(6) == 0.5)                  // po
+    // marginals: ones=4, zeros=1 → pe = (16+1)/25 = 0.68
+    assert(g.getDouble(7) == 0.68)
+    // kappa = (0.5-0.68)/(1-0.68) = -0.5625
+    assert(g.getDouble(8) == -0.5625, g)
+  }
+
+  test("C95: single-rating items contribute zero pairs, never a divide error") {
+    val g = agreement(Seq(("g", 1L, "a", 1), ("g", 2L, "a", 0)))("g")
+    assert(g.getLong(4) == 0 && g.getLong(5) == 0)
+    assert(g.getDouble(6) == 0.0) // po guards the 0/0
+  }
 }

@@ -100,6 +100,60 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == "blue")
   }
 
+  /** Sequential mirror of the documented HITS recurrence. */
+  private def refHits(edges: Seq[(String, String)], iters: Int,
+                      scale: Long = Graph.HitsScale)
+      : Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      val araw = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => hub(s) }.sum }
+      val amax = math.max(araw.values.max, 1L)
+      auth = araw.map { case (d, v) => d -> v * scale / amax }
+      val hraw = e.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => auth(d) }.sum }
+      val hmax = math.max(hraw.values.max, 1L)
+      hub = hraw.map { case (s, v) => s -> v * scale / hmax }
+    }
+    nodes.map(v =>
+      v -> ((auth.getOrElse(v, 0L), hub.getOrElse(v, 0L)))).toMap
+  }
+
+  private def runHits(edges: Seq[(String, String)], iters: Int)
+      : Map[String, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("C93: bipartite star — the shared authority maxes, pure sources hub-score by reach") {
+    // h1→{a1,a2,a3}, h2→{a1}: a1 is everyone's target (max authority),
+    // h1 points at more authority mass (max hub)
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h1" -> "a3", "h2" -> "a1")
+    val got = runHits(edges, iters = 3)
+    val want = refHits(edges, iters = 3)
+    assert(got == want, s"$got vs $want")
+    assert(got("a1")._1 == Graph.HitsScale, "most-pointed-at node holds the scale")
+    assert(got("h1")._2 == Graph.HitsScale, "widest hub holds the scale")
+    assert(got("h1")._2 > got("h2")._2 && got("a1")._1 > got("a2")._1, got)
+    // pure sources have no in-edges → authority 0; pure sinks hub 0
+    assert(got("h1")._1 == 0L && got("a2")._2 == 0L, got)
+  }
+
+  test("C93: directed chain matches the sequential reference exactly") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c")
+    val got = runHits(edges, iters = 4)
+    val want = refHits(edges, iters = 4)
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("C93: edge order and duplicate edges do not change a single score bit") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val shuffled = edges.reverse ++ edges
+    assert(runHits(edges, 3) == runHits(shuffled, 3))
+  }
+
   test("C71: plan has no cartesian product and one edges-sized join per iteration") {
     val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
     val plan = Graph.pageRank(edges, iters = 2)

@@ -59,6 +59,47 @@ class PortableAnnSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("C94: random projection — sign matrix is ±1 and deterministic, full re-rank equals brute force, JL recall floor") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val m = Rp.signMatrix(64, 16)
+    assert(m.length == 16 && m.forall(_.length == 64))
+    assert(m.flatten.forall(s => s == 1L || s == -1L))
+    assert(m.map(_.toSeq).toSeq == Rp.signMatrix(64, 16).map(_.toSeq).toSeq,
+      "the seeded matrix must be bit-stable across calls")
+    // the matrix must not be degenerate (all rows equal would project
+    // to one effective dimension): all 16 rows distinct
+    assert(m.map(_.toSeq).distinct.length == 16)
+    val n = emb.count().toInt
+    val exact = exactTop(20)
+    def recall(rerank: Int): Double = {
+      val got = Rp.topKPortable(emb, "vec_id", "embedding", 0L, 20, rerank)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size / 20.0
+    }
+    val reranked = recall(100)
+    val full = recall(n - 1) // every candidate survives → exact order
+    info(f"RP 64→16 recall@20: rerank100=$reranked%.2f full=$full%.2f")
+    assert(full == 1.0, "full re-rank must equal brute force")
+    assert(reranked >= 0.30, s"RP rerank-100 recall collapsed to $reranked")
+  }
+
+  test("C94: projected space preserves an exact duplicate as the top candidate") {
+    import spark.implicits._
+    // planted corpus: id 0 = query, id 1 = exact copy, others far away
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val far = (0 until 64).map(i => math.cos(3 * i + 2).toFloat).toArray
+    val rows = Seq(
+      (0L, v), (1L, v.clone()),
+      (2L, far), (3L, far.map(x => -x)), (4L, far.map(_ * 0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val top = Rp.topKPortable(emb, "vec_id", "embedding", 0L, k = 1,
+      rerank = 2).collect()
+    assert(top.head.getLong(0) == 1L,
+      s"the exact duplicate must win the projected scan, got ${top.toSeq}")
+    // psim of a copy = |pv|² ≥ any other candidate's projected score
+    assert(top.head.getLong(1) >= 0L)
+  }
+
   test("C25dp: signed permutation is orthogonal — integer L2 is preserved exactly") {
     val dim = 64
     val (perm, sign) = Pq.signedPermutation(dim)
