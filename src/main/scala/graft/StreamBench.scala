@@ -117,7 +117,35 @@ object StreamBench {
     // (writeCorpus floors to nFiles * (nEvents/nFiles) lines)
     val written = (nEvents / nFiles) * nFiles
     require(rows == written, s"ingested $rows of $written events")
-    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(if (warmSec > 0) warmRows / warmSec else Double.NaN)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"files":$nFiles,"files_per_day":$filesPerDay,"discovery":"$discoveryName"}""")
+
+    // SAME-JVM batch calibration over the SAME corpus: absolute ev/s
+    // on this harness swings 2-3× with host load the guest can't see
+    // (r16 measured EtlBench itself at 56k on a window where r15
+    // recorded 149k — zero guest processes running, loadavg 20 from
+    // CPU steal), so a streaming number is only interpretable NEXT TO
+    // a batch number from the same minutes. The ratio
+    // warm-stream / batch is the box-independent figure: it prices
+    // exactly what streaming adds (triggers, checkpointing, the
+    // two-phase commit) over the identical classify+fan-out work.
+    val calOut = Files.createTempDirectory("stream-bench-calout")
+    val calT0 = System.nanoTime()
+    val cal = graft.ocsf.OcsfSink.cacheForFanOut(graft.ocsf.OcsfSink
+      .routeClustered(graft.sources.FdrSource
+        .load(spark, landing.toString).drop("raw")))
+    cal.count()
+    val calFpd =
+      if (filesPerDay > 0) filesPerDay
+      else graft.ocsf.OcsfSink.autoFilesPerDayFromBytes(
+        cal.queryExecution.optimizedPlan.stats.sizeInBytes /
+          math.max(1, graft.ocsf.OcsfMappings.routes.size))
+    graft.ocsf.OcsfSink.fanOutTimed(cal, calOut.toString, "us-east-1",
+      "123456789012", filesPerDay = calFpd)
+    val calSec = (System.nanoTime() - calT0) / 1e9
+    cal.unpersist()
+    val batchRate = rows / calSec
+    val warmRate = if (warmSec > 0) warmRows / warmSec else Double.NaN
+
+    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(warmRate)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"batch_calibration_events_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"files":$nFiles,"files_per_day":$filesPerDay,"discovery":"$discoveryName"}""")
     spark.stop()
   }
 }

@@ -233,6 +233,39 @@ object Ivf {
         .limit(k)
     }
 
+    /** C97 — incremental delta admission: assign ONLY the new vectors
+      * to the FROZEN seeded cells and serve from the union — the
+      * C58/C83 never-rebuild stance applied to ANN index maintenance.
+      * Seeds are a property of the base corpus (smallest-(md5, id)
+      * vectors), so admitting a delta re-reads nothing: the work is
+      * |delta| integer-L2 assignments against the model-sized cell
+      * literal, exactly what a production IVF system does on its
+      * daily vector arrivals (FAISS `add` semantics — centroids
+      * frozen until the next scheduled re-train). The delta
+      * assignment is NOT cached here: a serve recomputes delta-sized
+      * work per probe, the intended offline/online split (cache the
+      * admitted index yourself for repeated serving).
+      *
+      * The base assignment, cells and tie rules are untouched, so
+      * every pre-delta candidate decision is bit-identical — only new
+      * ids can enter a probe's candidate set. */
+    def admitDelta(delta: DataFrame): PortableIvfIndex = {
+      val spark = delta.sparkSession
+      import spark.implicits._
+      val dimRow = delta
+        .select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
+      dimRow.headOption.foreach { r =>
+        require(cells.isEmpty || r.getInt(0) == cells.head.length,
+          s"delta dim ${r.getInt(0)} != index dim ${cells.head.length}")
+      }
+      val seedDf = cells.zipWithIndex
+        .map { case (qc, cid) => (cid, qc.toSeq) }.toDF("__cid", "qc")
+      val deltaAssigned = assignCellsPortable(delta, idCol, vecCol, seedDf)
+      copy(
+        assigned = assigned.unionByName(deltaAssigned),
+        emb = emb.unionByName(delta.select(emb.columns.map(col).toSeq: _*)))
+    }
+
     def unpersist(): Unit = { assigned.unpersist(); () }
   }
 

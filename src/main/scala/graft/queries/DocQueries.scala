@@ -630,6 +630,42 @@ object DocQueries {
   def qEmbIvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfIndex(s, dir).topK(queryId = 0L, k = 20, nprobe = 4)
 
+  // ---------------------------------------------------------------- C97
+  /** The md5-prefix slice treated as "today's arrivals" for the C97
+    * delta-admission serve (~1/16 of the corpus, the C30/C58 split
+    * stance). */
+  private def ivfDeltaPred =
+    substring(md5(col("vec_id").cast("string")), 1, 1) === "f"
+
+  private val ivfBaseIndexes =
+    new IndexCache[graft.operators.Ivf.PortableIvfIndex](max = 8)(_.unpersist())
+
+  /** IVF index over the BASE slice only — the persisted state a
+    * production vector store holds before today's delta arrives. */
+  def ivfBaseIndex(s: SparkSession, dir: String)
+      : graft.operators.Ivf.PortableIvfIndex =
+    ivfBaseIndexes.get(s, dir)(graft.operators.Ivf.fitPortable(
+      emb(s, dir).filter(!ivfDeltaPred), "vec_id", "embedding",
+      numCells = 16))
+
+  /** C97 — incremental IVF delta admission
+    * ([[graft.operators.Ivf.PortableIvfIndex.admitDelta]]): the
+    * md5-slice "delta" vectors are assigned to the BASE corpus's
+    * frozen seeded cells (never re-seeding or re-assigning the base —
+    * the C58/C83 incremental stance applied to ANN index
+    * maintenance), then the same probe-4 serve runs over the union;
+    * each hit carries an `is_delta` flag so the reader sees today's
+    * arrivals entering the top-k. Per-serve work is |delta|
+    * assignments + the probe — base-index work is cached offline.
+    * Hash-green: base-sliced seeds, integer-L2 assignment and probe,
+    * round4-cosine re-rank all replay in [[ivfDeltaOracleSql]]. */
+  def qEmbIvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val admitted = ivfBaseIndex(s, dir)
+      .admitDelta(emb(s, dir).filter(ivfDeltaPred))
+    admitted.topK(queryId = 0L, k = 20, nprobe = 4)
+      .withColumn("is_delta", ivfDeltaPred)
+  }
+
   // ---------------------------------------------------------------- C25
   /** Product-quantization ANN: codes-only ADC scan + exact re-rank of
     * the top 100. Hash-green oracled via the ENGINE-PORTABLE
@@ -1546,6 +1582,63 @@ object DocQueries {
         when(col("cut") >= 65536L, lit("zzzz"))
           .otherwise(lpad(lower(conv(col("cut"), 10, 16)), 4, "0")))
       .select(col("source"), col("cut_hex"))
+  }
+
+  // ---------------------------------------------------------------- C96
+  /** Data-constrained repeat planning (Muennighoff et al. '23,
+    * "Scaling Data-Constrained Language Models"): when the token
+    * budget EXCEEDS a source's unique data, the source repeats for
+    * multiple epochs — with diminishing value per repeat. Per source,
+    * from an equal per-source budget split (the C18 allocation): the
+    * planned epoch count `repeats = min(maxRepeats, ceil(target /
+    * unique))`, the budget-truncated `allocated_tokens`, the
+    * `shortfall` a capped source leaves unfilled, and the EFFECTIVE
+    * unique-token value of the plan under the half-per-repeat decay
+    * `u·Σ_{e<k} 2^{-e}` (full epochs) with the final partial epoch
+    * valued at its own tokens × 2^{1-k} — kept as the EXACT rational
+    * (`eff_num`, `eff_den = 2^{k-1}`) plus its round-4 quotient. The
+    * "should we repeat CommonCrawl a 4th time or admit a worse
+    * source" planning table, before any shard is written.
+    *
+    * All integer arithmetic (ceil-div as `(a+b-1) div b`, powers of
+    * two from a generated CASE over k ≤ maxRepeats — never float
+    * pow), so any engine derives the identical plan; the relation is
+    * source-sized after ONE partial-agg'd corpus pass. A zero-token
+    * source plans 1 empty epoch (guarded — ANSI would throw on the
+    * div, the oracle engine would NULL; neither is the policy). */
+  def qDocRepeatBudget(s: SparkSession, dir: String,
+                       totalBudget: Long = 200000L,
+                       maxRepeats: Int = 4): DataFrame = {
+    val d = docs(s, dir).select(col("source"),
+      size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+        .cast("bigint").as("n_tokens"))
+    val totals = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("src_tokens"))
+    val nSrc = totals.agg(count(lit(1)).as("n_sources"))
+    val pow2km1 = (1 to maxRepeats)
+      .map(k => s"WHEN $k THEN ${1L << (k - 1)}L").mkString(" ")
+    totals.crossJoin(broadcast(nSrc))
+      .withColumn("target_tokens", expr(s"${totalBudget}L div n_sources"))
+      .withColumn("repeats",
+        when(col("src_tokens") > 0L,
+          least(lit(maxRepeats.toLong), greatest(lit(1L),
+            expr("(target_tokens + src_tokens - 1) div src_tokens"))))
+          .otherwise(lit(1L)))
+      .withColumn("allocated_tokens",
+        least(col("repeats") * col("src_tokens"), col("target_tokens")))
+      .withColumn("shortfall", col("target_tokens") - col("allocated_tokens"))
+      // eff = u·Σ_{e<k-1} 2^{-e} + partial·2^{1-k} where partial is
+      // the final epoch's (possibly budget-truncated) token draw:
+      // eff_num = u·(2^k − 2) + partial over eff_den = 2^{k−1}
+      .withColumn("eff_den", expr(s"CASE CAST(repeats AS INT) $pow2km1 END"))
+      .withColumn("eff_num",
+        col("src_tokens") * (col("eff_den") * 2L - 2L) +
+          (col("allocated_tokens") - (col("repeats") - 1L) * col("src_tokens")))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("target_tokens"), col("repeats"), col("allocated_tokens"),
+        col("shortfall"), col("eff_num"), col("eff_den"),
+        TextFunctions.round4(col("eff_num").cast("double") /
+          col("eff_den").cast("double")).as("eff_tokens"))
   }
 
   /** Per-source md5-prefix cutoffs from `(source, src_tokens)` totals:
@@ -2531,6 +2624,7 @@ object DocQueries {
     "q_doc_pack"          -> (qDocPack _),
     "q_doc_mix_sample"    -> ((s, d) => qDocMixSample(s, d)),
     "q_doc_mix_temperature" -> ((s, d) => qDocMixTemperature(s, d)),
+    "q_doc_repeat_budget" -> ((s, d) => qDocRepeatBudget(s, d)),
     "q_doc_contamination" -> (qDocContamination _),
     "q_doc_contamination_bloom" -> (qDocContaminationBloom _),
     "q_doc_span_dedup"    -> (qDocSpanDedup _),
@@ -2604,6 +2698,7 @@ object DocQueries {
     "q_emb_hard_negatives" -> (qEmbHardNegatives _),
     "q_emb_lsh_ann"       -> (qEmbLshAnn _),
     "q_emb_ivf_topk"      -> (qEmbIvfTopk _),
+    "q_emb_ivf_delta"     -> (qEmbIvfDelta _),
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
     "q_emb_opq_topk"      -> (qEmbOpqTopk _),
     "q_emb_ivfpq_topk"    -> (qEmbIvfPqTopk _),
@@ -4429,6 +4524,7 @@ object DocQueries {
     "q_emb_opq_topk" -> opqOracleSql,
     "q_emb_ivfpq_topk" -> ivfPqOracleSql,
     "q_emb_ivf_topk" -> ivfOracleSql,
+    "q_emb_ivf_delta" -> ivfDeltaOracleSql,
     // r15: MMR graduated via the integer-bilinear portable config —
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
@@ -4582,6 +4678,7 @@ object DocQueries {
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // r15: C44 graduated via the quantized-weight cut (the one float
     // pow binned to a 1e-6 integer weight; the cut is an exact
+    "q_doc_repeat_budget" -> repeatBudgetOracleSql,
     // HUGEINT integral quotient mirroring Spark's decimal div)
     "q_doc_mix_temperature" ->
       """WITH t AS (SELECT doc_id, source,
@@ -5002,6 +5099,91 @@ object DocQueries {
       |FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id, qe
       |WHERE a.centroid_id IN (SELECT cid FROM probe) AND e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin
+
+  /** DuckDB mirror of [[qEmbIvfDelta]] (C97): seeds come from the
+    * md5-sliced BASE corpus only, the integer-L2 assignment covers
+    * base AND delta rows against those frozen seeds, and the probe-4
+    * round4-cosine serve is the [[ivfOracleSql]] shape with the
+    * `is_delta` flag attached. */
+  private def ivfDeltaOracleSql: String =
+    """WITH vq AS (SELECT vec_id,
+      |              list_transform(CAST(embedding AS DOUBLE[]),
+      |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |            FROM embeddings),
+      |bq AS (SELECT vec_id, qv FROM vq
+      |       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> 'f'),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+      |         qv AS qc
+      |  FROM (SELECT vec_id, qv FROM bq
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      |assigned AS (
+      |  SELECT vec_id, cid AS centroid_id
+      |  FROM (SELECT v.vec_id, s.cid,
+      |               list_aggregate(list_transform(generate_series(1, len(v.qv)),
+      |                 i -> (v.qv[i] - s.qc[i]) * (v.qv[i] - s.qc[i])), 'sum') AS d2
+      |        FROM vq v, seeds s)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      |q AS (SELECT vec_id, qv FROM vq WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT s.cid
+      |  FROM seeds s, q
+      |  ORDER BY list_aggregate(list_transform(generate_series(1, len(q.qv)),
+      |             i -> (q.qv[i] - s.qc[i]) * (q.qv[i] - s.qc[i])), 'sum'), s.cid
+      |  LIMIT 4),
+      |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe.v), 4) AS cosine,
+      |       substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) = 'f' AS is_delta
+      |FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id, qe
+      |WHERE a.centroid_id IN (SELECT cid FROM probe) AND e.vec_id <> 0
+      |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin
+
+  /** GENERATED DuckDB mirror of [[qDocRepeatBudget]] (C96): the same
+    * equal split, ceil-div epoch plan and half-decay effective-value
+    * rational, with the 2^(k-1) CASE generated from the SAME
+    * maxRepeats the Spark side uses — chained CTEs, no same-level
+    * alias references. */
+  private def repeatBudgetOracleSql: String = {
+    val budget = 200000L
+    val maxRepeats = 4
+    val pow2 = (1 to maxRepeats)
+      .map(k => s"WHEN $k THEN ${1L << (k - 1)}").mkString(" ")
+    s"""WITH d AS (SELECT source,
+      |                  CAST(len(string_split(coalesce(text, ''), ' '))
+      |                       AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |                  CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |           FROM d GROUP BY 1),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM totals),
+      |p1 AS (SELECT t.*, ($budget // n_sources) AS target_tokens
+      |       FROM totals t, ns),
+      |p2 AS (SELECT *,
+      |              CASE WHEN src_tokens > 0
+      |                   THEN least($maxRepeats, greatest(1,
+      |                        (target_tokens + src_tokens - 1) // src_tokens))
+      |                   ELSE 1 END AS repeats
+      |       FROM p1),
+      |p3 AS (SELECT *,
+      |              least(repeats * src_tokens, target_tokens) AS allocated_tokens,
+      |              CASE CAST(repeats AS INT) $pow2 END AS eff_den
+      |       FROM p2),
+      |p4 AS (SELECT *,
+      |              target_tokens - allocated_tokens AS shortfall,
+      |              src_tokens * (eff_den * 2 - 2)
+      |                + (allocated_tokens - (repeats - 1) * src_tokens) AS eff_num
+      |       FROM p3)
+      |SELECT source, n_docs, src_tokens, target_tokens,
+      |       CAST(repeats AS BIGINT) AS repeats,
+      |       CAST(allocated_tokens AS BIGINT) AS allocated_tokens,
+      |       CAST(shortfall AS BIGINT) AS shortfall,
+      |       CAST(eff_num AS BIGINT) AS eff_num,
+      |       CAST(eff_den AS BIGINT) AS eff_den,
+      |       round(CAST(eff_num AS DOUBLE) / CAST(eff_den AS DOUBLE), 4)
+      |         AS eff_tokens
+      |FROM p4""".stripMargin
+  }
 
   /** GENERATED DuckDB mirror of [[qEmbRpTopk]]: the ±1 sign matrix
     * comes from the SAME [[graft.operators.Rp.signMatrix]] call the

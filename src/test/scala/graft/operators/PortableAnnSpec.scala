@@ -100,6 +100,50 @@ class PortableAnnSpec extends SparkSpec {
     assert(top.head.getLong(1) >= 0L)
   }
 
+  test("C97: delta admission — frozen seeds, delta participates, empty delta is identity") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isDelta = substring(md5(col("vec_id").cast("string")), 1, 1) === "f"
+    val base = emb.filter(!isDelta)
+    val delta = emb.filter(isDelta)
+    assert(delta.count() > 0, "md5 slice must be non-empty or the test is vacuous")
+    val idx = Ivf.fitPortable(base, "vec_id", "embedding", numCells = 16)
+    // identity: admitting nothing changes nothing
+    val baseTop = idx.topK(0L, 20, 4).collect().map(_.getLong(0)).toSeq
+    val emptyTop = idx.admitDelta(delta.filter(lit(false)))
+      .topK(0L, 20, 4).collect().map(_.getLong(0)).toSeq
+    assert(baseTop == emptyTop, "empty delta must be the identity")
+    // frozen seeds: admitting the delta equals assigning ALL vectors
+    // against the base's seeds (the rebuild-free contract)
+    val seedDf = idx.cells.zipWithIndex
+      .map { case (qc, cid) => (cid, qc.toSeq) }.toDF("__cid", "qc")
+    val refAssigned = Ivf.assignCellsPortable(emb, "vec_id", "embedding", seedDf)
+    val ref = Ivf.PortableIvfIndex(idx.cells, refAssigned, emb,
+      "vec_id", "embedding").topK(0L, 20, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = idx.admitDelta(delta).topK(0L, 20, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == ref, s"admitDelta must equal assign-all-vs-base-seeds:\n$got\n$ref")
+    idx.unpersist()
+  }
+
+  test("C97: a delta exact-duplicate of the query enters the serve as top-1") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    def jitter(s: Int) = (0 until 64).map(i => math.cos(s * 64 + i).toFloat).toArray
+    val base = ((0L, v) +: (1L to 20L).map(i => (i, jitter(i.toInt)))).toDF("vec_id", "embedding")
+    val idx = Ivf.fitPortable(base, "vec_id", "embedding", numCells = 4)
+    val delta = Seq((100L, v.clone())).toDF("vec_id", "embedding")
+    val top = idx.admitDelta(delta).topK(0L, k = 1, nprobe = 4).collect()
+    assert(top.head.getLong(0) == 100L,
+      s"the admitted duplicate must win the probe, got ${top.toSeq}")
+    // and a wrong-dim delta fails loudly, never a silent prefix score
+    val bad = Seq((200L, v.take(16))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](idx.admitDelta(bad))
+    assert(e.getMessage.contains("dim"))
+    idx.unpersist()
+  }
+
   test("C25dp: signed permutation is orthogonal — integer L2 is preserved exactly") {
     val dim = 64
     val (perm, sign) = Pq.signedPermutation(dim)

@@ -67,4 +67,38 @@ class MixSpec extends SparkSpec {
     val b = out.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("C96: the repeat plan matches the hand-computed equal-split/ceil/cap/decay formula") {
+    val sf = "/root/testdata/sf0.001"
+    // independent JVM recomputation from the raw per-source token sums
+    val perSrc = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("bigint")).as("u"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nSrc = perSrc.size
+    val target = 200000L / nSrc
+    val got = DocQueries.qDocRepeatBudget(spark, sf).collect()
+    assert(got.length == nSrc)
+    got.foreach { r =>
+      val (src, nDocs, u) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(perSrc(src) == ((nDocs, u)), s"$src totals")
+      assert(r.getLong(3) == target)
+      val k = if (u > 0) math.min(4L, math.max(1L, (target + u - 1) / u)) else 1L
+      assert(r.getLong(4) == k, s"$src repeats")
+      val alloc = math.min(k * u, target)
+      assert(r.getLong(5) == alloc && r.getLong(6) == target - alloc, s"$src alloc")
+      val den = 1L << (k - 1)
+      val num = u * (den * 2 - 2) + (alloc - (k - 1) * u)
+      assert(r.getLong(7) == num && r.getLong(8) == den, s"$src eff rational")
+      // a one-epoch source's effective value IS its allocated tokens
+      if (k == 1) assert(r.getLong(7) == alloc && r.getLong(8) == 1L)
+      assert(r.getDouble(9) ==
+        math.round(num.toDouble / den * 10000d) / 10000d, s"$src eff_tokens")
+    }
+    // the corpus must actually exercise the repeat regime (k > 1) or
+    // the decay arithmetic above was never really tested
+    assert(got.exists(_.getLong(4) > 1L), "no source repeats — raise the budget")
+  }
 }
