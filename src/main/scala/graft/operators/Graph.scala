@@ -108,8 +108,12 @@ object Graph {
     val bcast = n <= broadcastNodes
     def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
+    // no checkpoint on the INITIAL ranks: they are a narrow constant
+    // projection of the already-checkpointed nodesDeg, so even the
+    // dangling path's double reference re-reads cached blocks rather
+    // than recomputing anything — checkpointing here was one wasted
+    // full job per call (measured ~0.4 s of the r15 4.8 s floor)
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
-      .localCheckpoint()
     for (it <- 1 to iters) {
       val contrib = eDeg
         .join(nodeSized(ranks.withColumnRenamed("node", "src")), "src")
