@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * projected coordinate is an exact integer sum and every candidate
   * decision replays bit-for-bit in DuckDB. Overflow bound: |qv_i| ≤
   * 10⁶ on unit-ish embeddings ⇒ |pv_j| ≤ dim·10⁶ and the projected
-  * bilinear ≤ outDim·(dim·10⁶)² — fits int64 for dim·√outDim ≲ 3×10⁵,
-  * far past any real embedding width.
+  * bilinear ≤ outDim·(dim·10⁶)² — fits int64 while dim·√outDim ≲
+  * 3×10³ (the 64→16 default uses 256 of that budget), past any real
+  * embedding width at sane outDim.
   *
   * Shape at 100 TB: the sign matrix is a LITERAL (outDim·dim bytes —
   * model-sized, shipped inside the plan), projection and scoring are

@@ -329,6 +329,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("C98: OOV coverage broadcasts the 1000-row vocab; top-1000 cut is TakeOrdered, not a global sort") {
+    val p = plan("q_doc_oov")
+    assert(p.contains("BroadcastHashJoin"), s"vocab side must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut must heap, not sort:\n$p")
+  }
+
+  test("C94: random-projection serve is two TakeOrdered tiers over map-only scans") {
+    val p = plan("q_emb_rp_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only joins are the broadcast 1-row query sides — the corpus
+    // never shuffles on its way to either rank tier
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("C93: HITS rounds broadcast the node-sized sides on a small graph") {
+    assert(plan("q_graph_hits").contains("BroadcastHashJoin"))
+  }
+
   test("native graft_cosine matches the HOF cosine exactly") {
     import spark.implicits._
     val vecs = Seq(
