@@ -65,39 +65,63 @@ object Pca {
     val d = first(0).getInt(0)
     require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
 
-    // THE one data pass: each row explodes into d raw values
-    // (positions 0..d-1 → per-dim sums) followed by its d(d+1)/2
-    // upper-triangle pair products (positions d.. → covariance sums),
-    // all partial-agg'd map-side. The explode width follows size(v),
-    // not lit(d), which makes raggedness DETECTABLE from the
-    // model-sized result instead of costing a separate guard pass: a
-    // longer vector mints positions beyond the expected universe, a
-    // shorter one leaves tail positions undercounted — so "every
-    // expected position present, no extras, all counts equal" is
-    // exactly "no ragged rows" (fail loud, the [[Similarity]] stance).
+    // THE one data pass, as a partition-local accumulator: each task
+    // folds its rows into d sums + the d(d+1)/2 upper-triangle product
+    // sums and emits ONE model-sized record, collected and combined on
+    // the driver (numPartitions × ~(d²/2) doubles — model-sized, never
+    // data-sized; zero shuffle). This replaced a posexplode of d +
+    // d(d+1)/2 values per row into a grouped agg: declaratively
+    // correct, but a 2000×-per-row amplification through interpreted
+    // HOF lambdas that cost 16.9 s at the 20k×64 decade corpus where
+    // this loop costs <1 s — and at 100 TB the explode materializes
+    // d²/2 shuffle-input values per ROW where this emits d²/2 per
+    // PARTITION. The rare justified `mapPartitions`: Spark has no
+    // builtin vector-sum aggregate, and this is genuine per-partition
+    // imperative accumulation (MLlib's computeCovariance shape).
+    // Raggedness stays fail-loud: any row whose length differs from
+    // the first row's d is reported, never silently mis-multiplied.
     val nTri = d * (d + 1) / 2
-    val stats = df.select(posexplode(concat(
-        transform(v, x => x.cast("double")),
-        flatten(transform(sequence(lit(0), size(v) - 1), i =>
-          transform(sequence(i, size(v) - 1), j =>
-            element_at(v, i + 1).cast("double") *
-              element_at(v, j + 1).cast("double"))))))
-        .as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      .collect()
-    require(stats.length == d + nTri &&
-        stats.forall(r => r.getInt(0) < d + nTri) &&
-        stats.map(_.getLong(2)).distinct.length == 1,
-      s"ragged $vecCol: vector lengths differ from first row's $d")
-    val n = stats(0).getLong(2)
+    val partials = df.select(transform(v, x => x.cast("double")).as("v"))
+      .where(col("v").isNotNull)
+      .rdd.mapPartitions { it =>
+        var n = 0L
+        var bad = -1
+        val sums = new Array[Double](d)
+        val tri = new Array[Double](nTri)
+        while (it.hasNext) {
+          val seq = it.next().getSeq[Double](0)
+          if (seq.length != d) bad = seq.length
+          else {
+            n += 1
+            val arr = seq.toArray
+            var i = 0
+            var t = 0
+            while (i < d) {
+              val xi = arr(i)
+              sums(i) += xi
+              var j = i
+              while (j < d) { tri(t) += xi * arr(j); j += 1; t += 1 }
+              i += 1
+            }
+          }
+        }
+        Iterator.single((n, bad, sums, tri))
+      }.collect()
+    partials.collectFirst { case (_, bad, _, _) if bad >= 0 => bad }
+      .foreach(bad => throw new IllegalArgumentException(
+        s"ragged $vecCol: saw length $bad, first row has $d"))
+    val n = partials.map(_._1).sum
+    require(n > 0, s"cannot fit PCA: no non-null $vecCol rows")
     val mean = new Array[Double](d)
     val triSum = new Array[Double](nTri)
-    stats.foreach { r =>
-      val pos = r.getInt(0)
-      if (pos < d) mean(pos) = r.getDouble(1) / n
-      else triSum(pos - d) = r.getDouble(1)
+    partials.foreach { case (_, _, s, t) =>
+      var i = 0
+      while (i < d) { mean(i) += s(i); i += 1 }
+      var p = 0
+      while (p < nTri) { triSum(p) += t(p); p += 1 }
     }
+    var mi = 0
+    while (mi < d) { mean(mi) /= n; mi += 1 }
     // tri pos -> (i, j) of the row-major upper triangle
     val cov = Array.ofDim[Double](d, d)
     (0 until nTri).foreach { p =>
