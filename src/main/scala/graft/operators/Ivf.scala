@@ -252,11 +252,25 @@ object Ivf {
     def admitDelta(delta: DataFrame): PortableIvfIndex = {
       val spark = delta.sparkSession
       import spark.implicits._
-      val dimRow = delta
-        .select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
-      dimRow.headOption.foreach { r =>
-        require(cells.isEmpty || r.getInt(0) == cells.head.length,
-          s"delta dim ${r.getInt(0)} != index dim ${cells.head.length}")
+      // guard EVERY delta row, not a sampled one: a mixed-dim delta
+      // would zip_with-pad to NULL distances and silently land in an
+      // arbitrary cell. One delta-sized aggregate — the delta is the
+      // small side by definition, so this costs what one more probe
+      // costs. NULL vectors are raggedness too (size(NULL) aggregates
+      // to nothing, so min==max would pass on a null-only delta —
+      // count them explicitly).
+      val szCol = org.apache.spark.sql.functions.size(col(vecCol))
+      val dims = delta.agg(
+        org.apache.spark.sql.functions.min(szCol),
+        org.apache.spark.sql.functions.max(szCol),
+        coalesce(org.apache.spark.sql.functions.sum(
+          when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L))).collect().head
+      require(dims.getLong(2) == 0L,
+        s"delta has ${dims.getLong(2)} NULL $vecCol rows")
+      if (!dims.isNullAt(0)) {
+        val (lo, hi) = (dims.getInt(0), dims.getInt(1))
+        require(cells.isEmpty || (lo == hi && lo == cells.head.length),
+          s"delta dims [$lo, $hi] != index dim ${cells.head.length}")
       }
       val seedDf = cells.zipWithIndex
         .map { case (qc, cid) => (cid, qc.toSeq) }.toDF("__cid", "qc")

@@ -73,14 +73,26 @@ object Rp {
 
   /** `(idCol, qv, pv)`: the quantized corpus with its `outDim`
     * projection attached — the relation both the candidate scan and
-    * the rerank read. */
+    * the rerank read.
+    *
+    * Fail-loud on ragged rows AT ZERO COST (the Pca/Ivf stance,
+    * without their extra pass): the projection expression itself
+    * raises on the first row whose length differs from the sampled
+    * dim — a silent `zip_with` null-pad would make that row (or, if
+    * it is the query, every score) NULL and unretrievable with no
+    * signal. */
   def projectPortable(emb: DataFrame, idCol: String, vecCol: String,
                       outDim: Int): DataFrame = {
     val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "cannot project an empty corpus")
-    val m = signMatrix(dimRow.head.getInt(0), outDim)
+    val dim = dimRow.head.getInt(0)
+    val m = signMatrix(dim, outDim)
     emb.select(col(idCol), quantized(col(vecCol)).as("qv"))
-      .withColumn("pv", projected(col("qv"), m))
+      .withColumn("pv",
+        when(size(col("qv")) === dim, projected(col("qv"), m))
+          .otherwise(raise_error(concat(
+            lit(s"ragged $vecCol: expected dim $dim, found "),
+            coalesce(size(col("qv")).cast("string"), lit("NULL"))))))
   }
 
   /** Top-k serve, fully portable: score every vector against

@@ -1617,9 +1617,15 @@ object DocQueries {
     * source-sized after ONE partial-agg'd corpus pass. A zero-token
     * source plans 1 empty epoch (guarded — ANSI would throw on the
     * div, the oracle engine would NULL; neither is the policy). */
+  /** The C96 gate configuration — ONE definition shared by the query
+    * default and the generated mirror, so a retune cannot drift them
+    * apart (the hitsOracleSql/rpOracleSql stance). */
+  private[queries] val RepeatBudgetTokens = 200000L
+  private[queries] val RepeatBudgetMaxRepeats = 4
+
   def qDocRepeatBudget(s: SparkSession, dir: String,
-                       totalBudget: Long = 200000L,
-                       maxRepeats: Int = 4): DataFrame = {
+                       totalBudget: Long = RepeatBudgetTokens,
+                       maxRepeats: Int = RepeatBudgetMaxRepeats): DataFrame = {
     val d = docs(s, dir).select(col("source"),
       size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
         .cast("bigint").as("n_tokens"))
@@ -3616,8 +3622,9 @@ object DocQueries {
         |         GROUP BY 1),
         |calc AS (SELECT p.lang, p.n_items, p.n_ratings, m.n_categories,
         |                p.pairs_agree, p.pairs_total,
-        |                CAST(p.pairs_agree AS DOUBLE)
-        |                  / CAST(greatest(p.pairs_total, 1) AS DOUBLE) AS po_r,
+        |                CASE WHEN p.pairs_total > 0
+        |                     THEN CAST(p.pairs_agree AS DOUBLE)
+        |                          / CAST(p.pairs_total AS DOUBLE) END AS po_r,
         |                CAST(m.pe_num AS DOUBLE)
         |                  / (CAST(p.n_ratings AS DOUBLE)
         |                     * CAST(p.n_ratings AS DOUBLE)) AS pe_r
@@ -3625,7 +3632,7 @@ object DocQueries {
         |SELECT lang, n_items, n_ratings, n_categories,
         |       pairs_agree, pairs_total,
         |       round(po_r, 4) AS po, round(pe_r, 4) AS pe,
-        |       CASE WHEN pe_r < 1.0
+        |       CASE WHEN pairs_total > 0 AND pe_r < 1.0
         |            THEN round((po_r - pe_r) / (1.0 - pe_r), 4) END AS kappa
         |FROM calc""".stripMargin,
     "q_doc_pipeline_scale" -> pipelineScaleOracleSql,
@@ -4793,9 +4800,9 @@ object DocQueries {
         |            ELSE round((a.n_grams - a.n_seen) / a.n_grams, 4) END AS novelty
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 >= 2) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_doc_repeat_budget" -> repeatBudgetOracleSql,
     // r15: C44 graduated via the quantized-weight cut (the one float
     // pow binned to a 1e-6 integer weight; the cut is an exact
-    "q_doc_repeat_budget" -> repeatBudgetOracleSql,
     // HUGEINT integral quotient mirroring Spark's decimal div)
     "q_doc_mix_temperature" ->
       """WITH t AS (SELECT doc_id, source,
@@ -5262,8 +5269,8 @@ object DocQueries {
     * maxRepeats the Spark side uses — chained CTEs, no same-level
     * alias references. */
   private def repeatBudgetOracleSql: String = {
-    val budget = 200000L
-    val maxRepeats = 4
+    val budget = RepeatBudgetTokens
+    val maxRepeats = RepeatBudgetMaxRepeats
     val pow2 = (1 to maxRepeats)
       .map(k => s"WHEN $k THEN ${1L << (k - 1)}").mkString(" ")
     s"""WITH d AS (SELECT source,

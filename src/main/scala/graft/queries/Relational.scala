@@ -705,17 +705,28 @@ object Relational {
     * Hash-green oracled: every step is bigint arithmetic, so DuckDB
     * reproduces the ranks bit-for-bit from a generated
     * iteration-unrolled mirror ([[pagerankOracleSql]]). */
-  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Graph
+  /** The customer↔supplier trade graph both centrality queries (and
+    * their mirrors' edge CTEs) are built on: distinct (o_custkey,
+    * l_suppkey) pairs labeled `c<id>`/`s<id>`. `directed = false`
+    * unions both directions (the C71 undirected stance); `true` keeps
+    * cust→supp only (the C93 two-role stance). ONE definition so the
+    * three consumers cannot drift. */
+  private[graft] def tradeEdges(s: SparkSession, dir: String,
+                                directed: Boolean): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
               concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
       .distinct()
-    val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
-      .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
-    Graph.pageRank(edges, iters = 6)
+    val fwd = cs.select(col("cust").as("src"), col("supp").as("dst"))
+    if (directed) fwd
+    else fwd.union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    Graph.pageRank(tradeEdges(s, dir, directed = false), iters = 6)
       .select(col("node"), col("rank").as("pr"))
   }
 
@@ -778,13 +789,7 @@ object Relational {
     * ([[hitsOracleSql]]). */
   def qGraphHits(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Graph
-    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-              concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      .distinct()
-    Graph.hits(edges, iters = 3)
+    Graph.hits(tradeEdges(s, dir, directed = true), iters = 3)
   }
 
   /** DuckDB mirror of [[qGraphHits]]: the fixed-iteration loop

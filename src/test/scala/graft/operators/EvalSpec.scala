@@ -136,9 +136,14 @@ class EvalSpec extends SparkSpec {
     assert(g.getDouble(8) == -0.5625, g)
   }
 
-  test("C95: single-rating items contribute zero pairs, never a divide error") {
+  test("C95: a zero-pair group reports po and kappa as UNDEFINED, never a fabricated verdict") {
     val g = agreement(Seq(("g", 1L, "a", 1), ("g", 2L, "a", 0)))("g")
     assert(g.getLong(4) == 0 && g.getLong(5) == 0)
-    assert(g.getDouble(6) == 0.0) // po guards the 0/0
+    // no pairwise evidence: po/kappa NULL — forcing po = 0 would mint
+    // kappa = -pe/(1-pe) = -1 here, a strong systematic-disagreement
+    // verdict from two singly-rated items
+    assert(g.isNullAt(6), "po must be NULL with zero pairs")
+    assert(g.isNullAt(8), "kappa must be NULL with zero pairs")
+    assert(g.getDouble(7) == 0.5) // pe is marginal-only: still defined
   }
 }
