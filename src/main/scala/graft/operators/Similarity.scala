@@ -296,25 +296,10 @@ object Similarity {
       s"lambda = $lambdaNum/$lambdaDen must lie in [0,1]")
     val spark = emb.sparkSession
     import spark.implicits._
-    val qv = transform(toDoubles(col(vecCol)),
-      x => round(x * 1e6, 0).cast("bigint"))
-    val base = emb.select(col(idCol), qv.as("qv"))
-    val qRows = base.filter(col(idCol) === queryId).limit(1)
-      .select(col("qv")).collect()
-    if (qRows.isEmpty)
+    val pool = mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
+    if (pool.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("rk", idCol, "qrel", "mmr_qscore")
-    val qlit = typedLit(qRows.head.getSeq[Long](0).toSeq)
-    // ragged guard: coalesce, so a length mismatch scores the shared
-    // prefix instead of nulling the whole sum (zip_with pads with null)
-    val pool = base.filter(col(idCol) =!= queryId)
-      .select(col(idCol), col("qv"),
-        aggregate(zip_with(col("qv"), qlit, (a, b) => coalesce(a * b, lit(0L))),
-          lit(0L), (s, x) => s + x).as("qrel"))
-      .orderBy(col("qrel").desc, col(idCol))
-      .limit(poolSize)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
     def qdot(a: Array[Long], b: Array[Long]): Long = {
       val n = math.min(a.length, b.length)
       var s = 0L
@@ -344,6 +329,113 @@ object Similarity {
       rank += 1
     }
     picked.result().toDF("rk", idCol, "qrel", "mmr_qscore")
+  }
+
+  /** Shared retrieve step of the portable MMR chain: the 1e-6
+    * quantized query-relevance scan + TakeOrdered pool cut. Returns
+    * (id, quantized vector, integer qrel) for the top `poolSize`
+    * candidates by (qrel DESC, id) — empty when the query id is
+    * absent. This is the ONLY distributed pass; everything after it
+    * is pool-sized. */
+  private def mmrQuantPool(emb: DataFrame, idCol: String, vecCol: String,
+                           queryId: Long, poolSize: Int): Array[(Long, Array[Long], Long)] = {
+    val qv = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    val base = emb.select(col(idCol), qv.as("qv"))
+    val qRows = base.filter(col(idCol) === queryId).limit(1)
+      .select(col("qv")).collect()
+    if (qRows.isEmpty) return Array.empty
+    val qlit = typedLit(qRows.head.getSeq[Long](0).toSeq)
+    // ragged guard: coalesce, so a length mismatch scores the shared
+    // prefix instead of nulling the whole sum (zip_with pads with null)
+    base.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col("qv"),
+        aggregate(zip_with(col("qv"), qlit, (a, b) => coalesce(a * b, lit(0L))),
+          lit(0L), (s, x) => s + x).as("qrel"))
+      .orderBy(col("qrel").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+  }
+
+  private def mmrQdot(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** TEMPORARY r17 bisect probe (delete with the dbg queries once
+    * q_emb_mmr is driver-green): the [[mmrTopKPortable]] candidate
+    * pool as a relation — (id, qrel). */
+  def mmrPoolPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, poolSize: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
+      .map(p => (p._1, p._3)).toSeq.toDF(idCol, "qrel")
+  }
+
+  /** TEMPORARY r17 bisect probe: the full pairwise integer-bilinear
+    * similarity relation over the pool — (ia, ib, s), |pool|·(|pool|−1)
+    * rows. Pool-sized by construction (≤ poolSize² rows). */
+  def mmrSimsPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, poolSize: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
+    (for {
+      a <- pool.toSeq
+      b <- pool.toSeq if a._1 != b._1
+    } yield (a._1, b._1, mmrQdot(a._2, b._2))).toDF("ia", "ib", "s")
+  }
+
+  /** TEMPORARY r17 bisect probe: the FULL pool state after `stages`
+    * greedy picks, exactly as the DuckDB mirror's `st$N` CTE carries
+    * it — (id, qrel, msim, rk, score), all bigint, with the mirror's
+    * NULL conventions: a picked row's msim is NULL and its rk/score
+    * are frozen at pick time; an unpicked row's msim is the signed
+    * max similarity to the chosen set (NULL before the first pick). */
+  def mmrStatePortable(emb: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, stages: Int, poolSize: Int = 100,
+                       lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
+    require(stages >= 0 && poolSize >= stages,
+      s"need poolSize=$poolSize >= stages=$stages >= 0")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
+    val divNum = lambdaDen - lambdaNum
+    // state per pool row, keyed by id
+    final case class St(vec: Array[Long], qrel: Long,
+                        var msim: Option[Long], var rk: Option[Long],
+                        var score: Option[Long])
+    val state = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> St(p._2, p._3, None, None, None)): _*)
+    var t = 1
+    while (t <= stages && state.values.exists(_.rk.isEmpty)) {
+      val (winId, winScore) = state.iterator
+        .filter(_._2.rk.isEmpty)
+        .map { case (id, s) =>
+          (id, lambdaNum * s.qrel - divNum * s.msim.getOrElse(0L))
+        }
+        .reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      val winVec = state(winId).vec
+      state(winId).rk = Some(t.toLong)
+      state(winId).score = Some(winScore)
+      state(winId).msim = None // the mirror NULLs the winner's msim
+      state.foreach { case (id, s) =>
+        if (id != winId && s.rk.isEmpty) {
+          val d = mmrQdot(s.vec, winVec) // signed max, the mmrTopK stance
+          if (s.msim.forall(d > _)) s.msim = Some(d)
+        }
+      }
+      t += 1
+    }
+    state.iterator.map { case (id, s) =>
+      (id, s.qrel, s.msim, s.rk, s.score)
+    }.toSeq.toDF(idCol, "qrel", "msim", "rk", "score")
   }
 
   /** C91 — margin-based bitext mining (Artetxe & Schwenk '19, the

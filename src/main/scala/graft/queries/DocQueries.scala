@@ -2432,6 +2432,25 @@ object DocQueries {
     Similarity.mmrTopKPortable(emb(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 10, poolSize = 100, lambdaNum = 7L, lambdaDen = 10L)
 
+  /** TEMPORARY r17 driver-bisect probes for the q_emb_mmr gate red
+    * (r16 verdict item 1). Each oracles one PREFIX of the mmr chain
+    * with the identical config as [[qEmbMmr]], so the first red row
+    * in CORRECTNESS_r17 localizes the version-sensitive construct.
+    * DELETE (queries + oracle entries + the Similarity probes) once
+    * q_emb_mmr is hash-green at the driver gate. */
+  def qEmbMmrDbgPool(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrPoolPortable(emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, poolSize = 100)
+
+  def qEmbMmrDbgSims(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSimsPortable(emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, poolSize = 100)
+
+  def qEmbMmrDbgState(stages: Int)(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrStatePortable(emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, stages = stages, poolSize = 100,
+      lambdaNum = 7L, lambdaDen = 10L)
+
   // ---------------------------------------------------------------- C54
   /** Surgical decontamination ([[Dedup.decontamScrub]]): remove the
     * eval-overlapping token spans, keep the document — same
@@ -2730,6 +2749,13 @@ object DocQueries {
     "q_doc_decontam_scrub" -> (qDocDecontamScrub _),
     "q_doc_exact_incremental" -> (qDocExactIncremental _),
     "q_emb_mmr"           -> (qEmbMmr _),
+    // TEMPORARY r17 bisect probes — delete once q_emb_mmr is driver-green
+    "q_emb_mmr_dbg_pool"  -> (qEmbMmrDbgPool _),
+    "q_emb_mmr_dbg_sims"  -> (qEmbMmrDbgSims _),
+    "q_emb_mmr_dbg_st1"   -> (qEmbMmrDbgState(1) _),
+    "q_emb_mmr_dbg_st2"   -> (qEmbMmrDbgState(2) _),
+    "q_emb_mmr_dbg_st5"   -> (qEmbMmrDbgState(5) _),
+    "q_emb_mmr_dbg_st10"  -> (qEmbMmrDbgState(10) _),
     "q_doc_unigram"       -> (qDocUnigram _),
     "q_doc_unigram_encode" -> (qDocUnigramEncode _),
     "q_doc_markup"        -> (qDocMarkup _),
@@ -4652,6 +4678,13 @@ object DocQueries {
     // r15: MMR graduated via the integer-bilinear portable config —
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
+    // TEMPORARY r17 bisect probes — delete once q_emb_mmr is driver-green
+    "q_emb_mmr_dbg_pool" -> mmrDbgOracleSql("pool"),
+    "q_emb_mmr_dbg_sims" -> mmrDbgOracleSql("sims"),
+    "q_emb_mmr_dbg_st1"  -> mmrDbgOracleSql("st1"),
+    "q_emb_mmr_dbg_st2"  -> mmrDbgOracleSql("st2"),
+    "q_emb_mmr_dbg_st5"  -> mmrDbgOracleSql("st5"),
+    "q_emb_mmr_dbg_st10" -> mmrDbgOracleSql("st10"),
     "q_doc_quality_classifier" -> classifierOracleSql,
     "q_emb_ann_recall" -> annRecallOracleSql,
     "q_emb_bitext" ->
@@ -5085,73 +5118,110 @@ object DocQueries {
 
   /** GENERATED DuckDB mirror of [[qEmbMmr]]: the integer pool/sims
     * relations plus a rank-UNROLLED replay of the greedy selection —
-    * ten fixed stages `p1..p10` (the C71 q_graph_pagerank / C76
-    * q_doc_label_spread stance), each a plain `ORDER BY score DESC,
-    * vec_id LIMIT 1` argmax over the not-yet-chosen pool with the
-    * integer score `7·rel − 3·max(sim to chosen)`. No RECURSIVE CTE,
-    * no QUALIFY, no alias resolution inside a recursive branch — the
-    * previous recursive mirror was green on DuckDB 1.0.0 but hashed
-    * red at the driver gate (alias-in-QUALIFY semantics inside
-    * recursive CTEs are exactly the kind of resolution rule that moves
-    * between DuckDB releases); every construct here is decades-stable
-    * ANSI SQL. */
-  private def mmrOracleSql: String = {
-    val k = 10
-    // One stage = (winner pick via window argmax) + (state update via a
-    // single LEFT JOIN to sims on the winner id). Each stage references
-    // the previous EXACTLY ONCE — with chained double-references a
-    // CTE-inlining engine re-evaluates the chain 3^k times (measured:
-    // "Too many open files" on DuckDB 1.0 at k=10); this shape inlines
-    // linearly. NULLS LAST is explicit because default null ordering
-    // under DESC differs across engines.
-    val stages = (1 to k).map { t =>
-      s"""w$t AS (
+    * ten fixed stages (the C71 q_graph_pagerank / C76
+    * q_doc_label_spread stance). r17 hardening after two consecutive
+    * driver-gate hash reds that were green on local DuckDB 1.0.0 —
+    * every construct the r16 verdict flagged as version-sensitive is
+    * gone:
+    *
+    *  - `qrel` and the pairwise sims are CAST to BIGINT at the
+    *    relation that computes them — `list_aggregate(…, 'sum')`
+    *    over BIGINT returns HUGEINT, and the old mirror emitted
+    *    `qrel` UNCAST in its final SELECT. Every driver-GREEN mirror
+    *    that emits such a sum casts it (the C91 bitext qsim/qsim2
+    *    precedent); the one red mirror was the one that didn't —
+    *    HUGEINT→pandas conversion is exactly the kind of surface
+    *    that moves between DuckDB releases. Prime suspect, fixed.
+    *  - the winner pick is an `ORDER BY cscore DESC, vec_id LIMIT 1`
+    *    scalar CTE over the NOT-NULL cscores (a construct this same
+    *    mirror is driver-green on for the pool cut), replacing the
+    *    `max(CASE WHEN is_win …) OVER ()` + row_number window argmax;
+    *    filtering `cscore IS NOT NULL` first removes any NULL-
+    *    ordering sensitivity.
+    *  - the running-max update is an explicit CASE, replacing
+    *    `greatest(coalesce(p.msim, s.s), s.s)` — DuckDB changed
+    *    least/greatest NULL semantics across releases.
+    *
+    * Each stage is two references to a MATERIALIZED per-stage
+    * snapshot `p$t` (winner CTE + state update); MATERIALIZED keeps
+    * a CTE-inlining engine from re-evaluating the chain 2^k times
+    * (the failure mode that killed the 3-reference shape on DuckDB
+    * 1.0 at k=10). */
+  private def mmrMirrorWith(throughStage: Int): String = {
+    val stages = (1 to throughStage).map { t =>
+      s"""p$t AS MATERIALIZED (
         |  SELECT vec_id, qrel, msim, rk, score,
-        |         max(CASE WHEN is_win THEN vec_id END) OVER () AS win_id,
-        |         max(CASE WHEN is_win THEN cscore END) OVER () AS win_score
-        |  FROM (SELECT vec_id, qrel, msim, rk, score, cscore,
-        |               (rk IS NULL AND row_number() OVER (
-        |                  ORDER BY cscore DESC NULLS LAST, vec_id) = 1) AS is_win
-        |        FROM (SELECT vec_id, qrel, msim, rk, score,
-        |                     CASE WHEN rk IS NULL
-        |                          THEN 7 * qrel - 3 * coalesce(msim, 0)
-        |                     END AS cscore
-        |              FROM st${t - 1}))),
+        |         CASE WHEN rk IS NULL
+        |              THEN 7 * qrel - 3 * coalesce(msim, CAST(0 AS BIGINT))
+        |         END AS cscore
+        |  FROM st${t - 1}),
+        |w$t AS (
+        |  SELECT vec_id AS win_id, cscore AS win_score
+        |  FROM p$t WHERE cscore IS NOT NULL
+        |  ORDER BY cscore DESC, vec_id LIMIT 1),
         |st$t AS (
         |  SELECT p.vec_id, p.qrel,
-        |         CASE WHEN p.vec_id = p.win_id THEN NULL
+        |         CASE WHEN p.vec_id = w.win_id THEN CAST(NULL AS BIGINT)
         |              WHEN p.rk IS NOT NULL THEN p.msim
-        |              ELSE greatest(coalesce(p.msim, s.s), s.s) END AS msim,
-        |         CASE WHEN p.vec_id = p.win_id THEN $t ELSE p.rk END AS rk,
-        |         CASE WHEN p.vec_id = p.win_id THEN p.win_score ELSE p.score END AS score
-        |  FROM w$t p
-        |  LEFT JOIN sims s ON s.ia = p.vec_id AND s.ib = p.win_id)""".stripMargin
+        |              WHEN p.msim IS NULL THEN s.s
+        |              WHEN s.s > p.msim THEN s.s
+        |              ELSE p.msim END AS msim,
+        |         CASE WHEN p.vec_id = w.win_id THEN CAST($t AS BIGINT)
+        |              ELSE p.rk END AS rk,
+        |         CASE WHEN p.vec_id = w.win_id THEN w.win_score
+        |              ELSE p.score END AS score
+        |  FROM p$t p
+        |  LEFT JOIN w$t w ON TRUE
+        |  LEFT JOIN sims s ON s.ia = p.vec_id AND s.ib = w.win_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vq AS (SELECT vec_id,
+    val chain = if (throughStage == 0) "" else ",\n" + stages
+    s"""WITH vq AS MATERIALIZED (SELECT vec_id,
       |              list_transform(CAST(embedding AS DOUBLE[]),
       |                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
       |       FROM embeddings),
       |q AS (SELECT qv FROM vq WHERE vec_id = 0),
-      |pool AS (
+      |pool AS MATERIALIZED (
       |  SELECT v.vec_id, v.qv,
-      |         list_aggregate(list_transform(
+      |         CAST(list_aggregate(list_transform(
       |           generate_series(1, least(len(v.qv), len(q.qv))),
-      |           i -> v.qv[i] * q.qv[i]), 'sum') AS qrel
+      |           i -> v.qv[i] * q.qv[i]), 'sum') AS BIGINT) AS qrel
       |  FROM vq v, q WHERE v.vec_id <> 0
       |  ORDER BY qrel DESC, v.vec_id LIMIT 100),
-      |sims AS (
+      |sims AS MATERIALIZED (
       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
-      |         list_aggregate(list_transform(
+      |         CAST(list_aggregate(list_transform(
       |           generate_series(1, least(len(a.qv), len(b.qv))),
-      |           i -> a.qv[i] * b.qv[i]), 'sum') AS s
+      |           i -> a.qv[i] * b.qv[i]), 'sum') AS BIGINT) AS s
       |  FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
       |st0 AS (SELECT vec_id, qrel, CAST(NULL AS BIGINT) AS msim,
-      |               CAST(NULL AS INTEGER) AS rk, CAST(NULL AS BIGINT) AS score
-      |        FROM pool),
-      |$stages
-      |SELECT CAST(rk AS BIGINT) AS rk, vec_id, qrel,
-      |       CAST(score AS BIGINT) AS mmr_qscore
+      |               CAST(NULL AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS score
+      |        FROM pool)$chain""".stripMargin
+  }
+
+  private def mmrOracleSql: String = {
+    val k = 10
+    s"""${mmrMirrorWith(k)}
+      |SELECT rk, vec_id, qrel, score AS mmr_qscore
       |FROM st$k WHERE rk IS NOT NULL""".stripMargin
+  }
+
+  /** TEMPORARY r17 driver-bisect oracles for the q_emb_mmr gate red
+    * (r16 verdict item 1): each query oracles one PREFIX of the mmr
+    * chain — the pool, the pairwise sims, and the stage-1/2/5/10
+    * states — so the FIRST red row in CORRECTNESS_r17 localizes the
+    * version-sensitive construct to a single CTE hop. Delete these
+    * entries once q_emb_mmr is hash-green at the driver gate. */
+  private def mmrDbgOracleSql(kind: String): String = kind match {
+    case "pool" =>
+      s"""${mmrMirrorWith(0)}
+        |SELECT vec_id, qrel FROM pool""".stripMargin
+    case "sims" =>
+      s"""${mmrMirrorWith(0)}
+        |SELECT ia, ib, s FROM sims""".stripMargin
+    case st if st.startsWith("st") =>
+      val n = st.drop(2).toInt
+      s"""${mmrMirrorWith(n)}
+        |SELECT vec_id, qrel, msim, rk, score FROM st$n""".stripMargin
   }
 
   /** GENERATED DuckDB mirror of [[qDocQualityClassifier]]: the
