@@ -6,7 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.ocsf.{IdempotentSink, Normalizers, OcsfSink}
 
-/** Scratch A/B harness for the STREAMING fan-out's commit path: the
+/** DEV-ONLY measurement harness — not part of the library surface;
+  * it lives under `graft.*` only so the sbt `runMain` contract can
+  * reach it. All inputs are synthetic temp corpora (parameterized by
+  * args), all outputs land in temp dirs deleted on completion.
+  *
+  * Scratch A/B harness for the STREAMING fan-out's commit path: the
   * 4×2M StreamBench rung runs its per-trigger route phase ~2× slower
   * per event than EtlBench's batch fan-out, and the suspects differ in
   * two axes — direct write vs IdempotentSink's two-phase commit, and
@@ -31,12 +36,23 @@ object EtlCommitAb {
     val routes = graft.ocsf.OcsfMappings.routes
     var batchSeq = 0L
 
+    // scratch dirs are deleted as soon as an arm is timed — a 4-arm ×
+    // N-round run otherwise leaves rounds×arms fan-out trees in /tmp
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      try Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+
     def armDirect(fpd: Int): Double = {
       val out = Files.createTempDirectory("commit-ab-direct")
       val t0 = System.nanoTime()
       OcsfSink.fanOutTimed(clustered, out.toString, "us-east-1",
         "123456789012", filesPerDay = fpd)
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      rmTree(out)
+      s
     }
 
     def armIdem(fpd: Int): Double = {
@@ -55,7 +71,9 @@ object EtlCommitAb {
         }
         Await.result(Future.sequence(jobs), Duration.Inf)
       }
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      rmTree(out)
+      s
     }
 
     val arms: Seq[(String, () => Double)] = Seq(
@@ -73,6 +91,7 @@ object EtlCommitAb {
       val med = xs.map(_._2).sorted.apply(xs.size / 2)
       println(f"[ab] MEDIAN $n%-14s $med%6.1fs")
     }
+    rmTree(landing)
     spark.stop()
   }
 }

@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 
-/** Scratch measurement for the q_graph_pagerank scheduling floor
+/** DEV-ONLY measurement harness — not part of the library surface
+  * (the `graft.*` package placement is only for the sbt `runMain`
+  * contract). Reads the corpus dir from the arg, falling back to
+  * SPARK_GRAFT_SF_DIR, falling back to the sandbox testdata path.
+  *
+  * Scratch measurement for the q_graph_pagerank scheduling floor
   * (r15 verdict item 8): counts the Spark JOBS one query execution
   * submits and their wall spans, separating scheduling/serial floor
   * from compute. Box-noise-proof where wall-clock A/Bs are not: the
@@ -12,7 +17,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object GraphFloor {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val sfDir =
+      if (args.length > 0) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
     graft.sources.Tables.load(spark, sfDir, "orders").count()
     graft.sources.Tables.load(spark, sfDir, "lineitem").count()

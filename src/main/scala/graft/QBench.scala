@@ -1,6 +1,10 @@
 package graft
 
-/** Single-query micro-bench: times the named SparkEntry queries on
+/** DEV-ONLY measurement harness — not part of the library surface
+  * (the `graft.*` package placement is only for the sbt `runMain`
+  * contract).
+  *
+  * Single-query micro-bench: times the named SparkEntry queries on
   * SPARK_GRAFT_SF_DIR (cold + median-of-3 steady after one warm-up),
   * for iterating on one operator without paying the full Bench run.
   *

@@ -129,14 +129,29 @@ object StreamBench {
     // two-phase commit) over the identical classify+fan-out work.
     // the calibration must never cost the already-measured streaming
     // numbers: any failure here reports a null ratio, not a dead run
-    val batchRate: Double =
+    // r17 (ADVICE): the single batch clock was mildly asymmetric —
+    // the stream side uses warm-only triggers while the batch run is
+    // one shot. A warm trigger DOES pay read+classify+cache+count+
+    // fan-out for its slice (foreachBatch body), so excluding
+    // cal.count() from the clock would overcorrect in batch's favor.
+    // Emit BOTH clocks instead: the full clock (load→classify→cache→
+    // fan-out, slightly streaming-favorable) and a post-count clock
+    // (fan-out only, batch-favorable) — the true streaming overhead
+    // is bracketed between the two ratios. cal.unpersist() moved to a
+    // finally so a fanOutTimed failure can't leak the cache until
+    // spark.stop.
+    var batchRate = Double.NaN        // full clock
+    var batchRateFanout = Double.NaN  // post-count clock
+    locally {
+      var cal: org.apache.spark.sql.DataFrame = null
       try {
         val calOut = Files.createTempDirectory("stream-bench-calout")
         val calT0 = System.nanoTime()
-        val cal = graft.ocsf.OcsfSink.cacheForFanOut(graft.ocsf.OcsfSink
+        cal = graft.ocsf.OcsfSink.cacheForFanOut(graft.ocsf.OcsfSink
           .routeClustered(graft.sources.FdrSource
             .load(spark, landing.toString).drop("raw")))
         cal.count()
+        val calT1 = System.nanoTime()
         // match the STREAM's writer sizing, not whole-corpus sizing:
         // each trigger auto-sized from ~1/triggers of the corpus, so a
         // whole-corpus estimate could hand the batch arm more writers
@@ -150,17 +165,21 @@ object StreamBench {
               math.max(1, graft.ocsf.OcsfMappings.routes.size))
         graft.ocsf.OcsfSink.fanOutTimed(cal, calOut.toString, "us-east-1",
           "123456789012", filesPerDay = calFpd)
-        val calSec = (System.nanoTime() - calT0) / 1e9
-        cal.unpersist()
-        rows / calSec
+        val calEnd = System.nanoTime()
+        batchRate = rows / ((calEnd - calT0) / 1e9)
+        batchRateFanout = rows / ((calEnd - calT1) / 1e9)
       } catch {
         case e: Throwable =>
           System.err.println(s"[stream-bench] calibration failed: ${e.getMessage}")
-          Double.NaN
+      } finally {
+        if (cal != null) {
+          try cal.unpersist() catch { case _: Throwable => () }
+        }
       }
+    }
     val warmRate = if (warmSec > 0) warmRows / warmSec else Double.NaN
 
-    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(warmRate)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"batch_calibration_events_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"files":$nFiles,"files_per_day":$filesPerDay,"discovery":"$discoveryName"}""")
+    println(s"""{"metric":"stream_events_per_sec","value":${jnum(rows / sec)},"warm_events_per_sec":${jnum(warmRate)},"events":$rows,"seconds":${jnum(sec)},"triggers":${m.length},"trigger_ms_mean":${jnum(if (m.nonEmpty) trigMs.sum.toDouble / m.length else Double.NaN)},"trigger_ms_max":${trigMs.maxOption.getOrElse(-1L)},"first_trigger_ms":${trigMs.headOption.getOrElse(-1L)},"batch_calibration_events_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"stream_over_batch_ratio_fanout_clock":${jnum(warmRate / batchRateFanout)},"files":$nFiles,"files_per_day":$filesPerDay,"discovery":"$discoveryName"}""")
     spark.stop()
   }
 }

@@ -272,6 +272,21 @@ object Ivf {
         require(cells.isEmpty || (lo == hi && lo == cells.head.length),
           s"delta dims [$lo, $hi] != index dim ${cells.head.length}")
       }
+      // id disjointness guard: a delta row whose id already exists in
+      // the base would be unioned into BOTH assigned and emb and
+      // appear twice in a probe's candidate set — silently. One
+      // broadcast-hash probe of the (cached) base assignment against
+      // the delta ids; the base side is the cached index relation, so
+      // this costs one cached scan, not a shuffle. Callers that
+      // guarantee disjointness upstream (id allocators, the md5-slice
+      // split) pay only that probe.
+      val dupIds = assigned
+        .join(org.apache.spark.sql.functions.broadcast(
+          delta.select(col(idCol))), Seq(idCol))
+        .limit(5).select(col(idCol)).collect().map(_.get(0))
+      require(dupIds.isEmpty,
+        s"delta ids already present in the base index (first ${dupIds.length}): " +
+          dupIds.mkString(", "))
       val seedDf = cells.zipWithIndex
         .map { case (qc, cid) => (cid, qc.toSeq) }.toDF("__cid", "qc")
       val deltaAssigned = assignCellsPortable(delta, idCol, vecCol, seedDf)

@@ -83,8 +83,16 @@ object Rp {
     * signal. */
   def projectPortable(emb: DataFrame, idCol: String, vecCol: String,
                       outDim: Int): DataFrame = {
-    val dimRow = emb.select(size(col(vecCol))).limit(1).collect()
-    require(dimRow.nonEmpty, "cannot project an empty corpus")
+    // sample the dim from a DETERMINISTIC row — the min-id row with a
+    // non-null vector — so on a (buggy) mixed-dim corpus which dim is
+    // "expected" is stable across runs; an unordered limit(1) made the
+    // raising rows nondeterministic, and a NULL first embedding
+    // produced size = -1 and a baffling "dims must be >= 1" failure
+    // from signMatrix instead of this message.
+    val dimRow = emb.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(1).select(size(col(vecCol))).collect()
+    require(dimRow.nonEmpty,
+      s"cannot project an empty corpus (or one whose $vecCol is all NULL)")
     val dim = dimRow.head.getInt(0)
     val m = signMatrix(dim, outDim)
     emb.select(col(idCol), quantized(col(vecCol)).as("qv"))

@@ -56,6 +56,11 @@ object Unigram {
 
   private val Inf = 1e18
 
+  /** Integer "infinity" for the portable DP: far above any real path
+    * cost (≤ ~30 pieces × 1e6·ln(Σusage) ≈ 1e9) yet small enough that
+    * `inf + qcost` cannot overflow long. */
+  private val LongInf = 1000000000000000L
+
   /** Distinct-word table `(word, wc)`. */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
@@ -105,9 +110,28 @@ object Unigram {
     * all are absent entirely (the edge join is inner) — callers that
     * must account for every word left-join this output. */
   def viterbiSegment(words: DataFrame, vocab: DataFrame,
-                     maxPieceLen: Int): DataFrame = {
+                     maxPieceLen: Int): DataFrame =
+    viterbiImpl(words, vocab.select(col("piece"), col("cost")),
+      maxPieceLen, lit(0.0), lit(Inf))
+
+  /** ENGINE-PORTABLE Viterbi (C53b): the identical DP — same edge
+    * order, same strict-< first-seen tie rule (equal-cost paths
+    * resolve to the smallest start) — but over BIGINT costs
+    * (`vocabQ(piece, qcost)`, 1e6-quantized −ln p), so every argmin
+    * in the chain is integer-exact and replays bit-identically in an
+    * independent engine: the C56p/C81 integer-quantization stance
+    * applied to segmentation. */
+  def viterbiSegmentPortable(words: DataFrame, vocabQ: DataFrame,
+                             maxPieceLen: Int): DataFrame =
+    viterbiImpl(words,
+      vocabQ.select(col("piece"), col("qcost").as("cost")),
+      maxPieceLen, lit(0L), lit(LongInf))
+
+  private def viterbiImpl(words: DataFrame, vocabCost: DataFrame,
+                          maxPieceLen: Int, zero: Column,
+                          inf: Column): DataFrame = {
     val edges = pieceOccurrences(words, maxPieceLen)
-      .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+      .join(vocabCost, Seq("piece"))
       .groupBy(col("word"), col("wc"))
       .agg(array_sort(collect_list(
         struct(col("e"), col("s"), col("cost")))).as("edges"))
@@ -117,8 +141,8 @@ object Unigram {
     // costs[s], which is final because every edge ending ≤ s sorted
     // earlier. Strict < keeps the first-seen best (smallest start).
     val init = struct(
-      concat(array(lit(0.0)),
-        transform(sequence(lit(1), col("n")), _ => lit(Inf))).as("costs"),
+      concat(array(zero),
+        transform(sequence(lit(1), col("n")), _ => inf)).as("costs"),
       transform(sequence(lit(0), col("n")), _ => lit(-1)).as("froms"))
     val folded = aggregate(col("edges"), init, (acc, ed) => {
       val s = ed.getField("s"); val e = ed.getField("e")
@@ -142,7 +166,7 @@ object Unigram {
         // a finite cost at position n means a full piece cover exists,
         // and every backtrack hop then follows settled finite
         // predecessors — so this single check validates the whole path
-        (element_at(col("dp").getField("costs"), col("n") + 1) < Inf)
+        (element_at(col("dp").getField("costs"), col("n") + 1) < inf)
           .as("segmentable"))
     // Backtrack: walk froms from position n to 0 (≤ n hops), emitting
     // (s, e] cuts front-to-back via prepend.
@@ -322,7 +346,24 @@ object Unigram {
     * SentencePiece `<unk>` contract. Output: (id, tokens, n_words,
     * n_tokens, n_unk); wordless docs keep empty arrays. */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
-                 vocab: DataFrame, maxPieceLen: Int = 5): DataFrame = {
+                 vocab: DataFrame, maxPieceLen: Int = 5): DataFrame =
+    encodeImpl(docs, idCol, textCol,
+      viterbiSegment(_, vocab, maxPieceLen))
+
+  /** ENGINE-PORTABLE document encoding — [[encodeDocs]] over the
+    * integer-cost Viterbi ([[viterbiSegmentPortable]]): given the
+    * same `vocabQ(piece, qcost)` table an independent engine segments
+    * every word identically, which is what graduates C53b from
+    * rows-only to hash-green (the learned vocab interpolates into the
+    * generated DuckDB mirror as literals; the mirror re-derives every
+    * document's segmentation from those rules). */
+  def encodeDocsPortable(docs: DataFrame, idCol: String, textCol: String,
+                         vocabQ: DataFrame, maxPieceLen: Int = 5): DataFrame =
+    encodeImpl(docs, idCol, textCol,
+      viterbiSegmentPortable(_, vocabQ, maxPieceLen))
+
+  private def encodeImpl(docs: DataFrame, idCol: String, textCol: String,
+                         segment: DataFrame => DataFrame): DataFrame = {
     val words = docs
       .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("word"))
       .where(col("word") =!= "")
@@ -330,7 +371,7 @@ object Unigram {
     // null pieces ⇔ unsegmentable (no full cover under this vocab);
     // words with zero matching pieces are missing entirely — the
     // left join below folds both cases into the same unk path
-    val encoded = viterbiSegment(words, vocab, maxPieceLen)
+    val encoded = segment(words)
       .select(col("word"), when(col("segmentable"), col("pieces")).as("pieces"))
     val seq = docs.select(col(idCol),
       posexplode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),

@@ -1698,16 +1698,21 @@ object DocQueries {
     * turns the curated corpus into trainable token streams, and the
     * input [[qDocPack]] packs into sequences. Per doc: word count,
     * subword count, and the tokens-per-word fertility the tokenizer
-    * literature tracks. Rows-only by declared design (the merge rules
-    * come from the iterative trainer); BpeSpec pins that the
-    * distributed word-cache encode equals a classic sequential
-    * encoder document-for-document and that token concatenation
-    * reconstructs each word sequence exactly. */
+    * literature tracks. HASH-GREEN since r17: the learned merges are
+    * stashed and interpolated as literals into a generated mirror
+    * that replays the greedy merge fold per document in SQL (the
+    * trainer itself stays rows-only C39); BpeSpec additionally pins
+    * that the distributed word-cache encode equals a classic
+    * sequential encoder document-for-document and that token
+    * concatenation reconstructs each word sequence exactly. */
   def qDocBpeEncode(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bpe
     val d = docs(s, dir)
     val merges = Bpe.learnMerges(
       s, d, "text", numMerges = 32, minPairCount = 2L, batch = 16)
+    // publish the learned rules so oracleSql can generate the mirror
+    // with them as literals (hash-green since r17; see the stash doc)
+    bpeEncodeMergesStash.set(merges)
     Bpe.encodeDocs(d, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         when(col("n_words") === 0L, lit(0.0))
@@ -2357,16 +2362,37 @@ object DocQueries {
     * the apply half — every doc segmented under the trained vocab via
     * the distinct-word cache, with the same fertility metric as the
     * BPE encoder ([[qDocBpeEncode]]), so the two tokenizers are
-    * directly comparable on one corpus. Rows-only (rules come from the
-    * iterative trainer); UnigramSpec pins encoder parity. */
+    * directly comparable on one corpus. HASH-GREEN since r17: the
+    * integer-cost portable Viterbi ([[graft.operators.Unigram
+    * .viterbiSegmentPortable]]) segments under a 1e6-quantized cost
+    * table that is stashed and interpolated into a generated mirror
+    * replaying the DP per word in SQL (the trainer stays rows-only
+    * C53); UnigramSpec pins encoder parity. */
   def qDocUnigramEncode(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Unigram
+    import s.implicits._
     val d = docs(s, dir)
-    val vocab = Unigram.train(s, d, "text",
+    // ENGINE-PORTABLE config (r17, C53b hash-green): quantize the
+    // trained costs to 1e6-scaled BIGINTs plan-side, collect the
+    // model-sized vocab ONCE, and drive BOTH the Spark encode and the
+    // generated mirror from that single table — the two engines
+    // cannot disagree on a cost bit. The trainer itself stays the
+    // iterative rows-only C53 operator.
+    val vocabQ = Unigram.train(s, d, "text",
         vocabSize = 64, maxPieceLen = 5, seedSize = 256,
         emIters = 2, pruneRounds = 1)
-      .select(col("piece"), (-col("logprob")).as("cost"))
-    Unigram.encodeDocs(d, "doc_id", "text", vocab)
+      .select(col("piece"),
+        round(-col("logprob") * 1e6, 0).cast("long").as("qcost"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val maxWordLen = d
+      .select(explode(split(coalesce(col("text"), lit("")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .agg(coalesce(max(length(col("w"))), lit(0))).collect().head.getInt(0)
+    unigramEncodeVocabStash.set(
+      UnigramEncodeRules(vocabQ, maxPieceLen = 5, maxWordLen = maxWordLen))
+    Unigram.encodeDocsPortable(d, "doc_id", "text",
+        vocabQ.toDF("piece", "qcost"), maxPieceLen = 5)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         when(col("n_words") === 0L, lit(0.0))
           .otherwise(TextFunctions.round4(
@@ -3596,7 +3622,165 @@ object DocQueries {
       |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
       |FROM o GROUP BY 1, 2""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** The full oracle map: the static mirrors plus the TRAINED-RULE
+    * mirrors (C48/C53b), which exist only after their queries have
+    * run — [[graft.Verify]] executes every query BEFORE dumping
+    * oracleSql, so in the driver flow both are present; an oracle
+    * dump taken without running the encoders degrades those two keys
+    * to the old rows-only check instead of emitting a stale mirror. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ trainedRuleOracles
+
+  private def trainedRuleOracles: Map[String, String] =
+    Option(bpeEncodeMergesStash.get())
+      .map(m => "q_doc_bpe_encode" -> bpeEncodeOracleSql(m)).toMap ++
+    Option(unigramEncodeVocabStash.get())
+      .map(v => "q_doc_unigram_encode" -> unigramEncodeOracleSql(v)).toMap
+
+  /** TRAINED-RULE STASHES (C48/C53b hash-green, r17): the encode
+    * queries learn their rule tables in Spark, then publish them here
+    * so [[oracleSql]] can GENERATE mirrors with the LEARNED rules
+    * interpolated as literals — the C70/C94 "config constants in,
+    * results recomputed" stance extended to learned configs. The
+    * mirrors still re-derive every document's segmentation, token
+    * counts, fertility and reconstruction from the rules (merge
+    * replay / Viterbi DP in SQL), so the oracle is far from vacuous:
+    * only the rule TABLE is shared, exactly as a tokenizer artifact
+    * would be shared with any independent consumer. */
+  private val bpeEncodeMergesStash =
+    new java.util.concurrent.atomic.AtomicReference[Seq[graft.operators.Bpe.Merge]](null)
+  private val unigramEncodeVocabStash =
+    new java.util.concurrent.atomic.AtomicReference[UnigramEncodeRules](null)
+
+  /** Snapshot of the portable-unigram rules: the (piece, qcost)
+    * vocabulary, the piece-length bound, and the corpus' max word
+    * length (the mirror's DP unroll depth). */
+  final case class UnigramEncodeRules(vocab: Seq[(String, Long)],
+                                      maxPieceLen: Int, maxWordLen: Int)
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** GENERATED DuckDB mirror of [[qDocBpeEncode]], built from the
+    * STASHED learned merges. The greedy left-to-right fold
+    * ([[graft.operators.Bpe]] applyMerge) replays EXACTLY as one
+    * string `replace` per merge under an asymmetric two-char symbol
+    * boundary: every symbol is wrapped as `\t\n sym \t\n`, and the
+    * merge (a, b) pattern consumes `\n a \t\n b \t` — the LEADING \t
+    * and TRAILING \n of the surrounding boundaries are left intact,
+    * so after a replacement the very next overlapping occurrence
+    * still has its full left boundary available. That makes one
+    * replace pass bit-equal to the fold (including odd same-symbol
+    * runs like "aaaaa" → [aa, aa, a], where a symmetric single-char
+    * boundary provably diverges: the consumed trailing separator
+    * hides the next run pair and pairs [aa, a, aa] instead). Words
+    * cannot contain \t or \n (they are \s+ tokens), and no learned
+    * rule's LEFT symbol ever contains the end-of-word marker (pairs
+    * are only counted word-internally), so single boundaries between
+    * words cannot false-match across words. */
+  private def bpeEncodeOracleSql(merges: Seq[graft.operators.Bpe.Merge]): String = {
+    val T = "chr(9)"  // \t
+    val N = "chr(10)" // \n — boundary between symbols is \t\n
+    val B = s"$T || $N"
+    val stages = merges.zipWithIndex.map { case (m, i) =>
+      val pat = s"$N || ${sqlStr(m.left)} || $T || $N || ${sqlStr(m.right)} || $T"
+      val rep = s"$N || ${sqlStr(m.left + m.right)} || $T"
+      s"m${i + 1} AS MATERIALIZED (SELECT doc_id, n_words, replace(s, $pat, $rep) AS s FROM m$i)"
+    }.mkString(",\n")
+    val chain = if (merges.isEmpty) "" else ",\n" + stages
+    val last = s"m${merges.size}"
+    s"""WITH docw AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |m0 AS MATERIALIZED (
+      |  SELECT doc_id, len(w) AS n_words,
+      |         CASE WHEN len(w) = 0 THEN ''
+      |              ELSE $B || array_to_string(list_transform(w,
+      |                     x -> array_to_string(string_split(x, ''), $B)
+      |                          || '</w>'), $B) || $B
+      |         END AS s
+      |  FROM docw)$chain,
+      |toks AS (
+      |  SELECT doc_id, n_words,
+      |         list_filter(string_split(s, $B), x -> x <> '') AS t
+      |  FROM $last)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |       CAST(len(t) AS BIGINT) AS n_tokens,
+      |       CASE WHEN n_words = 0 THEN 0.0
+      |            ELSE round(len(t) / n_words, 4) END AS fertility,
+      |       array_to_string(t[1:8], ' ') AS head_tokens
+      |FROM toks""".stripMargin
+  }
+
+  /** GENERATED DuckDB mirror of [[qDocUnigramEncode]], built from the
+    * STASHED (piece, qcost) vocabulary: the integer-cost Viterbi DP
+    * unrolled over word positions 1..maxWordLen (the mmr/C37 stage
+    * chain shape) — stage e keeps, per word, the single best path
+    * reaching position e (min cost, ties to the smallest start, the
+    * exact strict-< first-seen rule of the Spark fold), carrying the
+    * path as a \t-joined piece string so no backtrack pass is needed.
+    * Unsegmentable or vocabulary-orphan words encode as '<unk>', the
+    * SentencePiece contract the Spark side implements. */
+  private def unigramEncodeOracleSql(r: UnigramEncodeRules): String = {
+    val vocabValues = r.vocab
+      .map { case (p, c) => s"(${sqlStr(p)}, CAST($c AS BIGINT))" }
+      .mkString(", ")
+    val stages = (1 to r.maxWordLen).map { e =>
+      s"""dp$e AS (
+        |  SELECT word, n, pos, c, path FROM (
+        |    SELECT p.word, p.n, $e AS pos, p.c + v.qcost AS c,
+        |           p.path || v.piece || chr(9) AS path,
+        |           row_number() OVER (PARTITION BY p.word
+        |             ORDER BY p.c + v.qcost, p.pos) AS rk
+        |    FROM dpall${e - 1} p
+        |    JOIN voc v ON v.piece = substr(p.word, p.pos + 1, $e - p.pos)
+        |    WHERE p.pos >= $e - ${r.maxPieceLen} AND p.pos < $e AND p.n >= $e)
+        |  WHERE rk = 1),
+        |dpall$e AS MATERIALIZED (
+        |  SELECT * FROM dpall${e - 1} UNION ALL SELECT * FROM dp$e)""".stripMargin
+    }.mkString(",\n")
+    val chain = if (r.maxWordLen == 0) "" else ",\n" + stages
+    s"""WITH wt AS MATERIALIZED (
+      |  SELECT DISTINCT w AS word, length(w) AS n FROM (
+      |    SELECT unnest(list_filter(
+      |             regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+      |             x -> x <> '')) AS w
+      |    FROM documents)),
+      |voc AS (SELECT * FROM (VALUES $vocabValues) v(piece, qcost)),
+      |dpall0 AS MATERIALIZED (
+      |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS c, '' AS path
+      |  FROM wt)$chain,
+      |seg AS MATERIALIZED (
+      |  SELECT word, path FROM dpall${r.maxWordLen} WHERE pos = n),
+      |docw AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |wp AS (
+      |  SELECT doc_id, wpos, w[wpos] AS word FROM (
+      |    SELECT doc_id, unnest(generate_series(1, len(w))) AS wpos, w
+      |    FROM docw)),
+      |enc AS (
+      |  SELECT wp.doc_id, count(*) AS n_words,
+      |         string_agg(CASE WHEN s.path IS NULL THEN '<unk>' || chr(9)
+      |                         ELSE s.path END, '' ORDER BY wp.wpos) AS ap
+      |  FROM wp LEFT JOIN seg s USING (word)
+      |  GROUP BY wp.doc_id),
+      |tok AS (
+      |  SELECT doc_id, n_words,
+      |         list_filter(string_split(ap, chr(9)), x -> x <> '') AS t
+      |  FROM enc)
+      |SELECT d.doc_id, CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words,
+      |       CAST(COALESCE(len(e.t), 0) AS BIGINT) AS n_tokens,
+      |       CASE WHEN COALESCE(e.n_words, 0) = 0 THEN 0.0
+      |            ELSE round(len(e.t) / e.n_words, 4) END AS fertility,
+      |       COALESCE(array_to_string(e.t[1:8], ' '), '') AS head_tokens
+      |FROM documents d LEFT JOIN tok e USING (doc_id)""".stripMargin
+  }
+
+  private val staticOracleSql: Map[String, String] = Map(
     "q_doc_minhash_pairs" -> minhashPairsOracleSql,
     "q_doc_minhash_incremental" -> minhashIncrementalOracleSql,
     "q_doc_source_overlap" -> sourceOverlapOracleSql,

@@ -40,9 +40,7 @@ class ContractSpec extends AnyFunSuite {
       // generated unrolled DuckDB twin; float logistic GD stays the
       // ClassifierSpec-pinned quality path
       "q_doc_bpe", // iterative argmax isn't one SQL statement; BpeSpec pins the trainer
-      "q_doc_bpe_encode", // rules come from the iterative trainer; BpeSpec pins encoder parity
       "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity
-      "q_doc_unigram_encode", // vocab comes from the iterative trainer; UnigramSpec pins encoder parity
       // q_doc_mix_temperature graduated to hash-green in r15: the cut
       // derives from a 1e-6-quantized integer weight (integral
       // arithmetic end-to-end), so the relation oracles exactly
@@ -76,10 +74,17 @@ class ContractSpec extends AnyFunSuite {
       "q_mm_audio_dups", // energy fingerprint needs audio decode — no DuckDB oracle
       "q_mm_video_dups", // frame-set hashes need video decode — no DuckDB oracle
       "q_emb_pca") // no DuckDB eigensolver; PcaSpec pins basis, whitening, accounting
+    // r17: the tokenizer ENCODE halves are CONDITIONALLY oracled — their
+    // generated mirrors interpolate the LEARNED rule tables, which exist
+    // only after the query has run in this JVM (Verify's order). Before
+    // that they degrade to rows-only, so the set membership is
+    // execution-order-dependent and the test compares modulo them.
+    val conditionallyOracled = Set("q_doc_bpe_encode", "q_doc_unigram_encode")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(actual == rowsOnlyByDesign,
-      s"rows-only drift: unexpected=${(actual -- rowsOnlyByDesign).toSeq.sorted} " +
-        s"missing=${(rowsOnlyByDesign -- actual).toSeq.sorted}")
+    assert((actual -- conditionallyOracled) ==
+             (rowsOnlyByDesign -- conditionallyOracled),
+      s"rows-only drift: unexpected=${(actual -- rowsOnlyByDesign -- conditionallyOracled).toSeq.sorted} " +
+        s"missing=${(rowsOnlyByDesign -- actual -- conditionallyOracled).toSeq.sorted}")
   }
 
   test("the committed decade-bench artifact covers every queries key (no query ships without an at-scale number)") {
