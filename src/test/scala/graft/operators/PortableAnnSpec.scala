@@ -144,6 +144,43 @@ class PortableAnnSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("C100: IVF-PQ delta admission — pre-delta serve bit-identical, planted duplicate wins, duplicate id rejected") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    def jitter(s: Int) = (0 until 64).map(i => math.cos(s * 64 + i).toFloat).toArray
+    val base = ((0L, v) +: (1L to 40L).map(i => (i, jitter(i.toInt))))
+      .toDF("vec_id", "embedding")
+    val (cells, model, codes) = Pq.buildIvfPortable(base, "vec_id", "embedding",
+      numCells = 4, m = 8, codewords = 8)
+    val baseTop = Pq.topKIvfPortable(base, "vec_id", "embedding", cells, model,
+        codes, queryId = 0L, k = 5, nprobe = 4, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val delta = Seq((100L, v.clone())).toDF("vec_id", "embedding")
+    val union = Pq.admitDeltaIvfPortable(cells, model, codes, delta,
+      "vec_id", "embedding")
+    // FAISS add semantics: the base codes are untouched — the union is
+    // exactly base codes + |delta| new rows
+    assert(union.filter(col("vec_id") =!= 100L).count() == codes.count(),
+      "admit must not touch the base codes")
+    val embAll = base.unionByName(delta)
+    val top = Pq.topKIvfPortable(embAll, "vec_id", "embedding", cells, model,
+        union, queryId = 0L, k = 5, nprobe = 4, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.head._1 == 100L,
+      s"the admitted exact duplicate must win the ADC serve, got $top")
+    // every pre-delta candidate decision is bit-identical: removing the
+    // delta hit leaves the base ranking prefix unchanged
+    assert(top.filterNot(_._1 == 100L) == baseTop.take(4),
+      s"pre-delta ranking must be unchanged:\n$top\n$baseTop")
+    // a delta id already in the base codes is rejected loudly — it
+    // would otherwise appear twice in a probe's candidate set
+    val dup = Seq((1L, jitter(1))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Pq.admitDeltaIvfPortable(cells, model, codes, dup, "vec_id", "embedding"))
+    assert(e.getMessage.contains("already present"))
+    codes.unpersist()
+  }
+
   test("C25dp: signed permutation is orthogonal — integer L2 is preserved exactly") {
     val dim = 64
     val (perm, sign) = Pq.signedPermutation(dim)
