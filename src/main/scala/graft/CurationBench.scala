@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** DEV-ONLY measurement harness — not part of the library surface
+  * (the `graft.*` package placement is only for the sbt `runMain`
+  * contract). All inputs are synthetic temp corpora; all outputs land
+  * in temp dirs deleted on completion.
+  *
+  * Streaming-curation throughput rung (r16 verdict item 8): drains
+  * `nDocs` documents through [[graft.streaming.CurationStream]]
+  * (secrets scrub + quality gate + incremental minhash dedup, index
+  * maintained in-stream) in `nTriggers` micro-batches, then runs the
+  * IDENTICAL one-shot batch screen in the same JVM — the
+  * `stream_over_batch_ratio` is the box-independent figure (the
+  * StreamBench calibration stance: absolute doc/s swings 2-3× with
+  * host load the guest cannot see; the same-minutes ratio prices
+  * exactly what streaming adds).
+  *
+  * Corpus: the real `documents` table replicated with every word
+  * PREFIXED by the replica tag — that rewrites every shingle, so
+  * cross-replica Jaccard is 0 and the dedup screen does its normal
+  * delta-sized bucket work. (Plain replication would make every doc a
+  * 200-way exact duplicate and measure the pathological-corpus path —
+  * quadratic within-bucket pairs — not throughput.)
+  *
+  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir]
+  */
+object CurationBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val nTriggers = if (args.length > 1) args(1).toInt else 4
+    val sfDir =
+      if (args.length > 2) args(2)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      try Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    val replicas = math.max(1L, nDocs / math.max(1L, nBase)).toInt
+    val corpus = base
+      .crossJoin(spark.range(replicas.toLong).select(col("id").as("rep")))
+      .select(
+        (col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+        concat_ws(" ", transform(split(coalesce(col("text"), lit("")), " "),
+          w => concat(col("rep").cast("string"), lit("_"), w))).as("text"))
+    val filesPerTrigger = 4
+    val landing = Files.createTempDirectory("curation-bench-landing")
+    corpus.repartition(nTriggers * filesPerTrigger)
+      .write.mode("overwrite").parquet(landing.toString)
+    val total = nBase * replicas
+    System.err.println(s"[curation-bench] corpus $total docs in " +
+      s"${nTriggers * filesPerTrigger} files, $nTriggers triggers")
+
+    val indexDir = Files.createTempDirectory("curation-bench-index")
+    val outDir = Files.createTempDirectory("curation-bench-out")
+    val ckpt = Files.createTempDirectory("curation-bench-ckpt")
+    val m = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val schema = spark.read.parquet(landing.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(landing.toString)
+      .writeStream
+      .queryName("curation-bench")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val t0 = System.nanoTime()
+          val c = graft.streaming.CurationStream.processBatch(
+            batch.sparkSession, batch, batchId,
+            indexDir.toString, outDir.toString, "text", "doc_id",
+            minQuality = 0.3, scrubSecrets = true)
+          val sec = (System.nanoTime() - t0) / 1e9
+          m += ((batchId, c.in, sec))
+          System.err.println(
+            f"[curation-bench] batch=$batchId in=${c.in} kept=${c.kept} " +
+              f"dups=${c.duplicates} low_q=${c.lowQuality} " +
+              f"scrubbed=${c.secretsScrubbed} $sec%.1f s")
+          ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = m.map(_._2).sum
+    require(streamed == total, s"drained $streamed of $total docs")
+    val warm = m.sortBy(_._1).drop(1) // batch 0 pays codegen/JIT
+    val warmDocs = warm.map(_._2).sum
+    val warmSec = warm.map(_._3).sum
+    val warmRate = if (warmSec > 0) warmDocs / warmSec else Double.NaN
+
+    // same-JVM batch calibration: ONE processBatch over the whole
+    // corpus into fresh dirs — identical scrub/quality/dedup/index
+    // work, no triggers, whole-corpus parallelism
+    var batchRate = Double.NaN
+    val calIndex = Files.createTempDirectory("curation-bench-calindex")
+    val calOut = Files.createTempDirectory("curation-bench-calout")
+    try {
+      val whole = spark.read.parquet(landing.toString)
+      val t0 = System.nanoTime()
+      val c = graft.streaming.CurationStream.processBatch(
+        spark, whole, 0L, calIndex.toString, calOut.toString,
+        "text", "doc_id", minQuality = 0.3, scrubSecrets = true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      batchRate = c.in / sec
+      System.err.println(
+        f"[curation-bench] batch-cal in=${c.in} kept=${c.kept} $sec%.1f s")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[curation-bench] calibration failed: ${e.getMessage}")
+    }
+
+    def jnum(v: Double): String =
+      if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / m.map(_._3).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${m.length},"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${m.map(t => jnum(t._3)).mkString(",")}]}""")
+    Seq(landing, indexDir, outDir, ckpt, calIndex, calOut).foreach(rmTree)
+    spark.stop()
+  }
+}
