@@ -170,6 +170,33 @@ class UnigramSpec extends SparkSpec {
     assert(got(corpus.length.toLong) == ((Seq(), 0L, 0L)))
   }
 
+  test("C53bp: the integer-cost portable encoder segments identically to the float path away from quantization ties") {
+    // the r17 hash-green config: costs 1e6-quantized to BIGINT. On a
+    // vocab whose cost gaps are far above 1e-6 (any real trained
+    // vocab), quantization cannot flip an argmin — the portable and
+    // float encoders must agree document-for-document.
+    val docs = (corpus ++ Seq("")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val usage = refTrain(corpus, vocabSize = 12, maxPieceLen = 4,
+      seedSize = 40, emIters = 2, pruneRounds = 1)
+    val tot = usage.values.sum.toDouble
+    val cost = usage.map { case (p, u) => p -> -math.log(u / tot) }
+    val vocabDf = cost.toSeq.toDF("piece", "cost")
+    val vocabQ = cost.map { case (p, c) =>
+      (p, math.round(c * 1e6)) }.toSeq.toDF("piece", "qcost")
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "tokens", "n_words", "n_tokens", "n_unk")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val flt = dump(Unigram.encodeDocs(docs, "doc_id", "text", vocabDf,
+      maxPieceLen = 4))
+    val prt = dump(Unigram.encodeDocsPortable(docs, "doc_id", "text", vocabQ,
+      maxPieceLen = 4))
+    assert(prt == flt,
+      s"portable encoder must match the float path:\n$prt\n$flt")
+  }
+
   test("C53u: out-of-alphabet words encode as <unk> and are counted, never dropped") {
     val usage = refTrain(corpus, vocabSize = 12, maxPieceLen = 4,
       seedSize = 40, emIters = 2, pruneRounds = 1)
