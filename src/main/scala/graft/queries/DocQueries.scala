@@ -3760,6 +3760,109 @@ object DocQueries {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** GENERATED DuckDB mirror of [[qDocBpe]] — the TRAINER itself,
+    * fully re-derived in SQL (no stash: embedding the learned rules
+    * would be vacuous for the query whose OUTPUT is the rules). The
+    * r17 unroll stance applied to `learnMerges(numMerges = 48,
+    * minPairCount = 2, batch = 16)`:
+    *
+    *  - each ROUND is one pair-count aggregation over the boundary-
+    *    string word table (adjacent symbol pairs weighted by word
+    *    count), the `ORDER BY cnt DESC, l, r LIMIT 64` over-fetch
+    *    (Spark's `max(4·want, 16)` with want = 16), and SIXTEEN
+    *    chained greedy-disjoint pick stages — pick k is the minimum-
+    *    rank row whose BOTH symbols avoid every symbol of picks
+    *    1..k−1 (single-pass greedy: a row skipped for conflict can
+    *    never be picked later, and any earlier-rank row disjoint from
+    *    the running set would already have been picked, so min-rank-
+    *    disjoint ≡ the iterator's walk);
+    *  - the 16 picked merges then apply to the word table as one
+    *    boundary-delimited string replace each (the C48 asymmetric
+    *    \t\n trick — single replace ≡ the greedy fold), feeding the
+    *    next round's pair counts;
+    *  - FOUR rounds are generated with a final `rank < 48` cap: three
+    *    full rounds are the normal path, the fourth only contributes
+    *    when an earlier round came up short of 16 disjoint picks
+    *    (Spark keeps looping while merges < 48). Caveat, documented:
+    *    a SHORT final round in Spark over-fetches `4·want` instead of
+    *    64, so if fewer than `want` disjoint pairs exist inside its
+    *    smaller fetch window but more inside 64, the two engines
+    *    could diverge — unreachable on corpora whose rounds fill (all
+    *    three gate SFs and the decade fill all rounds), and the gate
+    *    would catch it loudly, not silently. */
+  private def bpeTrainerOracleSql: String = {
+    val rounds = 4
+    val batchK = 16
+    val B = "chr(9) || chr(10)" // symbol boundary: words are \s+ tokens
+    def roundSql(r: Int): String = {
+      val sel = (1 to batchK).map { k =>
+        s"""s${r}_$k AS MATERIALIZED (
+          |  SELECT rn, l, r, cnt FROM s${r}_${k - 1}
+          |  UNION ALL
+          |  SELECT rn, l, r, cnt FROM (
+          |    SELECT t.rn, t.l, t.r, t.cnt FROM top$r t
+          |    WHERE NOT EXISTS (SELECT 1 FROM s${r}_${k - 1} q
+          |                      WHERE t.l IN (q.l, q.r) OR t.r IN (q.l, q.r))
+          |    ORDER BY t.rn LIMIT 1))""".stripMargin
+      }.mkString(",\n")
+      val apply = (1 to batchK).map { k =>
+        s"""a${r}_$k AS MATERIALIZED (
+          |  SELECT w.wc,
+          |         CASE WHEN p.l IS NULL THEN w.s
+          |              ELSE replace(w.s,
+          |                chr(10) || p.l || chr(9) || chr(10) || p.r || chr(9),
+          |                chr(10) || p.l || p.r || chr(9)) END AS s
+          |  FROM a${r}_${k - 1} w
+          |  LEFT JOIN (SELECT l, r FROM (
+          |               SELECT l, r, row_number() OVER (ORDER BY rn) AS pk
+          |               FROM s${r}_$batchK) WHERE pk = $k) p ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""pairs$r AS (
+        |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wc, syms[i] AS l, syms[i + 1] AS r
+        |        FROM (SELECT wc,
+        |                     unnest(generate_series(1, len(syms) - 1)) AS i,
+        |                     syms
+        |              FROM (SELECT wc,
+        |                           list_filter(string_split(s, $B),
+        |                                       x -> x <> '') AS syms
+        |                    FROM w$r)))
+        |  GROUP BY l, r),
+        |top$r AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, l, r) AS rn, l, r, cnt
+        |  FROM (SELECT l, r, cnt FROM pairs$r WHERE cnt >= 2
+        |        ORDER BY cnt DESC, l, r LIMIT 64)),
+        |s${r}_0 AS (SELECT rn, l, r, cnt FROM top$r LIMIT 0),
+        |$sel,
+        |a${r}_0 AS (SELECT wc, s FROM w$r),
+        |$apply,
+        |w${r + 1} AS MATERIALIZED (SELECT wc, s FROM a${r}_$batchK)""".stripMargin
+    }
+    val body = (1 to rounds).map(roundSql).mkString(",\n")
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS rd, rn, l, r, cnt FROM s${r}_$batchK")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w1 AS MATERIALIZED (
+      |  SELECT wc,
+      |         $B || array_to_string(string_split(word, ''), $B)
+      |            || '</w>' || $B AS s
+      |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS wc
+      |        FROM (SELECT unnest(list_filter(
+      |                       regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+      |                       x -> x <> '')) AS word
+      |              FROM documents)
+      |        GROUP BY word)),
+      |$body,
+      |allsel AS (
+      |  $unions)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY rd, rn) - 1 AS INTEGER) AS rank,
+      |         l AS "left", r AS "right", l || r AS merged,
+      |         cnt AS pair_count
+      |  FROM allsel)
+      |WHERE rank < 48""".stripMargin
+  }
+
   /** GENERATED DuckDB mirror of [[qDocBpeEncode]], built from the
     * STASHED learned merges. The greedy left-to-right fold
     * ([[graft.operators.Bpe]] applyMerge) replays EXACTLY as one
@@ -4964,6 +5067,9 @@ object DocQueries {
     // r15: MMR graduated via the integer-bilinear portable config —
     // the greedy chain replays as a recursive CTE
     "q_emb_mmr" -> mmrOracleSql,
+    // r17: the BPE TRAINER itself graduated — 4 unrolled rounds of
+    // pair counts + greedy-disjoint batch-16 selection + fold replay
+    "q_doc_bpe" -> bpeTrainerOracleSql,
     // TEMPORARY r17 bisect probes — delete once q_emb_mmr is driver-green
     "q_emb_mmr_dbg_pool" -> mmrDbgOracleSql("pool"),
     "q_emb_mmr_dbg_sims" -> mmrDbgOracleSql("sims"),

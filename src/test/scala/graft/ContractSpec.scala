@@ -39,7 +39,9 @@ class ContractSpec extends AnyFunSuite {
       // int64 margins/gradients, 4 fixed iterations) mirrored by a
       // generated unrolled DuckDB twin; float logistic GD stays the
       // ClassifierSpec-pinned quality path
-      "q_doc_bpe", // iterative argmax isn't one SQL statement; BpeSpec pins the trainer
+      // q_doc_bpe graduated to hash-green in r17: the 48-merge batch-16
+      // trainer replays as 4 unrolled rounds of pair counts +
+      // greedy-disjoint selection + boundary-string merge application
       "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity
       // q_doc_mix_temperature graduated to hash-green in r15: the cut
       // derives from a 1e-6-quantized integer weight (integral
