@@ -45,6 +45,16 @@ object CurationBench {
         .foreach(f => Files.deleteIfExists(f))
       catch { case _: Throwable => () }
     }
+    // every temp tree registers here; the finally below removes them
+    // even when the drain require (or the stream itself) throws — a
+    // failed run must not leak the replicated landing corpus in /tmp
+    val tmps = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    def tmp(prefix: String): java.nio.file.Path = {
+      val p = Files.createTempDirectory(prefix)
+      tmps += p
+      p
+    }
+    try {
 
     val base = graft.sources.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -57,16 +67,16 @@ object CurationBench {
         concat_ws(" ", transform(split(coalesce(col("text"), lit("")), " "),
           w => concat(col("rep").cast("string"), lit("_"), w))).as("text"))
     val filesPerTrigger = 4
-    val landing = Files.createTempDirectory("curation-bench-landing")
+    val landing = tmp("curation-bench-landing")
     corpus.repartition(nTriggers * filesPerTrigger)
       .write.mode("overwrite").parquet(landing.toString)
     val total = nBase * replicas
     System.err.println(s"[curation-bench] corpus $total docs in " +
       s"${nTriggers * filesPerTrigger} files, $nTriggers triggers")
 
-    val indexDir = Files.createTempDirectory("curation-bench-index")
-    val outDir = Files.createTempDirectory("curation-bench-out")
-    val ckpt = Files.createTempDirectory("curation-bench-ckpt")
+    val indexDir = tmp("curation-bench-index")
+    val outDir = tmp("curation-bench-out")
+    val ckpt = tmp("curation-bench-ckpt")
     val m = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
     val schema = spark.read.parquet(landing.toString).schema
     val q = spark.readStream.schema(schema)
@@ -104,8 +114,8 @@ object CurationBench {
     // corpus into fresh dirs — identical scrub/quality/dedup/index
     // work, no triggers, whole-corpus parallelism
     var batchRate = Double.NaN
-    val calIndex = Files.createTempDirectory("curation-bench-calindex")
-    val calOut = Files.createTempDirectory("curation-bench-calout")
+    val calIndex = tmp("curation-bench-calindex")
+    val calOut = tmp("curation-bench-calout")
     try {
       val whole = spark.read.parquet(landing.toString)
       val t0 = System.nanoTime()
@@ -124,7 +134,10 @@ object CurationBench {
     def jnum(v: Double): String =
       if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
     println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / m.map(_._3).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${m.length},"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${m.map(t => jnum(t._3)).mkString(",")}]}""")
-    Seq(landing, indexDir, outDir, ckpt, calIndex, calOut).foreach(rmTree)
-    spark.stop()
+
+    } finally {
+      tmps.foreach(rmTree)
+      spark.stop()
+    }
   }
 }

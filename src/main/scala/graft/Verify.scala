@@ -12,6 +12,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession.get()
+    // pin the dump target so a trained-rule stash from an earlier run
+    // on ANOTHER dir can't leak a wrong-corpus mirror into oracle_sql
+    graft.queries.DocQueries.pinOracleDir(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

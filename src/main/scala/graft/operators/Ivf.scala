@@ -264,9 +264,17 @@ object Ivf {
         org.apache.spark.sql.functions.min(szCol),
         org.apache.spark.sql.functions.max(szCol),
         coalesce(org.apache.spark.sql.functions.sum(
-          when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L))).collect().head
+          when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L)),
+        org.apache.spark.sql.functions.count(col(idCol)),
+        org.apache.spark.sql.functions.count_distinct(col(idCol))).collect().head
       require(dims.getLong(2) == 0L,
         s"delta has ${dims.getLong(2)} NULL $vecCol rows")
+      // a delta carrying the same id twice would be admitted and appear
+      // twice in a probe's candidate set silently — the same failure
+      // mode as base/delta overlap, guarded in the same aggregate pass
+      require(dims.getLong(3) == dims.getLong(4),
+        s"delta carries duplicate $idCol values: ${dims.getLong(3)} rows, " +
+          s"${dims.getLong(4)} distinct ids")
       if (!dims.isNullAt(0)) {
         val (lo, hi) = (dims.getInt(0), dims.getInt(1))
         require(cells.isEmpty || (lo == hi && lo == cells.head.length),

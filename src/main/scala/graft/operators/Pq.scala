@@ -840,9 +840,16 @@ object Pq {
       org.apache.spark.sql.functions.min(szCol),
       org.apache.spark.sql.functions.max(szCol),
       coalesce(org.apache.spark.sql.functions.sum(
-        when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L))).collect().head
+        when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L)),
+      org.apache.spark.sql.functions.count(col(idCol)),
+      org.apache.spark.sql.functions.count_distinct(col(idCol))).collect().head
     require(dims.getLong(2) == 0L,
       s"delta has ${dims.getLong(2)} NULL $vecCol rows")
+    // duplicate ids WITHIN the delta are the same double-candidate
+    // failure as base/delta overlap — guarded in the same aggregate
+    require(dims.getLong(3) == dims.getLong(4),
+      s"delta carries duplicate $idCol values: ${dims.getLong(3)} rows, " +
+        s"${dims.getLong(4)} distinct ids")
     if (!dims.isNullAt(0)) {
       val (lo, hi) = (dims.getInt(0), dims.getInt(1))
       require(lo == hi && lo == model.dim,

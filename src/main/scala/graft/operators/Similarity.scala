@@ -358,86 +358,6 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
   }
 
-  private def mmrQdot(a: Array[Long], b: Array[Long]): Long = {
-    val n = math.min(a.length, b.length)
-    var s = 0L
-    var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
-  /** TEMPORARY r17 bisect probe (delete with the dbg queries once
-    * q_emb_mmr is driver-green): the [[mmrTopKPortable]] candidate
-    * pool as a relation — (id, qrel). */
-  def mmrPoolPortable(emb: DataFrame, idCol: String, vecCol: String,
-                      queryId: Long, poolSize: Int = 100): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
-      .map(p => (p._1, p._3)).toSeq.toDF(idCol, "qrel")
-  }
-
-  /** TEMPORARY r17 bisect probe: the full pairwise integer-bilinear
-    * similarity relation over the pool — (ia, ib, s), |pool|·(|pool|−1)
-    * rows. Pool-sized by construction (≤ poolSize² rows). */
-  def mmrSimsPortable(emb: DataFrame, idCol: String, vecCol: String,
-                      queryId: Long, poolSize: Int = 100): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val pool = mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
-    (for {
-      a <- pool.toSeq
-      b <- pool.toSeq if a._1 != b._1
-    } yield (a._1, b._1, mmrQdot(a._2, b._2))).toDF("ia", "ib", "s")
-  }
-
-  /** TEMPORARY r17 bisect probe: the FULL pool state after `stages`
-    * greedy picks, exactly as the DuckDB mirror's `st$N` CTE carries
-    * it — (id, qrel, msim, rk, score), all bigint, with the mirror's
-    * NULL conventions: a picked row's msim is NULL and its rk/score
-    * are frozen at pick time; an unpicked row's msim is the signed
-    * max similarity to the chosen set (NULL before the first pick). */
-  def mmrStatePortable(emb: DataFrame, idCol: String, vecCol: String,
-                       queryId: Long, stages: Int, poolSize: Int = 100,
-                       lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
-    require(stages >= 0 && poolSize >= stages,
-      s"need poolSize=$poolSize >= stages=$stages >= 0")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val pool = mmrQuantPool(emb, idCol, vecCol, queryId, poolSize)
-    val divNum = lambdaDen - lambdaNum
-    // state per pool row, keyed by id
-    final case class St(vec: Array[Long], qrel: Long,
-                        var msim: Option[Long], var rk: Option[Long],
-                        var score: Option[Long])
-    val state = scala.collection.mutable.LinkedHashMap(
-      pool.map(p => p._1 -> St(p._2, p._3, None, None, None)): _*)
-    var t = 1
-    while (t <= stages && state.values.exists(_.rk.isEmpty)) {
-      val (winId, winScore) = state.iterator
-        .filter(_._2.rk.isEmpty)
-        .map { case (id, s) =>
-          (id, lambdaNum * s.qrel - divNum * s.msim.getOrElse(0L))
-        }
-        .reduceLeft((a, b) =>
-          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
-      val winVec = state(winId).vec
-      state(winId).rk = Some(t.toLong)
-      state(winId).score = Some(winScore)
-      state(winId).msim = None // the mirror NULLs the winner's msim
-      state.foreach { case (id, s) =>
-        if (id != winId && s.rk.isEmpty) {
-          val d = mmrQdot(s.vec, winVec) // signed max, the mmrTopK stance
-          if (s.msim.forall(d > _)) s.msim = Some(d)
-        }
-      }
-      t += 1
-    }
-    state.iterator.map { case (id, s) =>
-      (id, s.qrel, s.msim, s.rk, s.score)
-    }.toSeq.toDF(idCol, "qrel", "msim", "rk", "score")
-  }
-
   /** C91 — margin-based bitext mining (Artetxe & Schwenk '19, the
     * CCMatrix/NLLB recipe): for every SOURCE-language vector, its best
     * TARGET-language neighbor is mined as a translation pair only when

@@ -256,6 +256,89 @@ object Unigram {
       graft.functions.TextFunctions.round4(-col("cost")).as("logprob"))
   }
 
+  /** ENGINE-PORTABLE trainer gate config (C53 hash-green, r18) — the
+    * C37/C39 precedent applied to the last oracle-able trainer: the
+    * IDENTICAL ladder as [[train]] (seed → emIters×EM → prune →
+    * emIters×EM settle) but with every Viterbi comparison run over
+    * 1e6-QUANTIZED integer costs ([[viterbiSegmentPortable]]), so
+    * every segmentation decision — and therefore every usage count,
+    * every prune cut, and the final vocab — replays bit-identically
+    * in an independent engine. The only float op left is the
+    * cost quantization itself, `round(−ln(usage/tot)·1e6)`: both
+    * engines compute it from the same exact integers with IEEE-double
+    * ln, and the 1e6 grid makes a last-ulp ln disagreement matter
+    * only within ~1e-9 of a rounding boundary (loud at the gate if
+    * ever hit, never silent). M-step usage sums, the alphabet floor,
+    * and prune ranks are integers already.
+    *
+    * `mirrorMaxWordLen` is the generated mirror's DP unroll depth —
+    * a CONFIG constant, enforced here with a loud require (the BPE
+    * trainer's fixed-over-fetch stance): a corpus word longer than
+    * the bound would silently diverge from the mirror otherwise.
+    *
+    * Float EM ([[train]]) stays the quality path; UnigramSpec pins
+    * portable-vs-float parity away from quantization ties. Output:
+    * `(piece, usage, qcost)` — string + two bigints, fully
+    * hash-checkable. */
+  def trainPortable(spark: SparkSession, docs: DataFrame, textCol: String,
+                    vocabSize: Int = 64, maxPieceLen: Int = 5,
+                    seedSize: Int = 256, emIters: Int = 2,
+                    pruneRounds: Int = 1,
+                    mirrorMaxWordLen: Int = 16): DataFrame = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      "need seedSize >= vocabSize >= 1")
+    import spark.implicits._
+    val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val nWords = words.count()
+    if (nWords == 0L) {
+      words.unpersist(false)
+      return Seq.empty[(String, Long, Long)].toDF("piece", "usage", "qcost")
+    }
+    try {
+      val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+      require(maxLen <= mirrorMaxWordLen,
+        s"corpus max word length $maxLen exceeds the mirror's DP unroll " +
+          s"bound $mirrorMaxWordLen — raise mirrorMaxWordLen (and the " +
+          "generated oracle) in lockstep")
+      val alphabet = charTable(words).localCheckpoint(true)
+      // quantize: the ONE float hop, identical op order to the mirror
+      // (double divide → ln → negate → ×1e6 → round half-up → bigint)
+      def quantize(u: DataFrame): DataFrame = {
+        val total = u.agg(sum("usage").as("tot"))
+        u.crossJoin(broadcast(total))
+          .select(col("piece"), col("usage"),
+            round(-log(col("usage").cast("double") / col("tot")) * 1e6, 0)
+              .cast("long").as("qcost"))
+      }
+      def emQ(v: DataFrame): DataFrame =
+        quantize(
+          usageCounts(viterbiSegmentPortable(words, v, maxPieceLen))
+            .unionByName(alphabet.select(col("piece"), lit(1L).as("usage")))
+            .groupBy("piece").agg(max("usage").as("usage")))
+      var vocab = quantize(
+        seedVocab(words, maxPieceLen, seedSize)
+          .select(col("piece"), col("seed_count").as("usage")))
+        .localCheckpoint(true)
+      (1 to pruneRounds).foreach { _ =>
+        (1 to emIters).foreach { _ =>
+          vocab = emQ(vocab).localCheckpoint(true)
+        }
+        // prune (alphabet immune) on integer usages, then re-quantize
+        val chars = vocab.where(length(col("piece")) === 1)
+        val multi = vocab.where(length(col("piece")) > 1)
+          .orderBy(col("usage").desc, col("piece"))
+          .limit(math.max(0, vocabSize - chars.count().toInt))
+        vocab = quantize(
+          chars.unionByName(multi).select(col("piece"), col("usage")))
+          .localCheckpoint(true)
+      }
+      (1 to emIters).foreach { _ =>
+        vocab = emQ(vocab).localCheckpoint(true)
+      }
+      vocab.select(col("piece"), col("usage"), col("qcost"))
+    } finally words.unpersist(false)
+  }
+
   /** One ladder round's outcome: the (checkpointed) working vocab
     * `(piece, usage, cost)` after that round's EM + prune, its row
     * count, and the round's wall seconds. `target` is the prune target

@@ -1810,7 +1810,7 @@ object DocQueries {
       s, d, "text", numMerges = 32, minPairCount = 2L, batch = 16)
     // publish the learned rules so oracleSql can generate the mirror
     // with them as literals (hash-green since r17; see the stash doc)
-    bpeEncodeMergesStash.set(merges)
+    bpeEncodeMergesStash.set((dir, merges))
     Bpe.encodeDocs(d, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         when(col("n_words") === 0L, lit(0.0))
@@ -2447,13 +2447,19 @@ object DocQueries {
   /** Unigram-LM tokenizer training ([[graft.operators.Unigram]]):
     * SentencePiece-style Viterbi-EM over the distinct-word table —
     * the shrink-a-seed-vocab counterpart of C39's grow-by-merges BPE.
-    * Rows-only by declared design (iterative EM isn't one SQL
-    * statement); UnigramSpec pins exact parity against an independent
-    * sequential trainer. */
+    * HASH-GREEN since r18 via the ENGINE-PORTABLE gate config
+    * ([[graft.operators.Unigram.trainPortable]]): every Viterbi
+    * comparison runs over 1e6-quantized integer costs, so the whole
+    * ladder (seed → 2×EM → prune-to-64 → 2×EM settle) replays in a
+    * generated round-unrolled DuckDB twin with NOTHING stashed — the
+    * C39 BPE-trainer stance. The float-ln EM ([[graft.operators
+    * .Unigram.train]]) stays the quality path, spec-pinned by
+    * UnigramSpec (including portable-vs-float parity away from
+    * quantization ties). */
   def qDocUnigram(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Unigram.train(s, docs(s, dir), "text",
+    graft.operators.Unigram.trainPortable(s, docs(s, dir), "text",
       vocabSize = 64, maxPieceLen = 5, seedSize = 256,
-      emIters = 2, pruneRounds = 1)
+      emIters = 2, pruneRounds = 1, mirrorMaxWordLen = 16)
 
   // --------------------------------------------------------------- C53b
   /** Unigram-LM document encoding ([[graft.operators.Unigram.encodeDocs]]):
@@ -2487,8 +2493,8 @@ object DocQueries {
       .select(explode(split(coalesce(col("text"), lit("")), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .agg(coalesce(max(length(col("w"))), lit(0))).collect().head.getInt(0)
-    unigramEncodeVocabStash.set(
-      UnigramEncodeRules(vocabQ, maxPieceLen = 5, maxWordLen = maxWordLen))
+    unigramEncodeVocabStash.set((dir,
+      UnigramEncodeRules(vocabQ, maxPieceLen = 5, maxWordLen = maxWordLen)))
     Unigram.encodeDocsPortable(d, "doc_id", "text",
         vocabQ.toDF("piece", "qcost"), maxPieceLen = 5)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
@@ -2555,25 +2561,6 @@ object DocQueries {
   def qEmbMmr(s: SparkSession, dir: String): DataFrame =
     Similarity.mmrTopKPortable(emb(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 10, poolSize = 100, lambdaNum = 7L, lambdaDen = 10L)
-
-  /** TEMPORARY r17 driver-bisect probes for the q_emb_mmr gate red
-    * (r16 verdict item 1). Each oracles one PREFIX of the mmr chain
-    * with the identical config as [[qEmbMmr]], so the first red row
-    * in CORRECTNESS_r17 localizes the version-sensitive construct.
-    * DELETE (queries + oracle entries + the Similarity probes) once
-    * q_emb_mmr is hash-green at the driver gate. */
-  def qEmbMmrDbgPool(s: SparkSession, dir: String): DataFrame =
-    Similarity.mmrPoolPortable(emb(s, dir), "vec_id", "embedding",
-      queryId = 0L, poolSize = 100)
-
-  def qEmbMmrDbgSims(s: SparkSession, dir: String): DataFrame =
-    Similarity.mmrSimsPortable(emb(s, dir), "vec_id", "embedding",
-      queryId = 0L, poolSize = 100)
-
-  def qEmbMmrDbgState(stages: Int)(s: SparkSession, dir: String): DataFrame =
-    Similarity.mmrStatePortable(emb(s, dir), "vec_id", "embedding",
-      queryId = 0L, stages = stages, poolSize = 100,
-      lambdaNum = 7L, lambdaDen = 10L)
 
   // ---------------------------------------------------------------- C54
   /** Surgical decontamination ([[Dedup.decontamScrub]]): remove the
@@ -2873,13 +2860,6 @@ object DocQueries {
     "q_doc_decontam_scrub" -> (qDocDecontamScrub _),
     "q_doc_exact_incremental" -> (qDocExactIncremental _),
     "q_emb_mmr"           -> (qEmbMmr _),
-    // TEMPORARY r17 bisect probes — delete once q_emb_mmr is driver-green
-    "q_emb_mmr_dbg_pool"  -> (qEmbMmrDbgPool _),
-    "q_emb_mmr_dbg_sims"  -> (qEmbMmrDbgSims _),
-    "q_emb_mmr_dbg_st1"   -> (qEmbMmrDbgState(1) _),
-    "q_emb_mmr_dbg_st2"   -> (qEmbMmrDbgState(2) _),
-    "q_emb_mmr_dbg_st5"   -> (qEmbMmrDbgState(5) _),
-    "q_emb_mmr_dbg_st10"  -> (qEmbMmrDbgState(10) _),
     "q_doc_unigram"       -> (qDocUnigram _),
     "q_doc_unigram_encode" -> (qDocUnigramEncode _),
     "q_doc_markup"        -> (qDocMarkup _),
@@ -3731,11 +3711,31 @@ object DocQueries {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ trainedRuleOracles
 
-  private def trainedRuleOracles: Map[String, String] =
-    Option(bpeEncodeMergesStash.get())
+  private def trainedRuleOracles: Map[String, String] = {
+    // the stashes are JVM-global; without the dir key an oracle dump
+    // for dir B taken after running the encoders on dir A would
+    // interpolate A's learned rules into B's mirror (red at the gate,
+    // and hard to diagnose). Entries trained on a different dir than
+    // the pinned dump target are dropped — the key degrades to the
+    // rows-only check instead of emitting a wrong-corpus mirror.
+    def fresh[T](stash: java.util.concurrent.atomic.AtomicReference[(String, T)]): Option[T] =
+      Option(stash.get()).collect {
+        case (dir, rules)
+          if Option(oracleDirPin.get()).forall(_ == dir) => rules
+      }
+    fresh(bpeEncodeMergesStash)
       .map(m => "q_doc_bpe_encode" -> bpeEncodeOracleSql(m)).toMap ++
-    Option(unigramEncodeVocabStash.get())
+    fresh(unigramEncodeVocabStash)
       .map(v => "q_doc_unigram_encode" -> unigramEncodeOracleSql(v)).toMap
+  }
+
+  /** Pin the corpus dir an upcoming [[oracleSql]] dump is FOR —
+    * [[graft.Verify]] calls this with its sfDir so stale trained-rule
+    * stashes from another dir can never leak into the dump. */
+  def pinOracleDir(dir: String): Unit = oracleDirPin.set(dir)
+
+  private val oracleDirPin =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** TRAINED-RULE STASHES (C48/C53b hash-green, r17): the encode
     * queries learn their rule tables in Spark, then publish them here
@@ -3748,9 +3748,9 @@ object DocQueries {
     * only the rule TABLE is shared, exactly as a tokenizer artifact
     * would be shared with any independent consumer. */
   private val bpeEncodeMergesStash =
-    new java.util.concurrent.atomic.AtomicReference[Seq[graft.operators.Bpe.Merge]](null)
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[graft.operators.Bpe.Merge])](null)
   private val unigramEncodeVocabStash =
-    new java.util.concurrent.atomic.AtomicReference[UnigramEncodeRules](null)
+    new java.util.concurrent.atomic.AtomicReference[(String, UnigramEncodeRules)](null)
 
   /** Snapshot of the portable-unigram rules: the (piece, qcost)
     * vocabulary, the piece-length bound, and the corpus' max word
@@ -3925,6 +3925,126 @@ object DocQueries {
     * path as a \t-joined piece string so no backtrack pass is needed.
     * Unsegmentable or vocabulary-orphan words encode as '<unk>', the
     * SentencePiece contract the Spark side implements. */
+  /** GENERATED DuckDB mirror of [[qDocUnigram]] — the portable
+    * unigram TRAINER fully replayed in SQL with NOTHING stashed (the
+    * C39 BPE-trainer stance): the gate config is 2 EM steps, one
+    * prune to 64, 2 settling EM steps, all over 1e6-quantized integer
+    * costs, so the mirror re-derives every decision the Spark ladder
+    * makes:
+    *  - `wt`/`alpha`/`cnt` rebuild the word table, alphabet and
+    *    occurrence-weighted substring counts from the corpus;
+    *  - the seed is the top-256 substrings (count desc, piece asc)
+    *    UNION the single characters, max-merged — integer counts;
+    *  - each E-step is the C53b frontier DP unrolled to
+    *    `mirrorMaxWordLen` = 16 positions (trainPortable REQUIREs the
+    *    corpus under that bound, loudly), one `row_number (ORDER BY
+    *    cost, pos)` per position — min cost then min start, the exact
+    *    fold tie-break — against the PREVIOUS round's vocab CTE;
+    *  - the M-step usage is `sum(wc)` over best-path pieces with the
+    *    alphabet floored in at usage 1 (UNION ALL + max), all BIGINT;
+    *  - the prune keeps every single char plus the top
+    *    `64 − |alphabet|` multi-char pieces by (usage desc, piece);
+    *  - re-costing is the mirror's ONE float hop,
+    *    `round(−ln(usage/tot)·1e6)::BIGINT`, same op order as the
+    *    Spark quantize — a last-ulp ln disagreement only matters
+    *    within ~1e-9 of a rounding boundary (loud, never silent). */
+  private def unigramTrainerOracleSql: String = {
+    val W = 16        // DP unroll depth == trainPortable mirrorMaxWordLen
+    val maxPiece = 5
+    val seedSize = 256
+    val vocabSize = 64
+    // re-cost a (piece, usage) relation: the quantized integer cost
+    def quant(src: String): String =
+      s"""SELECT piece, usage,
+        |       CAST(round(-ln(CAST(usage AS DOUBLE) /
+        |              (SELECT CAST(sum(usage) AS DOUBLE) FROM $src))
+        |            * 1000000.0, 0) AS BIGINT) AS qcost
+        |FROM $src""".stripMargin
+    // one E-step: frontier DP over wt under vocab `vin`, usage + floor
+    def emStep(k: Int, vin: String): String = {
+      val dp = (1 to W).map { e =>
+        s"""dp${k}s$e AS (
+          |  SELECT word, n, pos, c, path FROM (
+          |    SELECT p.word, p.n, $e AS pos, p.c + v.qcost AS c,
+          |           p.path || v.piece || chr(9) AS path,
+          |           row_number() OVER (PARTITION BY p.word
+          |             ORDER BY p.c + v.qcost, p.pos) AS rk
+          |    FROM dp${k}a${e - 1} p
+          |    JOIN $vin v ON v.piece = substr(p.word, p.pos + 1, $e - p.pos)
+          |    WHERE p.pos >= $e - $maxPiece AND p.pos < $e AND p.n >= $e)
+          |  WHERE rk = 1),
+          |dp${k}a$e AS MATERIALIZED (
+          |  SELECT * FROM dp${k}a${e - 1} UNION ALL SELECT * FROM dp${k}s$e)""".stripMargin
+      }.mkString(",\n")
+      s"""dp${k}a0 AS (
+        |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS c, '' AS path
+        |  FROM wt),
+        |$dp,
+        |seg$k AS MATERIALIZED (
+        |  SELECT word, path FROM dp${k}a$W WHERE pos = n),
+        |use$k AS (
+        |  SELECT piece, CAST(sum(wc) AS BIGINT) AS usage FROM (
+        |    SELECT w.wc,
+        |           unnest(list_filter(string_split(s.path, chr(9)),
+        |                              x -> x <> '')) AS piece
+        |    FROM seg$k s JOIN wt w USING (word))
+        |  GROUP BY piece),
+        |vu$k AS (
+        |  SELECT piece, CAST(max(usage) AS BIGINT) AS usage FROM (
+        |    SELECT piece, usage FROM use$k
+        |    UNION ALL
+        |    SELECT piece, CAST(1 AS BIGINT) AS usage FROM alpha)
+        |  GROUP BY piece)""".stripMargin
+    }
+    s"""WITH wt AS MATERIALIZED (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wc,
+      |         length(w) AS n FROM (
+      |    SELECT unnest(list_filter(
+      |             regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+      |             x -> x <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |alpha AS MATERIALIZED (
+      |  SELECT DISTINCT substr(word, gi, 1) AS piece FROM (
+      |    SELECT word, unnest(generate_series(1, n)) AS gi FROM wt)),
+      |starts AS (
+      |  SELECT word, wc, n, unnest(generate_series(0, n - 1)) AS s FROM wt),
+      |occ AS (
+      |  SELECT word, wc, s,
+      |         unnest(generate_series(s + 1, least(n, s + $maxPiece))) AS e
+      |  FROM starts),
+      |cnt AS (
+      |  SELECT substr(word, s + 1, e - s) AS piece,
+      |         CAST(sum(wc) AS BIGINT) AS u
+      |  FROM occ GROUP BY 1),
+      |seedtop AS (SELECT piece, u FROM cnt
+      |            ORDER BY u DESC, piece LIMIT $seedSize),
+      |vu0 AS (
+      |  SELECT piece, CAST(max(u) AS BIGINT) AS usage FROM (
+      |    SELECT piece, u FROM seedtop
+      |    UNION ALL
+      |    SELECT piece, u FROM cnt WHERE length(piece) = 1)
+      |  GROUP BY piece),
+      |v0 AS MATERIALIZED (${quant("vu0")}),
+      |${emStep(1, "v0")},
+      |v1 AS MATERIALIZED (${quant("vu1")}),
+      |${emStep(2, "v1")},
+      |vp2 AS (
+      |  SELECT piece, usage FROM vu2 WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, usage FROM (
+      |    SELECT piece, usage,
+      |           row_number() OVER (ORDER BY usage DESC, piece) AS rk
+      |    FROM vu2 WHERE length(piece) > 1)
+      |  WHERE rk <= greatest(0, $vocabSize - (SELECT count(*) FROM alpha))),
+      |v2 AS MATERIALIZED (${quant("vp2")}),
+      |${emStep(3, "v2")},
+      |v3 AS MATERIALIZED (${quant("vu3")}),
+      |${emStep(4, "v3")},
+      |v4 AS (${quant("vu4")})
+      |SELECT piece, usage, qcost FROM v4""".stripMargin
+  }
+
   private def unigramEncodeOracleSql(r: UnigramEncodeRules): String = {
     val vocabValues = r.vocab
       .map { case (p, c) => s"(${sqlStr(p)}, CAST($c AS BIGINT))" }
@@ -5070,13 +5190,7 @@ object DocQueries {
     // r17: the BPE TRAINER itself graduated — 4 unrolled rounds of
     // pair counts + greedy-disjoint batch-16 selection + fold replay
     "q_doc_bpe" -> bpeTrainerOracleSql,
-    // TEMPORARY r17 bisect probes — delete once q_emb_mmr is driver-green
-    "q_emb_mmr_dbg_pool" -> mmrDbgOracleSql("pool"),
-    "q_emb_mmr_dbg_sims" -> mmrDbgOracleSql("sims"),
-    "q_emb_mmr_dbg_st1"  -> mmrDbgOracleSql("st1"),
-    "q_emb_mmr_dbg_st2"  -> mmrDbgOracleSql("st2"),
-    "q_emb_mmr_dbg_st5"  -> mmrDbgOracleSql("st5"),
-    "q_emb_mmr_dbg_st10" -> mmrDbgOracleSql("st10"),
+    "q_doc_unigram" -> unigramTrainerOracleSql,
     "q_doc_quality_classifier" -> classifierOracleSql,
     "q_emb_ann_recall" -> annRecallOracleSql,
     "q_emb_bitext" ->
@@ -5697,25 +5811,6 @@ object DocQueries {
     s"""${mmrMirrorWith(k)}
       |SELECT rk, vec_id, qrel, score AS mmr_qscore
       |FROM st$k WHERE rk IS NOT NULL""".stripMargin
-  }
-
-  /** TEMPORARY r17 driver-bisect oracles for the q_emb_mmr gate red
-    * (r16 verdict item 1): each query oracles one PREFIX of the mmr
-    * chain — the pool, the pairwise sims, and the stage-1/2/5/10
-    * states — so the FIRST red row in CORRECTNESS_r17 localizes the
-    * version-sensitive construct to a single CTE hop. Delete these
-    * entries once q_emb_mmr is hash-green at the driver gate. */
-  private def mmrDbgOracleSql(kind: String): String = kind match {
-    case "pool" =>
-      s"""${mmrMirrorWith(0)}
-        |SELECT vec_id, qrel FROM pool""".stripMargin
-    case "sims" =>
-      s"""${mmrMirrorWith(0)}
-        |SELECT ia, ib, s FROM sims""".stripMargin
-    case st if st.startsWith("st") =>
-      val n = st.drop(2).toInt
-      s"""${mmrMirrorWith(n)}
-        |SELECT vec_id, qrel, msim, rk, score FROM st$n""".stripMargin
   }
 
   /** GENERATED DuckDB mirror of [[qDocQualityClassifier]]: the

@@ -42,7 +42,10 @@ class ContractSpec extends AnyFunSuite {
       // q_doc_bpe graduated to hash-green in r17: the 48-merge batch-16
       // trainer replays as 4 unrolled rounds of pair counts +
       // greedy-disjoint selection + boundary-string merge application
-      "q_doc_unigram", // iterative Viterbi-EM isn't one SQL statement; UnigramSpec pins trainer parity
+      // q_doc_unigram graduated to hash-green in r18: the gate runs
+      // trainPortable (integer-cost Viterbi EM, quantized re-costing)
+      // mirrored by a round-unrolled generated twin with nothing
+      // stashed; float-ln EM stays the UnigramSpec-pinned quality path
       // q_doc_mix_temperature graduated to hash-green in r15: the cut
       // derives from a 1e-6-quantized integer weight (integral
       // arithmetic end-to-end), so the relation oracles exactly

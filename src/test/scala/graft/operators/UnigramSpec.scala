@@ -197,6 +197,54 @@ class UnigramSpec extends SparkSpec {
       s"portable encoder must match the float path:\n$prt\n$flt")
   }
 
+  test("C53p: the integer-cost portable TRAINER matches the float path away from quantization ties; qcosts recompute exactly") {
+    // the r18 hash-green gate config: the whole EM ladder under
+    // 1e6-quantized costs. On a corpus whose Viterbi cost gaps are far
+    // above 1e-6 (any real one), quantization cannot flip a
+    // segmentation argmin, so the portable vocab/usages must equal
+    // both the float trainer's AND the sequential reference's.
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val flt = Unigram.train(spark, docs, "text",
+        vocabSize = 12, maxPieceLen = 4, seedSize = 40,
+        emIters = 2, pruneRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prt = Unigram.trainPortable(spark, docs, "text",
+        vocabSize = 12, maxPieceLen = 4, seedSize = 40,
+        emIters = 2, pruneRounds = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(prt.map(t => t._1 -> t._2).toMap == flt,
+      s"portable trainer must match the float path:\n${prt.toSeq.sorted}\n$flt")
+    // the emitted qcost is exactly the quantized −ln(usage/tot) of the
+    // FINAL usages — the one float hop, reproducible from the integers
+    val tot = prt.map(_._2).sum.toDouble
+    prt.foreach { case (p, u, q) =>
+      val want = BigDecimal(-math.log(u / tot) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(q == want, s"qcost($p): got $q want $want")
+    }
+  }
+
+  test("C53p: a corpus word longer than the mirror's DP unroll bound fails LOUDLY, never diverges silently") {
+    val docs = Seq((1L, "short supercalifragilistic word")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.trainPortable(spark, docs, "text",
+        vocabSize = 8, maxPieceLen = 3, seedSize = 16,
+        emIters = 1, pruneRounds = 1, mirrorMaxWordLen = 8)
+    }
+    assert(e.getMessage.contains("unroll"), e.getMessage)
+  }
+
+  test("C53p: an entirely wordless corpus trains portably to an empty vocab") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.trainPortable(spark, docs, "text",
+      vocabSize = 8, maxPieceLen = 3, seedSize = 16,
+      emIters = 1, pruneRounds = 1)
+    assert(vocab.count() == 0L)
+    assert(vocab.columns.toSeq == Seq("piece", "usage", "qcost"))
+  }
+
   test("C53u: out-of-alphabet words encode as <unk> and are counted, never dropped") {
     val usage = refTrain(corpus, vocabSize = 12, maxPieceLen = 4,
       seedSize = 40, emIters = 2, pruneRounds = 1)

@@ -360,4 +360,28 @@ class DocQueriesSpec extends SparkSpec {
         s"effective sources must lie in [1, n_sources]: $r")
     }
   }
+
+  test("C48/C53b: trained-rule stash wiring is live — encode keys join oracleSql after running, and a wrong-dir pin drops them") {
+    // deterministic membership check for the conditionally-oracled
+    // keys (the ContractSpec set exempts them from drift detection in
+    // both directions, so a broken stash would otherwise degrade the
+    // driver gate silently): run the encoders, then the keys MUST be
+    // in oracleSql — and a dump pinned to a DIFFERENT corpus dir must
+    // drop them rather than emit a wrong-corpus mirror.
+    val sf = "/root/testdata/sf0.001"
+    try {
+      DocQueries.pinOracleDir(sf)
+      assert(DocQueries.qDocBpeEncode(spark, sf).count() > 0)
+      assert(DocQueries.qDocUnigramEncode(spark, sf).count() > 0)
+      assert(graft.SparkEntry.oracleSql.contains("q_doc_bpe_encode"),
+        "bpe-encode stash did not surface its generated mirror")
+      assert(graft.SparkEntry.oracleSql.contains("q_doc_unigram_encode"),
+        "unigram-encode stash did not surface its generated mirror")
+      DocQueries.pinOracleDir("/not/the/trained/dir")
+      assert(!graft.SparkEntry.oracleSql.contains("q_doc_bpe_encode"),
+        "stale bpe mirror leaked past a mismatched dir pin")
+      assert(!graft.SparkEntry.oracleSql.contains("q_doc_unigram_encode"),
+        "stale unigram mirror leaked past a mismatched dir pin")
+    } finally DocQueries.pinOracleDir(null)
+  }
 }
