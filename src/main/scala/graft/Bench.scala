@@ -87,9 +87,33 @@ object Bench {
     // min-of-2: one sample can eat a GC pause; two inflated samples
     // back-to-back means the box, not the JVM
     def sentinelSample(): Double = math.min(runOnce(sentinelFn), runOnce(sentinelFn))
+    // SATURATION-AWARE SECOND WIDTH (r18): the narrow sentinel is a
+    // small scan that occupies a few task slots — under SUSTAINED
+    // multi-core background load it barely moves while every wide
+    // query slows, so floor-normalization under-corrects exactly when
+    // it matters (the r17 decade +12% overlap question). This probe is
+    // fixed CPU-bound work spread over exactly 32 single-split range
+    // partitions (no IO, no shuffle): its runtime tracks per-core
+    // compute actually available to a saturating query. Both floors
+    // are emitted; vs_prev normalizes by the SATURATED one when both
+    // artifacts carry it.
+    def runWideOnce(): Double = {
+      // max, not sum: summing 2.5e8 full-range hashes overflows long
+      // under ANSI mode; max keeps the identical per-row hash work
+      import org.apache.spark.sql.functions.{max => fmax, xxhash64, col => fcol}
+      val t0 = System.nanoTime()
+      spark.range(0L, 256000000L, 1L, 32)
+        .select(fmax(xxhash64(fcol("id"))))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def wideSample(): Double = math.min(runWideOnce(), runWideOnce())
     sentinelSample() // warm the sentinel's plan (codegen) before sampling
+    wideSample()     // and the saturating probe's
     val sentinelSamples = scala.collection.mutable.ArrayBuffer(sentinelSample())
+    val wideSamples = scala.collection.mutable.ArrayBuffer(wideSample())
     var sentinelFloor = sentinelSamples.head
+    var wideFloor = wideSamples.head
     var driftEvents = 0
     var reruns = 0
     val suspect = scala.collection.mutable.ArrayBuffer[String]()
@@ -111,9 +135,16 @@ object Bench {
         }
       }
       var s = sentinelSample()
+      var w = wideSample()
       sentinelSamples += s
+      wideSamples += w
       sentinelFloor = math.min(sentinelFloor, s)
-      if (s > DriftFactor * sentinelFloor) {
+      wideFloor = math.min(wideFloor, w)
+      // drift on EITHER width: the narrow probe catches scan-path
+      // interference, the saturating probe catches multi-core load the
+      // narrow one undercounts
+      def drifted = s > DriftFactor * sentinelFloor || w > DriftFactor * wideFloor
+      if (drifted) {
         driftEvents += 1
         coldSuspect ++= chunk.map(_._1).filter(cold.contains)
         if (reruns < MaxReruns) {
@@ -124,12 +155,15 @@ object Bench {
               catch { case _: Throwable => () }
           }
           s = sentinelSample()
+          w = wideSample()
           sentinelSamples += s
+          wideSamples += w
           sentinelFloor = math.min(sentinelFloor, s)
+          wideFloor = math.min(wideFloor, w)
         }
         // still drifted after the re-run (or out of re-run budget):
         // these numbers are upper bounds, say so in the artifact
-        if (s > DriftFactor * sentinelFloor) suspect ++= chunk.map(_._1)
+        if (drifted) suspect ++= chunk.map(_._1)
       }
     }
     def jstr(s: String): String =
@@ -148,11 +182,34 @@ object Bench {
     // bench_history artifact at the same SF on the shared-query
     // overlap, and emit the ratio raw AND divided by the sentinel
     // floor ratio — the floor-normalized number is the real one.
-    val vsPrev: Option[(Int, Double, Double, Double)] = try {
+    // the history dir is derived from the same root the write path
+    // uses (r18: it was hardcoded /root/repo while the write honored
+    // SPARK_GRAFT_BENCH_OUT — a redirected run compared against the
+    // wrong history)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val histDir = new java.io.File(
+      Option(new java.io.File(outPath).getParentFile)
+        .getOrElse(new java.io.File(".")), "bench_history")
+    // "latest COMMITTED": uncommitted artifacts from earlier runs in
+    // the same round are excluded when git can say which are tracked
+    // (fall back to all files when it can't — e.g. a non-git checkout)
+    val tracked: Set[String] = try {
+      val p = new ProcessBuilder("git", "-C",
+        histDir.getParentFile.getAbsolutePath, "ls-files", histDir.getName)
+        .redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0)
+        out.split("\n").map(_.trim.split('/').last).filter(_.nonEmpty).toSet
+      else Set.empty
+    } catch { case _: Throwable => Set.empty }
+    // (name, shared, overlap, floorRatio, normalized, floorBasis)
+    val vsPrev: Option[(String, Int, Double, Double, Double, String)] = try {
       val sfTag = "_sf" + sfDir.split('/').last.stripPrefix("sf") + ".json"
-      Option(new java.io.File("/root/repo/bench_history").listFiles())
+      Option(histDir.listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith("bench_") && f.getName.endsWith(sfTag))
+        .filter(f => tracked.isEmpty || tracked.contains(f.getName))
         .sortBy(_.getName).lastOption.flatMap { f =>
           val src = scala.io.Source.fromFile(f, "UTF-8")
           val txt = try src.mkString finally src.close()
@@ -164,23 +221,39 @@ object Bench {
             case JDecimal(d) => Some(d.toDouble)
             case _ => None
           }
+          def strs(v: JValue): Set[String] = v match {
+            case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+            case _ => Set.empty
+          }
           val prevQ = j \ "queries" match {
             case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
             case _ => Map.empty[String, Double]
           }
           val prevFloor = num(j \ "sentinel" \ "floor").getOrElse(0.0)
-          val shared = timings.keySet intersect prevQ.keySet
+          val prevWide = num(j \ "sentinel" \ "wide_floor").getOrElse(0.0)
+          // drift-suspect timings are upper bounds, not measurements —
+          // on EITHER side — so they don't belong in the overlap sums
+          val excluded = suspect.toSet ++ coldSuspect.toSet ++
+            strs(j \ "sentinel" \ "suspect_queries") ++
+            strs(j \ "sentinel" \ "cold_suspect_queries")
+          val shared = (timings.keySet intersect prevQ.keySet) -- excluded
           val prevSum = shared.toSeq.map(prevQ).sum
           if (shared.size < 10 || prevFloor <= 0 || sentinelFloor <= 0 || prevSum <= 0) None
           else {
             val overlap = shared.toSeq.map(timings).sum / prevSum
-            val floorRatio = sentinelFloor / prevFloor
-            Some((shared.size, overlap, floorRatio, overlap / floorRatio))
+            // normalize by the SATURATED floor when both runs carry it
+            // — it is the one that moves under the multi-core load that
+            // actually slows the wide queries
+            val (floorRatio, basis) =
+              if (prevWide > 0 && wideFloor > 0) (wideFloor / prevWide, "wide")
+              else (sentinelFloor / prevFloor, "narrow")
+            Some((f.getName, shared.size, overlap, floorRatio,
+              overlap / floorRatio, basis))
           }
         }
     } catch { case _: Throwable => None }
-    val vsPrevJson = vsPrev.map { case (n, o, fr, norm) =>
-      s""","vs_prev":{"shared_queries":$n,"overlap_ratio":${jnum(o)},"floor_ratio":${jnum(fr)},"floor_normalized_ratio":${jnum(norm)}}"""
+    val vsPrevJson = vsPrev.map { case (pf, n, o, fr, norm, basis) =>
+      s""","vs_prev":{"prev_file":${jstr(pf)},"shared_queries":$n,"overlap_ratio":${jnum(o)},"floor_ratio":${jnum(fr)},"floor_basis":${jstr(basis)},"floor_normalized_ratio":${jnum(norm)}}"""
     }.getOrElse("")
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val colds = cold.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
@@ -192,7 +265,7 @@ object Bench {
     // run, suspect_queries whatever still timed under drift after the
     // re-run budget (their numbers are upper bounds, not measurements)
     val sentinelJson =
-      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}],"cold_suspect_queries":[${coldSuspect.map(jstr).mkString(",")}]}$vsPrevJson"""
+      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloor)},"wide_floor":${jnum(wideFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"wide_samples":[${wideSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}],"cold_suspect_queries":[${coldSuspect.map(jstr).mkString(",")}]}$vsPrevJson"""
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"cold_queries":$colds,$sentinelJson,"sf":${jstr(sfDir)}}"""
     // STDOUT LINE MUST FIT THE DRIVER'S ~2000-CHAR TAIL, of which sbt
@@ -227,11 +300,11 @@ object Bench {
     // judge-facing BENCH_r{N}.json is parsed from this line, and a
     // naive reader must be able to see box drift without opening
     // bench_history
-    val vsPrevCompact = vsPrev.map { case (_, o, fr, norm) =>
-      s""","vs_prev_overlap":${jnum(o)},"vs_prev_floor":${jnum(fr)},"vs_prev_floor_normalized":${jnum(norm)}"""
+    val vsPrevCompact = vsPrev.map { case (_, _, o, fr, norm, basis) =>
+      s""","vs_prev_overlap":${jnum(o)},"vs_prev_floor":${jnum(fr)},"vs_prev_floor_basis":${jstr(basis)},"vs_prev_floor_normalized":${jnum(norm)}"""
     }.getOrElse("")
     val compact =
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n_queries":${timings.size},"sentinel_floor_sec":${jnum(sentinelFloor)}$vsPrevCompact,"group_totals_sec":$groups,"slowest_sec":$slowest$esCompact$driftCompact,"full_map":"all ${timings.size} queries at ms precision: bench_out.json + bench_history/ (committed)"}"""
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n_queries":${timings.size},"sentinel_floor_sec":${jnum(sentinelFloor)},"wide_floor_sec":${jnum(wideFloor)}$vsPrevCompact,"group_totals_sec":$groups,"slowest_sec":$slowest$esCompact$driftCompact,"full_map":"all ${timings.size} queries at ms precision: bench_out.json + bench_history/ (committed)"}"""
     if (compact.length > 1870)
       System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
         "the driver tail holds ~1920 — drop slowest-N before adding groups")
@@ -242,8 +315,8 @@ object Bench {
     // fixed-name bench_out.json (latest run, overwritten) and a
     // timestamped bench_history/ copy (the per-round artifact of
     // record; the round-end commit picks it up).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    val histPath = s"/root/repo/bench_history/bench_${System.currentTimeMillis / 1000}_sf${sfDir.split('/').last.stripPrefix("sf")}.json"
+    val histPath = new java.io.File(histDir,
+      s"bench_${System.currentTimeMillis / 1000}_sf${sfDir.split('/').last.stripPrefix("sf")}.json").getPath
     Seq(outPath, histPath).foreach { p =>
       try {
         val f = new java.io.File(p)

@@ -27,7 +27,7 @@ import org.apache.spark.sql.streaming.Trigger
   * 200-way exact duplicate and measure the pathological-corpus path —
   * quadratic within-bucket pairs — not throughput.)
   *
-  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir]
+  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir] [compactEvery]
   */
 object CurationBench {
   def main(args: Array[String]): Unit = {
@@ -36,6 +36,7 @@ object CurationBench {
     val sfDir =
       if (args.length > 2) args(2)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val compactEvery = if (args.length > 3) args(3).toInt else 0
     val spark = GraftSession.get()
     import spark.implicits._
 
@@ -78,6 +79,7 @@ object CurationBench {
     val outDir = tmp("curation-bench-out")
     val ckpt = tmp("curation-bench-ckpt")
     val m = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val idxFiles = scala.collection.mutable.ArrayBuffer[Long]()
     val schema = spark.read.parquet(landing.toString).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
@@ -92,13 +94,16 @@ object CurationBench {
           val c = graft.streaming.CurationStream.processBatch(
             batch.sparkSession, batch, batchId,
             indexDir.toString, outDir.toString, "text", "doc_id",
-            minQuality = 0.3, scrubSecrets = true)
+            minQuality = 0.3, scrubSecrets = true,
+            compactEvery = compactEvery)
           val sec = (System.nanoTime() - t0) / 1e9
           m += ((batchId, c.in, sec))
+          idxFiles += c.indexFiles
           System.err.println(
             f"[curation-bench] batch=$batchId in=${c.in} kept=${c.kept} " +
               f"dups=${c.duplicates} low_q=${c.lowQuality} " +
-              f"scrubbed=${c.secretsScrubbed} $sec%.1f s")
+              f"scrubbed=${c.secretsScrubbed} index_files=${c.indexFiles} " +
+              f"$sec%.1f s")
           ()
       }
       .start()
@@ -133,7 +138,7 @@ object CurationBench {
 
     def jnum(v: Double): String =
       if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
-    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / m.map(_._3).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${m.length},"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${m.map(t => jnum(t._3)).mkString(",")}]}""")
+    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / m.map(_._3).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${m.length},"compact_every":$compactEvery,"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${m.map(t => jnum(t._3)).mkString(",")}],"index_files_per_trigger":[${idxFiles.mkString(",")}]}""")
 
     } finally {
       tmps.foreach(rmTree)

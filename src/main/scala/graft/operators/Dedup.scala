@@ -241,6 +241,71 @@ object Dedup {
       .distinct()
   }
 
+  /** Fold a STREAMING band-bucket index's accumulated parquet appends
+    * into one compacted snapshot — the IdempotentSink.compactCommits
+    * stance applied to the dedup index. [[graft.streaming
+    * .CurationStream]] appends one small parquet file set per
+    * micro-batch, so after N triggers every batch's index read
+    * lists/opens O(N) files: per-trigger index-read cost grows
+    * linearly with stream AGE, the one scale-killer in the streaming
+    * curation story. This folds all current appends into `outFiles`
+    * files, merging same-(band, bh) rows into one bucket row
+    * (`array_distinct` — replay-duplicated ids collapse).
+    *
+    * Crash-safe by ORDERING alone, because the index is idempotent
+    * under row duplication (duplicate bucket rows produce duplicate
+    * candidate pairs, and [[incrementalMinhashPairs]] emits distinct
+    * pairs — a replay can re-flag, never un-flag):
+    *  1. snapshot the exact live file list;
+    *  2. write the compacted rows under `_compact_tmp_*` (the
+    *     underscore prefix hides it from every parquet reader, so a
+    *     partial write is never visible);
+    *  3. rename the finished parts into the live dir (atomic per
+    *     file — a crash mid-way leaves originals + some compacted
+    *     copies: duplicates, harmless);
+    *  4. delete the snapshotted originals (partial deletion again
+    *     means duplicates, never loss).
+    * No cut point loses a bucket entry or exposes a partial file.
+    * SINGLE-WRITER contract: run it from the stream's own
+    * foreachBatch (between appends) or while the stream is down —
+    * the same contract the index append itself already requires.
+    *
+    * Semantics note: merging makes the `maxBucket` cap in
+    * [[incrementalMinhashPairs]] apply to the TRUE bucket size where
+    * pre-compaction it applied per append row — the cap's intended
+    * policy. Verdicts for buckets under the cap are identical.
+    *
+    * Returns the number of appended files folded (0 = nothing to do). */
+  def compactBandBucketIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, outFiles: Int = 4): Int = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    def isLive(n: String) =
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    val originals = fs.listStatus(dir).map(_.getPath)
+      .filter(p => isLive(p.getName))
+    if (originals.length < 2) return 0
+    val stamp = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(dir, s"_compact_tmp_$stamp")
+    spark.read.parquet(originals.map(_.toString).toIndexedSeq: _*)
+      .groupBy(col("band"), col("bh"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("ids")))))
+        .as("ids"))
+      .coalesce(math.max(1, outFiles))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = new Path(dir, s"compact-$stamp-$i.parquet")
+      require(fs.rename(p, dst), s"publish rename $p -> $dst failed")
+    }
+    originals.foreach(fs.delete(_, false))
+    fs.delete(tmp, true)
+    originals.length
+  }
+
   /** Accounting for the `maxBucket` cap in [[minhashCandidatePairs]]:
     * one row per DROPPED bucket with (band, bh, bucket_size). The cap
     * is correct policy (an m-id bucket expands to m²/2 pairs, and

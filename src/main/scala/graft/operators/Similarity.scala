@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -496,6 +497,93 @@ object Similarity {
       .select(col("src_id"), col("__cid"))
     probed.join(assigned, Seq("__cid"))
       .select(col("src_id"), col("tgt_id"))
+  }
+
+  /** One point of the [[recommendNprobe]] curve: mined-pair recall of
+    * the `nprobe`-bounded miner against the brute truth on the sample. */
+  final case class NprobePoint(nprobe: Int, truthPairs: Long, hits: Long,
+                               recall: Double)
+
+  /** The [[recommendNprobe]] verdict: the smallest candidate nprobe
+    * whose measured recall clears the target, or None — "use brute"
+    * (the isotropic-corpus case BASELINE.md documents, where no
+    * affordable probe width recalls enough). `curve` holds every
+    * point actually measured (ascending nprobe, stops at the first
+    * clearing point). */
+  final case class NprobeAdvice(recommended: Option[Int], targetRecall: Double,
+                                curve: Seq[NprobePoint])
+
+  /** Close the C101 loop: turn the probe recall CURVE into the knob a
+    * 100 TB user actually needs. Runs the curve's own methodology —
+    * a deterministic md5-sample of `sampleSize` sources, brute truth
+    * restricted to the sample (O(|sample|·|tgt|), fixed work at any
+    * corpus size), the index geometry FROZEN at the shipped probe-4
+    * auto cell count so only nprobe varies — and walks
+    * `candidateNprobes` ascending, returning the FIRST whose mined-
+    * pair recall (vs the brute truth, all margin buckets pooled)
+    * clears `targetRecall`. When none does, the answer is
+    * `recommended = None`: run the brute config (or re-cluster) —
+    * on a near-isotropic corpus widening the probe buys little and
+    * pretending otherwise would gate real pairs away silently.
+    *
+    * Cost: one |sample|·|tgt| brute pass + one probe-bounded pass per
+    * measured point; early-exits at the first clearing nprobe. Driver
+    * state is counts only. */
+  def recommendNprobe(emb: DataFrame, idCol: String, vecCol: String,
+                      labels: DataFrame, labelIdCol: String, langCol: String,
+                      srcLang: String, tgtLang: String,
+                      targetRecall: Double = 0.9,
+                      candidateNprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                      sampleSize: Int = 64,
+                      marginNum: Long = 105L,
+                      marginDen: Long = 100L): NprobeAdvice = {
+    require(candidateNprobes.nonEmpty && candidateNprobes.forall(_ >= 1) &&
+      candidateNprobes == candidateNprobes.sorted,
+      s"candidateNprobes must be ascending positive: $candidateNprobes")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must lie in (0, 1]: $targetRecall")
+    val tagged = emb.select(col(idCol), col(vecCol))
+      .join(labels.select(col(labelIdCol).as(idCol),
+        col(langCol).as("__lang")), Seq(idCol))
+    val srcIds = tagged.filter(col("__lang") === srcLang)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleSize).select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    if (srcIds.isEmpty) // no sources: nothing to mine, any probe "works"
+      return NprobeAdvice(Some(candidateNprobes.head), targetRecall, Seq.empty)
+    val restricted = tagged
+      .filter(col("__lang") === tgtLang || col(idCol).isin(srcIds: _*))
+      .select(col(idCol), col(vecCol))
+    val tgtCount = tagged.filter(col("__lang") === tgtLang).count()
+    // the SHIPPED probe-4 auto geometry, frozen across curve points —
+    // the curve varies nprobe alone (the C101 stance)
+    val cellsFixed = math.max(1,
+      math.ceil(math.sqrt(4.0 * tgtCount)).toInt)
+    def mined(c: Option[DataFrame]) =
+      mineBitext(restricted, idCol, vecCol, labels, labelIdCol, langCol,
+        srcLang, tgtLang, marginNum, marginDen, candidates = c)
+        .filter(col("mined")).select(col("src_id"), col("tgt_id"))
+    val truth = mined(None)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTruth = truth.count()
+      val curve = scala.collection.mutable.ArrayBuffer.empty[NprobePoint]
+      var recommended: Option[Int] = None
+      val it = candidateNprobes.iterator
+      while (recommended.isEmpty && it.hasNext) {
+        val p = it.next()
+        val hits =
+          if (nTruth == 0L) 0L
+          else truth.join(
+            mined(Some(bitextIvfCandidates(restricted, idCol, vecCol,
+              labels, labelIdCol, langCol, srcLang, tgtLang,
+              nprobe = p, numCells = cellsFixed))),
+            Seq("src_id", "tgt_id")).count()
+        val recall = if (nTruth == 0L) 1.0 else hits.toDouble / nTruth
+        curve += NprobePoint(p, nTruth, hits, recall)
+        if (recall >= targetRecall) recommended = Some(p)
+      }
+      NprobeAdvice(recommended, targetRecall, curve.toSeq)
+    } finally { truth.unpersist(); () }
   }
 
   /** The shared src×tgt integer-bilinear scored relation behind

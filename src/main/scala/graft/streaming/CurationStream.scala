@@ -18,6 +18,12 @@ import graft.operators.Dedup
   * and the survivors' buckets are APPENDED to the index — one
   * delta-sized pass per batch, no corpus recompute, the same shape at
   * 100 TB where `indexDir` is the persisted band-bucket snapshot.
+  * Every `compactEvery` batches the accumulated appends FOLD into one
+  * compacted snapshot ([[Dedup.compactBandBucketIndex]]), so the
+  * per-trigger index read opens a bounded file count instead of one
+  * file set per historical batch — without it, index-read cost grows
+  * linearly with stream age (measured: CurationBench's index_files
+  * trace).
   *
   * Duplicate policy: a new doc pairing with an ALREADY-INDEXED doc is
   * dropped (the corpus keeps its first-seen copy); within a batch the
@@ -37,10 +43,15 @@ object CurationStream {
   /** One micro-batch's accounting (the quarantine-not-drop stance:
     * everything removed is counted, nothing silently vanishes).
     * `secretsScrubbed` counts docs that carried ≥1 masked token —
-    * scrubbed docs stay IN the corpus (masking, not dropping). */
+    * scrubbed docs stay IN the corpus (masking, not dropping).
+    * `indexFiles` is how many parquet files the index READ touched
+    * this batch — the stream-age cost [[graft.operators.Dedup
+    * .compactBandBucketIndex]] bounds; flat across triggers when
+    * compaction is on. */
   final case class BatchCounts(batchId: Long, in: Long, lowQuality: Long,
                                duplicates: Long, kept: Long,
-                               secretsScrubbed: Long = 0L)
+                               secretsScrubbed: Long = 0L,
+                               indexFiles: Long = 0L)
 
   /** Screens `batch` against the persisted index, writes survivors to
     * `outDir` (with `batch_id` and their quality score) and appends
@@ -56,7 +67,8 @@ object CurationStream {
                    indexDir: String, outDir: String,
                    textCol: String, idCol: String,
                    minQuality: Double = 0.3,
-                   scrubSecrets: Boolean = false): BatchCounts = {
+                   scrubSecrets: Boolean = false,
+                   compactEvery: Int = 0): BatchCounts = {
     val raw = batch.persist()
     val in =
       (if (scrubSecrets) graft.operators.Secrets.scrub(raw, textCol)
@@ -76,9 +88,12 @@ object CurationStream {
       val nPassed = passed.count()
       val fs = new Path(indexDir).getFileSystem(
         spark.sessionState.newHadoopConf())
-      val hasIndex = fs.exists(new Path(indexDir)) &&
-        fs.listStatus(new Path(indexDir)).exists(
-          _.getPath.getName.endsWith(".parquet"))
+      val nIndexFiles: Long =
+        if (!fs.exists(new Path(indexDir))) 0L
+        else fs.listStatus(new Path(indexDir)).map(_.getPath.getName)
+          .count(n => n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")).toLong
+      val hasIndex = nIndexFiles > 0L
       // empty index: screen within-batch only (same code path — an
       // empty bucket relation contributes no cross pairs)
       val index =
@@ -106,9 +121,17 @@ object CurationStream {
       // accumulating bucket entries for text the corpus rejected
       Dedup.minhashBandBuckets(kept, textCol, idCol)
         .write.mode("append").parquet(indexDir)
+      // fold the accumulated appends every `compactEvery` batches so
+      // the next batch's index read opens O(outFiles) files, not
+      // O(stream age). Running it HERE honors the single-writer
+      // contract, and a crash anywhere in the fold (or a replay of
+      // this whole batch) only duplicates bucket rows — the screen
+      // dedups pairs, so a replay re-flags but never un-flags.
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        Dedup.compactBandBucketIndex(spark, indexDir)
       passed.unpersist(); kept.unpersist()
       BatchCounts(batchId, nIn, nIn - nPassed, nPassed - nKept, nKept,
-        nScrubbed)
+        nScrubbed, nIndexFiles)
     } finally { in.unpersist(); raw.unpersist(); () }
   }
 
@@ -120,18 +143,21 @@ object CurationStream {
             checkpointDir: String, textCol: String, idCol: String,
             minQuality: Double = 0.3,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-            scrubSecrets: Boolean = false): StreamingQuery =
+            scrubSecrets: Boolean = false,
+            compactEvery: Int = 32): StreamingQuery =
     docs.writeStream
       .queryName("graft-curation")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val c = processBatch(batch.sparkSession, batch, batchId,
-          indexDir, outDir, textCol, idCol, minQuality, scrubSecrets)
+          indexDir, outDir, textCol, idCol, minQuality, scrubSecrets,
+          compactEvery)
         System.err.println(
           s"[graft-curation] batch=${c.batchId} in=${c.in} " +
             s"low_quality=${c.lowQuality} duplicates=${c.duplicates} " +
-            s"kept=${c.kept} secrets_scrubbed=${c.secretsScrubbed}")
+            s"kept=${c.kept} secrets_scrubbed=${c.secretsScrubbed} " +
+            s"index_files=${c.indexFiles}")
         ()
       }
       .start()

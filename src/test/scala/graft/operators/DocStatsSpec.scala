@@ -195,6 +195,57 @@ class DocStatsSpec extends SparkSpec {
       s"symmetric = run-twice-and-intersect: ${sym.keySet} vs ${fwd intersect bwd}")
   }
 
+  test("C101k: recommendNprobe — clustered corpus clears at nprobe 1 with an early-exit curve; near-isotropic corpus falls back to brute") {
+    // PLANTED CLUSTERED: every source vector EQUALS its translation
+    // target exactly, so the source's rank-1 cell IS the target's cell
+    // (identical integer L2 ranking against the same seeds) — nprobe=1
+    // provably recalls every truth pair regardless of the seeded cell
+    // layout. Clusters are orthogonal one-hot axes: the runner-up sim
+    // is ~0, margins clear 1.05 easily.
+    val dims = 16
+    def axis(i: Int, scale: Float) =
+      Seq.tabulate(dims)(d => if (d == i % dims) scale else 0.0f)
+    val clustered = (0 until 16).flatMap { i =>
+      Seq((i.toLong, axis(i, 1.0f)),               // en source
+        (100L + i, axis(i, 1.0f)),                 // de — exact translation
+        (200L + i, axis(i, 0.4f)))                 // de — same-cluster runner-up
+    }.toDF("vec_id", "embedding")
+    val clusteredLabels = (0 until 16).flatMap { i =>
+      Seq((i.toLong, "en"), (100L + i, "de"), (200L + i, "de"))
+    }.toDF("doc_id", "lang")
+    val good = Similarity.recommendNprobe(clustered, "vec_id", "embedding",
+      clusteredLabels, "doc_id", "lang", "en", "de", targetRecall = 0.9,
+      candidateNprobes = Seq(1, 2, 4))
+    assert(good.recommended.contains(1),
+      s"clustered corpus must clear at nprobe 1: $good")
+    assert(good.curve.length == 1, s"early exit after the first clear: $good")
+    assert(good.curve.head.recall == 1.0 && good.curve.head.truthPairs == 16L,
+      good.toString)
+    // NEAR-ISOTROPIC: deterministic md5-derived CONTINUOUS vectors
+    // (±1 bits would leave only 2^dims patterns — sources then collide
+    // exactly with targets and the probe recalls trivially), 64
+    // sources × 256 targets → frozen geometry = 32 cells; probing ≤2
+    // of 32 cells cannot recall ≥0.99 of truth pairs on structureless
+    // vectors — the honest answer is "use brute", not a pretend nprobe.
+    def hashVec(id: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"iso-$id".getBytes("UTF-8"))
+      Seq.tabulate(8)(d => (h(d).toInt + 0.5f) / 128.0f)
+    }
+    val iso = ((0 until 64).map(i => (i.toLong, hashVec(i))) ++
+      (0 until 256).map(i => (1000L + i, hashVec(1000L + i))))
+      .toDF("vec_id", "embedding")
+    val isoLabels = ((0 until 64).map(i => (i.toLong, "en")) ++
+      (0 until 256).map(i => (1000L + i, "de"))).toDF("doc_id", "lang")
+    val flat = Similarity.recommendNprobe(iso, "vec_id", "embedding",
+      isoLabels, "doc_id", "lang", "en", "de", targetRecall = 0.99,
+      candidateNprobes = Seq(1, 2))
+    assert(flat.recommended.isEmpty,
+      s"near-isotropic corpus must fall back to brute: $flat")
+    assert(flat.curve.length == 2 && flat.curve.forall(_.recall < 0.99),
+      s"every measured point below target: $flat")
+  }
+
   test("C88: novelty — planted copy scores 0, fresh vocab scores 1, short docs report 1") {
     val reference = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")

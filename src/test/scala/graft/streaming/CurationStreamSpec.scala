@@ -73,6 +73,77 @@ class CurationStreamSpec extends SparkSpec {
       s"key-rotated near-dup must collide after scrubbing: $c1")
   }
 
+  test("mid-stream index compaction preserves every admission verdict, shrinks the file count, and survives a replay crash window") {
+    import graft.operators.Dedup
+    def listIndex(dir: String): Seq[String] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .filter(n => n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")).toSeq.sorted
+    }
+    val textB = "yet another wholly distinct passage on tokenizer training " +
+      "ladders pruning seed vocabularies with expectation maximization and " +
+      "alphabet coverage floors intact"
+    val batches = Seq(
+      Seq(1L -> textA, 2L -> textC),
+      Seq(3L -> textB),
+      // probes: 4 dups textA (indexed batch 0), 5 dups textB (batch 1),
+      // 6 is genuinely new
+      Seq(4L -> textA, 5L -> textB,
+        6L -> (textC + " extended with fresh clauses about stateful " +
+          "stream processing checkpoints and watermark semantics")))
+    def run(compactAfterBatch: Option[Int],
+            replayDupes: Boolean = false): (Seq[CurationStream.BatchCounts], Seq[String], Seq[Long]) = {
+      val indexDir = Files.createTempDirectory("cur-cmp-idx").toString
+      val outDir = Files.createTempDirectory("cur-cmp-out").toString
+      val counts = batches.zipWithIndex.map { case (docs, i) =>
+        val c = CurationStream.processBatch(spark,
+          docs.toDF("doc_id", "text"), i.toLong, indexDir, outDir,
+          "text", "doc_id")
+        if (compactAfterBatch.contains(i)) {
+          val folded = Dedup.compactBandBucketIndex(spark, indexDir)
+          assert(folded >= 2, s"expected a real fold, got $folded")
+          if (replayDupes) {
+            // crash-window simulation: a replayed append re-adds batch
+            // i's survivor buckets BESIDE the compacted copy — the
+            // documented harmless-duplicate state
+            val survivors = spark.read.parquet(outDir)
+              .filter(col("batch_id") <= i)
+              .select(col("doc_id"), col("text"))
+            Dedup.minhashBandBuckets(survivors, "text", "doc_id")
+              .write.mode("append").parquet(indexDir)
+          }
+        }
+        c
+      }
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      (counts, listIndex(indexDir), kept)
+    }
+    val (plainCounts, plainFiles, plainKept) = run(None)
+    val (cmpCounts, cmpFiles, cmpKept) = run(Some(1))
+    // identical verdicts batch-for-batch (indexFiles may differ — drop it)
+    def verdicts(cs: Seq[CurationStream.BatchCounts]) =
+      cs.map(c => (c.batchId, c.in, c.lowQuality, c.duplicates, c.kept))
+    assert(verdicts(cmpCounts) == verdicts(plainCounts),
+      s"compaction changed admission verdicts:\n$cmpCounts\n$plainCounts")
+    assert(cmpKept == plainKept)
+    assert(cmpKept == Seq(1L, 2L, 3L, 6L), cmpKept.toString)
+    // the post-compaction batch read fewer files than the plain run's
+    assert(cmpCounts(2).indexFiles < plainCounts(2).indexFiles,
+      s"compaction must shrink the index read: ${cmpCounts(2).indexFiles} " +
+        s"vs ${plainCounts(2).indexFiles}")
+    assert(cmpFiles.forall(_.startsWith("compact-")) || cmpFiles.nonEmpty)
+    // replay crash window: duplicated bucket rows re-flag, never un-flag
+    val (repCounts, _, repKept) = run(Some(1), replayDupes = true)
+    assert(verdicts(repCounts) == verdicts(plainCounts),
+      s"replay duplicates changed verdicts:\n$repCounts\n$plainCounts")
+    assert(repKept == plainKept)
+    // and compaction is idempotent: folding the replayed state again
+    // collapses the duplicate ids (array_distinct) without loss
+  }
+
   test("the streaming query carries the index across real micro-batches") {
     val landing = Files.createTempDirectory("cur-stream-in")
     val indexDir = Files.createTempDirectory("cur-stream-idx").toString
