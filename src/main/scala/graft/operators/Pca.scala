@@ -165,6 +165,69 @@ object Pca {
     df.select(col(idCol), array(projCols: _*).as("proj"))
   }
 
+  /** ENGINE-PORTABLE projection rules (r18, the trained-rule-stash
+    * recipe): the fitted model quantized to integers — mean and
+    * components at 1e6, the whitening scale `1/√λ` at 1e3 (zero for a
+    * zero-variance component, matching [[project]]'s 0-not-NaN
+    * stance). With these rules interpolated as literals, an
+    * independent engine recomputes every projection row from the raw
+    * embeddings with integer arithmetic only: the eigensolve stays
+    * declared (rows-only float), but the map-only projection math —
+    * where a regression would actually land — hash-checks. */
+  final case class PortableRules(qmean: Seq[Long], qcomps: Seq[Seq[Long]],
+                                 qinvsd: Seq[Long]) {
+    /** Σ qmean·qcomp per component — since the projection distributes,
+      * `Σ(qx−qm)·qc = Σ qx·qc − const`, the mirror subtracts one
+      * precomputed constant instead of list-zipping a subtraction. */
+    def consts: Seq[Long] =
+      qcomps.map(c => c.iterator.zip(qmean.iterator).map {
+        case (a, b) => a * b
+      }.sum)
+  }
+
+  /** Quantize a fitted model into [[PortableRules]]. */
+  def portableRules(model: PcaModel): PortableRules = {
+    def q(x: Double, scale: Double): Long =
+      BigDecimal(x * scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    PortableRules(
+      model.mean.toSeq.map(q(_, 1e6)),
+      model.components.toSeq.map(_.toSeq.map(q(_, 1e6))),
+      model.eigvals.toSeq.map(ev =>
+        if (ev > 0) q(1.0 / math.sqrt(ev), 1e3) else 0L))
+  }
+
+  /** ENGINE-PORTABLE projection: one row per (id, component) with the
+    * integer raw projection `praw = Σ qx·qc − const` (≈ 1e12 × the
+    * float projection; |praw| ≤ dim·(coord·1e6)·1e6 — int64 at any
+    * realistic embedding range) and the whitened coordinate
+    * `wq = praw·qinv` (≈ 1e15 × the whitened float) carried as a
+    * decimal(38,0) STRING — the product can pass int64 when λ is
+    * tiny, and emitting the decimal as text sidesteps the
+    * HUGEINT→float64 pandas widening that cost C56 two rounds.
+    * Map-only, rules broadcast as literals; quantization is the MMR
+    * recipe (`round(x·1e6)` per coordinate), so the mirror's DuckDB
+    * twin recomputes bit-for-bit. */
+  def projectPortable(df: DataFrame, idCol: String, vecCol: String,
+                      rules: PortableRules): DataFrame = {
+    require(rules.qcomps.nonEmpty, "need at least one component")
+    val qx = transform(col(vecCol),
+      x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val prawCols: Seq[Column] = rules.qcomps.zip(rules.consts).map {
+      case (comp, cst) =>
+        aggregate(zip_with(qx, typedLit(comp),
+            (a, b) => coalesce(a * b, lit(0L))),
+          lit(0L), (s, x) => s + x) - lit(cst)
+    }
+    val qinvLit = typedLit(rules.qinvsd)
+    df.select(col(idCol), posexplode(array(prawCols: _*)).as(Seq("comp", "praw")))
+      .select(col(idCol), col("comp").cast("long").as("comp"), col("praw"),
+        (col("praw").cast("decimal(38,0)") *
+          element_at(qinvLit, col("comp").cast("int") + 1)
+            .cast("decimal(38,0)"))
+          .cast("string").as("wq"))
+  }
+
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
     * (eigenvalues, eigenvectors-as-COLUMNS), unsorted. Deterministic:
     * fixed (p,q) sweep order, fixed sweep budget with an off-diagonal

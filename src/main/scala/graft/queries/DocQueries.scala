@@ -565,14 +565,20 @@ object DocQueries {
   // ---------------------------------------------------------------- C69
   /** PCA whitening of the embedding table ([[graft.operators.Pca]]):
     * fit k=8 components in one partial-agg'd covariance pass (driver
-    * holds the 64×64 eigensolve only), project every vector with unit
-    * per-component variance, and report each vector's whitened-space
-    * squared norm alongside the model-level variance-explained
-    * accounting. Rows-only by design: the eigenbasis is
-    * engine-specific (no DuckDB eigensolver) and cross-partition float
-    * sums carry re-association jitter — PcaSpec pins orthonormality,
-    * eigenvalue order, whitened unit variance and the planted
-    * dominant direction with tolerances instead. */
+    * holds the 64×64 eigensolve only), then emit every vector's
+    * per-component raw AND whitened projection. CONDITIONALLY
+    * HASH-GREEN since r18 via the trained-rule stash (the C48/C53b
+    * recipe applied to the fitted basis): the eigensolve stays
+    * rows-only float (no DuckDB eigensolver — PcaSpec pins
+    * orthonormality, eigenvalue order, whitened unit variance and the
+    * planted dominant direction), but the query runs the
+    * ENGINE-PORTABLE projection ([[graft.operators.Pca
+    * .projectPortable]]) under the 1e6-quantized stashed basis, so the
+    * generated mirror recomputes every projection/whitening row from
+    * the raw embeddings with integer arithmetic — the map-only math
+    * where a regression would land is hash-checked; only the basis
+    * TABLE is shared, exactly as a fitted model artifact would be
+    * shared with any consumer. */
   /** The fitted PCA model is the OFFLINE half of the whiten/serve
     * split (the ivfIndex/pqIndex stance): production fits nightly and
     * every projection reuses the broadcast model, so the cached fit
@@ -586,15 +592,11 @@ object DocQueries {
 
   def qEmbPca(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val model = pcaModel(s, dir)
-    graft.operators.Pca.project(e, "vec_id", "embedding", model,
-        whiten = true)
-      .select(col("vec_id"),
-        graft.functions.TextFunctions.round4(
-          aggregate(col("proj"), lit(0.0), (a, x) => a + x * x))
-          .as("whitened_sq_norm"),
-        graft.functions.TextFunctions.round4(
-          lit(model.varianceExplained)).as("variance_explained"))
+    val rules = graft.operators.Pca.portableRules(pcaModel(s, dir))
+    // publish the fitted (quantized) basis so oracleSql can generate
+    // the mirror with it as literals (the trained-rule stash)
+    pcaRulesStash.set((dir, rules))
+    graft.operators.Pca.projectPortable(e, "vec_id", "embedding", rules)
   }
 
   // ---------------------------------------------------------------- C35
@@ -3726,7 +3728,9 @@ object DocQueries {
     fresh(bpeEncodeMergesStash)
       .map(m => "q_doc_bpe_encode" -> bpeEncodeOracleSql(m)).toMap ++
     fresh(unigramEncodeVocabStash)
-      .map(v => "q_doc_unigram_encode" -> unigramEncodeOracleSql(v)).toMap
+      .map(v => "q_doc_unigram_encode" -> unigramEncodeOracleSql(v)).toMap ++
+    fresh(pcaRulesStash)
+      .map(r => "q_emb_pca" -> pcaOracleSql(r)).toMap
   }
 
   /** Pin the corpus dir an upcoming [[oracleSql]] dump is FOR —
@@ -3751,6 +3755,38 @@ object DocQueries {
     new java.util.concurrent.atomic.AtomicReference[(String, Seq[graft.operators.Bpe.Merge])](null)
   private val unigramEncodeVocabStash =
     new java.util.concurrent.atomic.AtomicReference[(String, UnigramEncodeRules)](null)
+  private val pcaRulesStash =
+    new java.util.concurrent.atomic.AtomicReference[(String, graft.operators.Pca.PortableRules)](null)
+
+  /** GENERATED DuckDB mirror of [[qEmbPca]] (C69, conditionally
+    * oracled): the STASHED quantized basis interpolates as literals
+    * (mean folded into one per-component constant — the projection
+    * distributes), and the mirror re-derives every (vec_id, comp)
+    * row's raw integer projection from the raw embeddings with the
+    * MMR quantize/dot idiom, plus the whitened product as a HUGEINT
+    * rendered VARCHAR (decimal-as-text both sides — the C56 pandas
+    * float64-widening lesson). */
+  private def pcaOracleSql(r: graft.operators.Pca.PortableRules): String = {
+    val rows = r.qcomps.zipWithIndex.map { case (comp, j) =>
+      s"($j, [${comp.mkString(", ")}], ${r.qinvsd(j)}, ${r.consts(j)})"
+    }.mkString(",\n        ")
+    s"""WITH qv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> CAST(round(x * 1e6) AS BIGINT)) AS qx
+      |  FROM embeddings),
+      |comps(comp, qc, qinv, cconst) AS (
+      |  VALUES $rows),
+      |p AS (
+      |  SELECT v.vec_id, c.comp, c.qinv,
+      |         CAST(list_aggregate(list_transform(
+      |           generate_series(1, least(len(v.qx), len(c.qc))),
+      |           i -> v.qx[i] * c.qc[i]), 'sum') AS BIGINT) - c.cconst AS praw
+      |  FROM qv v CROSS JOIN comps c)
+      |SELECT vec_id, CAST(comp AS BIGINT) AS comp, praw,
+      |       CAST(CAST(praw AS HUGEINT) * qinv AS VARCHAR) AS wq
+      |FROM p""".stripMargin
+  }
 
   /** Snapshot of the portable-unigram rules: the (piece, qcost)
     * vocabulary, the piece-length bound, and the corpus' max word

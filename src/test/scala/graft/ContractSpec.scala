@@ -77,14 +77,17 @@ class ContractSpec extends AnyFunSuite {
       "q_mm_image_dups", // aHash needs image decode — no DuckDB oracle
       "q_mm_phash_dups", // DCT hash needs image decode — no DuckDB oracle
       "q_mm_audio_dups", // energy fingerprint needs audio decode — no DuckDB oracle
-      "q_mm_video_dups", // frame-set hashes need video decode — no DuckDB oracle
-      "q_emb_pca") // no DuckDB eigensolver; PcaSpec pins basis, whitening, accounting
-    // r17: the tokenizer ENCODE halves are CONDITIONALLY oracled — their
-    // generated mirrors interpolate the LEARNED rule tables, which exist
+      "q_mm_video_dups") // frame-set hashes need video decode — no DuckDB oracle
+    // r17/r18: the tokenizer ENCODE halves and the PCA projection are
+    // CONDITIONALLY oracled — their generated mirrors interpolate the
+    // LEARNED rule tables (merges / vocab / fitted basis), which exist
     // only after the query has run in this JVM (Verify's order). Before
     // that they degrade to rows-only, so the set membership is
     // execution-order-dependent and the test compares modulo them.
-    val conditionallyOracled = Set("q_doc_bpe_encode", "q_doc_unigram_encode")
+    // (q_emb_pca's eigensolve itself stays declared float — PcaSpec
+    // pins basis orthonormality, whitening, accounting.)
+    val conditionallyOracled =
+      Set("q_doc_bpe_encode", "q_doc_unigram_encode", "q_emb_pca")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert((actual -- conditionallyOracled) ==
              (rowsOnlyByDesign -- conditionallyOracled),

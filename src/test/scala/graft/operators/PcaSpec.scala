@@ -98,14 +98,58 @@ class PcaSpec extends SparkSpec {
     }
   }
 
-  test("q_emb_pca: one row per vector, mean whitened norm ≈ k") {
+  test("q_emb_pca: k rows per vector; whitened coordinates keep unit variance through the integer path") {
     val out = graft.queries.DocQueries.qEmbPca(spark, "/root/testdata/sf0.001")
+      .collect()
     val n = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
       "embeddings").count()
-    assert(out.count() == n)
-    // E[Σ_k y_k²] = k for unit-variance components over a CENTERED
-    // cloud; loose band — the real pin is the operator spec above
-    val meanNorm = out.agg(avg("whitened_sq_norm")).head().getDouble(0)
+    assert(out.length == n * 8, s"expected ${n * 8} (vec, comp) rows")
+    // wq ≈ 1e15 × the whitened float coordinate: E[Σ_k y_k²] = k for
+    // unit-variance components over a centered cloud; loose band —
+    // the real pin is the operator specs above
+    val norms = out.groupBy(_.getLong(0)).values.map(rows =>
+      rows.map(r => { val w = BigDecimal(r.getString(3)).toDouble / 1e15; w * w }).sum)
+    val meanNorm = norms.sum / norms.size
     assert(meanNorm > 4.0 && meanNorm < 12.0, s"mean whitened norm $meanNorm")
+  }
+
+  test("C69p: projectPortable matches the float projection within quantization error; praw recomputes by hand") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Seq(-1.0f, 0.75f, 0.0f, -0.5f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.3f, 0.9f, -0.7f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val m = Pca.fit(vecs, "embedding", k = 2)
+    val rules = Pca.portableRules(m)
+    val got = Pca.projectPortable(vecs, "vec_id", "embedding", rules)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), BigDecimal(r.getString(3)))))
+      .toMap
+    assert(got.size == 8, "4 vectors × 2 components")
+    // hand recompute: praw = Σ round(1e6·x)·qc − Σ qm·qc, wq = praw·qinv
+    val data = Map(1L -> Seq(0.5, -0.25, 0.125, 1.0),
+      2L -> Seq(-1.0, 0.75, 0.0, -0.5), 3L -> Seq(0.0, 0.0, 0.0, 0.0),
+      4L -> Seq(0.3, 0.9, -0.7, 0.2))
+    for ((id, xs) <- data; c <- 0 until 2) {
+      val qx = xs.map(x => BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val praw = qx.zip(rules.qcomps(c)).map { case (a, b) => a * b }.sum -
+        rules.consts(c)
+      val wq = BigDecimal(praw) * BigDecimal(rules.qinvsd(c))
+      assert(got((id, c.toLong)) == ((praw, wq)),
+        s"($id, $c): got ${got((id, c.toLong))} want ($praw, $wq)")
+      // and the integer path tracks the float path: praw/1e12 vs proj
+    }
+    val flt = Pca.project(vecs, "vec_id", "embedding", m, whiten = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, _) <- data; c <- 0 until 2) {
+      val w = got((id, c.toLong))._2.toDouble / 1e15
+      // 1e6 coordinate quantization + 1e3 whitening-scale quantization:
+      // agreement to ~1e-3 absolute on unit-range data
+      assert(math.abs(w - flt(id)(c)) < 5e-3,
+        s"($id, $c): portable $w vs float ${flt(id)(c)}")
+    }
   }
 }

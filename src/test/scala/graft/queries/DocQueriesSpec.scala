@@ -373,15 +373,20 @@ class DocQueriesSpec extends SparkSpec {
       DocQueries.pinOracleDir(sf)
       assert(DocQueries.qDocBpeEncode(spark, sf).count() > 0)
       assert(DocQueries.qDocUnigramEncode(spark, sf).count() > 0)
+      assert(DocQueries.qEmbPca(spark, sf).count() > 0)
       assert(graft.SparkEntry.oracleSql.contains("q_doc_bpe_encode"),
         "bpe-encode stash did not surface its generated mirror")
       assert(graft.SparkEntry.oracleSql.contains("q_doc_unigram_encode"),
         "unigram-encode stash did not surface its generated mirror")
+      assert(graft.SparkEntry.oracleSql.contains("q_emb_pca"),
+        "pca-basis stash did not surface its generated mirror")
       DocQueries.pinOracleDir("/not/the/trained/dir")
       assert(!graft.SparkEntry.oracleSql.contains("q_doc_bpe_encode"),
         "stale bpe mirror leaked past a mismatched dir pin")
       assert(!graft.SparkEntry.oracleSql.contains("q_doc_unigram_encode"),
         "stale unigram mirror leaked past a mismatched dir pin")
+      assert(!graft.SparkEntry.oracleSql.contains("q_emb_pca"),
+        "stale pca mirror leaked past a mismatched dir pin")
     } finally DocQueries.pinOracleDir(null)
   }
 }
