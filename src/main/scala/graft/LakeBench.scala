@@ -82,12 +82,42 @@ object LakeBench {
 
     require(nFull == nRaw && nRaw == nZ,
       s"row counts diverged: full=$nFull raw=$nRaw zorder=$nZ")
+
+    // the full lake MAINTENANCE CYCLE in the loop (r18): GDPR-erase a
+    // row slice (A27 deleteWhere — rewrite-not-tombstone), fold the
+    // accumulated commit pairs (compactCommits), rebuild the stats
+    // index, and re-measure the SAME pruned read — the composition a
+    // month of production (ingest + erasure requests + nightly
+    // maintenance) actually runs, verified to keep the read fast and
+    // exact rather than assumed to
+    val inWindow = OcsfTables.loadWhere(spark, base, route, cond)
+      .filter("metadata.uid like 'u1%'").count()
+    val (nErased, tErase) = timed(
+      IdempotentSink.deleteWhere(spark, tableDir,
+        "metadata.uid like 'u1%'",
+        filesPerDay = filesPerDay, zorderCols = Seq("time", "severity")))
+    val (folded, tCompact) = timed(
+      IdempotentSink.compactCommits(fs, tableDir))
+    val (_, tStats) = timed(
+      OcsfTables.buildStats(spark, base, route, Seq("time", "severity")))
+    val committed2 = IdempotentSink.committedFiles(fs, tableDir).size
+    val mKept = OcsfTables.prunedFiles(spark, fs, tableDir, cond).size
+    val (nM, tM) = timed(prunedCount())
+    require(nM == nZ - inWindow,
+      s"post-erasure count wrong: $nM != $nZ - $inWindow")
+
     println(
       s"""{"metric":"lake_read","rows":$nFull,"events":$nEvents,"unit":"sec"""" +
       s""","full_scan_sec":${f"$tFull%.3f"},"files_total":$committed0""" +
       s""","pruned_raw_sec":${f"$tRaw%.3f"},"files_raw_kept":$rawKept""" +
       s""","pruned_zorder_sec":${f"$tZ%.3f"},"files_zorder_total":$committed1""" +
-      s""","files_zorder_kept":$zKept}""")
+      s""","files_zorder_kept":$zKept""" +
+      s""","erased_rows":$nErased,"erase_sec":${f"$tErase%.3f"}""" +
+      s""","compacted_pairs":$folded,"compact_sec":${f"$tCompact%.3f"}""" +
+      s""","stats_rebuild_sec":${f"$tStats%.3f"}""" +
+      s""","post_maintenance_files_total":$committed2""" +
+      s""","post_maintenance_files_kept":$mKept""" +
+      s""","post_maintenance_pruned_sec":${f"$tM%.3f"}}""")
     spark.stop()
   }
 }

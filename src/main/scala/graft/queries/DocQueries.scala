@@ -489,6 +489,33 @@ object DocQueries {
         col("hits").cast("double") / col("truth_pairs")))
   }
 
+  // --------------------------------------------------------------- C102
+  /** The C101 curve turned into the operating KNOB
+    * ([[graft.operators.Similarity.recommendNprobe]]): walk the
+    * candidate nprobes ascending on the same deterministic 64-source
+    * sample / frozen probe-4 geometry, and emit the measured prefix —
+    * one row per tried nprobe with pooled truth/hits, the integer
+    * clearing verdict (`hits·10 ≥ truth·9` ⟺ recall ≥ 0.9, no float
+    * ratio), and the recommendation flag on the FIRST clearing point
+    * (empty `recommended` column ⇒ use brute, the honest isotropic
+    * answer). Early-exit means rows stop at the first clear — the
+    * mirror replays exactly that prefix. */
+  def qEmbNprobeAdvice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val advice = Similarity.recommendNprobe(emb(s, dir), "vec_id",
+      "embedding", docs(s, dir), "doc_id", "lang", srcLang = "en",
+      tgtLang = "de", targetRecall = 0.9,
+      candidateNprobes = Seq(1, 2, 4, 8), sampleSize = 64)
+    val rows = advice.curve.filter(_.truthPairs > 0)
+    // derive both verdicts from the integers so the mirror can
+    // reproduce them exactly (the double form agrees — spec-pinned)
+    val firstClear = rows.find(p => p.hits * 10 >= p.truthPairs * 9)
+      .map(_.nprobe)
+    rows.map(p => (p.nprobe.toLong, p.truthPairs, p.hits,
+        p.hits * 10 >= p.truthPairs * 9, firstClear.contains(p.nprobe)))
+      .toDF("nprobe", "truth_pairs", "hits", "cleared", "recommended")
+  }
+
   // ---------------------------------------------------------------- C92
   /** Symmetric bitext mining
     * ([[graft.operators.Similarity.mineBitextSymmetric]]): only the
@@ -2904,6 +2931,7 @@ object DocQueries {
     "q_emb_bitext"        -> (qEmbBitext _),
     "q_emb_bitext_sym"    -> (qEmbBitextSym _),
     "q_emb_bitext_recall" -> (qEmbBitextRecall _),
+    "q_emb_nprobe_advice" -> (qEmbNprobeAdvice _),
     "q_doc_pps_sample"    -> (qDocPpsSample _),
     "q_doc_ngram_jaccard" -> (qDocNgramJaccard _),
     "q_doc_fuzzy_pairs"   -> (qDocFuzzyPairs _),
@@ -5218,6 +5246,7 @@ object DocQueries {
     "q_emb_ivfpq_topk" -> ivfPqOracleSql,
     "q_emb_ivfpq_delta" -> ivfPqDeltaOracleSql,
     "q_emb_bitext_recall" -> bitextRecallOracleSql,
+    "q_emb_nprobe_advice" -> nprobeAdviceOracleSql,
     "q_emb_ivf_topk" -> ivfOracleSql,
     "q_emb_ivf_delta" -> ivfDeltaOracleSql,
     // r15: MMR graduated via the integer-bilinear portable config —
@@ -5448,7 +5477,50 @@ object DocQueries {
     * the brute truth per sampled source, one mined relation per
     * nprobe, and the per-(nprobe, margin-bucket) recall aggregation —
     * every decision integer or round4, every emitted sum CAST BIGINT. */
-  private def bitextRecallOracleSql: String = {
+  private def bitextRecallOracleSql: String =
+    s"""${bitextCurvePrefixSql}
+      |SELECT np.nprobe, t.margin_bucket,
+      |       CAST(count(*) AS BIGINT) AS truth_pairs,
+      |       CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |       round(CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |             / CAST(count(*) AS BIGINT), 4) AS recall
+      |FROM np CROSS JOIN truth t
+      |LEFT JOIN probes p ON p.nprobe = np.nprobe
+      |                  AND p.src_id = t.src_id AND p.tgt_id = t.tgt_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** GENERATED DuckDB mirror of [[qEmbNprobeAdvice]] (C102): the same
+    * curve prefix pooled across margin buckets, the clearing test in
+    * exact integer form (`hits·10 ≥ truth·9` ⟺ recall ≥ 9/10 — no
+    * float ratio), the recommendation = the SMALLEST clearing nprobe,
+    * and the emitted rows cut to the measured prefix (everything up to
+    * and including the first clearing point — the Spark side's
+    * early-exit), each with its cleared/recommended verdicts. */
+  private def nprobeAdviceOracleSql: String =
+    s"""${bitextCurvePrefixSql},
+      |pooled AS (
+      |  SELECT np.nprobe,
+      |         CAST(count(*) AS BIGINT) AS truth_pairs,
+      |         CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      |  FROM np CROSS JOIN truth t
+      |  LEFT JOIN probes p ON p.nprobe = np.nprobe
+      |                    AND p.src_id = t.src_id AND p.tgt_id = t.tgt_id
+      |  GROUP BY 1),
+      |flags AS (
+      |  SELECT nprobe, truth_pairs, hits,
+      |         hits * 10 >= truth_pairs * 9 AS cleared
+      |  FROM pooled WHERE truth_pairs > 0),
+      |firstclear AS (
+      |  SELECT min(nprobe) AS rec FROM flags WHERE cleared)
+      |SELECT f.nprobe, f.truth_pairs, f.hits, f.cleared,
+      |       coalesce(f.nprobe = fc.rec, false) AS recommended
+      |FROM flags f CROSS JOIN firstclear fc
+      |WHERE fc.rec IS NULL OR f.nprobe <= fc.rec""".stripMargin
+
+  /** The shared C101/C102 curve body: sample, geometry, probe ranks,
+    * brute truth, one mined relation per nprobe and the `probes`/`np`
+    * relations — everything before the final aggregation. */
+  private def bitextCurvePrefixSql: String = {
     def minedTop2(p: Int): String =
       s"""m$p AS (
         |  SELECT src_id, max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id
@@ -5531,16 +5603,7 @@ object DocQueries {
       |  UNION ALL SELECT CAST(2 AS BIGINT), src_id, tgt_id FROM m2
       |  UNION ALL SELECT CAST(4 AS BIGINT), src_id, tgt_id FROM m4
       |  UNION ALL SELECT CAST(8 AS BIGINT), src_id, tgt_id FROM m8),
-      |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe)
-      |SELECT np.nprobe, t.margin_bucket,
-      |       CAST(count(*) AS BIGINT) AS truth_pairs,
-      |       CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-      |       round(CAST(sum(CASE WHEN p.src_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |             / CAST(count(*) AS BIGINT), 4) AS recall
-      |FROM np CROSS JOIN truth t
-      |LEFT JOIN probes p ON p.nprobe = np.nprobe
-      |                  AND p.src_id = t.src_id AND p.tgt_id = t.tgt_id
-      |GROUP BY 1, 2""".stripMargin
+      |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe)""".stripMargin
   }
 
   private def bitextScoredSql: String =
