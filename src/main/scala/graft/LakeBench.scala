@@ -91,10 +91,10 @@ object LakeBench {
     // maintenance) actually runs, verified to keep the read fast and
     // exact rather than assumed to
     val inWindow = OcsfTables.loadWhere(spark, base, route, cond)
-      .filter("metadata.uid like 'u1%'").count()
+      .filter("metadata.uid like 'u19%'").count()
     val (nErased, tErase) = timed(
       IdempotentSink.deleteWhere(spark, tableDir,
-        "metadata.uid like 'u1%'",
+        "metadata.uid like 'u19%'",
         filesPerDay = filesPerDay, zorderCols = Seq("time", "severity")))
     val (folded, tCompact) = timed(
       IdempotentSink.compactCommits(fs, tableDir))
