@@ -359,4 +359,18 @@ class PlanSpec extends SparkSpec {
       VectorFunctions.cosine(col("a"), col("b")).as("hof")).collect()
     r.foreach(row => assert(row.getDouble(0) == row.getDouble(1), row.toString))
   }
+
+  test("C69p: the portable PCA projection is map-only — no exchange anywhere in the plan") {
+    // one scan → quantize → k broadcast-literal dot products →
+    // posexplode → project; a shuffle here would mean the model
+    // accidentally became a joined relation instead of literals
+    val p = plan("q_emb_pca")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+  }
+
+  test("C53b: the unigram encode joins the model-sized vocab broadcast, never shuffled") {
+    val p = plan("q_doc_unigram_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast (model-sized side):\n$p")
+  }
 }
