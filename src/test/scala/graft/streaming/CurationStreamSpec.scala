@@ -158,19 +158,30 @@ class CurationStreamSpec extends SparkSpec {
     writeDocs("b0.json", Seq((10L, textA)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").json(landing.toString)
+    // compactEvery = 1: every real micro-batch folds the index, so
+    // this also exercises the in-stream compaction wiring end-to-end
     val q = CurationStream.start(stream, indexDir, outDir, ckpt,
       "text", "doc_id",
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      compactEvery = 1)
     try {
       q.processAllAvailable() // batch 0: doc 10 accepted, indexed
       writeDocs("b1.json", Seq((11L, textA), (12L, textC)))
       q.processAllAvailable() // batch 1: 11 dups vs batch 0, 12 kept
+      writeDocs("b2.json", Seq((13L, textC))) // dups vs COMPACTED index
+      q.processAllAvailable()
     } finally q.stop()
     val out = spark.read.parquet(outDir)
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(10L, 12L),
-      "the cross-batch duplicate (doc 11) must be dropped against batch 0's index")
+      "cross-batch duplicates (11 vs batch 0; 13 vs the COMPACTED index) must drop")
     assert(out.filter(col("doc_id") === 12L).select("batch_id")
       .head().getLong(0) >= 1L)
+    // the live index is the folded snapshot, not one file-set per batch
+    val idxFiles = Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+    assert(idxFiles.forall(_.startsWith("compact-")),
+      s"in-stream compaction must have folded the appends: ${idxFiles.toSeq}")
   }
 }
