@@ -124,6 +124,45 @@ def main():
           q("SELECT md5('1')"),
           [("c4ca4238a0b923820dcc509a6f75849b",)])
 
+    # r18 additions — the constructs the PCA / unigram-trainer /
+    # nprobe-advice mirrors introduced:
+
+    # integer '//' TRUNCATES TOWARD ZERO on negatives (C-style), which
+    # differs from floor division. Spark `div` truncates too, so the
+    # two agree on POSITIVE operands only — mirrors must never divide
+    # a possibly-negative value (the PCA mirror multiplies instead).
+    check("int_div_negative_truncates",
+          q("SELECT -7//2, 7//2"),
+          [(-3, 3)])
+
+    # HUGEINT × BIGINT stays HUGEINT and CASTs to VARCHAR as plain
+    # digits (sign included, no separators/exponent) — the q_emb_pca
+    # wq = praw·qinv decimal-as-TEXT construct that sidesteps the
+    # HUGEINT→pandas-float64 widening pinned above.
+    check("hugeint_times_bigint_type",
+          q("SELECT typeof(CAST(5 AS HUGEINT) * 3::BIGINT)"),
+          [("HUGEINT",)])
+    check("hugeint_varchar_plain_digits",
+          q("SELECT CAST(CAST(-123456789012345678 AS HUGEINT)"
+            " * 100000 AS VARCHAR)"),
+          [("-12345678901234567800000",)])
+
+    # CTE column aliases over VALUES rows carrying LIST literals — the
+    # comps(comp, qc, qinv, cconst) relation the PCA mirror interpolates.
+    check("cte_values_list_literals",
+          q("WITH c(a, b) AS (VALUES (1, [10, 20]), (2, [30, 40])) "
+            "SELECT a, b[2] FROM c ORDER BY a"),
+          [(1, 20), (2, 40)])
+
+    # the unigram-trainer quantize hop: round(-ln(u/tot)·1e6)::BIGINT
+    # must agree with the JVM on the 1e6 grid (ln is IEEE-double in
+    # both engines; a last-ulp disagreement only matters within ~1e-9
+    # of a rounding boundary — pin one exact interior value).
+    check("quantized_ln_cost",
+          q("SELECT CAST(round(-ln(CAST(1 AS DOUBLE) / 2)"
+            " * 1000000.0, 0) AS BIGINT)"),
+          [(693147,)])
+
     version = duckdb.__version__
     if failures:
         print(f"DIVERGENT SEMANTICS under duckdb {version} "
@@ -131,7 +170,7 @@ def main():
         for f in failures:
             print(f"  FAIL {f}")
         sys.exit(1)
-    print(f"all {16} pinned semantics hold under duckdb {version}")
+    print(f"all {21} pinned semantics hold under duckdb {version}")
 
 
 if __name__ == "__main__":
