@@ -284,6 +284,14 @@ object Dedup {
     if (!fs.exists(dir)) return 0
     def isLive(n: String) =
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    // sweep tmp dirs crashed attempts left behind: each run only ever
+    // deletes its OWN stamp's tmp dir on success, so a crash mid-write
+    // would otherwise accumulate hidden garbage forever. Underscore
+    // prefix means no reader can see them — deletion is always safe
+    // under the single-writer contract this method already requires.
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_tmp_"))
+      .foreach(fs.delete(_, true))
     val originals = fs.listStatus(dir).map(_.getPath)
       .filter(p => isLive(p.getName))
     if (originals.length < 2) return 0

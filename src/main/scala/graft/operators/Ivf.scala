@@ -266,9 +266,16 @@ object Ivf {
         coalesce(org.apache.spark.sql.functions.sum(
           when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L)),
         org.apache.spark.sql.functions.count(col(idCol)),
-        org.apache.spark.sql.functions.count_distinct(col(idCol))).collect().head
+        org.apache.spark.sql.functions.count_distinct(col(idCol)),
+        coalesce(org.apache.spark.sql.functions.sum(
+          when(col(idCol).isNull, 1L).otherwise(0L)), lit(0L))).collect().head
       require(dims.getLong(2) == 0L,
         s"delta has ${dims.getLong(2)} NULL $vecCol rows")
+      // NULL ids first: count() and count_distinct() both SKIP nulls,
+      // so a delta carrying several NULL-id rows would pass the
+      // duplicate check below yet land indistinguishable candidates
+      require(dims.getLong(5) == 0L,
+        s"delta has ${dims.getLong(5)} NULL $idCol rows")
       // a delta carrying the same id twice would be admitted and appear
       // twice in a probe's candidate set silently — the same failure
       // mode as base/delta overlap, guarded in the same aggregate pass

@@ -842,9 +842,15 @@ object Pq {
       coalesce(org.apache.spark.sql.functions.sum(
         when(col(vecCol).isNull, 1L).otherwise(0L)), lit(0L)),
       org.apache.spark.sql.functions.count(col(idCol)),
-      org.apache.spark.sql.functions.count_distinct(col(idCol))).collect().head
+      org.apache.spark.sql.functions.count_distinct(col(idCol)),
+      coalesce(org.apache.spark.sql.functions.sum(
+        when(col(idCol).isNull, 1L).otherwise(0L)), lit(0L))).collect().head
     require(dims.getLong(2) == 0L,
       s"delta has ${dims.getLong(2)} NULL $vecCol rows")
+    // NULL ids first: count()/count_distinct() both skip nulls, so
+    // multiple NULL-id rows would pass the duplicate check below
+    require(dims.getLong(5) == 0L,
+      s"delta has ${dims.getLong(5)} NULL $idCol rows")
     // duplicate ids WITHIN the delta are the same double-candidate
     // failure as base/delta overlap — guarded in the same aggregate
     require(dims.getLong(3) == dims.getLong(4),

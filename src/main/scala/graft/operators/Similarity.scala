@@ -505,11 +505,13 @@ object Similarity {
                                recall: Double)
 
   /** The [[recommendNprobe]] verdict: the smallest candidate nprobe
-    * whose measured recall clears the target, or None — "use brute"
-    * (the isotropic-corpus case BASELINE.md documents, where no
-    * affordable probe width recalls enough). `curve` holds every
-    * point actually measured (ascending nprobe, stops at the first
-    * clearing point). */
+    * whose measured recall clears the target, or None. `curve` holds
+    * every point actually measured (ascending nprobe, stops at the
+    * first clearing point) and disambiguates the two None cases:
+    * None + non-empty curve = a MEASURED "use brute" verdict (the
+    * isotropic-corpus case BASELINE.md documents, where no affordable
+    * probe width recalls enough); None + EMPTY curve = no sampled
+    * sources, nothing was measured — not a recommendation at all. */
   final case class NprobeAdvice(recommended: Option[Int], targetRecall: Double,
                                 curve: Seq[NprobePoint])
 
@@ -548,8 +550,12 @@ object Similarity {
     val srcIds = tagged.filter(col("__lang") === srcLang)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(sampleSize).select(col(idCol)).collect().map(_.getLong(0)).toSeq
-    if (srcIds.isEmpty) // no sources: nothing to mine, any probe "works"
-      return NprobeAdvice(Some(candidateNprobes.head), targetRecall, Seq.empty)
+    // no sources: nothing was measured, so recommending the smallest
+    // probe would dress a degenerate case up as a verdict. None with
+    // an EMPTY curve is the honest signal (a measured "use brute"
+    // verdict is None with a non-empty curve — see [[NprobeAdvice]])
+    if (srcIds.isEmpty)
+      return NprobeAdvice(None, targetRecall, Seq.empty)
     val restricted = tagged
       .filter(col("__lang") === tgtLang || col(idCol).isin(srcIds: _*))
       .select(col(idCol), col(vecCol))

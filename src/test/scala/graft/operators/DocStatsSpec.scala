@@ -244,6 +244,14 @@ class DocStatsSpec extends SparkSpec {
       s"near-isotropic corpus must fall back to brute: $flat")
     assert(flat.curve.length == 2 && flat.curve.forall(_.recall < 0.99),
       s"every measured point below target: $flat")
+    // DEGENERATE: no sampled sources → nothing measured. The verdict
+    // must be None with an EMPTY curve (not Some(smallest nprobe) —
+    // that would dress zero measurements up as a recommendation)
+    val noSrc = Similarity.recommendNprobe(iso, "vec_id", "embedding",
+      isoLabels, "doc_id", "lang", "fr", "de", targetRecall = 0.9,
+      candidateNprobes = Seq(1, 2))
+    assert(noSrc.recommended.isEmpty && noSrc.curve.isEmpty,
+      s"no sources must yield None with an empty curve: $noSrc")
   }
 
   test("C88: novelty — planted copy scores 0, fresh vocab scores 1, short docs report 1") {

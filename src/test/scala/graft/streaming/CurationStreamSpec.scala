@@ -104,6 +104,11 @@ class CurationStreamSpec extends SparkSpec {
         if (compactAfterBatch.contains(i)) {
           val folded = Dedup.compactBandBucketIndex(spark, indexDir)
           assert(folded >= 2, s"expected a real fold, got $folded")
+          // immediately after the fold — before the next batch appends
+          // — the live index must be EXACTLY the compacted snapshot
+          val afterFold = listIndex(indexDir)
+          assert(afterFold.nonEmpty && afterFold.forall(_.startsWith("compact-")),
+            s"post-fold index must be exactly compact-* files: $afterFold")
           if (replayDupes) {
             // crash-window simulation: a replayed append re-adds batch
             // i's survivor buckets BESIDE the compacted copy — the
@@ -134,7 +139,10 @@ class CurationStreamSpec extends SparkSpec {
     assert(cmpCounts(2).indexFiles < plainCounts(2).indexFiles,
       s"compaction must shrink the index read: ${cmpCounts(2).indexFiles} " +
         s"vs ${plainCounts(2).indexFiles}")
-    assert(cmpFiles.forall(_.startsWith("compact-")) || cmpFiles.nonEmpty)
+    // end-of-run state: the compacted snapshot plus batch 2's appends
+    assert(cmpFiles.exists(_.startsWith("compact-")) &&
+      cmpFiles.exists(!_.startsWith("compact-")),
+      s"final index must hold the compacted snapshot AND post-fold appends: $cmpFiles")
     // replay crash window: duplicated bucket rows re-flag, never un-flag
     val (repCounts, _, repKept) = run(Some(1), replayDupes = true)
     assert(verdicts(repCounts) == verdicts(plainCounts),
