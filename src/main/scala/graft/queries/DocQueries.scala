@@ -2615,17 +2615,33 @@ object DocQueries {
   }
 
   // --------------------------------------------------------------- C19b
-  /** The bloom-screen configuration of the same check: the benchmark
-    * grams broadcast as a fixed-size Bloom filter instead of verbatim
-    * — the pre-screen for eval suites too large to ship raw. Rows-only
-    * by design (bloom false positives may over-flag ~fpp of clean
-    * docs' grams); OperatorsSpec pins the superset-of-exact guarantee
-    * and the bounded over-flagging. */
+  /** The bloom-screen configuration of the same check, run as the full
+    * production composition: Bloom PRE-SCREEN (map-side, zero shuffle
+    * for clean docs) → EXACT CONFIRM restricted to the flagged docs —
+    * the candidates-then-verify shape a 100 TB decontamination pass
+    * actually takes, where the eval suite is too large to broadcast
+    * verbatim but its sketch is ~1.2 bytes/gram.
+    *
+    * GATE (bounded-match, graduated r19 from rows-only): bloom hit
+    * counts are hash-family-private, but the ONE-SIDED-ERROR contract
+    * is checkable — no false negatives means confirming the flagged
+    * subset yields EXACTLY the exact screen's relation, and per doc
+    * the bloom count covers the exact count. The emitted rows are the
+    * confirmed (doc_id, n_hits) — hash-equal to the exact mirror —
+    * plus the per-doc coverage verdict; OperatorsSpec keeps pinning
+    * the bounded over-flagging of the raw screen. */
   def qDocContaminationBloom(s: SparkSession, dir: String): DataFrame = {
     val (corpus, bench) = contaminationSplit(s, dir)
-    Dedup.contaminationHitsBloom(corpus, "text", "doc_id", bench,
-        n = 5, expectedGrams = 100000L)
-      .select(col("doc_id"), col("n_hits"))
+    val flagged = Dedup.contaminationHitsBloom(corpus, "text", "doc_id",
+      bench, n = 5, expectedGrams = 100000L)
+    val confirmed = Dedup.contaminationHits(
+      corpus.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      "text", "doc_id", bench, n = 5)
+    confirmed
+      .join(flagged.select(col("doc_id"), col("n_hits").as("__nb")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("__nb") >= col("n_hits")).as("bloom_covers"))
   }
 
   /** The media-derivation window shared by every q_mm_* gate
@@ -4485,6 +4501,23 @@ object DocQueries {
         |          FROM idx),
         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM grams g JOIN bench USING (gram)
+        |WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id""".stripMargin,
+    // C19b gate (r19): bloom's no-false-negative contract means the
+    // confirmed relation IS the exact screen; the mirror is the exact
+    // mirror plus the literal coverage verdict
+    "q_doc_contamination_bloom" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5),
+        |grams AS (SELECT DISTINCT doc_id,
+        |            t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |            t[i+3] || ' ' || t[i+4] AS gram
+        |          FROM idx),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       TRUE AS bloom_covers
         |FROM grams g JOIN bench USING (gram)
         |WHERE g.doc_id >= 10
         |GROUP BY g.doc_id""".stripMargin,

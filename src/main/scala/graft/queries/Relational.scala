@@ -591,28 +591,62 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- B22
-  /** Approximate count-distinct (HLL++). Rows-only driver check — no
-    * SQL oracle, approximation is engine-specific. */
-  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  /** Raw HLL++ estimates — the sketch values themselves, engine-
+    * specific by nature (AccuracySpec pins their error; the GATE query
+    * below turns the same bound into a hash-checkable verdict). */
+  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
            approx_count_distinct(col("event_id")).as("approx_events"))
 
+  /** B22 GATE (bounded-match, graduated r19 from rows-only): the HLL
+    * estimate can't hash-match another engine's sketch family, but its
+    * ACCURACY CONTRACT can — emit the exact counts plus an integer-
+    * arithmetic verdict `|approx − exact|·100 ≤ exact·15` (3σ of the
+    * default rsd 0.05, the AccuracySpec bound). The DuckDB oracle
+    * computes the same exact counts and literal TRUE verdicts, so a
+    * sketch drifting out of bound turns the gate red instead of
+    * hiding behind `no_oracle`. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+           count_distinct(col("event_id")).as("exact_events"),
+           approx_count_distinct(col("user_id")).as("au"),
+           approx_count_distinct(col("event_id")).as("ae"))
+      .select(col("exact_users"), col("exact_events"),
+        (abs(col("au") - col("exact_users")) * lit(100L) <=
+          col("exact_users") * lit(15L)).as("users_within_bound"),
+        (abs(col("ae") - col("exact_events")) * lit(100L) <=
+          col("exact_events") * lit(15L)).as("events_within_bound"))
+
   // ---------------------------------------------------------------- B22b
-  /** Mergeable-sketch distinct rollup: one HLL sketch per day, then a
-    * sketch UNION for the total — the incremental pattern a lake uses
-    * at 100 TB (daily sketches persist; totals, trailing windows and
-    * re-aggregations come from unioning kilobyte sketches, never
-    * rescanning the raw events). Rows-only check (sketch estimates are
-    * engine-specific); AccuracySpec pins the union's error against the
-    * exact distinct count. */
-  def qApproxDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+  /** Mergeable-sketch distinct rollup, raw form: one HLL sketch per
+    * day, then a sketch UNION for the total — the incremental pattern
+    * a lake uses at 100 TB (daily sketches persist; totals, trailing
+    * windows and re-aggregations come from unioning kilobyte sketches,
+    * never rescanning the raw events). AccuracySpec pins the union's
+    * error against the exact distinct count. */
+  def approxDistinctRollupRaw(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     daily.agg(
       count(lit(1)).as("n_days"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_total"))
+  }
+
+  /** B22b GATE (bounded-match, graduated r19): the sketch-union
+    * estimate checked against the exact total at the AccuracySpec 10%
+    * bound, in integer arithmetic; day count exact. Same stance as
+    * [[qApproxDistinct]] — the verdict hashes, the sketch stays
+    * engine-private. */
+  def qApproxDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    val sk = approxDistinctRollupRaw(s, dir)
+    val ex = t(s, dir, "events")
+      .agg(count_distinct(col("user_id")).as("exact_users_total"))
+    sk.crossJoin(ex).select(col("n_days"), col("exact_users_total"),
+      (abs(col("approx_users_total") - col("exact_users_total")) * lit(100L) <=
+        col("exact_users_total") * lit(10L)).as("rollup_within_bound"))
   }
 
   // ---------------------------------------------------------------- B23
@@ -632,20 +666,42 @@ object Relational {
         round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
 
-  /** B23b — the scale path for percentiles: `approx_percentile`
-    * carries a bounded-size sketch per group regardless of value
-    * cardinality (accuracy 10000 ≈ 0.01% rank error), the same
-    * exact-for-the-oracle / approx-for-scale split B22 uses for
-    * count-distinct. Rows-only driver check — sketch results are
-    * engine-specific; AccuracySpec pins the error against the exact
-    * percentiles. */
-  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+  /** B23b raw form — the scale path for percentiles:
+    * `approx_percentile` carries a bounded-size sketch per group
+    * regardless of value cardinality (accuracy 10000 ≈ 0.01% rank
+    * error), the same exact-for-the-oracle / approx-for-scale split
+    * B22 uses for count-distinct. AccuracySpec pins the error against
+    * the exact percentiles. */
+  def approxPercentileRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"),
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("price_ap90"),
         count(lit(1)).as("n_rows"))
+
+  /** B23b GATE (bounded-match, graduated r19): a KLL/GK sketch value
+    * can't hash-match across engines, but its RANK contract can — the
+    * approx p-quantile must land between the exact quantiles at
+    * p ± 0.01 (accuracy 10000 guarantees rank error ≤ 1e-4; the ±0.01
+    * window is 100× slack, flake-free at every SF). The oracle emits
+    * the same group keys, exact row counts and literal TRUE verdicts. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("ap90"),
+        percentile(col("l_quantity"), lit(0.49)).as("lo50"),
+        percentile(col("l_quantity"), lit(0.51)).as("hi50"),
+        percentile(col("l_extendedprice"), lit(0.89)).as("lo90"),
+        percentile(col("l_extendedprice"), lit(0.91)).as("hi90"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+          .as("p50_within_rank_bound"),
+        (col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+          .as("p90_within_rank_bound"))
 
   // ---------------------------------------------------------------- B24
   /** As-of join: each purchase event paired with the user's most
@@ -1250,7 +1306,23 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
-    // q_approx_distinct intentionally has no oracle (HLL is engine-specific).
+        |GROUP BY 1, 2""".stripMargin,
+    // B22/B22b/B23b gates (r19): the sketch VALUES stay engine-private
+    // but their accuracy contracts hash — the oracle computes the
+    // exact side and literal TRUE verdicts (see the GATE scaladocs).
+    "q_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+        |       TRUE AS users_within_bound, TRUE AS events_within_bound
+        |FROM events""".stripMargin,
+    "q_approx_distinct_rollup" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users_total,
+        |       TRUE AS rollup_within_bound
+        |FROM events""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       TRUE AS p50_within_rank_bound, TRUE AS p90_within_rank_bound
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -28,8 +28,12 @@ class ContractSpec extends AnyFunSuite {
     // registration runs the portable md5 minhash screen, so the
     // composed mirror rebuilds the identical candidates
     val rowsOnlyByDesign = Set(
-      "q_approx_distinct", "q_approx_distinct_rollup", "q_approx_percentile",
-      "q_doc_contamination_bloom",
+      // q_approx_distinct, q_approx_distinct_rollup, q_approx_percentile
+      // AND q_doc_contamination_bloom graduated to hash-green in r19:
+      // sketch VALUES stay engine-private, but their accuracy contracts
+      // hash — the gates emit the exact side plus integer-arithmetic
+      // bounded-match verdicts mirrored by literal TRUE columns
+      // (AccuracySpec keeps pinning the raw sketch error bounds)
       // q_doc_minhash_pairs AND q_doc_minhash_incremental graduated to
       // hash-green in r14: the gate registrations run the portable
       // md5 hash family (Dedup.minhashSignatures portableHash=true)

@@ -243,7 +243,7 @@ class AccuracySpec extends SparkSpec {
       .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
            percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = graft.queries.Relational.qApproxPercentile(spark, "/root/testdata/sf0.01")
+    val approx = graft.queries.Relational.approxPercentileRaw(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2))).toMap
     exact.foreach { case (flag, (p50, p90)) =>
@@ -321,7 +321,7 @@ class AccuracySpec extends SparkSpec {
   test("B22b: union of daily HLL sketches tracks the exact total distinct") {
     val events = Tables.load(spark, sf, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)
-    val viaSketches = graft.queries.Relational.qApproxDistinctRollup(spark, sf)
+    val viaSketches = graft.queries.Relational.approxDistinctRollupRaw(spark, sf)
       .head().getLong(1)
     val err = math.abs(viaSketches - exact).toDouble / exact
     // lgConfigK default 12 → rse ~1.6%/sqrt? use a conservative 10%
