@@ -27,7 +27,18 @@ import org.apache.spark.sql.streaming.Trigger
   * 200-way exact duplicate and measure the pathological-corpus path —
   * quadratic within-bucket pairs — not throughput.)
   *
-  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir] [compactEvery]
+  * SOAK MODE (r19 verdict item 3): with `resumeAt > 0` the stream is
+  * KILLED once `resumeAt` triggers have run and a fresh query resumes
+  * from the same checkpoint — exercising checkpoint recovery at
+  * stream age, inside the measured window. Accounting is keyed by
+  * batchId (a replayed batch overwrites its partial record), so the
+  * drain total stays exact across the kill. The soak's claim is the
+  * FLAT per-trigger wall and bounded index reads across ≥64 triggers
+  * with in-stream compaction on; index BYTES grow linearly with the
+  * kept corpus by design (it is an accumulating dedup index) and are
+  * reported so nothing super-linear can hide.
+  *
+  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir] [compactEvery] [resumeAt]
   */
 object CurationBench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +48,7 @@ object CurationBench {
       if (args.length > 2) args(2)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val compactEvery = if (args.length > 3) args(3).toInt else 0
+    val resumeAt = if (args.length > 4) args(4).toInt else 0
     val spark = GraftSession.get()
     import spark.implicits._
 
@@ -78,10 +90,18 @@ object CurationBench {
     val indexDir = tmp("curation-bench-index")
     val outDir = tmp("curation-bench-out")
     val ckpt = tmp("curation-bench-ckpt")
-    val m = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-    val idxFiles = scala.collection.mutable.ArrayBuffer[Long]()
+    // keyed by batchId: a batch replayed across the soak's kill/resume
+    // overwrites its partial record instead of double-counting
+    val m = scala.collection.mutable.LinkedHashMap[Long, (Long, Double, Long, Long)]()
+    def indexBytes(): Long = {
+      val d = indexDir.toFile
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.length()).sum
+    }
     val schema = spark.read.parquet(landing.toString).schema
-    val q = spark.readStream.schema(schema)
+    def startQuery() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(landing.toString)
       .writeStream
@@ -97,8 +117,7 @@ object CurationBench {
             minQuality = 0.3, scrubSecrets = true,
             compactEvery = compactEvery)
           val sec = (System.nanoTime() - t0) / 1e9
-          m += ((batchId, c.in, sec))
-          idxFiles += c.indexFiles
+          m.synchronized { m(batchId) = (c.in, sec, c.indexFiles, indexBytes()) }
           System.err.println(
             f"[curation-bench] batch=$batchId in=${c.in} kept=${c.kept} " +
               f"dups=${c.duplicates} low_q=${c.lowQuality} " +
@@ -107,12 +126,30 @@ object CurationBench {
           ()
       }
       .start()
-    q.awaitTermination()
-    val streamed = m.map(_._2).sum
+    var resumed = false
+    val q = startQuery()
+    if (resumeAt > 0) {
+      // kill mid-soak: poll until `resumeAt` triggers have recorded,
+      // stop the query (possibly interrupting an in-flight batch —
+      // the realistic crash), then resume from the same checkpoint
+      while (q.isActive && m.synchronized(m.size) < resumeAt)
+        Thread.sleep(200)
+      if (q.isActive) {
+        q.stop()
+        q.awaitTermination()
+        System.err.println(s"[curation-bench] KILLED after " +
+          s"${m.synchronized(m.size)} triggers; resuming from checkpoint")
+        resumed = true
+        val q2 = startQuery()
+        q2.awaitTermination()
+      } else q.awaitTermination()
+    } else q.awaitTermination()
+    val rows = m.toSeq.sortBy(_._1)
+    val streamed = rows.map(_._2._1).sum
     require(streamed == total, s"drained $streamed of $total docs")
-    val warm = m.sortBy(_._1).drop(1) // batch 0 pays codegen/JIT
-    val warmDocs = warm.map(_._2).sum
-    val warmSec = warm.map(_._3).sum
+    val warm = rows.drop(1) // batch 0 pays codegen/JIT
+    val warmDocs = warm.map(_._2._1).sum
+    val warmSec = warm.map(_._2._2).sum
     val warmRate = if (warmSec > 0) warmDocs / warmSec else Double.NaN
 
     // same-JVM batch calibration: ONE processBatch over the whole
@@ -138,7 +175,7 @@ object CurationBench {
 
     def jnum(v: Double): String =
       if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
-    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / m.map(_._3).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${m.length},"compact_every":$compactEvery,"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${m.map(t => jnum(t._3)).mkString(",")}],"index_files_per_trigger":[${idxFiles.mkString(",")}]}""")
+    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / rows.map(_._2._2).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${rows.length},"compact_every":$compactEvery,"resume_at":$resumeAt,"resumed":$resumed,"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${rows.map(t => jnum(t._2._2)).mkString(",")}],"index_files_per_trigger":[${rows.map(_._2._3).mkString(",")}],"index_mb_per_trigger":[${rows.map(t => jnum(t._2._4 / 1e6)).mkString(",")}]}""")
 
     } finally {
       tmps.foreach(rmTree)
