@@ -212,27 +212,72 @@ object Dedup {
     * whose combined size exceeds `maxBucket` are dropped (account via
     * the same dropped-bucket stance if the cap is live). Ids must be
     * LONG-typed (the empty-bucket coalesce is typed array<bigint> to
-    * line up with a persisted index's schema). */
+    * line up with a persisted index's schema).
+    *
+    * PLAN SHAPE (r19): with `broadcastDelta` (the default) the DELTA
+    * buckets broadcast and the corpus index is PROBED map-side — the
+    * index is never shuffled or sorted, so the per-screen cost is one
+    * distributed scan of the index, the shape that survives an index
+    * thousands of times the delta's size (the r19 soak measured the
+    * old shuffled left join's sort+exchange of the whole index every
+    * trigger). The probe runs as an inner join plus a delta-local
+    * anti-join that re-creates the left join's semantics exactly
+    * (within-delta pairs for unmatched buckets; a bucket whose every
+    * row-local combined size blows the cap emits nothing) — the
+    * hash-green gate pins the equivalence. Pass `broadcastDelta =
+    * false` for deltas too large to broadcast (≳1M docs × bands rows):
+    * it falls back to the shuffled join. */
   def incrementalMinhashPairs(corpusBuckets: DataFrame, docs: DataFrame,
                               textCol: String, idCol: String,
                               numHashes: Int = 32, bands: Int = 8,
                               ngram: Int = 3, maxBucket: Int = 4096,
-                              portableHash: Boolean = false): DataFrame = {
-    val newOld =
+                              portableHash: Boolean = false,
+                              broadcastDelta: Boolean = true): DataFrame = {
+    val deltaB =
       minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
-      .withColumnRenamed("ids", "new_ids")
-      .join(corpusBuckets.withColumnRenamed("ids", "old_ids"),
-        Seq("band", "bh"), "left")
-      .withColumn("old_ids",
-        coalesce(col("old_ids"), expr("CAST(array() AS array<bigint>)")))
-      .filter((size(col("new_ids")) + size(col("old_ids")))
-        .between(2, maxBucket))
-      .withColumn("new_ids", array_sort(col("new_ids")))
-    val crossPairs = flatten(transform(col("new_ids"), a =>
-      transform(col("old_ids"), b =>
-        struct(least(a, b).as("a"), greatest(a, b).as("b")))))
-    newOld
-      .select(explode(concat(pairsWithin(col("new_ids")), crossPairs)).as("p"))
+        .withColumnRenamed("ids", "new_ids")
+        .withColumn("new_ids", array_sort(col("new_ids")))
+    def emitPairs(rows: DataFrame, cross: Boolean): DataFrame = {
+      val crossPairs = flatten(transform(col("new_ids"), a =>
+        transform(col("old_ids"), b =>
+          struct(least(a, b).as("a"), greatest(a, b).as("b")))))
+      val exploded =
+        if (cross) concat(pairsWithin(col("new_ids")), crossPairs)
+        else pairsWithin(col("new_ids"))
+      rows.select(explode(exploded).as("p"))
+    }
+    val pairs =
+      if (broadcastDelta) {
+        // inner probe: corpus streamed map-side against the broadcast
+        // delta; output is delta-sized (≤ one row per index row that
+        // matches a delta key)
+        val probed = corpusBuckets.withColumnRenamed("ids", "old_ids")
+          .join(broadcast(deltaB), Seq("band", "bh"))
+        val matched = probed.filter(
+          (size(col("new_ids")) + size(col("old_ids"))).between(2, maxBucket))
+        // delta buckets with NO index match at all keep their
+        // within-delta pairs under the delta-only cap (the left join's
+        // coalesce-to-empty branch). Anti-join against ALL probed keys
+        // — pre-cap — so a bucket whose every matched row failed the
+        // cap stays dropped, exactly as the left join dropped it.
+        // Both sides of this anti-join are delta-sized.
+        val unmatched = deltaB
+          .join(probed.select(col("band"), col("bh")).distinct(),
+            Seq("band", "bh"), "left_anti")
+          .filter(size(col("new_ids")).between(2, maxBucket))
+        emitPairs(matched, cross = true)
+          .unionByName(emitPairs(unmatched, cross = false))
+      } else {
+        val newOld = deltaB
+          .join(corpusBuckets.withColumnRenamed("ids", "old_ids"),
+            Seq("band", "bh"), "left")
+          .withColumn("old_ids",
+            coalesce(col("old_ids"), expr("CAST(array() AS array<bigint>)")))
+          .filter((size(col("new_ids")) + size(col("old_ids")))
+            .between(2, maxBucket))
+        emitPairs(newOld, cross = true)
+      }
+    pairs
       // a re-run delta overlapping the index puts the same id on both
       // sides; the degenerate (x, x) pair would delete the doc as its
       // own near-duplicate downstream
