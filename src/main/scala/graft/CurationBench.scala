@@ -38,7 +38,7 @@ import org.apache.spark.sql.streaming.Trigger
   * kept corpus by design (it is an accumulating dedup index) and are
   * reported so nothing super-linear can hide.
   *
-  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir] [compactEvery] [resumeAt]
+  * Usage: runMain graft.CurationBench [nDocs] [nTriggers] [sfDir] [compactEvery] [resumeAt] [tierBytes]
   */
 object CurationBench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +49,7 @@ object CurationBench {
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val compactEvery = if (args.length > 3) args(3).toInt else 0
     val resumeAt = if (args.length > 4) args(4).toInt else 0
+    val tierBytes = if (args.length > 5) args(5).toLong else 0L
     val spark = GraftSession.get()
     import spark.implicits._
 
@@ -115,7 +116,7 @@ object CurationBench {
             batch.sparkSession, batch, batchId,
             indexDir.toString, outDir.toString, "text", "doc_id",
             minQuality = 0.3, scrubSecrets = true,
-            compactEvery = compactEvery)
+            compactEvery = compactEvery, compactTierBytes = tierBytes)
           val sec = (System.nanoTime() - t0) / 1e9
           m.synchronized { m(batchId) = (c.in, sec, c.indexFiles, indexBytes()) }
           System.err.println(
@@ -175,7 +176,7 @@ object CurationBench {
 
     def jnum(v: Double): String =
       if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
-    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / rows.map(_._2._2).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${rows.length},"compact_every":$compactEvery,"resume_at":$resumeAt,"resumed":$resumed,"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${rows.map(t => jnum(t._2._2)).mkString(",")}],"index_files_per_trigger":[${rows.map(_._2._3).mkString(",")}],"index_mb_per_trigger":[${rows.map(t => jnum(t._2._4 / 1e6)).mkString(",")}]}""")
+    println(s"""{"metric":"curation_docs_per_sec","value":${jnum(streamed / rows.map(_._2._2).sum)},"warm_docs_per_sec":${jnum(warmRate)},"docs":$streamed,"triggers":${rows.length},"compact_every":$compactEvery,"tier_bytes":$tierBytes,"resume_at":$resumeAt,"resumed":$resumed,"batch_calibration_docs_per_sec":${jnum(batchRate)},"stream_over_batch_ratio":${jnum(warmRate / batchRate)},"trigger_secs":[${rows.map(t => jnum(t._2._2)).mkString(",")}],"index_files_per_trigger":[${rows.map(_._2._3).mkString(",")}],"index_mb_per_trigger":[${rows.map(t => jnum(t._2._4 / 1e6)).mkString(",")}]}""")
 
     } finally {
       tmps.foreach(rmTree)

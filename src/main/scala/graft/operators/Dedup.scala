@@ -320,9 +320,22 @@ object Dedup {
     * pre-compaction it applied per append row — the cap's intended
     * policy. Verdicts for buckets under the cap are identical.
     *
-    * Returns the number of appended files folded (0 = nothing to do). */
+    * TIERED FOLD (r19): with `tierBytes > 0` files at or above that
+    * size are treated as settled RUNS and left untouched — only the
+    * small append tail folds. The r19 soak measured the full fold's
+    * cost growing linearly with the index (it rewrites everything
+    * every `compactEvery` batches — 4.9→7.8 s/compaction across 48
+    * triggers); tiering bounds each fold to the tail bytes, LSM-style,
+    * at the price of a slowly growing run count (≤ indexBytes /
+    * tierBytes extra files for the screen to open — still bounded,
+    * never stream-age-linear). Buckets split across runs keep the
+    * per-row cap semantics appends had. Fold with `tierBytes = 0`
+    * occasionally (or at maintenance) to merge the runs themselves.
+    *
+    * Returns the number of files folded (0 = nothing to do). */
   def compactBandBucketIndex(spark: org.apache.spark.sql.SparkSession,
-                             indexDir: String, outFiles: Int = 4): Int = {
+                             indexDir: String, outFiles: Int = 4,
+                             tierBytes: Long = 0L): Int = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -337,8 +350,10 @@ object Dedup {
     fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith("_compact_tmp_"))
       .foreach(fs.delete(_, true))
-    val originals = fs.listStatus(dir).map(_.getPath)
-      .filter(p => isLive(p.getName))
+    val originals = fs.listStatus(dir)
+      .filter(s => isLive(s.getPath.getName))
+      .filter(s => tierBytes <= 0L || s.getLen < tierBytes)
+      .map(_.getPath)
     if (originals.length < 2) return 0
     val stamp = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new Path(dir, s"_compact_tmp_$stamp")

@@ -68,7 +68,8 @@ object CurationStream {
                    textCol: String, idCol: String,
                    minQuality: Double = 0.3,
                    scrubSecrets: Boolean = false,
-                   compactEvery: Int = 0): BatchCounts = {
+                   compactEvery: Int = 0,
+                   compactTierBytes: Long = 0L): BatchCounts = {
     val raw = batch.persist()
     val in =
       (if (scrubSecrets) graft.operators.Secrets.scrub(raw, textCol)
@@ -127,8 +128,12 @@ object CurationStream {
       // contract, and a crash anywhere in the fold (or a replay of
       // this whole batch) only duplicates bucket rows — the screen
       // dedups pairs, so a replay re-flags but never un-flags.
+      // tierBytes bounds each fold to the small append tail (settled
+      // runs untouched) — the LSM-style amortization the r19 soak
+      // motivated; 0 keeps the full fold
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-        Dedup.compactBandBucketIndex(spark, indexDir)
+        Dedup.compactBandBucketIndex(spark, indexDir,
+          tierBytes = compactTierBytes)
       passed.unpersist(); kept.unpersist()
       BatchCounts(batchId, nIn, nIn - nPassed, nPassed - nKept, nKept,
         nScrubbed, nIndexFiles)
@@ -144,7 +149,8 @@ object CurationStream {
             minQuality: Double = 0.3,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
             scrubSecrets: Boolean = false,
-            compactEvery: Int = 32): StreamingQuery =
+            compactEvery: Int = 32,
+            compactTierBytes: Long = 0L): StreamingQuery =
     docs.writeStream
       .queryName("graft-curation")
       .option("checkpointLocation", checkpointDir)
@@ -152,7 +158,7 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val c = processBatch(batch.sparkSession, batch, batchId,
           indexDir, outDir, textCol, idCol, minQuality, scrubSecrets,
-          compactEvery)
+          compactEvery, compactTierBytes)
         System.err.println(
           s"[graft-curation] batch=${c.batchId} in=${c.in} " +
             s"low_quality=${c.lowQuality} duplicates=${c.duplicates} " +

@@ -50,6 +50,60 @@ class CurationStreamSpec extends SparkSpec {
     assert(c2.duplicates == 1 && c2.kept == 0, c2.toString)
   }
 
+  test("tiered fold leaves settled runs untouched, folds only the append tail, and screens identically") {
+    import graft.operators.Dedup
+    def listIdx(dir: String): Seq[(String, Long)] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+    }
+    val textB = "a further passage with wholly novel wording about columnar " +
+      "encodings dictionary pages and run length bit packing hybrid schemes"
+    def append(dir: String, docs: (Long, String)*): Unit =
+      Dedup.minhashBandBuckets(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .write.mode("append").parquet(dir)
+    val indexDir = Files.createTempDirectory("cur-tier-idx").toString
+    append(indexDir, 1L -> textA, 2L -> textC)
+    append(indexDir, 3L -> textB)
+    // settle the first era into one run
+    assert(Dedup.compactBandBucketIndex(spark, indexDir) >= 2)
+    val run = listIdx(indexDir)
+    assert(run.nonEmpty && run.forall(_._1.startsWith("compact-")))
+    // a second era of small appends arrives
+    append(indexDir, 10L -> (textA + " with an appended clause"))
+    append(indexDir, 11L -> (textC + " and one more thought"))
+    val beforeTier = listIdx(indexDir)
+    // tier threshold above every append but below nothing else: the
+    // run files are larger than the appends on this corpus — pick the
+    // threshold between the two measured size ranges
+    val runMax = run.map(_._2).max
+    val appendSizes = beforeTier.filterNot(f => run.contains(f)).map(_._2)
+    assert(appendSizes.nonEmpty && appendSizes.max < runMax,
+      s"test precondition: appends $appendSizes vs run $run")
+    val folded = Dedup.compactBandBucketIndex(spark, indexDir,
+      tierBytes = appendSizes.max + 1)
+    assert(folded == appendSizes.size, s"folded $folded of $appendSizes")
+    val afterTier = listIdx(indexDir)
+    // the settled run's files survived BY NAME (never rewritten)...
+    assert(run.forall(afterTier.contains),
+      s"settled run rewritten: $run vs $afterTier")
+    // ...the appends are gone, replaced by a new small run
+    assert(afterTier.size > run.size &&
+      afterTier.forall(_._1.startsWith("compact-")), afterTier.toString)
+    // and the screen over the tiered index flags exactly what the
+    // single-run index would: doc 20 dups textA (indexed in the OLD
+    // run), doc 21 dups doc 10's variant (indexed in the NEW run)
+    val delta = Seq(20L -> textA,
+      21L -> (textA + " with an appended clause")).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(
+      spark.read.parquet(indexDir), delta, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs.contains((1L, 20L)) && pairs.contains((10L, 21L)),
+      s"tiered index missed cross-era dups: $pairs")
+  }
+
   test("scrubSecrets masks a planted credential before the lake and the index") {
     val indexDir = Files.createTempDirectory("cur-sec-idx").toString
     val outDir = Files.createTempDirectory("cur-sec-out").toString
