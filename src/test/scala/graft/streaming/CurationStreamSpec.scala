@@ -104,6 +104,73 @@ class CurationStreamSpec extends SparkSpec {
       s"tiered index missed cross-era dups: $pairs")
   }
 
+  test("index fold crash matrix: a crash at EVERY mutation boundary leaves the screen's verdicts identical; the re-run settles") {
+    import graft.operators.Dedup
+    import graft.ocsf.FaultFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val textB = "one more unrelated narrative mentioning lakehouse table " +
+      "formats snapshot isolation optimistic concurrency and manifest lists"
+    def appendTo(dir: String, docs: (Long, String)*): Unit =
+      Dedup.minhashBandBuckets(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .write.mode("append").parquet(dir)
+    def build(dir: String): Unit = {
+      appendTo(dir, 1L -> textA, 2L -> textC)
+      appendTo(dir, 3L -> textB)
+      appendTo(dir, 4L -> (textA + " lightly extended"))
+    }
+    def screen(dir: String): Set[(Long, Long)] =
+      Dedup.incrementalMinhashPairs(spark.read.parquet(dir),
+        Seq(20L -> textA, 21L -> textB).toDF("doc_id", "text"),
+        "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def copyTree(src: java.nio.file.Path): String = {
+      import scala.jdk.CollectionConverters._
+      val dst = Files.createTempDirectory("cur-crash-copy")
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+      "faultfs:" + dst
+    }
+    val proto = Files.createTempDirectory("cur-crash-proto")
+    FaultFs.disarm()
+    build("faultfs:" + proto)
+    val reference = screen("faultfs:" + proto)
+    assert(reference.nonEmpty, "planted dups must flag")
+    // op total of a clean fold on a copy
+    FaultFs.disarm()
+    assert(Dedup.compactBandBucketIndex(spark, copyTree(proto)) >= 2)
+    val n = FaultFs.ops
+    FaultFs.disarm()
+    assert(n >= 4, s"expected several fold mutations, got $n")
+    (0L until n).foreach { k =>
+      val c = copyTree(proto)
+      FaultFs.arm(k)
+      val crashed = try { Dedup.compactBandBucketIndex(spark, c); false }
+        catch { case t: Throwable =>
+          assert(FaultFs.causedByInjection(t), s"k=$k non-injected: $t"); true }
+      FaultFs.disarm()
+      // IN the crash window: whatever mix of originals / compacted
+      // copies / tmp dirs the cut left, the screen re-flags exactly
+      // the same pairs (duplicated bucket rows dedup; tmp is hidden)
+      assert(screen(c) == reference, s"k=$k (crashed=$crashed) verdicts moved")
+      // the NEXT fold settles the leftovers and verdicts still hold
+      Dedup.compactBandBucketIndex(spark, c)
+      assert(screen(c) == reference, s"k=$k verdicts moved after re-fold")
+      val live = new java.io.File(c.stripPrefix("faultfs:")).listFiles()
+        .map(_.getName).filter(f => f.endsWith(".parquet") &&
+          !f.startsWith("_") && !f.startsWith("."))
+      assert(live.forall(_.startsWith("compact-")),
+        s"k=$k re-fold left unfolded appends: ${live.toSeq}")
+      // and no crashed-attempt tmp dir survives the re-fold's sweep
+      val tmps = new java.io.File(c.stripPrefix("faultfs:")).listFiles()
+        .map(_.getName).filter(_.startsWith("_compact_tmp_"))
+      assert(tmps.isEmpty, s"k=$k stale tmp dirs: ${tmps.toSeq}")
+    }
+  }
+
   test("scrubSecrets masks a planted credential before the lake and the index") {
     val indexDir = Files.createTempDirectory("cur-sec-idx").toString
     val outDir = Files.createTempDirectory("cur-sec-out").toString
