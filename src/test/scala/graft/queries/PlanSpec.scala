@@ -164,6 +164,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p) // fused codegen'd probe, not the HOF
   }
 
+  test("C2e: the incremental screen PROBES the index — delta broadcasts, index never shuffled or sorted (r19)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val idx = Dedup.minhashBandBuckets(
+      graft.sources.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")), "text", "doc_id")
+    val delta = Seq((900001L, "a small delta document about stream " +
+      "probes and broadcast joins")).toDF("doc_id", "text")
+    val p = Dedup.incrementalMinhashPairs(idx, delta, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // both the inner probe and the delta-local anti-join broadcast the
+    // delta side; the corpus index streams map-side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"index side must not shuffle+sort: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("C27: DSIR joins the 256-row model by broadcast, totals by 1-row BNLJ") {
     val p = plan("q_doc_dsir")
     assert(p.contains("BroadcastHashJoin"), p)
