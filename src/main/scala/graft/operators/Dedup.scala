@@ -233,10 +233,17 @@ object Dedup {
                               ngram: Int = 3, maxBucket: Int = 4096,
                               portableHash: Boolean = false,
                               broadcastDelta: Boolean = true): DataFrame = {
+    // the delta bucket relation is referenced twice on the broadcast
+    // path (probe + unmatched anti-join) and its banding subtree is
+    // the expensive part (md5 minhash + groupBy) — materialize it once
+    // (delta-sized by construction) or the plan evaluates the whole
+    // signature pipeline per reference (r19: the composed admission
+    // plan carried 110 parquet scans before this cut)
     val deltaB =
       minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
         .withColumnRenamed("ids", "new_ids")
         .withColumn("new_ids", array_sort(col("new_ids")))
+        .localCheckpoint()
     def emitPairs(rows: DataFrame, cross: Boolean): DataFrame = {
       val crossPairs = flatten(transform(col("new_ids"), a =>
         transform(col("old_ids"), b =>
@@ -598,8 +605,14 @@ object Dedup {
     val survivors = incrementalExactDedup(corpusExactIdx, delta,
         textCol, idCol)
       .select(col(idCol), lit(1).as("surv"))
+    // the candidate relation feeds pairIds (twice), the Jaccard verify
+    // AND the verify-text semi-join below — without a cut the whole
+    // incremental screen re-evaluates per reference (the r19 plan
+    // audit counted the delta banding subtree ~7× in one plan).
+    // Pair-sized by construction, so the materialization is bounded.
     val mhPairs = incrementalMinhashPairs(corpusMinhashIdx, delta,
       textCol, idCol, numHashes, bands, ngram, maxBucket, portableHash)
+      .localCheckpoint()
     val pairIds = mhPairs.select(col("id_a").as(idCol))
       .union(mhPairs.select(col("id_b").as(idCol))).distinct()
     val verifyTexts = corpusTexts.select(col(idCol), col(textCol))
@@ -652,12 +665,19 @@ object Dedup {
   def hammingSetPairs(sigs: DataFrame, idCol: String, sigsCol: String,
                       maxDist: Int = 3, minOverlap: Double = 0.5,
                       maxBucket: Int = 4096): DataFrame = {
-    val cands = hammingSetBuckets(sigs, idCol, sigsCol, maxDist)
+    // the signature relation feeds the bucket stage AND both verify
+    // joins; for media callers it sits on top of a decode pipeline, so
+    // without a cut every reference re-decodes the corpus (r19 plan
+    // audit: 3 evaluations per q_mm_video_dups plan). Hash-set-sized
+    // rows (≤ frames/stride longs per id), bounded materialization —
+    // the lshCosinePairs stance.
+    val sig0 = sigs.select(col(idCol), col(sigsCol)).localCheckpoint()
+    val cands = hammingSetBuckets(sig0, idCol, sigsCol, maxDist)
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsWithin(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    val hs = sigs.select(col(idCol).as("id"), col(sigsCol).as("hs"))
+    val hs = sig0.select(col(idCol).as("id"), col(sigsCol).as("hs"))
     // containment of x in y: fraction of x's hashes within maxDist of
     // some y hash (empty x ⇒ 0.0 — an undecoded side never pairs)
     def contain(x: Column, y: Column): Column =
@@ -1790,8 +1810,12 @@ object Dedup {
                  truthThreshold: Double = 0.5, ngram: Int = 3,
                  numHashes: Int = 32, bands: Int = 8,
                  portableHash: Boolean = false): DataFrame = {
+    // truth feeds BOTH the recall buckets and the efficiency row —
+    // without a cut the exact posting-list join runs twice per plan
+    // (pair-sized result, so the materialization is bounded)
     val truth = ngramJaccardPairs(docs, textCol, idCol, ngram,
       truthThreshold)
+      .localCheckpoint()
     val screen = minhashCandidatePairs(docs, textCol, idCol, numHashes,
         bands, ngram, portableHash = portableHash)
       .select(col("id_a").as("doc1"), col("id_b").as("doc2"),

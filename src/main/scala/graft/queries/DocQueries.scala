@@ -248,8 +248,14 @@ object DocQueries {
   def qDocLabelSpread(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Graph
     val pairs = Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions from ONE evaluation of the pair relation: the
+    // union-of-two-selects form duplicates the whole simhash subtree
+    // in the plan (r19: it was the query's dominant cost, evaluated
+    // twice); explode emits the same rows map-side from a single pass
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val seeds = docs(s, dir).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("node"), col("source").as("label"))
     Graph.labelSpread(edges, seeds, rounds = 3)
