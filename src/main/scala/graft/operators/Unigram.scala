@@ -289,54 +289,98 @@ object Unigram {
       "need seedSize >= vocabSize >= 1")
     import spark.implicits._
     val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val nWords = words.count()
-    if (nWords == 0L) {
+    // ONE probe job: row count + max word length together (r19 — these
+    // were two sequential aggregates over the same cached table)
+    val probe = words
+      .agg(count(lit(1)).as("n"), max(length(col("word"))).as("ml")).head
+    if (probe.getLong(0) == 0L) {
       words.unpersist(false)
       return Seq.empty[(String, Long, Long)].toDF("piece", "usage", "qcost")
     }
     try {
-      val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+      val maxLen = probe.getInt(1)
       require(maxLen <= mirrorMaxWordLen,
         s"corpus max word length $maxLen exceeds the mirror's DP unroll " +
           s"bound $mirrorMaxWordLen — raise mirrorMaxWordLen (and the " +
           "generated oracle) in lockstep")
-      val alphabet = charTable(words).localCheckpoint(true)
-      // quantize: the ONE float hop, identical op order to the mirror
-      // (double divide → ln → negate → ×1e6 → round half-up → bigint)
-      def quantize(u: DataFrame): DataFrame = {
-        val total = u.agg(sum("usage").as("tot"))
-        u.crossJoin(broadcast(total))
-          .select(col("piece"), col("usage"),
-            round(-log(col("usage").cast("double") / col("tot")) * 1e6, 0)
-              .cast("long").as("qcost"))
+      // DRIVER-SIDE MODEL FOLD (r19): the vocab is model-sized by
+      // construction (≤ seedSize + |alphabet| rows — the IVF-centroid
+      // stance), so the per-EM total/quantize/prune bookkeeping runs on
+      // the driver over collected rows instead of as extra distributed
+      // jobs per round. Each EM round is now exactly ONE distributed
+      // job (the word-table Viterbi + usage count collect); quantize
+      // reproduces the plan's arithmetic bit-for-bit ([[qcostOf]]) and
+      // prune reproduces the plan's (usage desc, piece asc) order under
+      // Spark's binary UTF-8 collation ([[utf8Order]]). Before: every
+      // round paid a separate total aggregate + an eager checkpoint of
+      // the quantize crossJoin + a count job inside prune (~15 jobs per
+      // train at the gate config; now 7).
+      val alphabet = charTable(words).as[String].collect()
+      def vocabDF(v: Seq[(String, Long, Long)]): DataFrame =
+        v.toDF("piece", "usage", "qcost")
+      def quantizeDriver(u: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+        val tot = u.iterator.map(_._2).sum
+        u.map { case (p, c) => (p, c, qcostOf(c, tot)) }
       }
-      def emQ(v: DataFrame): DataFrame =
-        quantize(
-          usageCounts(viterbiSegmentPortable(words, v, maxPieceLen))
-            .unionByName(alphabet.select(col("piece"), lit(1L).as("usage")))
-            .groupBy("piece").agg(max("usage").as("usage")))
-      var vocab = quantize(
+      def emQ(v: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+        val counted =
+          usageCounts(viterbiSegmentPortable(words, vocabDF(v), maxPieceLen))
+            .as[(String, Long)].collect()
+        val m = scala.collection.mutable.LinkedHashMap(counted.toSeq: _*)
+        // alphabet floor: chars already counted keep their usage
+        alphabet.foreach(c => if (!m.contains(c)) m(c) = 1L)
+        quantizeDriver(m.toSeq)
+      }
+      var vocab = quantizeDriver(
         seedVocab(words, maxPieceLen, seedSize)
-          .select(col("piece"), col("seed_count").as("usage")))
-        .localCheckpoint(true)
+          .select(col("piece"), col("seed_count"))
+          .as[(String, Long)].collect().toSeq)
+      def pruneDriver(v: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+        def nChars(s: String) = s.codePointCount(0, s.length)
+        val chars = v.filter(p => nChars(p._1) == 1)
+        val multi = v.filter(p => nChars(p._1) > 1)
+          .sortBy(p => (p._2, p._1))(
+            Ordering.Tuple2(Ordering.Long.reverse, utf8Order))
+          .take(math.max(0, vocabSize - chars.size))
+        quantizeDriver((chars ++ multi).map(p => (p._1, p._2)))
+      }
       (1 to pruneRounds).foreach { _ =>
-        (1 to emIters).foreach { _ =>
-          vocab = emQ(vocab).localCheckpoint(true)
-        }
-        // prune (alphabet immune) on integer usages, then re-quantize
-        val chars = vocab.where(length(col("piece")) === 1)
-        val multi = vocab.where(length(col("piece")) > 1)
-          .orderBy(col("usage").desc, col("piece"))
-          .limit(math.max(0, vocabSize - chars.count().toInt))
-        vocab = quantize(
-          chars.unionByName(multi).select(col("piece"), col("usage")))
-          .localCheckpoint(true)
+        (1 to emIters).foreach(_ => vocab = emQ(vocab))
+        vocab = pruneDriver(vocab)
       }
-      (1 to emIters).foreach { _ =>
-        vocab = emQ(vocab).localCheckpoint(true)
-      }
-      vocab.select(col("piece"), col("usage"), col("qcost"))
+      (1 to emIters).foreach(_ => vocab = emQ(vocab))
+      vocabDF(vocab)
     } finally words.unpersist(false)
+  }
+
+  /** The plan's cost quantization reproduced on the driver, op for op:
+    * double divide → ln → negate → ×1e6 → round half-up (Spark `Round`
+    * uses `BigDecimal.valueOf(d).setScale(0, HALF_UP)`) → long cast.
+    * Same machine, same IEEE ops ⇒ the same bigint the distributed
+    * quantize produced. */
+  private def qcostOf(usage: Long, tot: Long): Long =
+    java.math.BigDecimal
+      .valueOf(-math.log(usage.toDouble / tot.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue().toLong
+
+  /** Spark's binary (UTF-8 byte) string order, reproduced for the
+    * driver-side prune — JVM String ordering compares UTF-16 code
+    * units, which disagrees with UTF-8 byte order for supplementary
+    * vs. BMP-private-range code points. */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
   }
 
   /** One ladder round's outcome: the (checkpointed) working vocab
@@ -377,21 +421,54 @@ object Unigram {
       "need seedSize >= ladder.head")
     val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val nWords = words.count()
+    import docs.sparkSession.implicits._
     if (nWords == 0L) {
       // empty/wordless corpus: an empty vocab, not a null-cost NaN
       // cascade through withCosts' 0-total division
       words.unpersist(false)
-      import docs.sparkSession.implicits._
       val empty = Seq.empty[(String, Long, Double)]
         .toDF("piece", "usage", "cost")
       return Seq(LadderRound(0, 0, 0L, 0.0, empty))
     }
     try {
-      val alphabet = charTable(words).localCheckpoint(true)
-      var vocab = withCosts(
+      // DRIVER-SIDE MODEL FOLD (r19, the trainPortable stance): the
+      // working vocab is model-sized, so cost attachment, the alphabet
+      // floor and the prune cut run on collected rows — ONE distributed
+      // job per EM step (the word-table Viterbi + usage collect), no
+      // per-round checkpoint/total/count jobs. costOf reproduces
+      // withCosts' arithmetic on the same machine; the prune order
+      // matches pruneTo's (usage desc, piece asc) under Spark's binary
+      // UTF-8 collation.
+      val alphabet = charTable(words).as[String].collect()
+      def vocabDF(v: Seq[(String, Long, Double)]): DataFrame =
+        v.toDF("piece", "usage", "cost")
+      def costed(u: Seq[(String, Long)]): Seq[(String, Long, Double)] = {
+        val tot = u.iterator.map(_._2).sum
+        u.map { case (p, c) =>
+          (p, c, -math.log(c.toDouble / tot.toDouble)) }
+      }
+      def emDriver(v: Seq[(String, Long, Double)]): Seq[(String, Long, Double)] = {
+        val counted =
+          usageCounts(viterbiSegment(words, vocabDF(v), maxPieceLen))
+            .as[(String, Long)].collect()
+        val m = scala.collection.mutable.LinkedHashMap(counted.toSeq: _*)
+        alphabet.foreach(c => if (!m.contains(c)) m(c) = 1L)
+        costed(m.toSeq)
+      }
+      def pruneDriver(v: Seq[(String, Long, Double)],
+                      target: Int): Seq[(String, Long, Double)] = {
+        def nChars(s: String) = s.codePointCount(0, s.length)
+        val chars = v.filter(p => nChars(p._1) == 1)
+        val multi = v.filter(p => nChars(p._1) > 1)
+          .sortBy(p => (p._2, p._1))(
+            Ordering.Tuple2(Ordering.Long.reverse, utf8Order))
+          .take(math.max(0, target - chars.size))
+        costed((chars ++ multi).map(p => (p._1, p._2)))
+      }
+      var vocab = costed(
         seedVocab(words, maxPieceLen, seedSize)
-          .select(col("piece"), col("seed_count").as("usage")))
-        .localCheckpoint(true)
+          .select(col("piece"), col("seed_count"))
+          .as[(String, Long)].collect().toSeq)
       // ladder rounds: EM × emIters, then prune to the round's target;
       // a trailing target-0 entry marks the final EM-only settling pass
       (ladder.zipWithIndex.map { case (t, i) => (t, i, true) } :+
@@ -399,13 +476,12 @@ object Unigram {
         val t0 = System.nanoTime()
         var it = 0
         while (it < emIters) {
-          vocab = emStep(words, alphabet, vocab, maxPieceLen)
-            .localCheckpoint(true)
+          vocab = emDriver(vocab)
           it += 1
         }
-        if (prune) vocab = pruneTo(vocab, target).localCheckpoint(true)
-        LadderRound(i, target, vocab.count(),
-          (System.nanoTime() - t0) / 1e9, vocab)
+        if (prune) vocab = pruneDriver(vocab, target)
+        LadderRound(i, target, vocab.size.toLong,
+          (System.nanoTime() - t0) / 1e9, vocabDF(vocab))
       }
     } finally words.unpersist(false)
   }
