@@ -423,8 +423,14 @@ object Similarity {
                           langCol: String, srcLang: String, tgtLang: String,
                           marginNum: Long = 105L, marginDen: Long = 100L,
                           candidates: Option[DataFrame] = None): DataFrame = {
-    val scored = bitextScored(emb, idCol, vecCol, labels, labelIdCol,
+    // probe-bounded scored relations are candidate-sized — materialize
+    // once so the two direction windows don't each re-run the probe +
+    // scoring subtree (r19). The BRUTE config stays lazy: its scored
+    // relation is quadratic, and re-computing per direction is the
+    // documented scale trade.
+    val scored0 = bitextScored(emb, idCol, vecCol, labels, labelIdCol,
       langCol, srcLang, tgtLang, candidates)
+    val scored = if (candidates.isDefined) scored0.localCheckpoint() else scored0
     val fwd = marginBest(scored, marginNum, marginDen,
       keyCol = "src_id", bestCol = "tgt_id")
     val bwd = marginBest(scored, marginNum, marginDen,
@@ -499,6 +505,61 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"))
   }
 
+  /** The probe-width LADDER over ONE frozen geometry (r19): every
+    * point of a probe-recall walk ([[recommendNprobe]], the C101
+    * curve) shares the same cell seeds, the same target assignment and
+    * the same per-source cell ranking — only the rank CUTOFF varies.
+    * The per-point [[bitextIvfCandidates]] calls were re-seeding,
+    * re-assigning and re-ranking identically per width (4× the
+    * geometry cost at the gate's 4-point walk); this computes the
+    * assignment and the ranks once (to the WIDEST requested nprobe),
+    * materializes both (target-slice-sized / |src|·maxNprobe-sized —
+    * bounded), and slices per point. Candidate sets are identical to
+    * the per-point calls by construction: row_number over the same
+    * total order, filtered at each cutoff. */
+  def bitextIvfCandidateLadder(emb: DataFrame, idCol: String, vecCol: String,
+                               labels: DataFrame, labelIdCol: String,
+                               langCol: String, srcLang: String,
+                               tgtLang: String, nprobes: Seq[Int],
+                               numCells: Int = 0): Map[Int, DataFrame] = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be positive: $nprobes")
+    require(numCells >= 0, "numCells must be >= 0 (0 = auto)")
+    import org.apache.spark.sql.expressions.Window
+    val maxP = nprobes.max
+    val tagged = emb.select(col(idCol), col(vecCol))
+      .join(labels.select(col(labelIdCol).as(idCol),
+        col(langCol).as("__lang")), Seq(idCol))
+    val tgtSlice = tagged.filter(col("__lang") === tgtLang)
+      .select(col(idCol), col(vecCol))
+    val srcSlice = tagged.filter(col("__lang") === srcLang)
+      .select(col(idCol), col(vecCol))
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(1,
+        math.ceil(math.sqrt(maxP.toDouble * tgtSlice.count())).toInt)
+    val seeds = Ivf.seedCentroids(tgtSlice, idCol, vecCol, cells)
+    val assigned = Ivf.assignCellsPortable(tgtSlice, idCol, vecCol, seeds)
+      .select(col(idCol).as("tgt_id"), col("centroid_id").as("__cid"))
+      .localCheckpoint()
+    val qq = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    val probedAll = srcSlice.select(col(idCol).as("src_id"), qq.as("qq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("src_id"), col("__cid"),
+        aggregate(zip_with(col("qq"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x).as("__d2"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("__d2"), col("__cid"))))
+      .filter(col("__rk") <= maxP)
+      .select(col("src_id"), col("__cid"), col("__rk"))
+      .localCheckpoint()
+    nprobes.map(p => p ->
+      probedAll.filter(col("__rk") <= p)
+        .join(assigned, Seq("__cid"))
+        .select(col("src_id"), col("tgt_id"))).toMap
+  }
+
   /** One point of the [[recommendNprobe]] curve: mined-pair recall of
     * the `nprobe`-bounded miner against the brute truth on the sample. */
   final case class NprobePoint(nprobe: Int, truthPairs: Long, hits: Long,
@@ -568,6 +629,11 @@ object Similarity {
       mineBitext(restricted, idCol, vecCol, labels, labelIdCol, langCol,
         srcLang, tgtLang, marginNum, marginDen, candidates = c)
         .filter(col("mined")).select(col("src_id"), col("tgt_id"))
+    // ONE frozen geometry for every curve point (r19): assignment and
+    // cell ranks are identical across widths — only the cutoff varies
+    val ladder = bitextIvfCandidateLadder(restricted, idCol, vecCol,
+      labels, labelIdCol, langCol, srcLang, tgtLang,
+      nprobes = candidateNprobes, numCells = cellsFixed)
     val truth = mined(None)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -579,10 +645,7 @@ object Similarity {
         val p = it.next()
         val hits =
           if (nTruth == 0L) 0L
-          else truth.join(
-            mined(Some(bitextIvfCandidates(restricted, idCol, vecCol,
-              labels, labelIdCol, langCol, srcLang, tgtLang,
-              nprobe = p, numCells = cellsFixed))),
+          else truth.join(mined(Some(ladder(p))),
             Seq("src_id", "tgt_id")).count()
         val recall = if (nTruth == 0L) 1.0 else hits.toDouble / nTruth
         curve += NprobePoint(p, nTruth, hits, recall)

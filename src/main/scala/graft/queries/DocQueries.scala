@@ -479,10 +479,14 @@ object DocQueries {
           .when(lit(200L) * col("qsim") <
                 lit(120L) * (col("qsim") + col("qsim2")), "m110_120")
           .otherwise("m120_plus"))
+    // ONE frozen geometry for all four widths (r19): the per-point
+    // candidate calls re-seeded, re-assigned and re-ranked the same
+    // cells per width — the ladder computes them once and slices
+    val ladder = Similarity.bitextIvfCandidateLadder(restricted, "vec_id",
+      "embedding", d, "doc_id", "lang", srcLang = "en", tgtLang = "de",
+      nprobes = Seq(1, 2, 4, 8), numCells = cellsFixed)
     val probes = Seq(1, 2, 4, 8).map { p =>
-      mined(Some(Similarity.bitextIvfCandidates(restricted, "vec_id",
-          "embedding", d, "doc_id", "lang", srcLang = "en", tgtLang = "de",
-          nprobe = p, numCells = cellsFixed)))
+      mined(Some(ladder(p)))
         .select(lit(p.toLong).as("nprobe"), col("src_id"), col("tgt_id"))
     }.reduce(_ unionByName _)
     Seq(1L, 2L, 4L, 8L).toDF("nprobe").crossJoin(truth)
