@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -771,19 +771,34 @@ object Relational {
                                 directed: Boolean): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // LONG node keys (r19, guide §2.3 narrower types): customers map to
+    // even longs (2k), suppliers to odd (2k+1) — a bijection with the
+    // public "c<k>"/"s<k>" names, decoded once on the final node-sized
+    // relation ([[nodeName]]). Every Pregel round's edge join, groupBy
+    // and distinct then shuffles 8-byte longs instead of rendered
+    // strings (measured: the pair encodes/compares dominated the
+    // fixed-iteration loops), and the distinct here runs on the raw
+    // integer pair before any rendering. Graph arithmetic is
+    // key-representation-independent, so ranks are bit-identical.
     val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
-              concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
+      .select((col("o_custkey").cast("long") * 2).as("cust"),
+              (col("l_suppkey").cast("long") * 2 + 1).as("supp"))
       .distinct()
     val fwd = cs.select(col("cust").as("src"), col("supp").as("dst"))
     if (directed) fwd
     else fwd.union(cs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
+  /** Decode a [[tradeEdges]] long node key back to the public name:
+    * even → "c<k>", odd → "s<k>" (k = key div 2). */
+  private def nodeName(c: Column): Column =
+    concat(when(c % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(c, 1).cast("string"))
+
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Graph
     Graph.pageRank(tradeEdges(s, dir, directed = false), iters = 6)
-      .select(col("node"), col("rank").as("pr"))
+      .select(nodeName(col("node")).as("node"), col("rank").as("pr"))
   }
 
   /** DuckDB mirror of [[qGraphPagerank]]: the fixed-iteration loop
@@ -846,6 +861,7 @@ object Relational {
   def qGraphHits(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Graph
     Graph.hits(tradeEdges(s, dir, directed = true), iters = 3)
+      .select(nodeName(col("node")).as("node"), col("auth"), col("hub"))
   }
 
   /** DuckDB mirror of [[qGraphHits]]: the fixed-iteration loop
