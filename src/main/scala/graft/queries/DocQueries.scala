@@ -273,10 +273,15 @@ object DocQueries {
     * doubled-integer space until one final division, and both stage
     * definitions reuse their existing generated mirrors. */
   def qDocFilterEval(s: SparkSession, dir: String): DataFrame = {
+    // the Gopher battery feeds BOTH metrics (each runs its own
+    // histogram pass) — materialize the (score, label) projection once
+    // or the whole battery evaluates twice per plan (r19; two narrow
+    // columns per doc, bounded)
     val g = gopherMetrics(docs(s, dir), carry = Seq("text"))
       .select(TextFunctions.round4(
           TextFunctions.qualityScore(col("text"))).as("score"),
         col("keep").as("label"))
+      .localCheckpoint()
     Eval.prAtThresholds(g, "score", "label", (1 to 9).map(_ / 10.0))
       .crossJoin(broadcast(
         Eval.rocAuc(g, "score", "label").select(col("auc"))))
@@ -315,16 +320,21 @@ object DocQueries {
     val toks = TextFunctions.tokens(col("t"))
     val stopCnt = size(filter(toks, t => t.isin(enStop: _*)))
     val alphaChars = length(regexp_replace(lower(col("t")), "[^a-z]", ""))
+    // all three raters vote in ONE corpus pass (r19): the union of
+    // three selects scanned and re-derived the doc relation per rater
+    // (three parquet scans, two tokenize passes); explode emits the
+    // same (rater, label) rows map-side from a single scan
     val votes = d.select(col("lang"), col("doc_id"),
-        lit("len").as("rater"),
-        (col("n_chars") >= 200).cast("int").as("label"))
-      .union(d.select(col("lang"), col("doc_id"),
-        lit("stop").as("rater"),
-        (lit(20L) * stopCnt >= size(toks)).cast("int").as("label")))
-      .union(d.select(col("lang"), col("doc_id"),
-        lit("alpha").as("rater"),
-        (lit(5L) * alphaChars >= lit(3L) * length(col("t")))
-          .cast("int").as("label")))
+        explode(array(
+          struct(lit("len").as("rater"),
+            (col("n_chars") >= 200).cast("int").as("label")),
+          struct(lit("stop").as("rater"),
+            (lit(20L) * stopCnt >= size(toks)).cast("int").as("label")),
+          struct(lit("alpha").as("rater"),
+            (lit(5L) * alphaChars >= lit(3L) * length(col("t")))
+              .cast("int").as("label")))).as("v"))
+      .select(col("lang"), col("doc_id"),
+        col("v.rater").as("rater"), col("v.label").as("label"))
     Eval.raterAgreement(votes, "lang", "doc_id", "rater", "label")
   }
 
