@@ -505,28 +505,21 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"))
   }
 
-  /** The probe-width LADDER over ONE frozen geometry (r19): every
-    * point of a probe-recall walk ([[recommendNprobe]], the C101
-    * curve) shares the same cell seeds, the same target assignment and
-    * the same per-source cell ranking — only the rank CUTOFF varies.
-    * The per-point [[bitextIvfCandidates]] calls were re-seeding,
-    * re-assigning and re-ranking identically per width (4× the
-    * geometry cost at the gate's 4-point walk); this computes the
-    * assignment and the ranks once (to the WIDEST requested nprobe),
-    * materializes both (target-slice-sized / |src|·maxNprobe-sized —
-    * bounded), and slices per point. Candidate sets are identical to
-    * the per-point calls by construction: row_number over the same
-    * total order, filtered at each cutoff. */
-  def bitextIvfCandidateLadder(emb: DataFrame, idCol: String, vecCol: String,
-                               labels: DataFrame, labelIdCol: String,
-                               langCol: String, srcLang: String,
-                               tgtLang: String, nprobes: Seq[Int],
-                               numCells: Int = 0): Map[Int, DataFrame] = {
-    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
-      s"nprobes must be positive: $nprobes")
-    require(numCells >= 0, "numCells must be >= 0 (0 = auto)")
+  /** The probe-width walk's candidate relation WITH its cell rank:
+    * (src_id, tgt_id, __rk) to the widest `nprobe` — each target
+    * lives in exactly one cell, so `__rk ≤ p` slices out precisely
+    * the nprobe-p candidate set ([[bitextIvfCandidates]] re-derived
+    * per width was re-seeding, re-assigning and re-ranking the SAME
+    * frozen geometry per point). Lets a curve walk SCORE the widest
+    * set once and re-slice per point instead of re-scoring per width
+    * ([[bitextMinedLadder]] / [[recommendNprobe]]). */
+  private def bitextIvfCandidatesRanked(emb: DataFrame, idCol: String,
+                                        vecCol: String, labels: DataFrame,
+                                        labelIdCol: String, langCol: String,
+                                        srcLang: String, tgtLang: String,
+                                        maxNprobe: Int,
+                                        numCells: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxP = nprobes.max
     val tagged = emb.select(col(idCol), col(vecCol))
       .join(labels.select(col(labelIdCol).as(idCol),
         col(langCol).as("__lang")), Seq(idCol))
@@ -534,30 +527,78 @@ object Similarity {
       .select(col(idCol), col(vecCol))
     val srcSlice = tagged.filter(col("__lang") === srcLang)
       .select(col(idCol), col(vecCol))
-    val cells =
-      if (numCells > 0) numCells
-      else math.max(1,
-        math.ceil(math.sqrt(maxP.toDouble * tgtSlice.count())).toInt)
-    val seeds = Ivf.seedCentroids(tgtSlice, idCol, vecCol, cells)
+    val seeds = Ivf.seedCentroids(tgtSlice, idCol, vecCol, numCells)
     val assigned = Ivf.assignCellsPortable(tgtSlice, idCol, vecCol, seeds)
       .select(col(idCol).as("tgt_id"), col("centroid_id").as("__cid"))
-      .localCheckpoint()
     val qq = transform(toDoubles(col(vecCol)),
       x => round(x * 1e6, 0).cast("bigint"))
-    val probedAll = srcSlice.select(col(idCol).as("src_id"), qq.as("qq"))
+    srcSlice.select(col(idCol).as("src_id"), qq.as("qq"))
       .crossJoin(broadcast(seeds))
       .select(col("src_id"), col("__cid"),
         aggregate(zip_with(col("qq"), col("qc"), (a, b) => (a - b) * (a - b)),
           lit(0L), (s, x) => s + x).as("__d2"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("src_id").orderBy(col("__d2"), col("__cid"))))
-      .filter(col("__rk") <= maxP)
-      .select(col("src_id"), col("__cid"), col("__rk"))
+      .filter(col("__rk") <= maxNprobe)
+      .join(assigned, Seq("__cid"))
+      .select(col("src_id"), col("tgt_id"), col("__rk"))
+  }
+
+  /** Score a ranked candidate relation once and return (src_id,
+    * tgt_id, __rk, qsim) — the multi-width scored relation a curve
+    * walk slices per point. qsim is the identical integer bilinear
+    * [[bitextScored]] computes; `__rk ≤ p` then yields exactly the
+    * scored relation of the nprobe-p probe. */
+  private def bitextScoredRanked(emb: DataFrame, idCol: String,
+                                 vecCol: String, labels: DataFrame,
+                                 labelIdCol: String, langCol: String,
+                                 srcLang: String, tgtLang: String,
+                                 ranked: DataFrame): DataFrame = {
+    val qv = transform(toDoubles(col(vecCol)),
+      x => round(x * 1e6, 0).cast("bigint"))
+    val tagged = emb.select(col(idCol), qv.as("qv"))
+      .join(labels.select(col(labelIdCol).as(idCol),
+        col(langCol).as("__lang")), Seq(idCol))
+    val src = tagged.filter(col("__lang") === srcLang)
+      .select(col(idCol).as("src_id"), col("qv").as("qsrc"))
+    val tgt = tagged.filter(col("__lang") === tgtLang)
+      .select(col(idCol).as("tgt_id"), col("qv").as("qtgt"))
+    ranked
+      .join(tgt, Seq("tgt_id")).join(src, Seq("src_id"))
+      .select(col("src_id"), col("tgt_id"), col("__rk"),
+        aggregate(zip_with(col("qsrc"), col("qtgt"),
+          (a, b) => coalesce(a * b, lit(0L))),
+          lit(0L), (s, x) => s + x).as("qsim"))
+  }
+
+  /** The mined-pair relations of a whole probe-width walk over ONE
+    * geometry and ONE scoring pass (r19): candidates ranked to the
+    * widest nprobe, scored once, sliced at `__rk ≤ p` per point (the
+    * slice IS the nprobe-p probe's scored relation — each target lives
+    * in exactly one cell), then each point pays only its top-2 margin
+    * window. Output per width = exactly
+    * `mineBitext(..., candidates = Some(<nprobe-p candidates>))
+    * .filter(mined).select(src_id, tgt_id)`. */
+  def bitextMinedLadder(emb: DataFrame, idCol: String, vecCol: String,
+                        labels: DataFrame, labelIdCol: String,
+                        langCol: String, srcLang: String, tgtLang: String,
+                        nprobes: Seq[Int], numCells: Int,
+                        marginNum: Long = 105L,
+                        marginDen: Long = 100L): Map[Int, DataFrame] = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be positive: $nprobes")
+    require(numCells >= 1, "numCells must be >= 1")
+    val scoredAll = bitextScoredRanked(emb, idCol, vecCol, labels,
+      labelIdCol, langCol, srcLang, tgtLang,
+      bitextIvfCandidatesRanked(emb, idCol, vecCol, labels, labelIdCol,
+        langCol, srcLang, tgtLang, maxNprobe = nprobes.max,
+        numCells = numCells))
       .localCheckpoint()
     nprobes.map(p => p ->
-      probedAll.filter(col("__rk") <= p)
-        .join(assigned, Seq("__cid"))
-        .select(col("src_id"), col("tgt_id"))).toMap
+      marginBest(scoredAll.filter(col("__rk") <= p)
+          .select(col("src_id"), col("tgt_id"), col("qsim")),
+        marginNum, marginDen, keyCol = "src_id", bestCol = "tgt_id")
+        .filter(col("mined")).select(col("src_id"), col("tgt_id"))).toMap
   }
 
   /** One point of the [[recommendNprobe]] curve: mined-pair recall of
@@ -629,11 +670,15 @@ object Similarity {
       mineBitext(restricted, idCol, vecCol, labels, labelIdCol, langCol,
         srcLang, tgtLang, marginNum, marginDen, candidates = c)
         .filter(col("mined")).select(col("src_id"), col("tgt_id"))
-    // ONE frozen geometry for every curve point (r19): assignment and
-    // cell ranks are identical across widths — only the cutoff varies
-    val ladder = bitextIvfCandidateLadder(restricted, idCol, vecCol,
+    // ONE frozen geometry AND one scoring pass for every curve point
+    // (r19): each target lives in exactly one cell, so slicing the
+    // widest scored relation at __rk ≤ p reproduces the nprobe-p
+    // probe's scored relation exactly — per point only the top-2
+    // margin window re-runs, never the geometry or the scoring
+    val minedLadder = bitextMinedLadder(restricted, idCol, vecCol,
       labels, labelIdCol, langCol, srcLang, tgtLang,
-      nprobes = candidateNprobes, numCells = cellsFixed)
+      nprobes = candidateNprobes, numCells = cellsFixed,
+      marginNum = marginNum, marginDen = marginDen)
     val truth = mined(None)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -645,7 +690,7 @@ object Similarity {
         val p = it.next()
         val hits =
           if (nTruth == 0L) 0L
-          else truth.join(mined(Some(ladder(p))),
+          else truth.join(minedLadder(p),
             Seq("src_id", "tgt_id")).count()
         val recall = if (nTruth == 0L) 1.0 else hits.toDouble / nTruth
         curve += NprobePoint(p, nTruth, hits, recall)

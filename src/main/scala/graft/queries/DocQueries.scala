@@ -489,14 +489,16 @@ object DocQueries {
           .when(lit(200L) * col("qsim") <
                 lit(120L) * (col("qsim") + col("qsim2")), "m110_120")
           .otherwise("m120_plus"))
-    // ONE frozen geometry for all four widths (r19): the per-point
-    // candidate calls re-seeded, re-assigned and re-ranked the same
-    // cells per width — the ladder computes them once and slices
-    val ladder = Similarity.bitextIvfCandidateLadder(restricted, "vec_id",
+    // ONE frozen geometry AND one scoring pass for all four widths
+    // (r19): candidates ranked to nprobe 8, scored once, sliced at
+    // rk ≤ p per point — per width only the top-2 margin window runs
+    // (identical mined sets to per-point probes, Similarity doc)
+    val minedLadder = Similarity.bitextMinedLadder(restricted, "vec_id",
       "embedding", d, "doc_id", "lang", srcLang = "en", tgtLang = "de",
-      nprobes = Seq(1, 2, 4, 8), numCells = cellsFixed)
+      nprobes = Seq(1, 2, 4, 8), numCells = cellsFixed,
+      marginNum = 105L, marginDen = 100L)
     val probes = Seq(1, 2, 4, 8).map { p =>
-      mined(Some(ladder(p)))
+      minedLadder(p)
         .select(lit(p.toLong).as("nprobe"), col("src_id"), col("tgt_id"))
     }.reduce(_ unionByName _)
     Seq(1L, 2L, 4L, 8L).toDF("nprobe").crossJoin(truth)
