@@ -304,7 +304,16 @@ class PlanSpec extends SparkSpec {
 
   test("C92: symmetric bitext group-limits BOTH direction windows; no cartesian") {
     val p = plan("q_emb_bitext_sym")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // r19: the probe-bounded scored relation is materialized ONCE at
+    // construction (mineBitextSymmetric localCheckpoints it so the two
+    // direction windows stop re-running the probe + scoring subtree) —
+    // the serving plan therefore reads a checkpointed RDD instead of
+    // containing the probe's BroadcastNestedLoopJoin, and the scoring
+    // subtree must appear ZERO times here (twice was the r18 shape)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"scored relation must be the materialized checkpoint:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"scoring must not re-run inside the serving plan:\n$p")
     // both the per-source and per-target top-2 must group-limit — a
     // full sort of the pair relation in either direction is the
     // quadratic shuffle the design avoids
