@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE-line JSON from sbt's stdout. The
+// default LoggedOutput strategy prefixes every forked-process line
+// with [info], which has broken that parse every round since r13
+// (BENCH_r*.json `parsed: null`). StdoutOutput inherits the sbt
+// process's raw stdout/stderr, so the {"metric":...} line lands bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
