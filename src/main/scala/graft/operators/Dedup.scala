@@ -410,24 +410,51 @@ object Dedup {
     * of two that doesn't fit a signed 64-bit positive — which keeps
     * the packing pure integer arithmetic with no unsigned types. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // LANE-PACKED vote aggregate (r20, guide §4 expression width): the
+    // per-bit ±1 vote sum only needs each bit's ONES count o_k and the
+    // doc's distinct-token count n (votes_k = 2·o_k − n, sign positive
+    // iff 2·o_k > n — ties pack as bit 0 exactly as before). Bit k of
+    // the 64-bit token hash accumulates in 22-bit lane (k div 22) of
+    // packed sum s_(k mod 22): per token each addend is
+    // (h >>> i) & (1 | 1<<22 | 1<<44) — ONE logical shift + ONE mask
+    // (unsigned, so the phantom lane past bit 63 reads zero) — and the
+    // aggregate carries 23 long slots instead of 64 slots with 3-op
+    // inputs. A lane addend is 0/1, so a lane sum is ≤ n: no inter-
+    // lane carry below 2^22 and no signed-long overflow in the TOP
+    // lane (bits 44+) below 2^19. Docs beyond 524287 DISTINCT tokens
+    // raise loudly (assert_true) instead of wrapping — widen the lanes
+    // before raising that limit.
+    val laneMask = 1L | (1L << 22) | (1L << 44)
     val tok = docs.select(col(idCol),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-      .withColumn("hi",
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .withColumn("lo",
-        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
-    val votes = (0 until 64).map { k =>
-      val h = if (k < 32) col("lo") else col("hi")
-      sum(when(shiftright(h, k % 32).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v_$k")
+      // project the digest to an attribute so the two 32-bit halves
+      // parse one md5, then fuse them into the full 64-bit hash
+      .select(col(idCol), md5(col("tok")).as("g128"))
+      .select(col(idCol),
+        shiftleft(conv(substring(col("g128"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("g128"), 9, 8), 16, 10).cast("long"))
+          .as("h"))
+    val sums = (0 until 22).map { i =>
+      sum(shiftrightunsigned(col("h"), i).bitwiseAND(lit(laneMask))).as(s"s_$i")
     }
+    // ones_k unpacks from lane (k div 22) of sum (k mod 22); the
+    // ±1-vote sign test 2·ones_k > n reproduces the old per-bit sums'
+    // v_k > 0 bit-for-bit (v_k = ones_k − (n − ones_k))
+    def ones(k: Int): Column =
+      shiftrightunsigned(col(s"s_${k % 22}"), 22 * (k / 22))
+        .bitwiseAND(lit(0x3FFFFFL))
     val packed = (0 until 63)
-      .map(k => when(col(s"v_$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
+      .map(k => when(ones(k) * 2 > col("__n"), shiftleft(lit(1L), k)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
-      .bitwiseOR(when(col("v_63") > 0, lit(Long.MinValue)).otherwise(0L))
+      .bitwiseOR(when(ones(63) * 2 > col("__n"), lit(Long.MinValue)).otherwise(0L))
     tok.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), packed.as("simhash"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col(idCol),
+        when(assert_true(col("__n") <= 524287L,
+          concat(lit("simhash lane overflow: doc "), col(idCol).cast("string"),
+            lit(" has "), col("__n").cast("string"),
+            lit(" distinct tokens (max 524287)"))).isNull, packed)
+          .as("simhash"))
   }
 
   /** C3b — near-dup pairs with simhash hamming distance ≤ `maxDist`,
@@ -742,16 +769,45 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.1,
                         maxDocFreq: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-doc gram count attached via a window over the shingle
-    // relation itself — no separate counts branch, so the (expensive)
-    // shingle subtree is planned twice (a/b join sides), not four times
-    // materialize the shingle relation once: both join sides read it,
-    // and the chain above it (explode → two windows) is expensive
-    // enough that planning it twice dominates the query
-    val g = shingles(docs, textCol, idCol, n)
-      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(idCol)))
+    // MAP-SIDE gram prep (r20, guide §2.4): the per-doc gram dedup and
+    // the n_grams denominator are both per-document functions, so they
+    // compute BEFORE the explode (array_distinct + size on the gram
+    // array) — the old global `distinct()` exchange and the
+    // count-over-Window.partitionBy(id) exchange bought nothing this
+    // arithmetic can't. What remains distributed is exactly what must
+    // be: ONE exchange (the df window on gram, whose partitioning the
+    // posting self-join below reuses) + the pair aggregate. 4 gram-
+    // relation exchanges → 2.
+    //
+    // A full posting-list shape (collect_list per gram + suffix-pair
+    // explode, one fewer join) was measured WORSE at sf0.1 (the
+    // collect_list ObjectHashAggregate falls back to sort-based past
+    // 128 keys/partition and re-sorts the gram relation twice: in-JVM
+    // A/B 1.1 s join form vs 2.1-3.1 s posting form) — the join stays.
+    val g = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        array_distinct(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(0), size(col("toks")) - n),
+              i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))
+            .otherwise(expr("CAST(array() AS array<string>)"))).as("grams"))
+      // explode_OUTER, then drop the null-gram rows on the exploded
+      // ATTRIBUTE: a plain explode of a projected array lets
+      // InferFiltersFromGenerate add `size(grams) > 0` and predicate
+      // pushdown substitute the WHOLE gram pipeline (split + transform
+      // + concat_ws + array_distinct) into a scan-level filter — the
+      // pipeline then evaluates 3× per document (measured: the explode
+      // stage alone went 4.5 s → ~1 s at sf0.1). The outer generate
+      // infers nothing; the isNotNull filter costs one null check per
+      // gram row and removes exactly the empty-array rows the inner
+      // explode would have dropped.
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
       // hot-gram cap; the window repartitions by gram, which the join
-      // below reuses as its own partitioning
+      // below reuses as its own partitioning. Materialize once: both
+      // join sides read the relation (pair-sized cut, bounded).
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxDocFreq)
       .localCheckpoint()
@@ -1277,19 +1333,33 @@ object Dedup {
     * relation it emits is the SPARSE one — that sparsity is the whole
     * point at 100 TB. Returns distinct `(idCol, fp)`. */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                         k: Int = 4, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+                         k: Int = 4, w: Int = 8): DataFrame =
+    winnowFingerprintsRaw(docs, textCol, idCol, k, w).distinct()
+
+  /** [[winnowFingerprints]] BEFORE the (id, fp) distinct — for
+    * consumers whose downstream aggregate absorbs duplicates
+    * (collect_set in [[winnowPairs]]), which skips the distinct's
+    * exchange. The per-doc window min is computed MAP-SIDE over the
+    * doc's own gram-hash array (`array_min` of each w-slice — the
+    * selection is a pure per-document function, so the old
+    * Window-partitionBy(id) paid an exchange + per-doc sort for a
+    * purely local computation; r20, guide §2.4). Trailing windows
+    * (< w grams left) clip exactly like `rowsBetween(0, w-1)` did:
+    * suffix minima, same fingerprints. */
+  private def winnowFingerprintsRaw(docs: DataFrame, textCol: String,
+                                    idCol: String, k: Int, w: Int): DataFrame =
+    docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(
+      .select(col(idCol),
         transform(sequence(lit(0), size(col("toks")) - k),
           i => substring(md5(concat_ws(" ",
-            slice(col("toks"), i + lit(1), lit(k)))), 1, 16)))
-        .as(Seq("pos", "h")))
-    val win = Window.partitionBy(idCol).orderBy(col("pos")).rowsBetween(0, w - 1)
-    grams.select(col(idCol), min(col("h")).over(win).as("fp")).distinct()
-  }
+            slice(col("toks"), i + lit(1), lit(k)))), 1, 16)).as("hs"))
+      // hs projected to a plain attribute before the windowing lambda
+      // (the per-element re-evaluation trap documented on shingles)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("hs"))),
+          j => array_min(slice(col("hs"), j, lit(w))))).as("fp"))
 
   /** Winnowed near-dup candidate pairs: a posting join over the SPARSE
     * fingerprint relation — (doc1, doc2, n_shared fingerprints), kept
@@ -1301,18 +1371,23 @@ object Dedup {
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
                   k: Int = 4, w: Int = 8, minShared: Int = 2,
                   maxDocFreq: Int = 20): DataFrame = {
-    // materialize once: the fingerprint relation feeds the df filter
-    // and BOTH posting sides — unchecked, the explode+window pipeline
-    // would run three times
-    val fp = winnowFingerprints(docs, textCol, idCol, k, w).localCheckpoint()
-    val kept = fp.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select(col("fp"))
-    val posting = fp.join(kept, Seq("fp"))
-    posting.select(col(idCol).as("doc1"), col("fp"))
-      .join(posting.select(col(idCol).as("doc2"), col("fp")), Seq("fp"))
-      .filter(col("doc1") < col("doc2"))
+    // POSTING-LIST shape (r20, guide §2.4 — the ngramJaccardPairs
+    // rewrite applied to the sparse fingerprint relation): collect_set
+    // absorbs the per-doc fingerprint distinct, df = posting-list size
+    // folds the hot-fingerprint cap into the same aggregate, and pairs
+    // stream out of a posexplode+slice suffix pairing (doc1 < doc2 by
+    // array_sort). One exchange on fp + the pair aggregate replace the
+    // distinct exchange, the checkpoint, the df join and the posting
+    // self-join.
+    val fp = winnowFingerprintsRaw(docs, textCol, idCol, k, w)
+    fp.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col(idCol))).as("xs"))
+      .filter(size(col("xs")).between(2, maxDocFreq))
+      // posexplode_OUTER: see ngramJaccardPairs — avoids the inferred
+      // size>0 filter re-evaluating the sorted list; xs is never empty
+      .select(col("xs"), posexplode_outer(col("xs")).as(Seq("i", "doc1")))
+      .select(col("doc1"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -47,6 +47,69 @@ class OperatorsSpec extends SparkSpec {
       s"near-dup hamming ${dist(sh(1L), sh(3L))} should beat ${dist(sh(1L), sh(4L))}")
   }
 
+  test("C3: lane-packed simhash equals the per-bit ±1 vote reference (r20)") {
+    // reference: recompute every doc's 64 vote sums token-by-token on
+    // the driver with the same md5-derived bits, pack, compare
+    val expected = docs.collect().map { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ", -1).filter(_.nonEmpty).distinct
+      val votes = Array.fill(64)(0L)
+      toks.foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        (0 until 64).foreach { k =>
+          val h = if (k < 32) lo else hi
+          votes(k) += (if (((h >> (k % 32)) & 1L) == 1L) 1L else -1L)
+        }
+      }
+      var packed = 0L
+      (0 until 63).foreach(k => if (votes(k) > 0) packed |= (1L << k))
+      if (votes(63) > 0) packed |= Long.MinValue
+      id -> packed
+    }.toMap
+    val got = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"lane-packed simhash diverged: $got vs $expected")
+  }
+
+  test("C3: simhash raises loudly past 524287 distinct tokens per doc (lane guard)") {
+    // 525k distinct tokens: above the lane guard, while each bit's
+    // ones-count (~n/2) stays below the 2^19 top-lane ANSI ceiling, so
+    // the assert_true fires deterministically (beyond ~1M, ANSI's own
+    // in-flight sum overflow would raise first — loud either way)
+    val big = Seq((1L, (0 until 525000).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Dedup.simhash(big, "text", "doc_id").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(e).contains("simhash lane overflow"),
+      s"expected the loud lane guard, got: ${messages(e).take(300)}")
+  }
+
+  test("C47: map-side winnow fingerprints equal the windowed-min reference (r20)") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4; val w = 8
+    val corpus = docs
+    val grams = corpus
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => substring(md5(concat_ws(" ",
+            slice(col("toks"), i + lit(1), lit(k)))), 1, 16)))
+        .as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy(col("pos")).rowsBetween(0, w - 1)
+    val ref = grams.select(col("doc_id"), min(col("h")).over(win).as("fp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = Dedup.winnowFingerprints(corpus, "text", "doc_id", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ref, s"map-side winnowing diverged from the windowed min")
+  }
+
   test("C4: ngram jaccard exact pair scores 1.0") {
     val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
