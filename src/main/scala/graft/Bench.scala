@@ -219,6 +219,73 @@ object Bench {
           }
       }
     }
+    // HISTORY BURST SENTINEL (r20, r19 verdict item 8): the drift
+    // sentinel probes BETWEEN ~10-query chunks, so a box burst confined
+    // to one long-running query inside a chunk is invisible (r19's
+    // official run recorded q_doc_delta_admission at 59.94 s steady —
+    // 6× its trailing history — with suspect_queries empty). Defense:
+    // any steady median > HistBurstFactor × its own trailing median
+    // across the last committed same-SF history artifacts (and > an
+    // absolute floor, so scheduling-floor queries can't trip on noise)
+    // gets ONE min-keeping re-run; if it still exceeds the bound it is
+    // REPORTED as history_suspect (an upper bound, not a measurement —
+    // possibly a real plan regression, which the per-change A/Bs and
+    // the vs_prev overlap would corroborate, or a burst, which they
+    // would refute).
+    // "latest COMMITTED": uncommitted artifacts from earlier runs in
+    // the same round are excluded when git can say which are tracked
+    // (fall back to all files when it can't — e.g. a non-git checkout)
+    val tracked: Set[String] = try {
+      val p = new ProcessBuilder("git", "-C",
+        histDir.getParentFile.getAbsolutePath, "ls-files", histDir.getName)
+        .redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0)
+        out.split("\n").map(_.trim.split('/').last).filter(_.nonEmpty).toSet
+      else Set.empty
+    } catch { case _: Throwable => Set.empty }
+    val HistBurstFactor = 3.0
+    val HistBurstAbsSec = 0.5
+    val histMedians: Map[String, Double] = try {
+      import org.json4s._
+      val files = Option(histDir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("bench_") && f.getName.endsWith(sfTag))
+        .filter(f => tracked.isEmpty || tracked.contains(f.getName))
+        .sortBy(_.getName).takeRight(3)
+      val maps = files.toSeq.map { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+          case JObject(fs) => fs.flatMap {
+            case (k, JDouble(d)) => Some(k -> d)
+            case (k, JInt(i)) => Some(k -> i.toDouble)
+            case (k, JDecimal(d)) => Some(k -> d.toDouble)
+            case _ => None
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+      }
+      maps.flatMap(_.keys).distinct.flatMap { q =>
+        val xs = maps.flatMap(_.get(q)).sorted
+        if (xs.isEmpty) None else Some(q -> xs(xs.size / 2))
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+    def burstSuspects(): Seq[String] = timings.toSeq.collect {
+      case (q, v) if histMedians.get(q).exists(m =>
+        v > HistBurstFactor * m && v > m + HistBurstAbsSec) => q
+    }
+    val historySuspect = {
+      val flagged = burstSuspects()
+      flagged.foreach { q =>
+        SparkEntry.queries.get(q).foreach { fn =>
+          try timings(q) = math.min(timings(q), steady(fn))
+          catch { case _: Throwable => () }
+        }
+      }
+      burstSuspects() // still over the bound after the re-run
+    }
     // ROBUST FLOOR (r19, verdict item 1): the vs_prev normalization
     // floor was min-of-samples, so ONE anomalously fast dip mid-run
     // claimed the whole window was that fast and inflated the
@@ -257,19 +324,8 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT — a redirected run compared against the
     // wrong history). outPath/histDir/sfTag are defined above the
     // timing loop (the chunk rotation needs the history count).
-    // "latest COMMITTED": uncommitted artifacts from earlier runs in
-    // the same round are excluded when git can say which are tracked
-    // (fall back to all files when it can't — e.g. a non-git checkout)
-    val tracked: Set[String] = try {
-      val p = new ProcessBuilder("git", "-C",
-        histDir.getParentFile.getAbsolutePath, "ls-files", histDir.getName)
-        .redirectErrorStream(false).start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (p.waitFor() == 0)
-        out.split("\n").map(_.trim.split('/').last).filter(_.nonEmpty).toSet
-      else Set.empty
-    } catch { case _: Throwable => Set.empty }
+    // ("tracked" — the committed-artifact filter — is defined above
+    // the history burst sentinel, which shares it)
     // (name, shared, overlap, floorRatio, normalized, floorBasis,
     //  disagree, planRead)
     val vsPrev: Option[(String, Int, Double, Double, Double, String, Boolean, Double)] = try {
@@ -319,8 +375,10 @@ object Bench {
           // drift-suspect timings are upper bounds, not measurements —
           // on EITHER side — so they don't belong in the overlap sums
           val excluded = suspect.toSet ++ coldSuspect.toSet ++
+            historySuspect.toSet ++
             strs(j \ "sentinel" \ "suspect_queries") ++
-            strs(j \ "sentinel" \ "cold_suspect_queries")
+            strs(j \ "sentinel" \ "cold_suspect_queries") ++
+            strs(j \ "sentinel" \ "history_suspect_queries")
           val shared = (timings.keySet intersect prevQ.keySet) -- excluded
           val prevSum = shared.toSeq.map(prevQ).sum
           if (shared.size < 10 || prevFloor <= 0 || sentinelFloorRobust <= 0 || prevSum <= 0) None
@@ -378,7 +436,7 @@ object Bench {
     // measurements), chunk_rotation the run-order offset that makes
     // recurring suspects attributable across artifacts
     val sentinelJson =
-      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloorRobust)},"wide_floor":${jnum(wideFloorRobust)},"floor_min":${jnum(sentinelFloor)},"wide_floor_min":${jnum(wideFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"rescued_chunks":$rescuedChunks,"chunk_rotation":$chunkRotation,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"wide_samples":[${wideSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}],"cold_suspect_queries":[${coldSuspect.map(jstr).mkString(",")}]}$vsPrevJson"""
+      s""""sentinel":{"query":${jstr(SentinelName)},"floor":${jnum(sentinelFloorRobust)},"wide_floor":${jnum(wideFloorRobust)},"floor_min":${jnum(sentinelFloor)},"wide_floor_min":${jnum(wideFloor)},"drift_events":$driftEvents,"reran_chunks":$reruns,"rescued_chunks":$rescuedChunks,"chunk_rotation":$chunkRotation,"samples":[${sentinelSamples.map(jnum).mkString(",")}],"wide_samples":[${wideSamples.map(jnum).mkString(",")}],"suspect_queries":[${suspect.map(jstr).mkString(",")}],"cold_suspect_queries":[${coldSuspect.map(jstr).mkString(",")}],"history_suspect_queries":[${historySuspect.map(jstr).mkString(",")}]}$vsPrevJson"""
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"cold_total":${jnum(coldTotal)},"cold_queries":$colds,$sentinelJson,"sf":${jstr(sfDir)}}"""
     // STDOUT LINE MUST FIT THE DRIVER'S ~2000-CHAR TAIL, of which sbt
@@ -407,8 +465,10 @@ object Bench {
     // errors/drift only when present — every char of a clean run is budget
     val esCompact = if (errors.isEmpty) "" else s""","errors":$es"""
     val driftCompact =
-      if (driftEvents == 0) ""
-      else s""","drift_events":$driftEvents,"suspect_n":${suspect.size}"""
+      (if (driftEvents == 0) ""
+       else s""","drift_events":$driftEvents,"suspect_n":${suspect.size}""") +
+        (if (historySuspect.isEmpty) ""
+         else s""","history_suspect_n":${historySuspect.size}""")
     // the floor + floor-normalized overlap go on stdout too: the
     // judge-facing BENCH_r{N}.json is parsed from this line, and a
     // naive reader must be able to see box drift without opening

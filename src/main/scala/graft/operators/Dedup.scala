@@ -41,14 +41,23 @@ object Dedup {
     * whose aggregate is idempotent over duplicates (MinHash's min). */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3,
                dedupGrams: Boolean = true): DataFrame = {
-    val g = docs
+    // dedupGrams is a PER-DOCUMENT dedup (the distinct key was
+    // (id, gram)), so it computes MAP-SIDE via array_distinct on the
+    // doc's own gram array — the old global distinct() paid a full
+    // exchange of the gram relation for per-row arithmetic (r20,
+    // guide §2.4). Both variants stay a single collapsed generate
+    // (child is an expression referenced once, so
+    // InferFiltersFromGenerate does not re-evaluate the gram pipeline
+    // in a scan filter — see ngramJaccardPairs for the trap).
+    val grams =
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))
+        .otherwise(expr("CAST(array() AS array<string>)"))
+    docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))
-          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
-    if (dedupGrams) g.distinct() else g
+      .select(col(idCol),
+        explode(if (dedupGrams) array_distinct(grams) else grams).as("gram"))
   }
 
   /** C2 — MinHash signatures: `numHashes` independent min-hashes per
@@ -78,8 +87,12 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 32, ngram: Int = 3,
                         portableHash: Boolean = false): DataFrame = {
+    // min() is idempotent over duplicate grams → skip the dedup
+    // (r20 counter-example: per-doc array_distinct before hashing
+    // measured NEUTRAL-to-worse in-JVM — this corpus has ~0.1%
+    // within-doc duplicate grams, so the saved hash work is nil and
+    // the distinct pass is pure cost)
     val grams = shingles(docs, textCol, idCol, ngram, dedupGrams = false)
-    // min() is idempotent over duplicate grams → skip the distinct shuffle
     if (portableHash) {
       // The digest words MUST be projected to attributes before the
       // aggregate: referenced as expressions inside the 32 min()s,
@@ -238,7 +251,15 @@ object Dedup {
     // the expensive part (md5 minhash + groupBy) — materialize it once
     // (delta-sized by construction) or the plan evaluates the whole
     // signature pipeline per reference (r19: the composed admission
-    // plan carried 110 parquet scans before this cut)
+    // plan carried 110 parquet scans before this cut).
+    // CONTRACT NOTE (repo-wide for the eager localCheckpoint cuts,
+    // here and in screenEval / hammingSetPairs / mineBitextSymmetric /
+    // bitextMinedLadder): construction runs a job eagerly and the
+    // checkpointed blocks carry no lineage — an executor loss
+    // mid-query fails the query instead of recomputing. The accepted
+    // trade for bounded (pair/probe-sized) intermediates; a 100 TB
+    // deployment that needs fault tolerance here persists them as
+    // tables instead.
     val deltaB =
       minhashBuckets(docs, textCol, idCol, numHashes, bands, ngram, portableHash)
         .withColumnRenamed("ids", "new_ids")

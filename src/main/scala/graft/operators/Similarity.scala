@@ -588,17 +588,38 @@ object Similarity {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
       s"nprobes must be positive: $nprobes")
     require(numCells >= 1, "numCells must be >= 1")
+    // same contract as the mineBitext path (bitextScored enforces it
+    // there); equal languages would silently self-pair-mine here
+    require(srcLang != tgtLang, "source and target language must differ")
+    val widths = nprobes.distinct.sorted
     val scoredAll = bitextScoredRanked(emb, idCol, vecCol, labels,
       labelIdCol, langCol, srcLang, tgtLang,
       bitextIvfCandidatesRanked(emb, idCol, vecCol, labels, labelIdCol,
-        langCol, srcLang, tgtLang, maxNprobe = nprobes.max,
+        langCol, srcLang, tgtLang, maxNprobe = widths.max,
         numCells = numCells))
       .localCheckpoint()
-    nprobes.map(p => p ->
-      marginBest(scoredAll.filter(col("__rk") <= p)
-          .select(col("src_id"), col("tgt_id"), col("qsim")),
-        marginNum, marginDen, keyCol = "src_id", bestCol = "tgt_id")
-        .filter(col("mined")).select(col("src_id"), col("tgt_id"))).toMap
+    // ONE margin-window pass for the whole walk (r20): each scored row
+    // replicates to every width whose cutoff admits it (explode of the
+    // admitting widths — ≤ |nprobes| small copies of a probe-bounded
+    // relation), and a single window partitioned by (width, src) ranks
+    // every slice at once — per width the (rank ≤ 2 → margin) result
+    // is exactly marginBest over the `__rk ≤ p` slice, because the
+    // per-(width, src) row set IS that slice. The mined relation
+    // (≤ |src|·|widths| rows) materializes once so the per-width
+    // consumers don't re-run the window per point — 4 window passes
+    // over the scored relation → 1.
+    val widthsArr = array(widths.map(p => lit(p)): _*)
+    val multi = scoredAll
+      .select(col("src_id"), col("tgt_id"), col("qsim"),
+        explode(filter(widthsArr, p => col("__rk") <= p)).as("__w"))
+    val minedAll = marginBest(multi, marginNum, marginDen,
+        keyCols = Seq("__w", "src_id"), bestCol = "tgt_id")
+      .filter(col("mined"))
+      .select(col("__w"), col("src_id"), col("tgt_id"))
+      .localCheckpoint()
+    widths.map(p => p ->
+      minedAll.filter(col("__w") === p)
+        .select(col("src_id"), col("tgt_id"))).toMap
   }
 
   /** One point of the [[recommendNprobe]] curve: mined-pair recall of
@@ -630,9 +651,13 @@ object Similarity {
     * on a near-isotropic corpus widening the probe buys little and
     * pretending otherwise would gate real pairs away silently.
     *
-    * Cost: one |sample|·|tgt| brute pass + one probe-bounded pass per
-    * measured point; early-exits at the first clearing nprobe. Driver
-    * state is counts only. */
+    * Cost: one |sample|·|tgt| brute pass, plus ONE probe-bounded
+    * scoring pass shared by every measured point (the
+    * [[bitextMinedLadder]] fold — geometry, scoring and the margin
+    * window all run once at the widest nprobe; per point only a
+    * filter of the materialized mined relation and a count remain).
+    * The ladder is built lazily, so the nTruth == 0 degenerate case
+    * never pays it. Driver state is counts only. */
   def recommendNprobe(emb: DataFrame, idCol: String, vecCol: String,
                       labels: DataFrame, labelIdCol: String, langCol: String,
                       srcLang: String, tgtLang: String,
@@ -671,11 +696,11 @@ object Similarity {
         srcLang, tgtLang, marginNum, marginDen, candidates = c)
         .filter(col("mined")).select(col("src_id"), col("tgt_id"))
     // ONE frozen geometry AND one scoring pass for every curve point
-    // (r19): each target lives in exactly one cell, so slicing the
-    // widest scored relation at __rk ≤ p reproduces the nprobe-p
-    // probe's scored relation exactly — per point only the top-2
-    // margin window re-runs, never the geometry or the scoring
-    val minedLadder = bitextMinedLadder(restricted, idCol, vecCol,
+    // (r19), with the per-point margin windows folded into one pass
+    // over the width-exploded scored relation (r20) — per point only a
+    // filter of the materialized mined relation remains. LAZY: the
+    // nTruth == 0 early-out below never builds the ladder at all.
+    lazy val minedLadder = bitextMinedLadder(restricted, idCol, vecCol,
       labels, labelIdCol, langCol, srcLang, tgtLang,
       nprobes = candidateNprobes, numCells = cellsFixed,
       marginNum = marginNum, marginDen = marginDen)
@@ -742,25 +767,34 @@ object Similarity {
     * margin verdict `qsim > 0 ∧ 2·den·qsim ≥ num·(qsim+qsim2)`. */
   private def marginBest(scored: DataFrame, marginNum: Long,
                          marginDen: Long, keyCol: String,
+                         bestCol: String): DataFrame =
+    marginBest(scored, marginNum, marginDen, Seq(keyCol), bestCol)
+
+  /** Composite-key form of [[marginBest]] — one window pass ranks
+    * every (key tuple)'s candidates (the ladder fold partitions by
+    * (width, src) to score a whole probe-width walk in one pass). */
+  private def marginBest(scored: DataFrame, marginNum: Long,
+                         marginDen: Long, keyCols: Seq[String],
                          bestCol: String): DataFrame = {
     require(marginDen > 0 && marginNum >= marginDen,
       s"margin $marginNum/$marginDen must be >= 1")
     require(marginDen <= 4000 && marginNum <= 8000,
       "margin terms above ~4000 risk int64 overflow against 1e15 sims")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
       .orderBy(col("qsim").desc, col(bestCol))
     scored
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= 2)
-      .groupBy(col(keyCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(
         max(when(col("__rk") === 1, col(bestCol))).as(bestCol),
         max(when(col("__rk") === 1, col("qsim"))).as("qsim"),
         max(when(col("__rk") === 2, col("qsim"))).as("qsim2"))
-      .select(col(keyCol), col(bestCol), col("qsim"), col("qsim2"),
+      .select((keyCols.map(col) ++ Seq(col(bestCol), col("qsim"), col("qsim2"),
         (col("qsim") > 0L && (col("qsim2").isNull ||
           lit(2L * marginDen) * col("qsim") >=
             lit(marginNum) * (col("qsim") + col("qsim2"))))
-          .as("mined"))
+          .as("mined"))): _*)
   }
 }

@@ -383,8 +383,10 @@ object Unigram {
     }
   }
 
-  /** One ladder round's outcome: the (checkpointed) working vocab
-    * `(piece, usage, cost)` after that round's EM + prune, its row
+  /** One ladder round's outcome: the DRIVER-MATERIALIZED local vocab
+    * relation `(piece, usage, cost)` after that round's EM + prune
+    * (the r19 driver fold holds the model-sized vocab on the driver
+    * and re-localizes it per round — nothing is checkpointed), its row
     * count, and the round's wall seconds. `target` is the prune target
     * (0 for the final EM-only settling round). */
   final case class LadderRound(round: Int, target: Int, vocabRows: Long,

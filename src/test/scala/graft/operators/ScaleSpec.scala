@@ -46,10 +46,13 @@ class ScaleSpec extends SparkSpec {
     // dedup pipeline — gram construction must not shuffle or sort it
     assert(!plan.contains("Exchange"), s"shingles should not shuffle:\n$plan")
     assert(!plan.contains("Window"), s"shingles should not need a window:\n$plan")
-    // the deduped variant's only exchange is its own distinct
+    // the deduped variant is map-only too since r20: per-doc dedup is
+    // array_distinct on the doc's own gram array, never a distinct
+    // exchange ((id, gram) distinct ⇔ within-doc distinct)
     val dedupPlan = Dedup.shingles(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(dedupPlan).size <= 1, dedupPlan)
+    assert(!dedupPlan.contains("Exchange"),
+      s"deduped shingles should not shuffle:\n$dedupPlan")
   }
 
   test("salted join equals the plain join and spreads the hot key") {
