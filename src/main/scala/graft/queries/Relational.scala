@@ -680,28 +680,42 @@ object Relational {
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("price_ap90"),
         count(lit(1)).as("n_rows"))
 
-  /** B23b GATE (bounded-match, graduated r19): a KLL/GK sketch value
-    * can't hash-match across engines, but its RANK contract can — the
-    * approx p-quantile must land between the exact quantiles at
+  /** B23b GATE (bounded-match, graduated r19; rank-gate form r20): a
+    * KLL/GK sketch value can't hash-match across engines, but its RANK
+    * contract can — the approx p-quantile's exact rank must lie within
     * p ± 0.01 (accuracy 10000 guarantees rank error ≤ 1e-4; the ±0.01
-    * window is 100× slack, flake-free at every SF). The oracle emits
+    * window is 100× slack, flake-free at every SF). r20 (r19 verdict
+    * item 9): the gate is checked in RANK space — count the rows
+    * strictly below / at-or-below the sketch value and cross-multiply
+    * against the window (`lt·100 ≤ n·(p+1)·100` form, pure integers) —
+    * instead of four exact `percentile` aggregates whose value-map
+    * state is O(distinct values) per group and OOMs on a continuous
+    * column at 100 TB. Tie runs spanning the window pass exactly as
+    * before (lt counts the run's start, le its end). The oracle emits
     * the same group keys, exact row counts and literal TRUE verdicts. */
-  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val sk = li.groupBy("l_returnflag")
       .agg(
         approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"),
-        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("ap90"),
-        percentile(col("l_quantity"), lit(0.49)).as("lo50"),
-        percentile(col("l_quantity"), lit(0.51)).as("hi50"),
-        percentile(col("l_extendedprice"), lit(0.89)).as("lo90"),
-        percentile(col("l_extendedprice"), lit(0.91)).as("hi90"),
-        count(lit(1)).as("n_rows"))
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("ap90"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_extendedprice") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
       .select(col("l_returnflag"), col("n_rows"),
-        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+        (col("lt50") * 100L <= col("n_rows") * 51L &&
+          col("le50") * 100L >= col("n_rows") * 49L)
           .as("p50_within_rank_bound"),
-        (col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+        (col("lt90") * 100L <= col("n_rows") * 91L &&
+          col("le90") * 100L >= col("n_rows") * 89L)
           .as("p90_within_rank_bound"))
+  }
 
   // ---------------------------------------------------------------- B24
   /** As-of join: each purchase event paired with the user's most

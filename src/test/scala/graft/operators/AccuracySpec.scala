@@ -254,6 +254,36 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("B23b: the r20 rank gate agrees with the interpolated-quantile gate") {
+    // the gate's r20 form counts ranks against the ±0.01 window in
+    // integer space instead of four exact value-map percentiles; both
+    // formulations must certify the accuracy-10000 sketch on the real
+    // corpus (every verdict TRUE, counts exact)
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val gate = graft.queries.Relational
+      .qApproxPercentile(spark, "/root/testdata/sf0.01").collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"rank gate failed for ${r.getString(0)}: $r")
+    }
+    val oldGate = li.groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("ap90"),
+        percentile(col("l_quantity"), lit(0.49)).as("lo50"),
+        percentile(col("l_quantity"), lit(0.51)).as("hi50"),
+        percentile(col("l_extendedprice"), lit(0.89)).as("lo90"),
+        percentile(col("l_extendedprice"), lit(0.91)).as("hi90"))
+      .collect()
+    oldGate.foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(3) && r.getDouble(1) <= r.getDouble(4),
+        s"old p50 gate failed for ${r.getString(0)}")
+      assert(r.getDouble(2) >= r.getDouble(5) && r.getDouble(2) <= r.getDouble(6),
+        s"old p90 gate failed for ${r.getString(0)}")
+    }
+  }
+
   /** Two different claims, separately pinned. (1) EXACTNESS: the
     * pigeonhole banding finds exactly the pairs within hamming ≤ 3 of
     * the 64-bit signatures — verified against a brute-force all-pairs
