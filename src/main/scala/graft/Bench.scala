@@ -486,7 +486,16 @@ object Bench {
     if (compact.length > 1870)
       System.err.println(s"[bench] WARNING: compact line is ${compact.length} chars; " +
         "the driver tail holds ~1920 — drop slowest-N before adding groups")
-    // Single line on stdout; driver greps for the {"metric": prefix.
+    // TWO {"metric": lines on stdout, full first, compact last (r20 —
+    // the StdoutOutput fix finally makes the lines bare, so the parse
+    // can succeed; this ordering serves every parser the driver might
+    // be): a parser reading FULL stdout (first or any match) gets the
+    // complete per-query map from the full line; a parser confined to
+    // the ~1900-char stdout TAIL sees the full line head-truncated
+    // (not a {"metric" line start) and the compact line COMPLETE —
+    // still parsed, totals/groups/slowest available. The compact line
+    // is printed last precisely so it always fits the tail whole.
+    println(line)
     println(compact)
     // sbt prefixes stdout with [info], which has broken the driver's
     // parse every round — the bare FULL line goes to files: the
